@@ -1,0 +1,265 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Core relational operator surface: scans with pushed-down
+  * filters/projections, hash & broadcast joins, semi/anti joins, exact
+  * and distinct aggregation, window functions, top-k, unions, JSON
+  * extraction.
+  *
+  * These re-express, Spark-first, the relational skeleton of the
+  * reference dataflow (SURVEY.md §2.3/§2.7: projections #13-14,
+  * predicates #16-17, explode+join assembly #21, hash aggregation #22,
+  * export reshaping #33-38) over the driver testdata tables.
+  *
+  * Determinism rules used throughout the engine's oracle-checked
+  * queries:
+  *   - money math is done in DECIMAL (exact, order-independent) and
+  *     only cast to double at the very end, so Spark and a
+  *     decimal-faithful oracle produce bit-identical doubles;
+  *   - every result has a total deterministic ORDER BY;
+  *   - raw double columns are passed through untouched (same bits) or
+  *     reduced via exact decimal, never via float summation.
+  */
+object Relational {
+
+  /** Exact money type: values in testdata have ≤2 decimals and fit
+    * comfortably in 12 integer digits; keeping precision low leaves
+    * headroom for exact decimal multiplication chains (≤38 digits)
+    * in both Spark and DuckDB. */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // #1: full-scan aggregation with decimal-exact sums (TPC-H Q1 shape).
+    // Map-side partial aggregation + 2-phase final agg; no raw-double sums.
+    "q01_pricing_summary" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_returnflag".isNotNull)
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+            .cast("double").as("sum_disc_price"),
+          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount"))
+            * (lit(1) + dec($"l_tax"))).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // #2: filter + projection — both must reach the parquet scan
+    // (PushedFilters / ReadSchema pruning; verified in RelationalSpec).
+    "q02_filter_project" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_returnflag" === "R" && $"l_discount" > 0.05)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // #3: broadcast join (customer is tiny at any SF relative to orders).
+    "q03_broadcast_join" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).cast("double").as("revenue"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // #4: multi-way join lineitem⋈orders⋈customer⋈nation⋈region; the
+    // two big tables shuffle-join on orderkey, dims broadcast.
+    "q04_multi_join" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // #5: top-k by aggregate with deterministic tie-break.
+    "q05_topk_customers" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_custkey")
+        .agg(sum(dec($"o_totalprice")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy($"revenue".desc, $"o_custkey".asc)
+        .limit(10)
+    },
+
+    // #6: semi join (EXISTS) — customers having at least one 'F' order.
+    "q06_semi_join" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter($"o_orderstatus" === "F"),
+          $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // #7: anti join (NOT EXISTS) — customers with no orders at all.
+    "q07_anti_join" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // #8: window ranking — top-3 customers by acctbal per segment.
+    "q08_window_rank" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      Tables.customer(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 3)
+        .select($"c_mktsegment", $"rnk", $"c_custkey", $"c_acctbal")
+        .orderBy($"c_mktsegment", $"rnk")
+    },
+
+    // #9: distinct aggregation.
+    "q09_distinct_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey").as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_returnflag")
+    },
+
+    // #10: union of heterogeneous relations into a common shape
+    // (the reference's tagged-union fan-in encoding, SURVEY.md §1.4).
+    "q10_union_shape" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables.customer(s, d).select(
+        $"c_custkey".cast("long").as("key"), $"c_name".as("name"),
+        $"c_acctbal".as("acctbal"), lit("customer").as("kind"))
+      val p = Tables.supplier(s, d).select(
+        $"s_suppkey".cast("long").as("key"), $"s_name".as("name"),
+        $"s_acctbal".as("acctbal"), lit("supplier").as("kind"))
+      c.unionByName(p).orderBy($"kind", $"key")
+    },
+
+    // #11: JSON extraction from a string column (reference #12
+    // from_json parse; events.props is a JSON object {"k": int}).
+    "q11_json_extract" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          min($"k").as("min_k"),
+          max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+
+    // #12: conditional aggregation (CASE WHEN inside agg).
+    "q12_case_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_linestatus")
+        .agg(
+          sum(when($"l_discount" > 0.05, lit(1)).otherwise(lit(0))).as("n_disc"),
+          sum(when($"l_tax" > 0.04, lit(1)).otherwise(lit(0))).as("n_taxed"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"l_linestatus")
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_returnflag IS NOT NULL
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_broadcast_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_multi_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q05_topk_customers" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY revenue DESC, o_custkey ASC LIMIT 10""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_window_rank" ->
+      """SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q10_union_shape" ->
+      """SELECT * FROM (
+        |  SELECT CAST(c_custkey AS BIGINT) AS key, c_name AS name,
+        |    c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey AS BIGINT) AS key, s_name AS name,
+        |    s_acctbal AS acctbal, 'supplier' AS kind FROM supplier)
+        |ORDER BY kind, key""".stripMargin,
+    "q11_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q12_case_agg" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_disc,
+        |  sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_taxed,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+  )
+}
