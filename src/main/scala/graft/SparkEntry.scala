@@ -12,6 +12,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
                             Map[String, String])] = Seq(
     (operators.Relational.queries, operators.Relational.oracle),
+    (operators.Neel.queries, operators.Neel.oracle),
+    (streaming.FanIn.queries, streaming.FanIn.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
