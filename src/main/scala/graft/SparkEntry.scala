@@ -14,6 +14,8 @@ object SparkEntry {
     (operators.Relational.queries, operators.Relational.oracle),
     (operators.Neel.queries, operators.Neel.oracle),
     (streaming.FanIn.queries, streaming.FanIn.oracle),
+    (operators.Dedup.queries, operators.Dedup.oracle),
+    (operators.Similarity.queries, operators.Similarity.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

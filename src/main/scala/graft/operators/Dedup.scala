@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Large-scale deduplication operators over the `documents` table —
+  * the training-data-pipeline surface the reference engine lacks but a
+  * 100 TB corpus job needs: exact dedup, MinHash+LSH, SimHash, and
+  * blocked n-gram Jaccard (embedding near-dup lives in
+  * [[Similarity]]).
+  *
+  * Determinism: every sketch is built from `md5` (bit-identical hex in
+  * Spark and DuckDB), so all candidate generation and similarity
+  * estimates are hash-matchable against the SQL oracle — no
+  * engine-specific hash functions anywhere.
+  *
+  * Scale design (the point of each operator at 100 TB):
+  *   - exact dedup is a single hash-partitioned groupBy on the content
+  *     digest — one shuffle of (digest, doc_id), no text movement;
+  *   - MinHash+LSH shuffles only (band_key, doc_id, signature) rows:
+  *     candidate pairs come from equi-joining band buckets, never from
+  *     an all-pairs product; bands/rows (b=2, r=6) tune the
+  *     recall/candidate-volume trade-off;
+  *   - SimHash reduces each doc to a 16-bit fingerprint; bucketing on
+  *     the high byte bounds the pair search per bucket;
+  *   - n-gram Jaccard uses (lang, n_chars) as a blocking key — the
+  *     classic entity-resolution move that turns O(n²) into
+  *     sum-of-squares over tiny blocks;
+  *   - all expressions are codegen'd column expressions (no UDFs), so
+  *     shingling/hashing runs inside WholeStageCodegen on the scan.
+  */
+object Dedup {
+
+  /** Signature length and banding: k = bands * rowsPerBand. */
+  val K = 12
+  val Bands = 2
+  val RowsPerBand = 6
+
+  /** Whitespace tokens, lowercased, empties dropped (multiplicity kept). */
+  private val toksExpr = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+  private val toksSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  /** Per-doc token + distinct-token-set columns. */
+  private def withToks(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(toksExpr))
+      .withColumn("tokset", array_distinct(col("toks")))
+
+  /** MinHash signature columns sig0..sig{K-1}: min over the token set
+    * of md5("<i>:" ++ token) — k independent permutations by salting. */
+  def withMinhash(docs: DataFrame): DataFrame =
+    (0 until K).foldLeft(withToks(docs)) { (df, i) =>
+      df.withColumn(s"sig$i",
+        expr(s"array_min(transform(tokset, t -> md5(concat('$i:', t))))"))
+    }.withColumn("sig", array((0 until K).map(i => col(s"sig$i")): _*))
+
+  private def sigSqlCols: String = (0 until K).map(i =>
+    s"list_min(list_transform(tokset, t -> md5('$i:' || t))) AS sig$i").mkString(",\n         ")
+
+  /** SimHash: 16-bit fingerprint; bit b is the sign of the
+    * token-frequency-weighted sum of bit b of each token's md5.
+    * The per-token hash (first 4 md5 hex digits as a 16-bit int) is
+    * materialized ONCE into an int array, then each bit weight is a
+    * cheap integer fold — not 16 separate md5 passes. */
+  private val tokvalExprBody = (0 until 4).map { j =>
+    s"(instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * ${1 << (4 * j)}"
+  }.mkString(" + ")
+  private def tokvalSpark =
+    s"transform(toks, t -> ${tokvalExprBody.replace("h,", "md5(t),")})"
+  private def tokvalSql =
+    s"list_transform(toks, t -> ${tokvalExprBody.replace("h,", "md5(t),")})"
+
+  private def simhashBitSpark(b: Int): String =
+    s"aggregate(tv, 0, (acc, x) -> acc + (CASE WHEN ((shiftright(x, $b)) & 1) = 1 THEN 1 ELSE -1 END))"
+  private def simhashBitSql(b: Int): String =
+    s"list_sum(list_transform(tv, x -> CASE WHEN ((x >> $b) & 1) = 1 THEN 1 ELSE -1 END))"
+
+  def withSimhash(docs: DataFrame): DataFrame = {
+    val withBits = (0 until 16).foldLeft(
+        withToks(docs).withColumn("tv", expr(tokvalSpark))) { (df, b) =>
+      df.withColumn(s"w$b", expr(simhashBitSpark(b)))
+    }
+    val fp = (0 until 16).map(b =>
+      when(col(s"w$b") > 0, lit(1 << b)).otherwise(lit(0))).reduce(_ + _)
+    withBits.withColumn("simhash", fp.cast("int"))
+  }
+
+  private def simhashSql: String = {
+    val bits = (0 until 16).map(b => s"${simhashBitSql(b)} AS w$b").mkString(",\n         ")
+    val fp = (0 until 16).map(b => s"CASE WHEN w$b > 0 THEN ${1 << b} ELSE 0 END").mkString(" + ")
+    s"""toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tvv AS (SELECT doc_id, $tokvalSql AS tv FROM toks),
+       |bits AS (SELECT doc_id,
+       |         $bits
+       |  FROM tvv),
+       |sh AS (SELECT doc_id, CAST($fp AS INTEGER) AS simhash FROM bits)""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: one shuffle of (digest, id); text never moves.
+    "q30_dedup_exact" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("content_md5"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("canonical_id"))
+    },
+
+    // MinHash + LSH banding: candidates from band-bucket equi-join,
+    // estimate = matching signature fraction, near-dups at est >= 0.75.
+    "q31_minhash_pairs" -> { (s, d) =>
+      val sig = withMinhash(Tables.documents(s, d))
+        .select((col("doc_id") +: col("sig") +:
+          (0 until K).map(i => col(s"sig$i"))): _*)
+      // melt carries ONLY (doc_id, band) — the signature arrays must
+      // not ride through the band join + distinct (they'd multiply the
+      // shuffle volume by the candidate count); they're joined back
+      // after pair dedup, where the sig relation is tiny per partition
+      // (auto-broadcast locally; a doc_id-keyed shuffle join at scale).
+      val bandCols = (0 until Bands).map { b =>
+        val key = concat((b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => col(s"sig$i")): _*)
+        struct(lit(b).as("band_id"), key.as("band_key"))
+      }
+      val melt = sig.select(col("doc_id"),
+          explode(array(bandCols: _*)).as("band"))
+        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+      val pairs = melt.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
+        .join(melt.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key")),
+          Seq("band_id", "band_key"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      val sigs = sig.select(col("doc_id"), col("sig"))
+      pairs
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        .withColumn("matches",
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+        .withColumn("est_jaccard", col("matches") / lit(K.toDouble))
+        .where(col("est_jaccard") >= 0.75)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash fingerprints per document.
+    "q32_simhash" -> { (s, d) =>
+      withSimhash(Tables.documents(s, d))
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // SimHash near-dup pairs: bucket on the high byte, pair within the
+    // bucket at hamming distance <= 6 (of 16 bits).
+    "q33_simhash_pairs" -> { (s, d) =>
+      val sh = withSimhash(Tables.documents(s, d))
+        .select(col("doc_id"), col("simhash"),
+          shiftright(col("simhash"), 8).as("bucket"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"), col("bucket"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"), col("bucket"))
+      a.join(b, Seq("bucket"))
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", bit_count(expr("fp_a ^ fp_b")))
+        .where(col("hamming") <= 6)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // Exact character-3-gram Jaccard within (lang, n_chars) blocks.
+    "q34_ngram_jaccard" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .withColumn("lt", lower(col("text")))
+        .withColumn("grams", expr(
+          "array_distinct(transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3)))"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("grams"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
+        col("lang"), col("n_chars"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
+        col("lang"), col("n_chars"))
+      a.join(b, Seq("lang", "n_chars"))
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(array_union(col("ga"), col("gb"))).cast("double"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
+    "q31_minhash_pairs" -> {
+      val bandKeys = (0 until Bands).map { b =>
+        val key = (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => s"sig$i").mkString(" || ")
+        s"SELECT doc_id, sig, $b AS band_id, $key AS band_key FROM sig"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, list_distinct($toksSql) AS tokset FROM documents),
+         |sig0 AS (
+         |  SELECT doc_id,
+         |         $sigSqlCols
+         |  FROM tok),
+         |sig AS (SELECT *, [${(0 until K).map(i => s"sig$i").mkString(", ")}] AS sig FROM sig0),
+         |bands AS (
+         |  $bandKeys),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  len(list_filter(range(1, ${K + 1}), i -> sig_a[i] = sig_b[i])) / ${K.toDouble} AS est_jaccard
+         |FROM cand
+         |WHERE len(list_filter(range(1, ${K + 1}), i -> sig_a[i] = sig_b[i])) / ${K.toDouble} >= 0.75
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "q32_simhash" ->
+      s"""WITH $simhashSql
+         |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
+    "q33_simhash_pairs" ->
+      s"""WITH $simhashSql
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM sh a JOIN sh b
+         |  ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q34_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    list_distinct(list_transform(range(1, length(lower(text)) - 1),
+        |      i -> substring(lower(text), i, 3))) AS grams
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+  )
+}
