@@ -16,6 +16,8 @@ object SparkEntry {
     (streaming.FanIn.queries, streaming.FanIn.oracle),
     (operators.Dedup.queries, operators.Dedup.oracle),
     (operators.Similarity.queries, operators.Similarity.oracle),
+    (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
+    (operators.Temporal.queries, operators.Temporal.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Temporal operators over the `events` table: tumbling-window
+  * aggregation, gap-based sessionization, and a scalable as-of join.
+  * The same transforms run unchanged on a streaming DataFrame (the
+  * batch/stream duality of SURVEY.md §7.1); watermarked streaming
+  * variants are exercised in StreamingSpec.
+  *
+  * Scale design:
+  *   - window aggregation is one hash shuffle on (window, type) with
+  *     map-side partial aggregation; sums use DECIMAL so results are
+  *     order-independent (exact) at any parallelism;
+  *   - sessionization uses Spark's native `session_window` (state-store
+  *     backed in streaming; sort-merge per key in batch);
+  *   - the as-of join is the union + sorted carry-forward formulation:
+  *     ONE shuffle on the join key, a per-partition sort, then a
+  *     running `last(_, ignoreNulls)` — no range cross-product, no
+  *     per-row probe; this is the 100 TB-safe shape (DuckDB's native
+  *     ASOF JOIN is the oracle).
+  */
+object Temporal {
+
+  private def decSum(c: String) =
+    sum(col(c).cast(DecimalType(18, 6))).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows per event type.
+    "q50_window_agg" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum("value").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // Gap-based sessions (30 min) per user.
+    "q51_sessionize" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), decSum("value").as("sum_value"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          col("sum_value"),
+          ((unix_micros(col("session_end")) - unix_micros(col("session_start")))
+            .cast("double") / lit(1e6)).as("duration_sec"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    // As-of join: each 'click' event picks the most recent 'purchase'
+    // (same user, at-or-before its timestamp) via union + sorted
+    // carry-forward — one shuffle, no range cross-product.
+    "q52_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val left = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      // right side deduped to one row per (user, ts) for a total order
+      val right = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("r_event_id"), max(col("value")).as("r_value"))
+      val u = left.select(col("user_id"), col("ts"), lit(1).as("is_left"),
+          col("event_id"), col("value"),
+          lit(null).cast("long").as("r_event_id"),
+          lit(null).cast("double").as("r_value"),
+          lit(null).cast("timestamp").as("r_ts"))
+        .unionByName(right.select(col("user_id"), col("ts"), lit(0).as("is_left"),
+          lit(null).cast("long").as("event_id"),
+          lit(null).cast("double").as("value"),
+          col("r_event_id"), col("r_value"), col("ts").as("r_ts")))
+      // rights sort before lefts at equal ts => "at or before" inclusive
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("asof_event_id", last(col("r_event_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_value", last(col("r_value"), ignoreNulls = true).over(w))
+        .withColumn("asof_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+        .where(col("is_left") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("asof_ts"), col("asof_event_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q50_window_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q51_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+        |                OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sess AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM e)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6 AS duration_sec
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q52_asof_join" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    max(event_id) AS r_event_id, max(value) AS r_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, l.value,
+        |  r.ts AS asof_ts, r.r_event_id AS asof_event_id, r.r_value AS asof_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language identification (token-profile
+  * heuristic), quality scoring, token counting (whitespace + BPE-ish
+  * regex), and document fingerprinting (content digest + winnowed
+  * shingle hash).
+  *
+  * Everything is a pure column expression over one scan — no UDFs, no
+  * shuffle except the final presentation sort: at 100 TB each of
+  * these is a map-only pass that runs inside WholeStageCodegen and
+  * parallelizes with the input partitioning.
+  *
+  * The language profiles are deterministic token sets (the synthetic
+  * corpus shares one vocabulary across langs, so this demonstrates
+  * the operator shape — argmax over per-language evidence scores with
+  * a total tie-break — rather than a real linguistic model; a real
+  * deployment swaps in character-n-gram profiles, same plan shape).
+  */
+object TextAnalysis {
+
+  /** Per-language token profiles over the corpus vocabulary. */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("hash", "join", "batch", "window", "group"),
+    "en" -> Seq("the", "a", "data", "query", "table"),
+    "es" -> Seq("value", "part", "line", "row", "scan"),
+    "fr" -> Seq("merge", "sort", "filter", "order", "column"),
+    "zh" -> Seq("spark", "stream", "vector", "key", "big"))
+
+  /** English-ish stopwords for the quality score. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "value", "data")
+
+  private val toksExpr = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+  private val toksSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols.
+    * Spark SQL string literals eat one level of backslash ('\s' -> 's'),
+    * so the Spark-side literal needs the extra escape. */
+  private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  private val bpePatternSpark = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+
+  private def hitsSpark(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(toks, t -> array_contains(array($arr), t)))"
+  }
+  private def hitsSql(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> list_contains([$arr], t)))"
+  }
+
+  /** argmax over the per-language hit columns with a deterministic
+    * first-wins tie-break in profile (alphabetical) order — the same
+    * generated CASE chain runs in Spark and DuckDB. */
+  private def argmaxCase: String = {
+    val langs = profiles.map(_._1)
+    val arms = langs.map { l =>
+      val geAll = langs.filter(_ != l).map(o => s"hits_$l >= hits_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }
+    s"CASE ${arms.mkString(" ")} ELSE '??' END"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Language ID: per-language evidence scores + argmax.
+    "q40_lang_id" -> { (s, d) =>
+      val base = Tables.documents(s, d).withColumn("toks", expr(toksExpr))
+      val withHits = profiles.foldLeft(base) { case (df, (l, ws)) =>
+        df.withColumn(s"hits_$l", expr(hitsSpark(ws)))
+      }
+      withHits
+        .withColumn("predicted_lang", expr(argmaxCase))
+        .withColumn("is_correct", col("predicted_lang") === col("lang"))
+        .select((Seq(col("doc_id"), col("lang"), col("predicted_lang"),
+          col("is_correct")) ++ profiles.map(p => col(s"hits_${p._1}"))): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: length/stopword/punctuation signals combined
+    // into one [0,1] score (all-double arithmetic, rounded).
+    "q41_quality" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_hits", expr(hitsSpark(stopwords)))
+        .withColumn("n_punct", expr("length(regexp_replace(text, '[a-z0-9\\\\s]', ''))"))
+        .withColumn("stop_ratio",
+          col("stop_hits").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("punct_ratio",
+          col("n_punct").cast("double") / length(col("text")).cast("double"))
+        .withColumn("len_score", least(lit(1.0),
+          col("n_tokens").cast("double") / lit(50.0)))
+        .withColumn("quality", round(
+          lit(0.4) * col("len_score") + lit(0.4) * col("stop_ratio")
+            + lit(0.2) * (lit(1.0) - col("punct_ratio")), 6))
+        .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+          col("punct_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Token counting: whitespace tokens + BPE-ish regex pieces.
+    "q42_token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_ws_tokens", size(col("toks")))
+        .withColumn("n_bpe_pieces",
+          size(expr(s"regexp_extract_all(lower(text), '$bpePatternSpark', 0)")))
+        .withColumn("n_chars_calc", length(col("text")))
+        .select(col("doc_id"), col("n_ws_tokens"), col("n_bpe_pieces"),
+          col("n_chars_calc"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Fingerprinting: whole-content digest + winnowed min-hash over
+    // 5-token shingles (rolling window), both md5-exact vs the oracle.
+    "q43_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("content_md5", md5(concat_ws(" ", col("toks"))))
+        .withColumn("shingle_min", expr(
+          "array_min(transform(sequence(1, size(toks) - 4), i -> md5(concat_ws(' ', slice(toks, i, 5)))))"))
+        .select(col("doc_id"), col("content_md5"), col("shingle_min"))
+        .orderBy(col("doc_id"))
+    },
+  )
+
+  def oracle: Map[String, String] = {
+    val hitCols = profiles.map { case (l, ws) =>
+      s"${hitsSql(ws)} AS hits_$l" }.mkString(",\n         ")
+    Map(
+      "q40_lang_id" ->
+        s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+           |h AS (SELECT doc_id, lang,
+           |         $hitCols
+           |  FROM t),
+           |p AS (SELECT *, $argmaxCase AS predicted_lang FROM h)
+           |SELECT doc_id, lang, predicted_lang,
+           |  (predicted_lang = lang) AS is_correct,
+           |  ${profiles.map(p => s"hits_${p._1}").mkString(", ")}
+           |FROM p ORDER BY doc_id""".stripMargin,
+      "q41_quality" ->
+        s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+           |m AS (SELECT doc_id,
+           |    len(toks) AS n_tokens,
+           |    ${hitsSql(stopwords)} AS stop_hits,
+           |    length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct,
+           |    length(text) AS n_chars
+           |  FROM t)
+           |SELECT doc_id, n_tokens,
+           |  CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+           |  CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           |  round(0.4 * least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+           |    + 0.4 * (CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+           |    + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)), 6) AS quality
+           |FROM m ORDER BY doc_id""".stripMargin,
+      "q42_token_count" ->
+        s"""SELECT doc_id,
+           |  len($toksSql) AS n_ws_tokens,
+           |  len(regexp_extract_all(lower(text), '$bpePattern')) AS n_bpe_pieces,
+           |  length(text) AS n_chars_calc, n_chars
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q43_fingerprint" ->
+        s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+           |SELECT doc_id,
+           |  md5(array_to_string(toks, ' ')) AS content_md5,
+           |  list_min(list_transform(range(1, len(toks) - 3),
+           |    i -> md5(array_to_string(toks[i:i+4], ' ')))) AS shingle_min
+           |FROM t ORDER BY doc_id""".stripMargin,
+    )
+  }
+}
