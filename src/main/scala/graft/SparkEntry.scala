@@ -18,6 +18,7 @@ object SparkEntry {
     (operators.Similarity.queries, operators.Similarity.oracle),
     (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
     (operators.Temporal.queries, operators.Temporal.oracle),
+    (operators.Requests.queries, operators.Requests.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

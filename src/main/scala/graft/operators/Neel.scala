@@ -141,7 +141,7 @@ object Neel {
   // ---------------------------------------------------------------------
 
   /** Shared oracle CTE prefix mirroring the stages above. */
-  private val sqlPrefix: String =
+  private[operators] val sqlPrefix: String =
     s"""WITH tweets AS (
        |  SELECT doc_id AS tweet_id, text,
        |         doc_id % 100 AS user_id,

@@ -181,6 +181,67 @@ object Relational {
           count(lit(1)).as("n_rows"))
         .orderBy($"l_linestatus")
     },
+
+    // #13: ROLLUP with grouping indicators (explicit NULLS FIRST so
+    // subtotal rows order identically in both engines).
+    "q13_rollup" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          grouping($"l_returnflag").cast("int").as("g_flag"),
+          grouping($"l_linestatus").cast("int").as("g_status"))
+        .orderBy($"g_flag", $"g_status",
+          $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // #14: INTERSECT / EXCEPT (distinct set semantics).
+    "q14_setops" -> { (s, d) =>
+      import s.implicits._
+      def custsWith(status: String) =
+        Tables.orders(s, d).filter($"o_orderstatus" === status)
+          .select($"o_custkey".as("custkey"))
+      val both = custsWith("F").intersect(custsWith("O"))
+        .withColumn("tag", lit("both"))
+      val fOnly = custsWith("F").except(custsWith("O"))
+        .withColumn("tag", lit("f_only"))
+      both.unionByName(fOnly)
+        .select($"tag", $"custkey")
+        .orderBy($"tag", $"custkey")
+    },
+
+    // #15: the reference's scalar-function surface in one projection
+    // (SURVEY.md §2.8: split/substring/trim/replace/length/
+    // format_string/concat_ws/date_format/casts).
+    "q15_scalar_suite" -> { (s, d) =>
+      import s.implicits._
+      Tables.part(s, d)
+        .select(
+          $"p_partkey",
+          split($"p_name", " ").getItem(0).as("first_word"),
+          upper($"p_type").as("type_upper"),
+          substring($"p_brand", 7, 10).cast("int").as("brand_num"),
+          replace($"p_name", lit(" "), lit("_")).as("snake_name"),
+          length($"p_name").as("name_len"),
+          format_string("%.2f", $"p_retailprice").as("price_str"),
+          concat_ws("|", $"p_brand", $"p_type", trim(lit(" x "))).as("joined"))
+        .orderBy($"p_partkey")
+    },
+
+    // #16: deterministic hash-Bernoulli sampling (~10%: first md5 byte
+    // < 26) — the engine's replacement for the reference's wall-clock
+    // sampling filter (SURVEY.md §2 #15, documented divergence).
+    "q16_sample_hash" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .withColumn("h",
+          expr("(instr('0123456789abcdef', substr(md5(cast(o_orderkey AS STRING)), 1, 1)) - 1) * 16" +
+            " + (instr('0123456789abcdef', substr(md5(cast(o_orderkey AS STRING)), 2, 1)) - 1)"))
+        .where($"h" < 26)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -261,5 +322,41 @@ object Relational {
         |  sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_taxed,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q14_setops" ->
+      """SELECT 'both' AS tag, custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |UNION ALL
+        |SELECT 'f_only', custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |ORDER BY tag, custkey""".stripMargin,
+    "q15_scalar_suite" ->
+      """SELECT p_partkey,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  upper(p_type) AS type_upper,
+        |  CAST(substring(p_brand, 7, 10) AS INTEGER) AS brand_num,
+        |  replace(p_name, ' ', '_') AS snake_name,
+        |  length(p_name) AS name_len,
+        |  printf('%.2f', p_retailprice) AS price_str,
+        |  concat_ws('|', p_brand, p_type, trim(' x ')) AS joined
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q16_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT *,
+        |    (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) AS h
+        |  FROM orders)
+        |WHERE h < 26 ORDER BY o_orderkey""".stripMargin,
   )
 }
