@@ -19,6 +19,7 @@ object SparkEntry {
     (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
     (operators.Temporal.queries, operators.Temporal.oracle),
     (operators.Requests.queries, operators.Requests.oracle),
+    (operators.Multimodal.queries, operators.Multimodal.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+/** Progress / heartbeat events (SURVEY.md §2.6 #31/#32).
+  *
+  * The reference computes dataset progress with a parallelism-1 global
+  * window over four instrumented streams and per-operator mutable
+  * counters (`J/DatasetProgressWindowFunction.java:35-73`). In Spark
+  * the engine-maintained `StreamingQueryProgress` already carries
+  * cumulative input counts, so progress is a DRIVER-SIDE listener —
+  * zero impact on the dataflow, no extra shuffle, no
+  * non-checkpointed operator state.
+  *
+  * `expectedRows` plays the role of the reference's pre-scan row
+  * estimate (`GridFSCsvSource.getStats`); when the stream is a bounded
+  * replay (Trigger.AvailableNow), `isLast` fires on query termination
+  * like the reference's EOF-sentinel + idle-timeout protocol.
+  */
+final class ProgressListener(expectedRows: Long,
+    onProgress: ProgressListener.Heartbeat => Unit = _ => ())
+  extends StreamingQueryListener {
+
+  import ProgressListener._
+
+  private val events = new ConcurrentLinkedQueue[Heartbeat]()
+  @volatile private var seen = 0L
+
+  def heartbeats: Seq[Heartbeat] = events.asScala.toSeq
+
+  private def emit(h: Heartbeat): Unit = { events.add(h); onProgress(h) }
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit =
+    emit(Heartbeat(0.0, isLast = false))
+
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    seen += e.progress.numInputRows
+    val p =
+      if (expectedRows <= 0) 0.0
+      else math.min(1.0, seen.toDouble / expectedRows.toDouble)
+    emit(Heartbeat(p, isLast = false))
+  }
+
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+    val p = if (expectedRows <= 0) 1.0
+      else math.min(1.0, seen.toDouble / expectedRows.toDouble)
+    emit(Heartbeat(p, isLast = true))
+  }
+}
+
+object ProgressListener {
+  /** One heartbeat: fraction complete + terminal flag (the payload of
+    * the reference's `JobHeartbeatEvent`, transport-agnostic — the
+    * Kafka producer of #11 is an I/O adapter around `onProgress`). */
+  final case class Heartbeat(progress: Double, isLast: Boolean)
+}

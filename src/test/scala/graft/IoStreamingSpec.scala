@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Multimodal
+import graft.sinks.Export
+import graft.streaming.{ProgressListener, Sources}
+
+/** File sinks, rate-limited streaming source, progress listener, and
+  * the streaming guises of the batch transforms (watermarked window
+  * agg, streaming dedup). */
+class IoStreamingSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("single-file TSV export round-trips with header") {
+    val s = spark
+    val rows = operators.Requests.queries("q61_challenge_tsv")(s, sf)
+    val out = tmpDir("tsv_export")
+    Export.writeSingleTsv(rows, out, header = true)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1, "export must be a single file")
+    val back = s.read.option("sep", "\t").option("header", "true").csv(out)
+    assert(back.count() === rows.count())
+    assert(back.columns.toSeq === Seq("line"))
+  }
+
+  test("single-file JSON export round-trips") {
+    val s = spark
+    val rows = operators.Requests.queries("q62_json_export")(s, sf)
+    val out = tmpDir("json_export")
+    Export.writeSingleJson(rows, out)
+    val back = s.read.json(out)
+    assert(back.count() === rows.count())
+  }
+
+  test("rate-limited CSV stream admits maxFilesPerTrigger per batch") {
+    val s = spark
+    import s.implicits._
+    // stage the documents as 4 csv part files
+    val staged = tmpDir("csv_stage")
+    val docs = Tables.documents(s, sf).select($"doc_id", $"lang")
+    docs.repartition(4).write.mode("overwrite")
+      .option("sep", "\t").option("header", "true").csv(staged)
+    val stream = Sources.csvDatasetStream(s, staged, docs.schema,
+      maxFilesPerTrigger = 1)
+    val q = stream.writeStream.format("memory").queryName("rate_csv")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(s.table("rate_csv").count() === docs.count())
+    // one batch per file => at least 4 committed batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4,
+      s"expected >=4 rate-limited batches, got ${q.recentProgress.length}")
+  }
+
+  test("progress listener reports monotone progress and a final isLast") {
+    val s = spark
+    import s.implicits._
+    val staged = tmpDir("csv_progress")
+    val docs = Tables.documents(s, sf).select($"doc_id", $"lang")
+    val expected = docs.count()
+    docs.repartition(3).write.mode("overwrite")
+      .option("sep", "\t").option("header", "true").csv(staged)
+    val listener = new ProgressListener(expectedRows = expected)
+    s.streams.addListener(listener)
+    try {
+      val q = Sources.csvDatasetStream(s, staged, docs.schema, maxFilesPerTrigger = 1)
+        .writeStream.format("memory").queryName("progress_csv")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      // listener events are delivered async; wait for the terminal one
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        !listener.heartbeats.exists(_.isLast)) Thread.sleep(100)
+      val hbs = listener.heartbeats
+      assert(hbs.exists(_.isLast), "no terminal heartbeat")
+      assert(hbs.last.progress === 1.0)
+      val ps = hbs.map(_.progress)
+      assert(ps.zip(ps.tail).forall { case (a, b) => b >= a }, s"not monotone: $ps")
+    } finally s.streams.removeListener(listener)
+  }
+
+  test("watermarked streaming window agg matches batch semantics") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val counts = mem.toDS().toDF("ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("start"), $"n")
+    val q = counts.writeStream.format("memory").queryName("win_stream")
+      .outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      mem.addData((t(1, 10), 1.0), (t(1, 20), 2.0), (t(2, 5), 3.0))
+      q.processAllAvailable()
+      // advance watermark past hour 2 so hours 1-2 finalize
+      mem.addData((t(4, 0), 9.0))
+      q.processAllAvailable()
+      val rows = s.table("win_stream").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+      assert(rows("2024-01-01 01:00:00.0") === 2L)
+      assert(rows("2024-01-01 02:00:00.0") === 1L)
+    } finally q.stop()
+  }
+
+  test("streaming dedup (dropDuplicates) emits each key once") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[String]
+    val dedup = mem.toDS().toDF("content_md5").dropDuplicates("content_md5")
+    val q = dedup.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData("a", "b", "a")
+      q.processAllAvailable()
+      mem.addData("b", "c")
+      q.processAllAvailable()
+      val seen = s.table("dedup_stream").as[String].collect().sorted
+      assert(seen.toSeq === Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
+  test("media payloads never shuffle in the multimodal feature plan") {
+    val plan = Multimodal.queries("q71_media_features")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "decode stage must stay map-only (sort for presentation only)")
+  }
+
+  test("fake decode checksum matches a driver-side recompute") {
+    val s = spark
+    import s.implicits._
+    val feats = Multimodal.queries("q71_media_features")(s, sf)
+      .select($"doc_id", $"checksum").as[(Long, Long)].collect().toMap
+    val texts = Tables.documents(s, sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val expected = bytes.take(64).map(_ & 0xFF).map(_.toLong).sum % 997
+      assert(feats(id) === expected, s"doc $id")
+    }
+  }
+}
