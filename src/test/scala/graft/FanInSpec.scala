@@ -123,6 +123,31 @@ class FanInSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("END-TO-END: streaming NEEL fan-in over sf0.001 equals batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val parts = FanIn.taggedPartials(s, sf).collect().toSeq
+    val expected = FanIn.fanInBatch(FanIn.taggedPartials(s, sf))
+      .collect().map(p => (p.status.id, p.entities.length, p.location.map(_.latitude))).sorted
+    // feed the partials out of order, across several micro-batches
+    val shuffled = new Random(42).shuffle(parts)
+    val chunks = shuffled.grouped(math.max(1, shuffled.size / 3)).toSeq
+    val mem = MemoryStream[TaggedPartial]
+    val q = FanIn.fanInStream(mem.toDS(), timeoutMs = 600000)
+      .writeStream.format("memory").queryName("fanin_e2e")
+      .outputMode("append").trigger(Trigger.ProcessingTime(100)).start()
+    try {
+      chunks.foreach(c => mem.addData(c))
+      val deadline = System.currentTimeMillis() + 120000
+      while (System.currentTimeMillis() < deadline &&
+        s.table("fanin_e2e").count() < expected.length) Thread.sleep(200)
+      val got = s.table("fanin_e2e").as[ProcessedTweet]
+        .collect().map(p => (p.status.id, p.entities.length, p.location.map(_.latitude))).sorted
+      assert(got.toSeq === expected.toSeq)
+    } finally q.stop()
+  }
+
   test("batch fan-in equals relational formulation row-for-row") {
     val s = spark
     import s.implicits._
