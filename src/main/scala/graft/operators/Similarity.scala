@@ -3,17 +3,19 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors): brute-force cosine top-k as the exactness baseline, a
   * hyperplane-LSH-bucketed variant as the scale path, and blocked
   * embedding-cosine near-dup pairs.
   *
-  * All vector math is pure column expressions (`transform` /
-  * `zip_with` / `aggregate`), fully inside WholeStageCodegen — no
-  * UDFs, no collect-and-loop. Floats are widened to double before any
-  * arithmetic; cosines are rounded to 6 decimals so results are
-  * hash-stable against the oracle regardless of summation order.
+  * The cosine kernel is the native codegen'd Catalyst expression
+  * [[graft.functions.CosineSimilarity]] (one fused pass over the raw
+  * float arrays — no per-element interpreted lambdas, no
+  * float→double array materialization). Results are rounded to 6
+  * decimals so they are hash-stable against the oracle regardless of
+  * summation association.
   *
   * Scale design:
   *   - brute-force top-k is a broadcast of ONE query row against a
@@ -33,29 +35,20 @@ object Similarity {
   /** Hyperplane count for the LSH bucket (2^Planes buckets). */
   val Planes = 4
 
-  /** Widen float vec to double and precompute the L2 norm. */
-  private def withVec(e: DataFrame): DataFrame =
-    e.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
-
-  private val vecSql =
-    "list_transform(embedding, x -> CAST(x AS DOUBLE))"
-  private val nrmSql =
-    "sqrt(list_sum(list_transform(v, x -> x * x)))"
+  private def cos6(a: Column, b: Column): Column =
+    round(VectorFunctions.cosine(a, b), 6)
 
   /** Sign-pattern LSH bucket over the first [[Planes]] dims. */
   private def bucketCol: Column =
     (0 until Planes).map(j =>
-      when(expr(s"v[$j]") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+      when(expr(s"embedding[$j]") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
 
   private def bucketSql(v: String): String =
     (0 until Planes).map(j =>
       s"CASE WHEN $v[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
 
-  /** cosine(a, b) rounded to 6 decimals, as a SQL expr over columns
-    * `va`/`vb` with norms `na`/`nb`. */
-  private val cosExpr =
-    "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, p) -> acc + p) / (na * nb), 6)"
+  private val vecSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private val nrmSql = "sqrt(list_sum(list_transform(v, x -> x * x)))"
   private def cosSql(va: String, vb: String, na: String, nb: String) =
     s"round(list_sum(list_transform(range(1, 65), i -> $va[i] * $vb[i])) / ($na * $nb), 6)"
 
@@ -63,44 +56,40 @@ object Similarity {
     // Brute-force cosine top-k for the query vector (vec_id = 0).
     // Plans as broadcast-nested-loop of 1 row + TakeOrderedAndProject.
     "q36_knn_brute" -> { (s, d) =>
-      val e = withVec(Tables.embeddings(s, d))
+      val e = Tables.embeddings(s, d)
       val q = e.where(col("vec_id") === 0)
-        .select(col("v").as("vb"), col("nrm").as("nb"))
+        .select(col("embedding").as("q_embedding"))
       e.where(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("label"), col("v").as("va"), col("nrm").as("na"))
         .crossJoin(broadcast(q))
-        .withColumn("cos", expr(cosExpr))
-        .select(col("vec_id"), col("label"), col("cos"))
+        .select(col("vec_id"), col("label"),
+          cos6(col("embedding"), col("q_embedding")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(10)
     },
 
     // ANN: same top-k but probing only the query's LSH bucket.
     "q37_ann_lsh" -> { (s, d) =>
-      val e = withVec(Tables.embeddings(s, d)).withColumn("bucket", bucketCol)
+      val e = Tables.embeddings(s, d).withColumn("bucket", bucketCol)
       val q = e.where(col("vec_id") === 0)
-        .select(col("v").as("vb"), col("nrm").as("nb"), col("bucket"))
+        .select(col("embedding").as("q_embedding"), col("bucket"))
       e.where(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("label"), col("bucket"),
-          col("v").as("va"), col("nrm").as("na"))
         .join(broadcast(q), Seq("bucket"))
-        .withColumn("cos", expr(cosExpr))
-        .select(col("vec_id"), col("label"), col("cos"))
+        .select(col("vec_id"), col("label"),
+          cos6(col("embedding"), col("q_embedding")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id").asc)
         .limit(10)
     },
 
     // Embedding-cosine near-dup pairs, blocked by label.
     "q38_embed_neardup" -> { (s, d) =>
-      val e = withVec(Tables.embeddings(s, d))
-        .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+      val e = Tables.embeddings(s, d)
       val a = e.select(col("vec_id").as("vec_a"), col("label"),
-        col("v").as("va"), col("nrm").as("na"))
+        col("embedding").as("emb_a"))
       val b = e.select(col("vec_id").as("vec_b"), col("label"),
-        col("v").as("vb"), col("nrm").as("nb"))
+        col("embedding").as("emb_b"))
       a.join(b, Seq("label"))
         .where(col("vec_a") < col("vec_b"))
-        .withColumn("cos", expr(cosExpr))
+        .withColumn("cos", cos6(col("emb_a"), col("emb_b")))
         .where(col("cos") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
