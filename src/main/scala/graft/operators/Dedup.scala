@@ -135,8 +135,13 @@ object Dedup {
       pairs
         .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
         .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+        // match count as K explicit element comparisons — stays inside
+        // whole-stage codegen (a zip_with/aggregate HOF would walk an
+        // interpreted lambda per element on every candidate pair)
         .withColumn("matches",
-          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
+          (0 until K).map(i =>
+            when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+            .reduce(_ + _))
         .withColumn("est_jaccard", col("matches") / lit(K.toDouble))
         .where(col("est_jaccard") >= 0.75)
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
