@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+/** Scale-shape proofs: batch/stream duality of the temporal
+  * transforms, the foreachBatch RPC-adapter pattern, and bucketed
+  * co-located joins (the shuffle-elimination story for 100 TB). */
+class ScaleShapeSpec extends SparkSpec {
+
+  test("q50 window agg: streaming replay equals the batch result") {
+    val s = spark
+    import s.implicits._
+    val batch = operators.Temporal.queries("q50_window_agg")(s, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // replay the same events through readStream (AvailableNow) with the
+    // SAME transform body — the batch/stream duality of SURVEY §7.1
+    // raw file schema: ts is TIMESTAMP(NANOS) -> long via nanosAsLong
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.types._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // FileStreamSource needs a directory, not a bare file — stage a copy
+    val stagedDir = Files.createTempDirectory("events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
+      stagedDir.resolve("events.parquet"))
+    val streamed = s.readStream.schema(rawSchema)
+      .parquet(stagedDir.toString)
+      .withColumnRenamed("ts", "ts_ns_raw")
+    // rebuild the µs timestamp exactly as Tables.events does
+    val withTs = streamed
+      .withColumn("ts", timestamp_micros(expr("ts_ns_raw DIV 1000")))
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n")
+    val q = withTs.writeStream.format("memory").queryName("win_replay")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = s.table("win_replay").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === batch.map { case (t, e, n) => (t, e, n) })
+  }
+
+  test("foreachBatch adapter ships one request file per micro-batch") {
+    val s = spark
+    import s.implicits._
+    // stage documents as 3 csv files -> 3 micro-batches (files/trigger=1)
+    val staged = Files.createTempDirectory("rpc_stage").toString
+    val outDir = Files.createTempDirectory("rpc_out").toString
+    val docs = Tables.documents(s, sf).select($"doc_id", $"lang")
+    docs.repartition(3).write.mode("overwrite")
+      .option("sep", "\t").option("header", "true").csv(staged)
+    val q = streaming.Sources.csvDatasetStream(s, staged, docs.schema, 1)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // the Kafka-producer adapter point (#8/#24): serialize the
+        // batch as one request payload; here a file stands in for the
+        // topic
+        val payload = batch.agg(to_json(collect_list(struct(col("doc_id"))))).head.getString(0)
+        Files.writeString(java.nio.file.Paths.get(s"$outDir/req-$id.json"), payload)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val reqs = new java.io.File(outDir).listFiles().filter(_.getName.startsWith("req-"))
+    assert(reqs.length >= 3, s"expected >=3 request files, got ${reqs.length}")
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    val s = spark
+    val wh = Files.createTempDirectory("bucketed_wh").toString
+    s.sql("DROP TABLE IF EXISTS li_b")
+    s.sql("DROP TABLE IF EXISTS ord_b")
+    try {
+      Tables.lineitem(s, sf).select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li_b").saveAsTable("li_b")
+      Tables.orders(s, sf).select("o_orderkey", "o_totalprice")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/ord_b").saveAsTable("ord_b")
+      val joined = s.table("li_b")
+        .join(s.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n${plan.take(800)}")
+      assert(joined.count() === Tables.lineitem(s, sf).count())
+    } finally {
+      s.sql("DROP TABLE IF EXISTS li_b")
+      s.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("HLL cardinality estimate tracks exact distinct within 5%") {
+    val s = spark
+    import s.implicits._
+    val (approx, exact) = Tables.documents(s, sf)
+      .agg(approx_count_distinct(md5($"text")).as("a"),
+        countDistinct(md5($"text")).as("e"))
+      .as[(Long, Long)].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
