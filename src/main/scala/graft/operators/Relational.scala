@@ -229,6 +229,34 @@ object Relational {
         .orderBy($"p_partkey")
     },
 
+    // #17: the engine's full SQL dialect (the reference has none —
+    // SURVEY §0): correlated scalar subquery over registered views.
+    "q17_sql_correlated" -> { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("v_customer")
+      Tables.orders(s, d).createOrReplaceTempView("v_orders")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT max(o_totalprice) FROM v_orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS max_order
+          |FROM v_customer c
+          |WHERE (SELECT count(*) FROM v_orders o
+          |       WHERE o.o_custkey = c.c_custkey) >= 3
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // #18: manual pivot (CASE aggregation — identical SQL shape in
+    // both engines, no dialect-specific PIVOT syntax).
+    "q18_pivot" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .groupBy($"o_orderpriority")
+        .agg(
+          sum(when($"o_orderstatus" === "F", 1).otherwise(0)).as("n_f"),
+          sum(when($"o_orderstatus" === "O", 1).otherwise(0)).as("n_o"),
+          sum(when($"o_orderstatus" === "P", 1).otherwise(0)).as("n_p"))
+        .orderBy($"o_orderpriority")
+    },
+
     // #16: deterministic hash-Bernoulli sampling (~10%: first md5 byte
     // < 26) — the engine's replacement for the reference's wall-clock
     // sampling filter (SURVEY.md §2 #15, documented divergence).
@@ -351,6 +379,20 @@ object Relational {
         |  printf('%.2f', p_retailprice) AS price_str,
         |  concat_ws('|', p_brand, p_type, trim(' x ')) AS joined
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q17_sql_correlated" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |WHERE (SELECT count(*) FROM orders o
+        |       WHERE o.o_custkey = c.c_custkey) >= 3
+        |ORDER BY c_custkey""".stripMargin,
+    "q18_pivot" ->
+      """SELECT o_orderpriority,
+        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q16_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT *,

@@ -143,34 +143,34 @@ object FanIn {
     val entRows = Neel.nelLinked(Neel.nerEntities(s, valid))
       .select($"tweet_id", $"pos_start", $"pos_end", $"link", $"is_nil",
         $"nil_cluster", $"confidence", $"category").as[EntityRow]
-    val linkedParts = entRows.groupByKey(_.tweet_id).mapGroups { (id, it) =>
-      val ents = it.map { r =>
+    // one shuffle on tweet_id produces BOTH the linkedTweet and the
+    // resource partial for each key (the reference computes them on
+    // separate legs; semantics are per-key so one grouping suffices)
+    val kb = Neel.kbResources(s).as[Resource].collect().map(r => r.url -> r).toMap
+    val entParts = entRows.groupByKey(_.tweet_id).flatMapGroups { (id, it) =>
+      val rows = it.toSeq
+      val ents = rows.map { r =>
         LinkedEntity(EntityPosition(r.pos_start, r.pos_end), value = null,
           r.link, r.is_nil, r.nil_cluster, r.confidence, r.category,
           resource = None)
-      }.toSeq.sortBy(e => (e.position.start, e.category))
-      TaggedPartial(id.toString, StreamKinds.LinkedTweet, None, Some(ents),
-        None, None)
-    }
-    // empty-entities synthesizer for tweets the NER found nothing in
-    val emptyLinked = valid.join(entRows.toDF().select($"tweet_id").distinct(),
-        Seq("tweet_id"), "left_anti")
-      .select($"tweet_id").as[Long].map { id =>
-        TaggedPartial(id.toString, StreamKinds.LinkedTweet, None,
-          Some(Seq.empty[LinkedEntity]), None, None)
-      }
-
-    val kb = Neel.kbResources(s).as[Resource].collect().map(r => r.url -> r).toMap
-    val resourceParts = entRows.groupByKey(_.tweet_id).mapGroups { (id, it) =>
-      val res = it.flatMap(_.link).toSeq.distinct.sorted.flatMap(kb.get)
-      TaggedPartial(id.toString, StreamKinds.ResourceKind, None, None,
-        Some(res), None)
-    }
-    val emptyResources = valid.join(entRows.toDF().select($"tweet_id").distinct(),
-        Seq("tweet_id"), "left_anti")
-      .select($"tweet_id").as[Long].map { id =>
+      }.sortBy(e => (e.position.start, e.category))
+      val res = rows.flatMap(_.link).distinct.sorted.flatMap(kb.get)
+      Iterator(
+        TaggedPartial(id.toString, StreamKinds.LinkedTweet, None, Some(ents),
+          None, None),
         TaggedPartial(id.toString, StreamKinds.ResourceKind, None, None,
-          Some(Seq.empty[Resource]), None)
+          Some(res), None))
+    }
+    // empty-entities + empty-resources synthesizers for tweets the NER
+    // found nothing in (one anti join, two partials per key)
+    val empties = valid.join(entRows.toDF().select($"tweet_id").distinct(),
+        Seq("tweet_id"), "left_anti")
+      .select($"tweet_id").as[Long].flatMap { id =>
+        Iterator(
+          TaggedPartial(id.toString, StreamKinds.LinkedTweet, None,
+            Some(Seq.empty[LinkedEntity]), None, None),
+          TaggedPartial(id.toString, StreamKinds.ResourceKind, None, None,
+            Some(Seq.empty[Resource]), None))
       }
 
     val geo = valid.join(Neel.geoDecoded(valid)
@@ -184,8 +184,7 @@ object FanIn {
         None, None, None, loc)
     }
 
-    statusParts.union(linkedParts).union(emptyLinked)
-      .union(resourceParts).union(emptyResources).union(locationParts)
+    statusParts.union(entParts).union(empties).union(locationParts)
   }
 
   /** q27: the stateful fan-in flattened to challenge rows — must equal
