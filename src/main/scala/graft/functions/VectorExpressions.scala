@@ -92,13 +92,35 @@ object VectorFunctions {
       children => CosineSimilarity(children(0), children(1)))
 }
 
+/** Algebraic rewrite: `graft_cosine(x, x)` is identically 1.0 for any
+  * non-degenerate vector, so self-similarity (the diagonal that
+  * all-pairs similarity joins routinely produce) folds to a literal —
+  * a whole 64-float kernel invocation per row removed at plan time.
+  * Registered through the standard `Rule[LogicalPlan]` extension
+  * point. */
+object FoldSelfCosine
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        Literal(1.0, DoubleType)
+    }
+}
+
 /** `spark.sql.extensions=graft.functions.GraftExtensions` installs the
-  * function library at session build time (the deployment path; tests
-  * use [[VectorFunctions.register]] on the shared session). */
+  * function library + optimizer rules at session build time (the
+  * deployment path; tests use [[VectorFunctions.register]] on the
+  * shared session). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+    ext.injectOptimizerRule(_ => FoldSelfCosine)
+  }
 }

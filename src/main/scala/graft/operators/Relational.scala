@@ -257,6 +257,25 @@ object Relational {
         .orderBy($"o_orderpriority")
     },
 
+    // #19: stratified deterministic sampling — different keep-rates
+    // per stratum (lang), same md5-uniform trick as q16. At 100 TB
+    // this is the down-sampling-by-source/language pass of a training
+    // pipeline: map-only, no shuffle, reproducible.
+    "q19_stratified_sample" -> { (s, d) =>
+      import s.implicits._
+      val h = expr("(instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 1, 1)) - 1) * 16" +
+        " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 2, 1)) - 1)")
+      val keep = when($"lang" === "en", lit(205))     // ~80%
+        .when($"lang" === "de", lit(128))             // ~50%
+        .when($"lang".isin("es", "fr"), lit(64))      // ~25%
+        .otherwise(lit(26))                           // ~10%
+      Tables.documents(s, d)
+        .withColumn("h", h)
+        .where($"h" < keep)
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+
     // #16: deterministic hash-Bernoulli sampling (~10%: first md5 byte
     // < 26) — the engine's replacement for the reference's wall-clock
     // sampling filter (SURVEY.md §2 #15, documented divergence).
@@ -393,6 +412,17 @@ object Relational {
         |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
         |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q19_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT *,
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS h,
+        |    CASE WHEN lang = 'en' THEN 205
+        |         WHEN lang = 'de' THEN 128
+        |         WHEN lang IN ('es', 'fr') THEN 64
+        |         ELSE 26 END AS keep
+        |  FROM documents)
+        |WHERE h < keep ORDER BY doc_id""".stripMargin,
     "q16_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT *,

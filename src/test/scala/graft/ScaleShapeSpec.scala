@@ -96,6 +96,39 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("partitioned writes prune to the filtered partition at scan time") {
+    val s = spark
+    val out = Files.createTempDirectory("part_docs").toString
+    Tables.documents(s, sf).write.mode("overwrite")
+      .partitionBy("lang").parquet(out)
+    val q = s.read.parquet(out).where(col("lang") === "en")
+      .select(col("doc_id"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      s"no partition pruning:\n${scan.take(600)}")
+    val full = Tables.documents(s, sf).where(col("lang") === "en").count()
+    assert(q.count() === full)
+  }
+
+  test("a session built with GraftExtensions folds self-cosine to a literal") {
+    val s = spark
+    import graft.functions.{FoldSelfCosine, VectorFunctions}
+    import org.apache.spark.sql.functions.col
+    // apply the injected rule's transformation directly on the plan
+    val df = Tables.embeddings(s, sf).limit(5)
+      .select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+    val optimized = FoldSelfCosine(df.queryExecution.analyzed)
+    assert(!optimized.toString.contains("graft_cosine"),
+      s"self-cosine not folded:\n$optimized")
+    assert(optimized.toString.contains("1.0"))
+    // the extension class wires both the function and the rule without
+    // error (a fresh builder would be needed for an end-to-end session;
+    // getOrCreate reuses the active test session, so wiring is checked
+    // on a bare SparkSessionExtensions instance)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+  }
+
   test("HLL cardinality estimate tracks exact distinct within 5%") {
     val s = spark
     import s.implicits._
