@@ -96,6 +96,47 @@ object Dedup {
        |sh AS (SELECT doc_id, CAST($fp AS INTEGER) AS simhash FROM bits)""".stripMargin
   }
 
+  /** MinHash+LSH near-dup pairs (unsorted — q31 adds the presentation
+    * sort; q35 consumes this directly). */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = withMinhash(Tables.documents(s, d))
+      .select((col("doc_id") +: col("sig") +:
+        (0 until K).map(i => col(s"sig$i"))): _*)
+    // melt carries ONLY (doc_id, band) — the signature arrays must
+    // not ride through the band join + distinct (they'd multiply the
+    // shuffle volume by the candidate count); they're joined back
+    // after pair dedup, where the sig relation is tiny per partition
+    // (auto-broadcast locally; a doc_id-keyed shuffle join at scale).
+    val bandCols = (0 until Bands).map { b =>
+      val key = concat((b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"sig$i")): _*)
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }
+    val melt = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+    val pairs = melt.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
+      .join(melt.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sigs = sig.select(col("doc_id"), col("sig"))
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      // match count as K explicit element comparisons — stays inside
+      // whole-stage codegen (a zip_with/aggregate HOF would walk an
+      // interpreted lambda per element on every candidate pair)
+      .withColumn("matches",
+        (0 until K).map(i =>
+          when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+          .reduce(_ + _))
+      .withColumn("est_jaccard", col("matches") / lit(K.toDouble))
+      .where(col("est_jaccard") >= 0.75)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one shuffle of (digest, id); text never moves.
     "q30_dedup_exact" -> { (s, d) =>
@@ -109,43 +150,7 @@ object Dedup {
     // MinHash + LSH banding: candidates from band-bucket equi-join,
     // estimate = matching signature fraction, near-dups at est >= 0.75.
     "q31_minhash_pairs" -> { (s, d) =>
-      val sig = withMinhash(Tables.documents(s, d))
-        .select((col("doc_id") +: col("sig") +:
-          (0 until K).map(i => col(s"sig$i"))): _*)
-      // melt carries ONLY (doc_id, band) — the signature arrays must
-      // not ride through the band join + distinct (they'd multiply the
-      // shuffle volume by the candidate count); they're joined back
-      // after pair dedup, where the sig relation is tiny per partition
-      // (auto-broadcast locally; a doc_id-keyed shuffle join at scale).
-      val bandCols = (0 until Bands).map { b =>
-        val key = concat((b * RowsPerBand until (b + 1) * RowsPerBand)
-          .map(i => col(s"sig$i")): _*)
-        struct(lit(b).as("band_id"), key.as("band_key"))
-      }
-      val melt = sig.select(col("doc_id"),
-          explode(array(bandCols: _*)).as("band"))
-        .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
-      val pairs = melt.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
-        .join(melt.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key")),
-          Seq("band_id", "band_key"))
-        .where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-        .distinct()
-      val sigs = sig.select(col("doc_id"), col("sig"))
-      pairs
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-        // match count as K explicit element comparisons — stays inside
-        // whole-stage codegen (a zip_with/aggregate HOF would walk an
-        // interpreted lambda per element on every candidate pair)
-        .withColumn("matches",
-          (0 until K).map(i =>
-            when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
-            .reduce(_ + _))
-        .withColumn("est_jaccard", col("matches") / lit(K.toDouble))
-        .where(col("est_jaccard") >= 0.75)
-        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+      minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
     },
 
     // SimHash fingerprints per document.
@@ -171,6 +176,63 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Duplicate CLUSTERING: connected components over the MinHash
+    // near-dup pair graph (est >= 0.75), cluster id = min doc_id in
+    // the component. Iterative min-label propagation — per round one
+    // shuffle join + one aggregation; near-clique dup clusters
+    // converge in 2-3 rounds. This is the assignment step a 100 TB
+    // dedup pipeline runs after candidate generation (each round is
+    // a bounded join, no driver-side graph).
+    "q35_dup_clusters" -> { (s, d) =>
+      // Contraction: docs with IDENTICAL signatures form est=1.0
+      // cliques, so they share a component by definition — contract
+      // each sig-group to its min doc_id first. est(a,b) depends only
+      // on the signatures, so rep-level edges are exactly the
+      // doc-level edges modulo contraction: output-identical, but the
+      // propagation graph shrinks from O(docs²·density) to
+      // O(distinct-sigs²·density).
+      val sigs = withMinhash(Tables.documents(s, d))
+        .select(col("doc_id"), col("sig"))
+      val reps = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
+      val docRep = sigs.join(reps, Seq("sig")).select(col("doc_id"), col("rep"))
+        .localCheckpoint(true)
+      val repPairs = minhashPairs(s, d)
+        .join(docRep.select(col("doc_id").as("doc_a"), col("rep").as("rep_a")), Seq("doc_a"))
+        .join(docRep.select(col("doc_id").as("doc_b"), col("rep").as("rep_b")), Seq("doc_b"))
+        .where(col("rep_a") =!= col("rep_b"))
+        .select(col("rep_a"), col("rep_b")).distinct()
+      // materialize the rep-level edge list once — every propagation
+      // round joins it, and without this the whole minhash pipeline
+      // would re-run per round
+      val edges = repPairs
+        .union(repPairs.select(col("rep_b"), col("rep_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(true)
+      var labels = docRep.select(col("rep")).distinct()
+        .select(col("rep").as("node"), col("rep").as("label"))
+        .localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val nbrMin = edges
+          .join(labels, edges("dst") === labels("node"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+        val next = labels
+          .join(nbrMin, labels("node") === nbrMin("src"), "left")
+          .select(col("node"), least(col("label"),
+            coalesce(col("nbr_min"), col("label"))).as("label"))
+          .localCheckpoint(true) // truncate the growing lineage per round
+        val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .where(col("label") =!= col("old")).count()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      docRep.join(labels, docRep("rep") === labels("node"))
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact character-3-gram Jaccard within (lang, n_chars) blocks.
     "q34_ngram_jaccard" -> { (s, d) =>
       val sh = Tables.documents(s, d)
@@ -192,38 +254,55 @@ object Dedup {
     },
   )
 
+  /** Shared oracle CTE chain: tokens → k signatures → bands → distinct
+    * candidate pairs (mirrors the Spark pipeline stage for stage). */
+  private def minhashCtes: String = {
+    val bandKeys = (0 until Bands).map { b =>
+      val key = (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => s"sig$i").mkString(" || ")
+      s"SELECT doc_id, sig, $b AS band_id, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""tok AS (
+       |  SELECT doc_id, list_distinct($toksSql) AS tokset FROM documents),
+       |sig0 AS (
+       |  SELECT doc_id,
+       |         $sigSqlCols
+       |  FROM tok),
+       |sig AS (SELECT *, [${(0 until K).map(i => s"sig$i").mkString(", ")}] AS sig FROM sig0),
+       |bands AS (
+       |  $bandKeys),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.sig AS sig_a, b.sig AS sig_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id)""".stripMargin
+  }
+  private def estSql: String =
+    s"len(list_filter(range(1, ${K + 1}), i -> sig_a[i] = sig_b[i])) / ${K.toDouble}"
+
   def oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin,
-    "q31_minhash_pairs" -> {
-      val bandKeys = (0 until Bands).map { b =>
-        val key = (b * RowsPerBand until (b + 1) * RowsPerBand)
-          .map(i => s"sig$i").mkString(" || ")
-        s"SELECT doc_id, sig, $b AS band_id, $key AS band_key FROM sig"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH tok AS (
-         |  SELECT doc_id, list_distinct($toksSql) AS tokset FROM documents),
-         |sig0 AS (
-         |  SELECT doc_id,
-         |         $sigSqlCols
-         |  FROM tok),
-         |sig AS (SELECT *, [${(0 until K).map(i => s"sig$i").mkString(", ")}] AS sig FROM sig0),
-         |bands AS (
-         |  $bandKeys),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         a.sig AS sig_a, b.sig AS sig_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b,
-         |  len(list_filter(range(1, ${K + 1}), i -> sig_a[i] = sig_b[i])) / ${K.toDouble} AS est_jaccard
-         |FROM cand
-         |WHERE len(list_filter(range(1, ${K + 1}), i -> sig_a[i] = sig_b[i])) / ${K.toDouble} >= 0.75
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "q31_minhash_pairs" ->
+      s"""WITH $minhashCtes
+         |SELECT doc_a, doc_b, $estSql AS est_jaccard
+         |FROM cand WHERE $estSql >= 0.75
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q35_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= 0.75),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q32_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
