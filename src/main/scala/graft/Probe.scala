@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc stage timing probe (dev tool, not part of the contract).
+  * Usage: runMain graft.Probe <sfDir> */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    // warmup
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    time("docs scan")(docs.count())
+    time("withMinhash only")(operators.Dedup.withMinhash(docs).select("doc_id").count())
+    time("minhashPairs (pre-sort)")(operators.Dedup.minhashPairs(spark, sfDir).count())
+    time("q31 full (with sort)")(
+      operators.Dedup.queries("q31_minhash_pairs")(spark, sfDir).count())
+    time("q35 clusters")(
+      operators.Dedup.queries("q35_dup_clusters")(spark, sfDir).count())
+    spark.stop()
+  }
+}

@@ -32,10 +32,21 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Signature length and banding: k = bands * rowsPerBand. */
-  val K = 12
+  /** Signature length and banding: k = bands * rowsPerBand. r=8 keeps
+    * band-collision probability ~j^8 — selective enough that this
+    * corpus's high baseline token-set similarity (avg j≈0.6) doesn't
+    * flood the candidate set, while true near-dups still collide with
+    * high probability in at least one band. */
+  val K = 16
   val Bands = 2
-  val RowsPerBand = 6
+  val RowsPerBand = 8
+
+  /** Near-dup decision threshold on the estimated Jaccard: 15/16
+    * signature positions. On a small-vocabulary corpus moderate
+    * token-set similarity is the norm (avg j≈0.6 here), so a dedup
+    * threshold must sit well above it — 0.75 would declare almost
+    * every pair a near-dup, which is volume without meaning. */
+  val EstThreshold: Double = 15.0 / 16.0
 
   /** Whitespace tokens, lowercased, empties dropped (multiplicity kept). */
   private val toksExpr = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
@@ -133,7 +144,7 @@ object Dedup {
           when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
           .reduce(_ + _))
       .withColumn("est_jaccard", col("matches") / lit(K.toDouble))
-      .where(col("est_jaccard") >= 0.75)
+      .where(col("est_jaccard") >= EstThreshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
@@ -163,9 +174,12 @@ object Dedup {
     // SimHash near-dup pairs: bucket on the high byte, pair within the
     // bucket at hamming distance <= 6 (of 16 bits).
     "q33_simhash_pairs" -> { (s, d) =>
+      // materialize the fingerprints once — the self-join would
+      // otherwise run the 16-bit fold pipeline for both sides
       val sh = withSimhash(Tables.documents(s, d))
         .select(col("doc_id"), col("simhash"),
           shiftright(col("simhash"), 8).as("bucket"))
+        .localCheckpoint(true)
       val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"), col("bucket"))
       val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"), col("bucket"))
       a.join(b, Seq("bucket"))
@@ -289,11 +303,11 @@ object Dedup {
     "q31_minhash_pairs" ->
       s"""WITH $minhashCtes
          |SELECT doc_a, doc_b, $estSql AS est_jaccard
-         |FROM cand WHERE $estSql >= 0.75
+         |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
     "q35_dup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
-         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= 0.75),
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
