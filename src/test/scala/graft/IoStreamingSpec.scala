@@ -127,6 +127,47 @@ class IoStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fan-in runs on the RocksDB state store (the 100 TB state path)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[graft.model.TaggedPartial]
+    val q = streaming.FanIn.fanInStream(mem.toDS(), timeoutMs = 600000)
+      .writeStream.format("memory").queryName("fanin_rocks")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+      .start()
+    try {
+      import graft.model._
+      val tag = "77"
+      mem.addData(
+        TaggedPartial(tag, StreamKinds.Status,
+          Some(TweetStatus(77L, "spark streams", None, isRetweet = false,
+            TweetUser(1L, "u", "sn", None))), None, None, None),
+        TaggedPartial(tag, StreamKinds.LinkedTweet, None,
+          Some(Seq.empty[LinkedEntity]), None, None),
+        TaggedPartial(tag, StreamKinds.ResourceKind, None, None,
+          Some(Seq.empty[Resource]), None),
+        TaggedPartial(tag, StreamKinds.DecodedLocation, None, None, None,
+          Some(Coordinates(1.0, 2.0))))
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        s.table("fanin_rocks").count() < 1) Thread.sleep(100)
+      assert(s.table("fanin_rocks").count() === 1)
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.customMetrics != null))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("media payloads never shuffle in the multimodal feature plan") {
     val plan = Multimodal.queries("q71_media_features")(spark, sf)
       .queryExecution.executedPlan.toString

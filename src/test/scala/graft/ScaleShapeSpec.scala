@@ -129,6 +129,37 @@ class ScaleShapeSpec extends SparkSpec {
     new graft.functions.GraftExtensions().apply(ext)
   }
 
+  test("salted join is set-identical to the plain join under forced shuffle") {
+    val s = spark
+    import s.implicits._
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val left = Tables.events(s, sf).select($"user_id", $"event_id", $"value")
+      val right = Tables.events(s, sf).groupBy($"user_id")
+        .agg(count(lit(1)).as("user_events"))
+      val plain = left.join(right, "user_id")
+        .select($"event_id", $"user_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val salted = operators.Skew.saltedJoin(left, right, "user_id", salts = 8)
+        .select($"event_id", $"user_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(salted.sameElements(plain))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation equals the direct aggregation") {
+    val s = spark
+    import s.implicits._
+    val direct = Tables.events(s, sf).groupBy($"event_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = operators.Skew.saltedSum(
+        Tables.events(s, sf), "event_type", col("value"), salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(salted === direct)
+  }
+
   test("HLL cardinality estimate tracks exact distinct within 5%") {
     val s = spark
     import s.implicits._
