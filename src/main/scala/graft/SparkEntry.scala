@@ -20,6 +20,7 @@ object SparkEntry {
     (operators.Temporal.queries, operators.Temporal.oracle),
     (operators.Requests.queries, operators.Requests.oracle),
     (operators.Multimodal.queries, operators.Multimodal.oracle),
+    (operators.NeelPipeline.queries, operators.NeelPipeline.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -168,6 +168,47 @@ class IoStreamingSpec extends SparkSpec {
     }
   }
 
+  test("NeelPipeline.run on a JSON stream equals its batch result") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val raw = operators.Neel.syntheticTweets(s, sf).select(to_json(struct(
+      col("tweet_id").as("id"), col("text"),
+      col("is_retweet").as("retweeted"),
+      struct(col("user_id").as("id"), col("user_name").as("name"),
+        col("screen_name").as("screen_name"),
+        col("user_location").as("location")).as("user"))).as("value"))
+      .as[String].collect()
+    val batch = operators.NeelPipeline.queries("q28_pipeline_e2e")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val mem = MemoryStream[String]
+    val q = operators.NeelPipeline.run(s, mem.toDS().toDF("value"),
+        "a1", "2026-01-01T00:00:00Z")
+      .writeStream.format("memory").queryName("pipeline_stream")
+      .outputMode("complete").start()
+    try {
+      raw.grouped(200).foreach(g => mem.addData(g.toSeq))
+      q.processAllAvailable()
+      val got = s.table("pipeline_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(got.sameElements(batch))
+    } finally q.stop()
+  }
+
+  test("malformed tweet JSON is silently dropped (reference #12)") {
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      """{"id": 5, "text": "spark is here", "retweeted": false,
+        | "user": {"id": 1, "name": "n", "screen_name": "sn", "location": null}}""".stripMargin.replace("\n", ""),
+      "not json at all",
+      """{"id": 0, "text": "invalid id"}""",
+      """{"id": 6, "text": ""}""").toDF("value")
+    val out = operators.NeelPipeline.parseTweets(raw)
+    assert(out.count() === 1)
+    assert(out.select($"tweet_id").as[Long].head() === 5L)
+  }
+
   test("media payloads never shuffle in the multimodal feature plan") {
     val plan = Multimodal.queries("q71_media_features")(spark, sf)
       .queryExecution.executedPlan.toString
