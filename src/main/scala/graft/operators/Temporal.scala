@@ -53,6 +53,37 @@ object Temporal {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // Sliding windows (2 h window, 1 h slide): each event lands in two
+    // overlapping windows — Spark's window() generates both
+    // assignments; the oracle unions the two shifted bucketings.
+    "q53_sliding_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum("value").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // Ordered analytics per user: lag/lead + 3-event moving average
+    // over event time (the analytic-window surface the reference
+    // lacks; one shuffle on user_id, per-partition sort).
+    "q54_lag_analytics" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wAvg = w.rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("gap_sec",
+          ((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+            .cast("double") / lit(1e6)))
+        .withColumn("mov_avg3", round(avg(col("value")).over(wAvg), 6))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("prev_value"), col("next_value"), col("gap_sec"), col("mov_avg3"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // As-of join: each 'click' event picks the most recent 'purchase'
     // (same user, at-or-before its timestamp) via union + sorted
     // carry-forward — one shuffle, no range cross-product.
@@ -110,6 +141,27 @@ object Temporal {
         |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6 AS duration_sec
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "q53_sliding_window" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
+        |         event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) - INTERVAL '1 hour',
+        |         event_type, value FROM events)
+        |SELECT ws AS window_start, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM b GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q54_lag_analytics" ->
+      """SELECT user_id, event_id, value,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  CAST(epoch_us(CAST(ts AS TIMESTAMP))
+        |    - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS DOUBLE) / 1e6 AS gap_sec,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mov_avg3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q52_asof_join" ->
       """WITH l AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
