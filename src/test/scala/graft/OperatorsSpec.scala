@@ -85,6 +85,64 @@ class OperatorsSpec extends SparkSpec {
     assert(inWindows === total)
   }
 
+  test("every minhash near-dup pair lands in one duplicate cluster") {
+    val s = spark
+    import s.implicits._
+    val cluster = Dedup.queries("q35_dup_clusters")(s, sf)
+      .as[(Long, Long)].collect().toMap
+    val pairs = Dedup.queries("q31_minhash_pairs")(s, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // labels are component minima: never above the doc id
+    cluster.foreach { case (doc, c) => assert(c <= doc) }
+  }
+
+  test("ngram jaccard is within [0,1] on canonical pairs") {
+    val s = spark
+    import s.implicits._
+    val rows = Dedup.queries("q34_ngram_jaccard")(s, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.forall { case (a, b, j) => a < b && j >= 0.0 && j <= 1.0 })
+  }
+
+  test("stratified sampling respects per-language keep rates") {
+    val s = spark
+    import s.implicits._
+    val totals = Tables.documents(s, sf).groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val kept = operators.Relational.queries("q19_stratified_sample")(s, sf)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val expected = Map("en" -> 0.80, "de" -> 0.50, "es" -> 0.25,
+      "fr" -> 0.25, "zh" -> 0.10)
+    expected.foreach { case (lang, rate) =>
+      val n = totals(lang)
+      val k = kept.getOrElse(lang, 0L).toDouble
+      // ±4σ binomial tolerance at these sample sizes
+      val tol = 4 * math.sqrt(n * rate * (1 - rate)) + 1
+      assert(math.abs(k - n * rate) <= tol,
+        s"$lang keep rate ${k / n} vs target $rate (n=$n)")
+    }
+  }
+
+  test("sliding windows count every event exactly twice") {
+    val s = spark
+    import s.implicits._
+    val total = Tables.events(s, sf).count()
+    val inWindows = Temporal.queries("q53_sliding_window")(s, sf)
+      .agg(sum($"n")).as[Long].head()
+    assert(inWindows === 2 * total)
+  }
+
+  test("lag analytics preserves rows and orders gaps non-negatively") {
+    val s = spark
+    import s.implicits._
+    val out = Temporal.queries("q54_lag_analytics")(s, sf)
+    assert(out.count() === Tables.events(s, sf).count())
+    assert(out.filter($"gap_sec" < 0).count() === 0)
+  }
+
   test("language ID always predicts a profile language") {
     val s = spark
     import s.implicits._
