@@ -23,9 +23,11 @@ object SparkEntry {
     (operators.NeelPipeline.queries, operators.NeelPipeline.oracle),
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The flagship is the full NEEL pipeline: raw tweet JSON →
+    * parse → NER/NEL/resolve → analysis-result events. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q28_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
