@@ -80,6 +80,39 @@ object Similarity {
         .limit(10)
     },
 
+    // IVF-style ANN: coarse centroids (per-label mean vectors, dims
+    // rounded to 6 so they are reduction-order stable), probe the
+    // nprobe=2 nearest centroids, exact top-k within those cells. At
+    // 100 TB the cell id is a partition key — the probe prunes the
+    // scan to nprobe/ncells of the corpus, like the LSH bucket path.
+    "q39_ann_ivf" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      val cents = e.groupBy(col("label")).agg(
+        array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("cv"))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("embedding").as("q_embedding"))
+      val scored = cents.crossJoin(broadcast(q))
+        .withColumn("c_cos", expr(
+          "aggregate(zip_with(cv, qv, (x, y) -> x * y), 0D, (acc, p) -> acc + p)" +
+            " / (sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))" +
+            " * sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x)))"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c_cos").desc, col("label").asc)
+      val probed = scored
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 2)
+        .select(col("label"))
+      Tables.embeddings(s, d)
+        .join(broadcast(probed), Seq("label"))
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q.select(col("q_embedding"))))
+        .select(col("vec_id"), col("label"),
+          cos6(col("embedding"), col("q_embedding")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    },
+
     // Embedding-cosine near-dup pairs, blocked by label.
     "q38_embed_neardup" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -118,6 +151,29 @@ object Similarity {
            |  ON a.bucket = q.bucket
            |WHERE a.vec_id <> 0
            |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
+      "q39_ann_ivf" -> {
+        val centDims = (1 to 64).map(i => s"round(avg(v[$i]), 6)").mkString(", ")
+        s"""$base,
+           |cents AS (SELECT label, [$centDims] AS cv FROM n GROUP BY label),
+           |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+           |scored AS (
+           |  SELECT label,
+           |    list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i]))
+           |      / (sqrt(list_sum(list_transform(cv, x -> x * x)))
+           |         * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS c_cos
+           |  FROM cents CROSS JOIN q),
+           |probed AS (
+           |  SELECT label FROM (
+           |    SELECT label, row_number() OVER (ORDER BY c_cos DESC, label ASC) AS rnk
+           |    FROM scored) WHERE rnk <= 2)
+           |SELECT a.vec_id, a.label,
+           |  ${cosSql("a.v", "q2.v", "a.nrm", "q2.nrm")} AS cos
+           |FROM n a
+           |JOIN probed p ON a.label = p.label
+           |CROSS JOIN (SELECT v, nrm FROM n WHERE vec_id = 0) q2
+           |WHERE a.vec_id <> 0
+           |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin
+      },
       "q38_embed_neardup" ->
         s"""$base
            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
