@@ -106,7 +106,47 @@ class IoStreamingSpec extends SparkSpec {
         .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
       assert(rows("2024-01-01 01:00:00.0") === 2L)
       assert(rows("2024-01-01 02:00:00.0") === 1L)
+      // a late event behind the watermark is DROPPED: the finalized
+      // hour-1 window never re-emits or changes
+      mem.addData((t(1, 30), 99.0))
+      q.processAllAvailable()
+      val after = s.table("win_stream").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      assert(after.count(_._1 == "2024-01-01 01:00:00.0") === 1)
+      assert(after.toMap.apply("2024-01-01 01:00:00.0") === 2L)
     } finally q.stop()
+  }
+
+  test("restart from checkpoint resumes without duplicates") {
+    val s = spark
+    import s.implicits._
+    val staged = tmpDir("ckpt_stage")
+    val ckpt = tmpDir("ckpt_loc")
+    val docs = Tables.documents(s, sf).select($"doc_id")
+    val half = docs.count() / 2
+    docs.where($"doc_id" < half).repartition(1).write.mode("overwrite")
+      .option("header", "true").csv(staged)
+    val outDir = tmpDir("ckpt_sink")
+    def start() = s.readStream.schema(docs.schema)
+      .option("header", "true").option("maxFilesPerTrigger", 1).csv(staged)
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    val q1 = start()
+    q1.awaitTermination(60000)
+    val firstRun = s.read.parquet(outDir).count()
+    assert(firstRun > 0 && firstRun < docs.count())
+    // more data arrives while the query is down
+    docs.where($"doc_id" >= half).repartition(1).write.mode("append")
+      .option("header", "true").csv(staged)
+    val q2 = start()
+    q2.awaitTermination(60000)
+    // exactly-once: every doc delivered exactly once across restarts
+    val out = s.read.parquet(outDir)
+    assert(out.count() === docs.count(),
+      s"run1=$firstRun final=${out.count()} expected=${docs.count()}")
+    assert(out.select($"doc_id").distinct().count() === docs.count())
   }
 
   test("streaming dedup (dropDuplicates) emits each key once") {
