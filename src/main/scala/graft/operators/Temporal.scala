@@ -84,6 +84,20 @@ object Temporal {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // Exact interpolated percentiles per event type (order statistics
+    // need a per-group sort — at scale prefer approx_percentile
+    // sketches; this is the exact baseline they are validated against).
+    "q55_percentiles" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
     // As-of join: each 'click' event picks the most recent 'purchase'
     // (same user, at-or-before its timestamp) via union + sorted
     // carry-forward — one shuffle, no range cross-product.
@@ -141,6 +155,13 @@ object Temporal {
         |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6 AS duration_sec
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "q55_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q53_sliding_window" ->
       """WITH b AS (
         |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,
