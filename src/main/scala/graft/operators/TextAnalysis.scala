@@ -114,6 +114,23 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // Fuzzy matching: Levenshtein pairs over DISTINCT part names,
+    // blocked by the head noun (classic entity-resolution blocking —
+    // the dictionary-dedup pass of a catalog pipeline). Distinct-first
+    // keeps the pair space tiny regardless of table size.
+    "q44_fuzzy_match" -> { (s, d) =>
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .withColumn("block", split(col("p_name"), " ").getItem(1))
+      val a = names.select(col("p_name").as("name_a"), col("block"))
+      val b = names.select(col("p_name").as("name_b"), col("block"))
+      a.join(b, Seq("block"))
+        .where(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .where(col("dist") <= 3)
+        .select(col("name_a"), col("name_b"), col("dist"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+
     // Fingerprinting: whole-content digest + winnowed min-hash over
     // 5-token shingles (rolling window), both md5-exact vs the oracle.
     "q43_fingerprint" -> { (s, d) =>
@@ -162,6 +179,17 @@ object TextAnalysis {
            |  len(regexp_extract_all(lower(text), '$bpePattern')) AS n_bpe_pieces,
            |  length(text) AS n_chars_calc, n_chars
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "q44_fuzzy_match" ->
+        """WITH names AS (
+          |  SELECT DISTINCT p_name,
+          |    string_split(p_name, ' ')[2] AS block
+          |  FROM part)
+          |SELECT a.p_name AS name_a, b.p_name AS name_b,
+          |  levenshtein(a.p_name, b.p_name) AS dist
+          |FROM names a JOIN names b
+          |  ON a.block = b.block AND a.p_name < b.p_name
+          |WHERE levenshtein(a.p_name, b.p_name) <= 3
+          |ORDER BY name_a, name_b""".stripMargin,
       "q43_fingerprint" ->
         s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
            |SELECT doc_id,
