@@ -149,6 +149,35 @@ class IoStreamingSpec extends SparkSpec {
     assert(out.select($"doc_id").distinct().count() === docs.count())
   }
 
+  test("streaming session windows close after the gap + watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = mem.toDS().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("session_start"), $"n_events")
+    val q = sessions.writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // user 1: two events 10 min apart (one session), then a gap
+      mem.addData((1L, t(1, 0), 1.0), (1L, t(1, 10), 2.0))
+      q.processAllAvailable()
+      // advance watermark far past the session gap => session finalizes
+      mem.addData((2L, t(3, 0), 9.0))
+      q.processAllAvailable()
+      mem.addData((2L, t(5, 0), 9.0))
+      q.processAllAvailable()
+      val rows = s.table("sess_stream").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2)))
+      assert(rows.contains((1L, "2024-01-01 01:00:00.0", 2L)),
+        s"user 1 session not finalized: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
   test("streaming dedup (dropDuplicates) emits each key once") {
     val s = spark
     import s.implicits._
