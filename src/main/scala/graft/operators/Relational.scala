@@ -229,6 +229,21 @@ object Relational {
         .orderBy($"p_partkey")
     },
 
+    // #20f: full outer join (completes the join-type surface: inner,
+    // left, semi, anti, cross, full).
+    "q20f_full_outer" -> { (s, d) =>
+      import s.implicits._
+      val custAgg = Tables.orders(s, d)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+      val supp = Tables.supplier(s, d)
+        .select($"s_suppkey".as("key"), $"s_name")
+      custAgg.select($"o_custkey".as("key"), $"n_orders")
+        .join(supp, Seq("key"), "full_outer")
+        .select($"key", $"n_orders", $"s_name")
+        .orderBy($"key".asc_nulls_first, $"n_orders".asc_nulls_first,
+          $"s_name".asc_nulls_first)
+    },
+
     // #17: the engine's full SQL dialect (the reference has none —
     // SURVEY §0): correlated scalar subquery over registered views.
     "q17_sql_correlated" -> { (s, d) =>
@@ -398,6 +413,13 @@ object Relational {
         |  printf('%.2f', p_retailprice) AS price_str,
         |  concat_ws('|', p_brand, p_type, trim(' x ')) AS joined
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q20f_full_outer" ->
+      """SELECT COALESCE(c.key, s.s_suppkey) AS key, c.n_orders, s.s_name
+        |FROM (SELECT o_custkey AS key, count(*) AS n_orders
+        |      FROM orders GROUP BY o_custkey) c
+        |FULL OUTER JOIN supplier s ON c.key = s.s_suppkey
+        |ORDER BY key ASC NULLS FIRST, n_orders ASC NULLS FIRST,
+        |  s_name ASC NULLS FIRST""".stripMargin,
     "q17_sql_correlated" ->
       """SELECT c_custkey, c_name,
         |  (SELECT max(o_totalprice) FROM orders o
