@@ -29,6 +29,29 @@ object Probe {
       operators.Dedup.queries("q31_minhash_pairs")(spark, sfDir).count())
     time("q35 clusters")(
       operators.Dedup.queries("q35_dup_clusters")(spark, sfDir).count())
+
+    // per-node metrics for the pair pipeline: where do rows and time go
+    val df = operators.Dedup.minhashPairs(spark, sfDir)
+    df.queryExecution.toRdd.count() // execute THIS plan so metrics fill
+    def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan, depth); return
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan, depth); return
+        case r: org.apache.spark.sql.execution.ReusedSubqueryExec =>
+          walk(r.child, depth); return
+        case _ =>
+      }
+      val m = p.metrics.collect {
+        case (k, v) if v.value > 0 &&
+          (k.contains("numOutputRows") || k.contains("Time") || k.contains("size")) =>
+          s"$k=${v.value}"
+      }.mkString(" ")
+      println(s"[metrics] ${"  " * depth}${p.nodeName} $m")
+      p.children.foreach(walk(_, depth + 1))
+    }
+    walk(df.queryExecution.executedPlan, 0)
     spark.stop()
   }
 }

@@ -110,9 +110,14 @@ object Dedup {
   /** MinHash+LSH near-dup pairs (unsorted — q31 adds the presentation
     * sort; q35 consumes this directly). */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    // materialize the signature relation ONCE: it feeds both sides of
+    // the band self-join and both joinbacks — without this the K-md5
+    // sketch pipeline runs 4x (observed via plan metrics). At cluster
+    // scale the same move is persisting the signature table.
     val sig = withMinhash(Tables.documents(s, d))
       .select((col("doc_id") +: col("sig") +:
         (0 until K).map(i => col(s"sig$i"))): _*)
+      .localCheckpoint(true)
     // melt carries ONLY (doc_id, band) — the signature arrays must
     // not ride through the band join + distinct (they'd multiply the
     // shuffle volume by the candidate count); they're joined back
