@@ -291,6 +291,45 @@ object Relational {
         .orderBy($"doc_id")
     },
 
+    // #15b: the datetime scalar surface (ISO formatting per SURVEY
+    // §2.8 plus extraction/truncation/arithmetic). dayofweek is
+    // normalized to 1=Sunday in both engines.
+    "q15b_datetime_suite" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .select(
+          $"o_orderkey",
+          year($"o_orderdate").as("y"),
+          month($"o_orderdate").as("m"),
+          dayofmonth($"o_orderdate").as("dom"),
+          dayofweek($"o_orderdate").as("dow"),
+          date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("iso_day"),
+          unix_seconds($"o_orderdate".cast("timestamp")).as("epoch_s"),
+          add_months($"o_orderdate", 3).as("plus3m"))
+        .orderBy($"o_orderkey")
+    },
+
+    // #15c: three-valued-logic / null-handling semantics (the engine
+    // contract a SQL user relies on: count(*) vs count(col), aggregates
+    // over nulls, coalesce/nullif, null-safe equality).
+    "q15c_null_semantics" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("maybe", when($"doc_id" % 3 === 0, $"n_chars"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count($"maybe").as("n_nonnull"),
+          sum($"maybe").as("sum_maybe"),
+          min($"maybe").as("min_maybe"),
+          sum(when($"maybe".isNull, 1).otherwise(0)).as("n_null"),
+          sum(when($"maybe" <=> lit(null), 1).otherwise(0)).as("n_nullsafe_eq"),
+          max(coalesce($"maybe", lit(-1))).as("max_coalesced"),
+          count(nullif($"source", lit("src0"))).as("n_not_src0"))
+        .orderBy($"lang")
+    },
+
     // #16: deterministic hash-Bernoulli sampling (~10%: first md5 byte
     // < 26) — the engine's replacement for the reference's wall-clock
     // sampling filter (SURVEY.md §2 #15, documented divergence).
@@ -445,6 +484,32 @@ object Relational {
         |         ELSE 26 END AS keep
         |  FROM documents)
         |WHERE h < keep ORDER BY doc_id""".stripMargin,
+    "q15c_null_semantics" ->
+      """WITH t AS (
+        |  SELECT lang, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN n_chars END AS maybe
+        |  FROM documents)
+        |SELECT lang,
+        |  count(*) AS n_rows,
+        |  count(maybe) AS n_nonnull,
+        |  sum(maybe) AS sum_maybe,
+        |  min(maybe) AS min_maybe,
+        |  sum(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |  sum(CASE WHEN maybe IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_eq,
+        |  max(coalesce(maybe, -1)) AS max_coalesced,
+        |  count(nullif(source, 'src0')) AS n_not_src0
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q15b_datetime_suite" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(date_part('dow', o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q16_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT *,
