@@ -51,7 +51,8 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        files = glob.glob(f"{outdir}/{name}.parquet/*.parquet") or \
+            glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
