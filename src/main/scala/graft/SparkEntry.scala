@@ -21,6 +21,7 @@ object SparkEntry {
     (operators.Requests.queries, operators.Requests.oracle),
     (operators.Multimodal.queries, operators.Multimodal.oracle),
     (operators.NeelPipeline.queries, operators.NeelPipeline.oracle),
+    (operators.Profile.queries, operators.Profile.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -98,6 +98,32 @@ object Temporal {
         .orderBy(col("event_type"))
     },
 
+    // Fixed-width histogram of event values per type (10 bins over
+    // [0, 500); floor-based binning is exact in both engines).
+    "q56_histogram" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("bin",
+          least(floor(col("value") / 50.0).cast("int"), lit(9)))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bin"))
+    },
+
+    // Correlation / covariance aggregates per event type (rounded —
+    // the sums of products are reduction-order sensitive).
+    "q57_corr_stats" -> { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("double")
+      Tables.events(s, d)
+        .withColumn("k", k)
+        .groupBy(col("event_type"))
+        .agg(
+          round(corr(col("value"), col("k")), 6).as("corr_vk"),
+          round(covar_samp(col("value"), col("k")), 4).as("covar_vk"),
+          round(stddev_samp(col("value")), 6).as("sd_value"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
     // As-of join: each 'click' event picks the most recent 'purchase'
     // (same user, at-or-before its timestamp) via union + sorted
     // carry-forward — one shuffle, no range cross-product.
@@ -155,6 +181,22 @@ object Temporal {
         |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6 AS duration_sec
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "q56_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(floor(value / 50.0), 9) AS INTEGER) AS bin,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+    "q57_corr_stats" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        |  FROM events)
+        |SELECT event_type,
+        |  round(corr(value, k), 6) AS corr_vk,
+        |  round(covar_samp(value, k), 4) AS covar_vk,
+        |  round(stddev_samp(value), 6) AS sd_value,
+        |  count(*) AS n
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q55_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.5), 6) AS p50,
