@@ -131,6 +131,51 @@ object TextAnalysis {
         .orderBy(col("name_a"), col("name_b"))
     },
 
+    // Canonicalization: lowercase, strip punctuation, collapse
+    // whitespace — the normalization pass that makes exact dedup catch
+    // case/punctuation variants. Emits the normalized digest.
+    "q45_normalize" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("norm", trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9\\s]", " "),
+          "\\s+", " ")))
+        .select(col("doc_id"), col("norm"), md5(col("norm")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus vocabulary statistics: per-term collection frequency and
+    // document frequency (the wordcount of training pipelines — one
+    // explode + one hash aggregation).
+    "q46_vocab" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("collection_freq"),
+          countDistinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("term"))
+    },
+
+    // TF-IDF per (doc, term): tf * ln(N / df), rounded for libm
+    // parity. N rides as a broadcast 1-row aggregate, not a driver
+    // constant, so the plan stays fully declarative.
+    "q47_tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val terms = docs.withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      tf.join(df, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", round(col("tf") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    },
+
     // Fingerprinting: whole-content digest + winnowed min-hash over
     // 5-token shingles (rolling window), both md5-exact vs the oracle.
     "q43_fingerprint" -> { (s, d) =>
@@ -179,6 +224,34 @@ object TextAnalysis {
            |  len(regexp_extract_all(lower(text), '$bpePattern')) AS n_bpe_pieces,
            |  length(text) AS n_chars_calc, n_chars
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "q45_normalize" ->
+        """WITH t AS (
+          |  SELECT doc_id, trim(regexp_replace(
+          |    regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+          |    '\s+', ' ', 'g')) AS norm
+          |  FROM documents)
+          |SELECT doc_id, norm, md5(norm) AS norm_md5
+          |FROM t ORDER BY doc_id""".stripMargin,
+      "q46_vocab" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, u.term FROM (
+           |    SELECT doc_id, $toksSql AS toks FROM documents),
+           |    unnest(toks) AS u(term))
+           |SELECT term, count(*) AS collection_freq,
+           |  count(DISTINCT doc_id) AS doc_freq
+           |FROM t GROUP BY term ORDER BY term""".stripMargin,
+      "q47_tfidf" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, u.term FROM (
+           |    SELECT doc_id, $toksSql AS toks FROM documents),
+           |    unnest(toks) AS u(term)),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+           |n AS (SELECT count(*) AS n_docs FROM documents)
+           |SELECT tf.doc_id, tf.term AS term, tf.tf, df.df,
+           |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+           |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+           |ORDER BY tf.doc_id, tf.term""".stripMargin,
       "q44_fuzzy_match" ->
         """WITH names AS (
           |  SELECT DISTINCT p_name,
