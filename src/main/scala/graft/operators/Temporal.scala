@@ -124,6 +124,35 @@ object Temporal {
         .orderBy(col("event_type"))
     },
 
+    // Funnel analysis: earliest view -> first click after it -> first
+    // purchase after that, per user; stage = how far the user got.
+    // Three bounded aggregations + two key joins — no per-user
+    // sequence materialization, so it scales with users, not events.
+    "q59_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .where(col("ts") > col("t_view"))
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(col("ts")).as("t_click"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c.select(col("user_id"), col("t_click")), Seq("user_id"))
+        .where(col("ts") > col("t_click"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t_purchase"))
+      v.join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage", lit(1) +
+          when(col("t_click").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0))
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"), col("stage"))
+        .orderBy(col("user_id"))
+    },
+
     // As-of join: each 'click' event picks the most recent 'purchase'
     // (same user, at-or-before its timestamp) via union + sorted
     // carry-forward — one shuffle, no range cross-product.
@@ -181,6 +210,26 @@ object Temporal {
         |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6 AS duration_sec
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_start""".stripMargin,
+    "q59_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  1 + (CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END)
+        |    + (CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
     "q56_histogram" ->
       """SELECT event_type,
         |  CAST(least(floor(value / 50.0), 9) AS INTEGER) AS bin,

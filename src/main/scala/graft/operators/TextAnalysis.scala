@@ -176,6 +176,39 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("term"))
     },
 
+    // BM25 relevance of a fixed query against every document, top-20.
+    // Standard Okapi parameters (k1=1.2, b=0.75); every factor is a
+    // join/aggregate over the token explode — one scan of the corpus.
+    "q48_bm25_search" -> { (s, d) =>
+      val queryTerms = Seq("spark", "stream", "join")
+      val docs = Tables.documents(s, d)
+      val toks = docs.withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          explode(col("toks")).as("term"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(toks.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+          .agg((sum(col("dl")).cast("double") /
+            count(lit(1)).cast("double")).as("avgdl")))
+      val tf = toks.where(col("term").isin(queryTerms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      val df = toks.where(col("term").isin(queryTerms: _*))
+        .select(col("term"), col("doc_id")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(df, Seq("term")).crossJoin(broadcast(stats))
+        .withColumn("idf", log(
+          (col("n_docs").cast("double") - col("df") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0))
+        .withColumn("score_t",
+          col("idf") * (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      scored.groupBy(col("doc_id"))
+        .agg(round(sum(col("score_t")), 6).as("bm25"),
+          count(lit(1)).as("n_matched"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
     // Fingerprinting: whole-content digest + winnowed min-hash over
     // 5-token shingles (rolling window), both md5-exact vs the oracle.
     "q43_fingerprint" -> { (s, d) =>
@@ -252,6 +285,28 @@ object TextAnalysis {
            |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
            |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
            |ORDER BY tf.doc_id, tf.term""".stripMargin,
+      "q48_bm25_search" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, len(toks) AS dl, u.term FROM (
+           |    SELECT doc_id, $toksSql AS toks FROM documents),
+           |    unnest(toks) AS u(term)),
+           |dls AS (SELECT doc_id, max(dl) AS dl FROM t GROUP BY 1),
+           |stats AS (
+           |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+           |         (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM dls) AS avgdl),
+           |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+           |  FROM t WHERE term IN ('spark', 'stream', 'join') GROUP BY 1, 2),
+           |df AS (SELECT term, count(DISTINCT doc_id) AS df
+           |  FROM t WHERE term IN ('spark', 'stream', 'join') GROUP BY 1),
+           |scored AS (
+           |  SELECT tf.doc_id,
+           |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+           |      * (tf * 2.2)
+           |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score_t
+           |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats)
+           |SELECT doc_id, round(sum(score_t), 6) AS bm25, count(*) AS n_matched
+           |FROM scored GROUP BY doc_id
+           |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
       "q44_fuzzy_match" ->
         """WITH names AS (
           |  SELECT DISTINCT p_name,
