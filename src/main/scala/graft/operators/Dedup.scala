@@ -252,6 +252,40 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // PageRank (3 fixed iterations, d=0.85) over the undirected
+    // near-dup graph — centrality of documents inside duplicate
+    // neighborhoods (which copy is the "canonical-most"). Each
+    // iteration is one join + one aggregation; per-iteration rounding
+    // to 8 decimals makes the double sums reduction-order stable, so
+    // the run is bit-reproducible at any parallelism.
+    "q37g_pagerank" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val nDocs = docs.count()
+      val base = lit(0.15 / nDocs)
+      val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint(true)
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var pr = docs.select(col("doc_id").as("node"),
+        lit(1.0 / nDocs).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(outdeg, Seq("src"))
+          .join(pr, edges("src") === pr("node"))
+          .select(col("dst"), (col("pr") / col("deg")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+        pr = docs.select(col("doc_id").as("node"))
+          .join(contrib, col("node") === contrib("dst"), "left")
+          .select(col("node"),
+            round(base + lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 8).as("pr"))
+          .localCheckpoint(true)
+      }
+      pr.select(col("node").as("doc_id"), col("pr"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact character-3-gram Jaccard within (lang, n_chars) blocks.
     "q34_ngram_jaccard" -> { (s, d) =>
       val sh = Tables.documents(s, d)
@@ -310,6 +344,33 @@ object Dedup {
          |SELECT doc_a, doc_b, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q37g_pagerank" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT d.doc_id AS node,
+           |    round(0.15 / nn.n + 0.85 * COALESCE(s.in_sum, 0.0), 8) AS pr
+           |  FROM documents d
+           |  CROSS JOIN (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents) nn
+           |  LEFT JOIN (
+           |    SELECT e.dst, sum(p.pr / dg.deg) AS in_sum
+           |    FROM edges e
+           |    JOIN deg dg ON e.src = dg.src
+           |    JOIN $prev p ON e.src = p.node
+           |    GROUP BY e.dst) s ON d.doc_id = s.dst)""".stripMargin
+      s"""WITH $minhashCtes,
+         |prs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM prs
+         |  UNION ALL SELECT doc_b, doc_a FROM prs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |pr0 AS (
+         |  SELECT doc_id AS node, 1.0 / (SELECT count(*) FROM documents) AS pr
+         |  FROM documents),
+         |${iter("pr0", "pr1")},
+         |${iter("pr1", "pr2")},
+         |${iter("pr2", "pr3")}
+         |SELECT node AS doc_id, pr FROM pr3 ORDER BY doc_id""".stripMargin
+    },
     "q35_dup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
