@@ -143,6 +143,57 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter($"gap_sec" < 0).count() === 0)
   }
 
+  test("pagerank mass stays positive and bounded") {
+    val s = spark
+    import s.implicits._
+    val pr = Dedup.queries("q37g_pagerank")(s, sf)
+      .select($"pr").as[Double].collect()
+    assert(pr.forall(p => p > 0 && p < 1.0))
+    // total mass can leak via isolated nodes but never exceeds 1 + eps
+    assert(pr.sum <= 1.0 + 1e-6, s"mass=${pr.sum}")
+  }
+
+  test("bm25 results are rank-ordered and every hit matched a term") {
+    val s = spark
+    import s.implicits._
+    val rows = TextAnalysis.queries("q48_bm25_search")(s, sf)
+      .select($"bm25", $"n_matched").as[(Double, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._1 >= b._1; case _ => true })
+    assert(rows.forall(_._2 >= 1))
+  }
+
+  test("funnel stages are consistent with their timestamps") {
+    val s = spark
+    import s.implicits._
+    val rows = Temporal.queries("q59_funnel")(s, sf).collect()
+    rows.foreach { r =>
+      val stage = r.getInt(4)
+      val tClick = Option(r.getTimestamp(2))
+      val tPurch = Option(r.getTimestamp(3))
+      assert((stage >= 2) === tClick.isDefined, s"row $r")
+      assert((stage == 3) === tPurch.isDefined, s"row $r")
+      for (c <- tClick) assert(c.after(r.getTimestamp(1)))
+      for (p <- tPurch; c <- tClick) assert(p.after(c))
+    }
+  }
+
+  test("tf-idf of a corpus-universal term is zero") {
+    val s = spark
+    import s.implicits._
+    // any term present in EVERY doc has idf = ln(1) = 0
+    val universal = TextAnalysis.queries("q47_tfidf")(s, sf)
+      .groupBy($"term").agg(
+        org.apache.spark.sql.functions.countDistinct($"doc_id").as("nd"),
+        org.apache.spark.sql.functions.max($"tfidf").as("mx"))
+      .join(Tables.documents(s, sf).agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")))
+      .where($"nd" === $"n")
+    assert(universal.where($"mx" =!= 0.0).count() === 0)
+  }
+
   test("language ID always predicts a profile language") {
     val s = spark
     import s.implicits._
