@@ -153,6 +153,22 @@ object Temporal {
         .orderBy(col("user_id"))
     },
 
+    // Sketch aggregates — the 100 TB form of q55/q09: approximate
+    // percentiles + HLL distinct counts in one pass. Sketches are not
+    // SQL-oracle-expressible (engine-specific), so this query has no
+    // oracleSql entry — the driver records the weaker rows-only check;
+    // OperatorsSpec bounds the error against the exact aggregates.
+    "q55b_sketch_stats" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
+          expr("approx_percentile(value, 0.99, 10000)").as("p99_approx"),
+          approx_count_distinct(col("user_id")).as("users_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
     // As-of join: each 'click' event picks the most recent 'purchase'
     // (same user, at-or-before its timestamp) via union + sorted
     // carry-forward — one shuffle, no range cross-product.

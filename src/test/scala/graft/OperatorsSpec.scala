@@ -143,6 +143,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out.filter($"gap_sec" < 0).count() === 0)
   }
 
+  test("sketch stats track exact percentiles and distincts") {
+    val s = spark
+    import s.implicits._
+    val exact = Temporal.queries("q55_percentiles")(s, sf)
+      .select($"event_type", $"p50", $"p99").as[(String, Double, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val sketch = Temporal.queries("q55b_sketch_stats")(s, sf)
+      .select($"event_type", $"p50_approx", $"p99_approx")
+      .as[(String, Double, Double)].collect()
+    // approx_percentile is nearest-rank; percentile() interpolates.
+    // In a sparse tail adjacent order statistics can be far apart, so
+    // p99 is bounded by order, not distance.
+    val maxes = Temporal.queries("q55_percentiles")(s, sf)
+      .select($"event_type").as[String].collect().map { t =>
+        t -> Tables.events(s, sf).filter($"event_type" === t)
+          .agg(org.apache.spark.sql.functions.max($"value"))
+          .as[Double].head()
+      }.toMap
+    sketch.foreach { case (t, p50a, p99a) =>
+      val (p50, p99) = exact(t)
+      assert(math.abs(p50a - p50) <= math.max(5.0, p50 * 0.1), s"$t p50")
+      assert(p99a >= p50 && p99a <= maxes(t), s"$t p99=$p99a exact=$p99")
+    }
+  }
+
   test("pagerank mass stays positive and bounded") {
     val s = spark
     import s.implicits._
