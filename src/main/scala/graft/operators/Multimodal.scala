@@ -94,6 +94,22 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // Audio metadata: estimated duration from payload size (16-bit
+    // mono at the typed sample rate — STUB arithmetic standing in for
+    // a codec header parse) + 25 ms analysis-window count.
+    "q74_audio_meta" -> { (s, d) =>
+      withMedia(Tables.documents(s, d))
+        .where(col("media_type") === "audio")
+        .withColumn("duration_sec", round(
+          octet_length(col("media")).cast("double") /
+            (col("meta.sample_rate").cast("double") * 2.0), 6))
+        .select(col("doc_id"), col("meta.sample_rate").as("sample_rate"),
+          octet_length(col("media")).as("n_bytes"),
+          col("duration_sec"),
+          ceil(col("duration_sec") / 0.025).cast("int").as("n_windows_25ms"))
+        .orderBy(col("doc_id"))
+    },
+
     // Resize stub: pure metadata transform (halved dims, aspect kept).
     "q73_media_resize" -> { (s, d) =>
       withMedia(Tables.documents(s, d))
@@ -133,6 +149,13 @@ object Multimodal {
         |FROM m CROSS JOIN range(0, 240, 10) f
         |WHERE f.range < n_frames
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q74_audio_meta" ->
+      """SELECT doc_id, 16000 AS sample_rate,
+        |  length(text) AS n_bytes,
+        |  round(CAST(length(text) AS DOUBLE) / (16000.0 * 2.0), 6) AS duration_sec,
+        |  CAST(ceil(round(CAST(length(text) AS DOUBLE) / (16000.0 * 2.0), 6) / 0.025) AS INTEGER) AS n_windows_25ms
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY doc_id""".stripMargin,
     "q73_media_resize" ->
       """SELECT doc_id,
         |  CAST(doc_id % 640 + 16 AS INTEGER) AS width,

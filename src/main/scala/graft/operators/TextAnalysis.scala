@@ -209,6 +209,26 @@ object TextAnalysis {
         .limit(20)
     },
 
+    // Document chunking: fixed-size token windows (20 tokens, stride
+    // 15 => 5-token overlap) — the context-window preparation step of
+    // an LLM training pipeline. One explode over precomputed chunk
+    // starts; chunk text re-materializes via array slice, so the scan
+    // stays single-pass and map-only.
+    "q49_chunking" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_toks", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n_toks"),
+          explode(expr("sequence(1, greatest(n_toks, 1), 15)")).as("start"))
+        .withColumn("chunk_toks", expr("slice(toks, start, 20)"))
+        .select(col("doc_id"),
+          (floor((col("start") - 1) / 15)).cast("int").as("chunk_idx"),
+          col("start"),
+          size(col("chunk_toks")).as("chunk_len"),
+          concat_ws(" ", col("chunk_toks")).as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Fingerprinting: whole-content digest + winnowed min-hash over
     // 5-token shingles (rolling window), both md5-exact vs the oracle.
     "q43_fingerprint" -> { (s, d) =>
@@ -285,6 +305,18 @@ object TextAnalysis {
            |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
            |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
            |ORDER BY tf.doc_id, tf.term""".stripMargin,
+      "q49_chunking" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, $toksSql AS toks FROM documents),
+           |st AS (
+           |  SELECT doc_id, toks, u.s AS start
+           |  FROM t, unnest(range(1, greatest(len(toks), 1) + 1, 15)) AS u(s))
+           |SELECT doc_id,
+           |  CAST(floor((start - 1) / 15.0) AS INTEGER) AS chunk_idx,
+           |  CAST(start AS INTEGER) AS start,
+           |  CAST(len(toks[start:start+19]) AS INTEGER) AS chunk_len,
+           |  array_to_string(toks[start:start+19], ' ') AS chunk_text
+           |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
       "q48_bm25_search" ->
         s"""WITH t AS (
            |  SELECT doc_id, len(toks) AS dl, u.term FROM (
