@@ -330,6 +330,21 @@ object Relational {
         .orderBy($"lang")
     },
 
+    // #19b: reproducible train/val/test split assignment (80/10/10 by
+    // content-independent id hash — stable under corpus growth, the
+    // split every training pipeline needs to be able to replay).
+    "q19b_split_assign" -> { (s, d) =>
+      import s.implicits._
+      val h = expr("(instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 1, 1)) - 1) * 16" +
+        " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 2, 1)) - 1)")
+      Tables.documents(s, d)
+        .withColumn("h", h)
+        .withColumn("split",
+          when($"h" < 204, "train").when($"h" < 230, "val").otherwise("test"))
+        .select($"doc_id", $"lang", $"split")
+        .orderBy($"doc_id")
+    },
+
     // #16: deterministic hash-Bernoulli sampling (~10%: first md5 byte
     // < 26) — the engine's replacement for the reference's wall-clock
     // sampling filter (SURVEY.md §2 #15, documented divergence).
@@ -510,6 +525,16 @@ object Relational {
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
         |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q19b_split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS h
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q16_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT *,
