@@ -97,7 +97,15 @@ object VectorFunctions {
   * all-pairs similarity joins routinely produce) folds to a literal —
   * a whole 64-float kernel invocation per row removed at plan time.
   * Registered through the standard `Rule[LogicalPlan]` extension
-  * point. */
+  * point.
+  *
+  * The fold only fires for NON-NULLABLE children: `BinaryExpression`
+  * is null-intolerant, so `graft_cosine(x, x)` is NULL when x is NULL,
+  * and an unconditional literal would turn that NULL into 1.0.
+  * Documented divergence that remains: a zero vector gives 0/0 = NaN
+  * un-folded but 1.0 folded; embeddings are validated non-degenerate
+  * upstream, matching the convention that a vector is always
+  * self-similar. */
 object FoldSelfCosine
   extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
@@ -106,7 +114,8 @@ object FoldSelfCosine
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+      case CosineSimilarity(a, b)
+          if a.deterministic && !a.nullable && a.semanticEquals(b) =>
         Literal(1.0, DoubleType)
     }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Materialize, Tables}
 
 /** Large-scale deduplication operators over the `documents` table —
   * the training-data-pipeline surface the reference engine lacks but a
@@ -20,7 +20,7 @@ import graft.Tables
   *     digest — one shuffle of (digest, doc_id), no text movement;
   *   - MinHash+LSH shuffles only (band_key, doc_id, signature) rows:
   *     candidate pairs come from equi-joining band buckets, never from
-  *     an all-pairs product; bands/rows (b=2, r=6) tune the
+  *     an all-pairs product; bands/rows (b=2, r=8) tune the
   *     recall/candidate-volume trade-off;
   *   - SimHash reduces each doc to a 16-bit fingerprint; bucketing on
   *     the high byte bounds the pair search per bucket;
@@ -107,30 +107,38 @@ object Dedup {
        |sh AS (SELECT doc_id, CAST($fp AS INTEGER) AS simhash FROM bits)""".stripMargin
   }
 
-  /** Session-scoped memo of the materialized pair relation: the
-    * near-dup graph feeds q31/q35/q35b/q37g, and each is a standalone
-    * query by contract — without the memo one bench run rebuilds the
-    * identical sketch+join pipeline four times. Keyed by (session,
-    * dir) so fresh sessions never see stale plans. */
+  /** Session-scoped memos of the materialized pair relation and the
+    * converged cluster labels: the near-dup graph feeds
+    * q31/q35/q35b/q37g, and each is a standalone query by contract —
+    * without the memo one bench run rebuilds the identical sketch+join
+    * pipeline four times (and q35b would re-run q35's whole
+    * convergence loop). Keyed by (session, dir) so fresh sessions
+    * never see stale plans. Session-lifetime by design (a bench/verify
+    * process); a long-lived service should call [[clearMemos]] between
+    * corpus versions. */
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val clustersMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Evict memoized relations (for long-lived sessions / tests). */
+  def clearMemos(): Unit = { pairsMemo.clear(); clustersMemo.clear() }
 
   /** MinHash+LSH near-dup pairs (unsorted — q31 adds the presentation
     * sort; the graph queries consume this directly). Materialized once
-    * per session via localCheckpoint. */
+    * per session via [[Materialize]]. */
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     pairsMemo.computeIfAbsent((s, d),
-      _ => minhashPairsUncached(s, d).localCheckpoint(true))
+      _ => Materialize.cut(minhashPairsUncached(s, d)))
 
   private def minhashPairsUncached(s: SparkSession, d: String): DataFrame = {
     // materialize the signature relation ONCE: it feeds both sides of
     // the band self-join and both joinbacks — without this the K-md5
     // sketch pipeline runs 4x (observed via plan metrics). At cluster
     // scale the same move is persisting the signature table.
-    val sig = withMinhash(Tables.documents(s, d))
+    val sig = Materialize(withMinhash(Tables.documents(s, d))
       .select((col("doc_id") +: col("sig") +:
-        (0 until K).map(i => col(s"sig$i"))): _*)
-      .localCheckpoint(true)
+        (0 until K).map(i => col(s"sig$i"))): _*))
     // melt carries ONLY (doc_id, band) — the signature arrays must
     // not ride through the band join + distinct (they'd multiply the
     // shuffle volume by the candidate count); they're joined back
@@ -166,6 +174,66 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
+  /** Connected components over the near-dup pair graph, memoized per
+    * (session, dir): (doc_id, cluster_id = min doc_id in component),
+    * unordered. q35 adds the presentation sort; q35b consumes the
+    * labels directly instead of re-running the convergence loop. */
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    clustersMemo.computeIfAbsent((s, d), _ => dupClustersUncached(s, d))
+
+  private def dupClustersUncached(s: SparkSession, d: String): DataFrame = {
+    // Contraction: docs with IDENTICAL signatures form est=1.0
+    // cliques, so they share a component by definition — contract
+    // each sig-group to its min doc_id first. est(a,b) depends only
+    // on the signatures, so rep-level edges are exactly the
+    // doc-level edges modulo contraction: output-identical, but the
+    // propagation graph shrinks from O(docs²·density) to
+    // O(distinct-sigs²·density).
+    val sigs = withMinhash(Tables.documents(s, d))
+      .select(col("doc_id"), col("sig"))
+    val reps = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
+    val docRep = Materialize(
+      sigs.join(reps, Seq("sig")).select(col("doc_id"), col("rep")))
+    val repPairs = minhashPairs(s, d)
+      .join(docRep.select(col("doc_id").as("doc_a"), col("rep").as("rep_a")), Seq("doc_a"))
+      .join(docRep.select(col("doc_id").as("doc_b"), col("rep").as("rep_b")), Seq("doc_b"))
+      .where(col("rep_a") =!= col("rep_b"))
+      .select(col("rep_a"), col("rep_b")).distinct()
+    // materialize the rep-level edge list once — every propagation
+    // round joins it, and without this the whole minhash pipeline
+    // would re-run per round
+    val edges = Materialize(repPairs
+      .union(repPairs.select(col("rep_b"), col("rep_a")))
+      .toDF("src", "dst"))
+    var labels = Materialize(docRep.select(col("rep")).distinct()
+      .select(col("rep").as("node"), col("rep").as("label")))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
+      val next = Materialize.cut(labels // cut the growing lineage per round
+        .join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"), least(col("label"),
+          coalesce(col("nbr_min"), col("label"))).as("label")))
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old")).count()
+      Materialize.release(labels)
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    // the memoized result must not depend on per-loop frames that a
+    // "persist" strategy may later release — cut the joined doc-level
+    // labels themselves (memo outlives every per-round frame)
+    val out = Materialize.cut(docRep.join(labels, docRep("rep") === labels("node"))
+      .select(col("doc_id"), col("label").as("cluster_id")))
+    Materialize.release(labels)
+    Materialize.release(docRep)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one shuffle of (digest, id); text never moves.
     "q30_dedup_exact" -> { (s, d) =>
@@ -177,7 +245,7 @@ object Dedup {
     },
 
     // MinHash + LSH banding: candidates from band-bucket equi-join,
-    // estimate = matching signature fraction, near-dups at est >= 0.75.
+    // estimate = matching signature fraction, near-dups at est >= 15/16.
     "q31_minhash_pairs" -> { (s, d) =>
       minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
     },
@@ -194,10 +262,9 @@ object Dedup {
     "q33_simhash_pairs" -> { (s, d) =>
       // materialize the fingerprints once — the self-join would
       // otherwise run the 16-bit fold pipeline for both sides
-      val sh = withSimhash(Tables.documents(s, d))
+      val sh = Materialize(withSimhash(Tables.documents(s, d))
         .select(col("doc_id"), col("simhash"),
-          shiftright(col("simhash"), 8).as("bucket"))
-        .localCheckpoint(true)
+          shiftright(col("simhash"), 8).as("bucket")))
       val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"), col("bucket"))
       val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b"), col("bucket"))
       a.join(b, Seq("bucket"))
@@ -209,60 +276,14 @@ object Dedup {
     },
 
     // Duplicate CLUSTERING: connected components over the MinHash
-    // near-dup pair graph (est >= 0.75), cluster id = min doc_id in
+    // near-dup pair graph (est >= 15/16), cluster id = min doc_id in
     // the component. Iterative min-label propagation — per round one
     // shuffle join + one aggregation; near-clique dup clusters
     // converge in 2-3 rounds. This is the assignment step a 100 TB
     // dedup pipeline runs after candidate generation (each round is
     // a bounded join, no driver-side graph).
     "q35_dup_clusters" -> { (s, d) =>
-      // Contraction: docs with IDENTICAL signatures form est=1.0
-      // cliques, so they share a component by definition — contract
-      // each sig-group to its min doc_id first. est(a,b) depends only
-      // on the signatures, so rep-level edges are exactly the
-      // doc-level edges modulo contraction: output-identical, but the
-      // propagation graph shrinks from O(docs²·density) to
-      // O(distinct-sigs²·density).
-      val sigs = withMinhash(Tables.documents(s, d))
-        .select(col("doc_id"), col("sig"))
-      val reps = sigs.groupBy(col("sig")).agg(min(col("doc_id")).as("rep"))
-      val docRep = sigs.join(reps, Seq("sig")).select(col("doc_id"), col("rep"))
-        .localCheckpoint(true)
-      val repPairs = minhashPairs(s, d)
-        .join(docRep.select(col("doc_id").as("doc_a"), col("rep").as("rep_a")), Seq("doc_a"))
-        .join(docRep.select(col("doc_id").as("doc_b"), col("rep").as("rep_b")), Seq("doc_b"))
-        .where(col("rep_a") =!= col("rep_b"))
-        .select(col("rep_a"), col("rep_b")).distinct()
-      // materialize the rep-level edge list once — every propagation
-      // round joins it, and without this the whole minhash pipeline
-      // would re-run per round
-      val edges = repPairs
-        .union(repPairs.select(col("rep_b"), col("rep_a")))
-        .toDF("src", "dst")
-        .localCheckpoint(true)
-      var labels = docRep.select(col("rep")).distinct()
-        .select(col("rep").as("node"), col("rep").as("label"))
-        .localCheckpoint(true)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        val nbrMin = edges
-          .join(labels, edges("dst") === labels("node"))
-          .groupBy(col("src")).agg(min(col("label")).as("nbr_min"))
-        val next = labels
-          .join(nbrMin, labels("node") === nbrMin("src"), "left")
-          .select(col("node"), least(col("label"),
-            coalesce(col("nbr_min"), col("label"))).as("label"))
-          .localCheckpoint(true) // truncate the growing lineage per round
-        val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-          .where(col("label") =!= col("old")).count()
-        labels = next
-        converged = changed == 0
-        rounds += 1
-      }
-      docRep.join(labels, docRep("rep") === labels("node"))
-        .select(col("doc_id"), col("label").as("cluster_id"))
-        .orderBy(col("doc_id"))
+      dupClusters(s, d).orderBy(col("doc_id"))
     },
 
     // PageRank (3 fixed iterations, d=0.85) over the undirected
@@ -276,10 +297,9 @@ object Dedup {
       val nDocs = docs.count()
       val base = lit(0.15 / nDocs)
       val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-      val edges = pairs
+      val edges = Materialize(pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint(true)
+        .toDF("src", "dst"))
       val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       var pr = docs.select(col("doc_id").as("node"),
         lit(1.0 / nDocs).as("pr"))
@@ -293,7 +313,7 @@ object Dedup {
           .join(contrib, col("node") === contrib("dst"), "left")
           .select(col("node"),
             round(base + lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 8).as("pr"))
-          .localCheckpoint(true)
+        pr = Materialize.cut(pr)
       }
       pr.select(col("node").as("doc_id"), col("pr"))
         .orderBy(col("doc_id"))
@@ -304,7 +324,7 @@ object Dedup {
     // cluster size the choice represents.
     "q35b_dedup_select" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val clusters = queries("q35_dup_clusters")(s, d)
+      val clusters = dupClusters(s, d)
       val w = Window.partitionBy(col("cluster_id"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)
       clusters

@@ -235,8 +235,11 @@ object TextAnalysis {
       Tables.documents(s, d)
         .withColumn("toks", expr(toksExpr))
         .withColumn("content_md5", md5(concat_ws(" ", col("toks"))))
+        // guarded: below 5 tokens Spark's sequence(1, n-4) counts DOWN
+        // (e.g. [1, 0]) and slice() throws on the non-positive index;
+        // NULL here matches the oracle's empty-range list_min
         .withColumn("shingle_min", expr(
-          "array_min(transform(sequence(1, size(toks) - 4), i -> md5(concat_ws(' ', slice(toks, i, 5)))))"))
+          "CASE WHEN size(toks) >= 5 THEN array_min(transform(sequence(1, size(toks) - 4), i -> md5(concat_ws(' ', slice(toks, i, 5))))) END"))
         .select(col("doc_id"), col("content_md5"), col("shingle_min"))
         .orderBy(col("doc_id"))
     },

@@ -114,10 +114,21 @@ class ScaleShapeSpec extends SparkSpec {
     val s = spark
     import graft.functions.{FoldSelfCosine, VectorFunctions}
     import org.apache.spark.sql.functions.col
-    // apply the injected rule's transformation directly on the plan
-    val df = Tables.embeddings(s, sf).limit(5)
+    // apply the injected rule's transformation directly on the plan.
+    // The raw parquet column is nullable, so the fold must NOT fire
+    // (BinaryExpression is null-intolerant: NULL input → NULL result,
+    // and a literal 1.0 would change that) …
+    val nullable = Tables.embeddings(s, sf).limit(5)
       .select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
-    val optimized = FoldSelfCosine(df.queryExecution.analyzed)
+    val keptPlan = FoldSelfCosine(nullable.queryExecution.analyzed)
+    assert(keptPlan.toString.contains("graft_cosine"),
+      s"fold fired on a NULLABLE column (would turn NULL into 1.0):\n$keptPlan")
+    // … while a provably non-null input folds to the literal.
+    import org.apache.spark.sql.functions.{array, lit}
+    val nonNull = Tables.embeddings(s, sf).limit(5)
+      .select(VectorFunctions.cosine(
+        array(lit(1.0f), lit(2.0f)), array(lit(1.0f), lit(2.0f))).as("c"))
+    val optimized = FoldSelfCosine(nonNull.queryExecution.analyzed)
     assert(!optimized.toString.contains("graft_cosine"),
       s"self-cosine not folded:\n$optimized")
     assert(optimized.toString.contains("1.0"))
