@@ -22,30 +22,82 @@ import graft.functions.VectorFunctions
   *     narrow scan + `orderBy.limit` (Spark plans TakeOrderedAndProject
   *     — per-partition top-k then a k-row merge on the driver, no full
   *     sort, no shuffle of the corpus);
-  *   - the LSH path buckets vectors by the sign pattern of the first
-  *     [[Planes]] dims (axis-aligned random-hyperplane LSH); the probe
-  *     touches a single bucket — at 100 TB the bucket column is a
-  *     partition key, so the scan prunes to ~1/2^planes of the corpus;
+  *   - the LSH path buckets vectors by the sign pattern of [[Planes]]
+  *     seeded random-hyperplane projections (Charikar SimHash for
+  *     cosine) and probes every bucket within [[ProbeHamming]] sign
+  *     flips of the query's (multi-probe) — at 100 TB the bucket
+  *     column is a partition key, so the scan prunes to the probed
+  *     fraction of the corpus (93/256 at the default radius);
+  *   - the IVF path learns its coarse quantizer with deterministic
+  *     Lloyd k-means (md5-seeded init, fixed iterations) — the cell id
+  *     is the partition key and nprobe cells bound the scan;
   *   - near-dup pair generation blocks on `label` (or any coarse
   *     cluster id) — sum-of-squares over blocks, never a global
   *     cross join.
+  *
+  * Determinism across engines: the hyperplane matrix is derived from
+  * md5 in Scala and embedded as double literals in BOTH the Spark
+  * expression and the oracle SQL; projections/distances are written as
+  * the same left-to-right double arithmetic in both dialects, so sign
+  * tests and argmins agree bit-for-bit. k-means centroid updates round
+  * each dim to 6 decimals (reduction-order stability), like every
+  * other cross-engine aggregate in this library.
   */
 object Similarity {
 
-  /** Hyperplane count for the LSH bucket (2^Planes buckets). */
-  val Planes = 4
+  /** Hyperplane count for the LSH bucket (2^Planes buckets) and the
+    * multi-probe radius: the probe visits every bucket within
+    * [[ProbeHamming]] sign flips of the query's bucket —
+    * sum(C(Planes, m), m <= 3) = 93 of 256 buckets (~36% of the
+    * corpus at uniform occupancy), chosen to hold recall@10 >= 0.7 on
+    * moderate-similarity 64-dim embeddings where a single-bucket probe
+    * misses most true neighbors. */
+  val Planes = 8
+  val ProbeHamming = 3
+
+  /** XOR masks enumerating the probed buckets (hamming <= ProbeHamming). */
+  private val probeMasks: Seq[Int] =
+    (0 until (1 << Planes)).filter(Integer.bitCount(_) <= ProbeHamming)
+
+  /** k-means cells, probed cells, and Lloyd iterations for IVF. */
+  val KCells = 8
+  val NProbe = 3
+  val KmIters = 2
 
   private def cos6(a: Column, b: Column): Column =
     round(VectorFunctions.cosine(a, b), 6)
 
-  /** Sign-pattern LSH bucket over the first [[Planes]] dims. */
+  /** Seeded random hyperplanes: coefficient (j, i) from the first four
+    * md5 bytes of "plane:j:dim:i", mapped to [-1, 1). Public data only
+    * (md5), reproducible everywhere, and embedded as literals so both
+    * engines share the exact doubles. */
+  private[operators] val planeCoef: IndexedSeq[IndexedSeq[Double]] =
+    IndexedSeq.tabulate(Planes, 64) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"plane:$j:dim:$i".getBytes("UTF-8"))
+      val x = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      x.toDouble / (1L << 31).toDouble - 1.0
+    }
+
+  /** Signed projection of dims expression `v(i)` onto plane j, written
+    * as an explicit left-to-right sum — identical evaluation order in
+    * Spark and DuckDB gives identical sign bits. */
+  private def projection(j: Int, v: Int => String): String =
+    (0 until 64).map(i => s"${v(i)} * ${planeCoef(j)(i)}").mkString(" + ")
+
+  /** Random-hyperplane LSH bucket (Spark side, over the raw float
+    * array column `embedding`). */
   private def bucketCol: Column =
     (0 until Planes).map(j =>
-      when(expr(s"embedding[$j]") > 0, lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+      when(expr(projection(j, i => s"CAST(embedding[$i] AS DOUBLE)")) > 0,
+        lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
 
+  /** Same bucket over the oracle's 1-indexed double list `v`. */
   private def bucketSql(v: String): String =
     (0 until Planes).map(j =>
-      s"CASE WHEN $v[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
+      s"CASE WHEN ${projection(j, i => s"$v[${i + 1}]")} > 0 THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
 
   private val vecSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
   private val nrmSql = "sqrt(list_sum(list_transform(v, x -> x * x)))"
@@ -67,11 +119,16 @@ object Similarity {
         .limit(10)
     },
 
-    // ANN: same top-k but probing only the query's LSH bucket.
+    // ANN: same top-k but probing only the buckets within ProbeHamming
+    // sign flips of the query's bucket (multi-probe LSH — recall
+    // without extra hash tables; few-plane sign flips are the most
+    // likely misses).
     "q37_ann_lsh" -> { (s, d) =>
       val e = Tables.embeddings(s, d).withColumn("bucket", bucketCol)
+      val probes = probeMasks.map(m => expr(s"bucket ^ $m"))
       val q = e.where(col("vec_id") === 0)
-        .select(col("embedding").as("q_embedding"), col("bucket"))
+        .select(col("embedding").as("q_embedding"),
+          explode(array(probes: _*)).as("bucket"))
       e.where(col("vec_id") =!= 0)
         .join(broadcast(q), Seq("bucket"))
         .select(col("vec_id"), col("label"),
@@ -80,33 +137,60 @@ object Similarity {
         .limit(10)
     },
 
-    // IVF-style ANN: coarse centroids (per-label mean vectors, dims
-    // rounded to 6 so they are reduction-order stable), probe the
-    // nprobe=2 nearest centroids, exact top-k within those cells. At
-    // 100 TB the cell id is a partition key — the probe prunes the
-    // scan to nprobe/ncells of the corpus, like the LSH bucket path.
+    // IVF ANN with a LEARNED coarse quantizer: deterministic Lloyd
+    // k-means (seeds = the KCells vectors ranked first by
+    // md5('seed:'||vec_id); KmIters assign/update rounds; centroid
+    // dims rounded to 6 for reduction-order stability), then probe the
+    // NProbe nearest cells and take the exact top-k within them. At
+    // 100 TB the final cell id is a partition key — the probe prunes
+    // the scan to ~NProbe/KCells of the corpus; training runs on a
+    // sample and only the assignment pass sees the full data.
     "q39_ann_ivf" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
         .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      val cents = e.groupBy(col("label")).agg(
-        array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("cv"))
-      val q = e.where(col("vec_id") === 0)
+      // seed selection: global top-KCells by hash via orderBy+limit
+      // (plans as TakeOrderedAndProject — per-partition top-k, no
+      // global sort); the cid-numbering window then runs over only
+      // KCells rows.
+      val seeds = e
+        .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(KCells)
+      var cents = seeds
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
+        .select((col("rn") - 1).as("cid"), col("v").as("cv"))
+      val distExpr = expr(
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
+      def assign(c: DataFrame): DataFrame = {
+        val aw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("cid"))
+        e.crossJoin(broadcast(c))
+          .withColumn("dist", distExpr)
+          .withColumn("arn", row_number().over(aw))
+          .where(col("arn") === 1)
+          .select(col("vec_id"), col("label"), col("v"),
+            col("embedding"), col("cid"))
+      }
+      for (_ <- 1 to KmIters) {
+        cents = assign(cents).groupBy(col("cid")).agg(
+          array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("cv"))
+      }
+      val assigned = assign(cents)
+      val qrow = assigned.where(col("vec_id") === 0)
         .select(col("v").as("qv"), col("embedding").as("q_embedding"))
-      val scored = cents.crossJoin(broadcast(q))
-        .withColumn("c_cos", expr(
-          "aggregate(zip_with(cv, qv, (x, y) -> x * y), 0D, (acc, p) -> acc + p)" +
-            " / (sqrt(aggregate(cv, 0D, (acc, x) -> acc + x * x))" +
-            " * sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x)))"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("c_cos").desc, col("label").asc)
-      val probed = scored
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 2)
-        .select(col("label"))
-      Tables.embeddings(s, d)
-        .join(broadcast(probed), Seq("label"))
+      val qDist = expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
+      val pw = Window.orderBy(col("qdist"), col("cid"))
+      val probed = cents.crossJoin(broadcast(qrow.select(col("qv"))))
+        .withColumn("qdist", qDist)
+        .withColumn("prn", row_number().over(pw))
+        .where(col("prn") <= NProbe)
+        .select(col("cid"))
+      assigned
+        .join(broadcast(probed), Seq("cid"))
         .where(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q.select(col("q_embedding"))))
+        .crossJoin(broadcast(qrow.select(col("q_embedding"))))
         .select(col("vec_id"), col("label"),
           cos6(col("embedding"), col("q_embedding")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id").asc)
@@ -144,32 +228,50 @@ object Similarity {
            |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
       "q37_ann_lsh" ->
         s"""$base,
-           |bk AS (SELECT *, ${bucketSql("v")} AS bucket FROM n)
+           |bk AS (SELECT *, ${bucketSql("v")} AS bucket FROM n),
+           |qb AS (SELECT v, nrm, bucket FROM bk WHERE vec_id = 0),
+           |probe AS (
+           |  SELECT v, nrm, xor(bucket, m.mk) AS bucket
+           |  FROM qb CROSS JOIN (VALUES ${probeMasks.map(m => s"($m)").mkString(", ")}) AS m(mk))
            |SELECT a.vec_id, a.label,
            |  ${cosSql("a.v", "q.v", "a.nrm", "q.nrm")} AS cos
-           |FROM bk a JOIN (SELECT v, nrm, bucket FROM bk WHERE vec_id = 0) q
-           |  ON a.bucket = q.bucket
+           |FROM bk a JOIN probe q ON a.bucket = q.bucket
            |WHERE a.vec_id <> 0
            |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
       "q39_ann_ivf" -> {
         val centDims = (1 to 64).map(i => s"round(avg(v[$i]), 6)").mkString(", ")
+        def distSql(v: String, cv: String) =
+          s"list_sum(list_transform(range(1, 65), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
+        def assignCte(cents: String, out: String) =
+          s"""$out AS (
+             |  SELECT vec_id, label, v, nrm, cid FROM (
+             |    SELECT e.vec_id, e.label, e.v, e.nrm, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id
+             |        ORDER BY ${distSql("e.v", "c.cv")}, c.cid) AS arn
+             |    FROM n e CROSS JOIN $cents c) WHERE arn = 1)""".stripMargin
+        val iterCtes = (1 to KmIters).map { it =>
+          s"""${assignCte(s"cents${it - 1}", s"a$it")},
+             |cents$it AS (SELECT cid, [$centDims] AS cv FROM a$it GROUP BY cid)""".stripMargin
+        }.mkString(",\n")
         s"""$base,
-           |cents AS (SELECT label, [$centDims] AS cv FROM n GROUP BY label),
+           |sd AS (
+           |  SELECT v, rn - 1 AS cid FROM (
+           |    SELECT v, row_number() OVER (
+           |      ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |    FROM n) WHERE rn <= $KCells),
+           |cents0 AS (SELECT cid, v AS cv FROM sd),
+           |$iterCtes,
+           |${assignCte(s"cents$KmIters", "fin")},
            |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
-           |scored AS (
-           |  SELECT label,
-           |    list_sum(list_transform(range(1, 65), i -> cv[i] * qv[i]))
-           |      / (sqrt(list_sum(list_transform(cv, x -> x * x)))
-           |         * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS c_cos
-           |  FROM cents CROSS JOIN q),
            |probed AS (
-           |  SELECT label FROM (
-           |    SELECT label, row_number() OVER (ORDER BY c_cos DESC, label ASC) AS rnk
-           |    FROM scored) WHERE rnk <= 2)
+           |  SELECT cid FROM (
+           |    SELECT c.cid, row_number() OVER (
+           |      ORDER BY ${distSql("q.qv", "c.cv")}, c.cid) AS prn
+           |    FROM cents$KmIters c CROSS JOIN q) WHERE prn <= $NProbe)
            |SELECT a.vec_id, a.label,
            |  ${cosSql("a.v", "q2.v", "a.nrm", "q2.nrm")} AS cos
-           |FROM n a
-           |JOIN probed p ON a.label = p.label
+           |FROM fin a
+           |JOIN probed p ON a.cid = p.cid
            |CROSS JOIN (SELECT v, nrm FROM n WHERE vec_id = 0) q2
            |WHERE a.vec_id <> 0
            |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin

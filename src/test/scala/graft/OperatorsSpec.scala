@@ -46,6 +46,20 @@ class OperatorsSpec extends SparkSpec {
     assert(ann.forall(c => c <= brute.max))
   }
 
+  test("ANN recall@10 vs brute force is >= 0.7 for both LSH and IVF") {
+    val s = spark
+    import s.implicits._
+    val brute = Similarity.queries("q36_knn_brute")(s, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    for (q <- Seq("q37_ann_lsh", "q39_ann_ivf")) {
+      val ann = Similarity.queries(q)(s, sf)
+        .select($"vec_id").as[Long].collect().toSet
+      val recall = (ann & brute).size.toDouble / brute.size
+      info(s"$q recall@10 = $recall")
+      assert(recall >= 0.7, s"$q recall@10 $recall < 0.7")
+    }
+  }
+
   test("as-of join only matches at-or-before timestamps, same user") {
     val s = spark
     import s.implicits._
