@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * windows (`timeWindowAll(3s)`) and chunks geo requests at 15
   * items (`J/request/AbstractRequestMessageBuilder.java:32-42`,
   * `J/TwitterStreamJob.java:300`). Here batching is expressed over a
-  * deterministic key order so it is oracle-checkable; in streaming
-  * deployment the same transform runs per micro-batch (the micro-batch
-  * IS the 3 s window — SURVEY §2 #23), so the global row_number is
-  * per-batch, not corpus-global, and never a scale bottleneck.
+  * deterministic key order so it is oracle-checkable; the numbering
+  * uses range partitioning + per-partition offsets (the zipWithIndex
+  * shape), so no single-partition window exists even in the batch
+  * guise. In streaming deployment the same transform runs per
+  * micro-batch (the micro-batch IS the 3 s window — SURVEY §2 #23).
   */
 object Requests {
 
@@ -27,12 +28,34 @@ object Requests {
     // #23/#24/#27: batch NER requests, chunked at 15 tweets each, one
     // JSON request payload per chunk.
     "q60_request_batches" -> { (s, d) =>
+      import s.implicits._
       val valid = Neel.ingest(Neel.syntheticTweets(s, d))
         .select(col("tweet_id"), col("text"))
-      val w = Window.orderBy(col("tweet_id"))
-      valid
+      // Scalable deterministic numbering (the zipWithIndex shape):
+      // range-partition by the order key, rank within each partition,
+      // then add per-partition offsets. Range partitioning preserves
+      // global order across partitions, so offset + local rank EQUALS
+      // a global `row_number() OVER (ORDER BY tweet_id)` — without
+      // funneling the whole relation through a single partition. The
+      // offsets pass collects one count per partition (exactly what
+      // RDD.zipWithIndex does); recomputation between the two jobs is
+      // deterministic (seeded range sampling over a deterministic
+      // scan), so pids are stable.
+      val parts = valid.repartitionByRange(col("tweet_id"))
+        .withColumn("pid", spark_partition_id())
+      val localW = Window.partitionBy(col("pid")).orderBy(col("tweet_id"))
+      val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("pid"))
+        .as[(Int, Long)].collect()
+      var acc = 0L
+      val offsets = counts.map { case (pid, cnt) =>
+        val o = (pid, acc); acc += cnt; o
+      }.toSeq
+      parts
+        .join(broadcast(offsets.toDF("pid", "offset")), Seq("pid"))
         .withColumn("chunk",
-          floor((row_number().over(w) - 1) / MaxItemsPerRequest).cast("long"))
+          floor((col("offset") + row_number().over(localW) - 1) / MaxItemsPerRequest)
+            .cast("long"))
         .groupBy(col("chunk"))
         .agg(count(lit(1)).as("n_items"),
           to_json(sort_array(collect_list(

@@ -96,6 +96,16 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("q60 batch numbering has no single-partition window exchange") {
+    // the former global row_number() OVER (ORDER BY tweet_id) planned
+    // Exchange SinglePartition + a one-partition WindowExec; the
+    // zipWithIndex-shaped numbering must not.
+    val plan = graft.operators.Requests
+      .queries("q60_request_batches")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
+  }
+
   test("partitioned writes prune to the filtered partition at scan time") {
     val s = spark
     val out = Files.createTempDirectory("part_docs").toString
