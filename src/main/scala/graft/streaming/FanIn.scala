@@ -187,27 +187,85 @@ object FanIn {
     statusParts.union(entParts).union(empties).union(locationParts)
   }
 
+  /** Flatten assembled tweets to challenge rows (shared by the batch
+    * and streaming guises — both must equal the relational q23
+    * oracle). */
+  private def challengeRows(out: Dataset[ProcessedTweet]): DataFrame = {
+    import out.sparkSession.implicits._
+    out.flatMap { p =>
+        p.entities.map { e =>
+          (p.status.id, e.position.start, e.position.end,
+            if (e.isNil) e.nilCluster.orNull else e.link.orNull,
+            e.confidence, e.category)
+        }
+      }
+      .toDF("tweet_id", "pos_start", "pos_end", "resource_uri",
+        "confidence", "category")
+      .orderBy($"tweet_id", $"pos_start", $"resource_uri")
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** q27: the stateful fan-in flattened to challenge rows — must equal
     * the relational q23 oracle exactly. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_fanin_stateful" -> { (s, d) =>
+      challengeRows(fanInBatch(taggedPartials(s, d)))
+    },
+
+    // q27s: the SAME oracle, but through the real Structured Streaming
+    // operator — the tagged partials are staged as many small files
+    // and replayed with maxFilesPerTrigger=1 + Trigger.AvailableNow,
+    // so partials of one tweet arrive across DIFFERENT micro-batches
+    // and the flatMapGroupsWithState state store genuinely buffers
+    // between triggers (reference runtime shape:
+    // J/TwitterStreamTypeWindowTrigger.java:38-96). Driver-visible
+    // proof that the streaming guise equals the relational semantics.
+    "q27s_fanin_stream_replay" -> { (s, d) =>
       import s.implicits._
-      fanInBatch(taggedPartials(s, d))
-        .flatMap { p =>
-          p.entities.map { e =>
-            (p.status.id, e.position.start, e.position.end,
-              if (e.isNil) e.nilCluster.orNull else e.link.orNull,
-              e.confidence, e.category)
+      val parts = taggedPartials(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-fanin-replay").toString
+      parts.toDF().repartition(8).write.mode("overwrite").parquet(dir)
+      val expected = s.read.parquet(dir).count()
+      val stream = s.readStream.schema(parts.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .as[TaggedPartial]
+      val name = s"fanin_replay_${replaySeq.incrementAndGet()}"
+      val q = fanInStream(stream, timeoutMs = 600000)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+        .start()
+      // A ProcessingTimeTimeout stateful query never self-terminates
+      // (shouldRunAnotherBatch keeps scheduling batches to fire future
+      // timers), so poll until every partial's batch has COMMITTED —
+      // progress events post after commit, so at that point the full
+      // output is in the sink — then stop explicitly. Input rows are
+      // accumulated per batchId because recentProgress is a bounded
+      // ring the idle timer batches would otherwise evict from.
+      try {
+        val deadline = System.currentTimeMillis() + 300000
+        var consumed = 0L
+        var seen = Set.empty[Long]
+        while (System.currentTimeMillis() < deadline && consumed < expected) {
+          for (p <- q.recentProgress if !seen.contains(p.batchId)) {
+            seen += p.batchId
+            consumed += p.numInputRows
           }
+          if (consumed < expected) Thread.sleep(200)
         }
-        .toDF("tweet_id", "pos_start", "pos_end", "resource_uri",
-          "confidence", "category")
-        .orderBy($"tweet_id", $"pos_start", $"resource_uri")
+        assert(consumed >= expected,
+          s"replay timed out: consumed $consumed of $expected partials")
+      } finally q.stop()
+      challengeRows(s.table(name).as[ProcessedTweet])
     },
   )
 
   def oracle: Map[String, String] = Map(
-    // identical semantics to the relational q23 formulation
+    // identical semantics to the relational q23 formulation — for the
+    // batch guise AND the streaming replay
     "q27_fanin_stateful" -> Neel.oracle("q23_neel_challenge"),
+    "q27s_fanin_stream_replay" -> Neel.oracle("q23_neel_challenge"),
   )
 }
