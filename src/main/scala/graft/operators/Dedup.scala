@@ -136,7 +136,17 @@ object Dedup {
     // the band self-join and both joinbacks — without this the K-md5
     // sketch pipeline runs 4x (observed via plan metrics). At cluster
     // scale the same move is persisting the signature table.
-    val sig = Materialize(withMinhash(Tables.documents(s, d))
+    //
+    // Rep-level contraction (band-join once per DISTINCT signature,
+    // expand through membership afterwards) was implemented and
+    // MEASURED SLOWER here: this corpus's duplication factor is only
+    // ~1.27x (3935 distinct signatures / 5000 docs at sf0.1), so the
+    // two expansion joins cost more than the shrunken band join saves
+    // (9.9s vs 6.9s). On a high-duplication corpus (the 100 TB crawl
+    // case, dup factor >> 2) the contraction wins quadratically —
+    // q35's propagation loop already runs rep-level for exactly that
+    // reason; revisit if the data profile changes.
+    val sig = Materialize.cut(withMinhash(Tables.documents(s, d))
       .select((col("doc_id") +: col("sig") +:
         (0 until K).map(i => col(s"sig$i"))): _*))
     // melt carries ONLY (doc_id, band) — the signature arrays must
@@ -341,11 +351,13 @@ object Dedup {
 
     // Exact character-3-gram Jaccard within (lang, n_chars) blocks.
     "q34_ngram_jaccard" -> { (s, d) =>
-      val sh = Tables.documents(s, d)
+      // materialize the gram relation once — the block self-join would
+      // otherwise run the shingling pipeline for both legs
+      val sh = Materialize.cut(Tables.documents(s, d)
         .withColumn("lt", lower(col("text")))
         .withColumn("grams", expr(
           "array_distinct(transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3)))"))
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("grams"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("grams")))
       val a = sh.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
         col("lang"), col("n_chars"))
       val b = sh.select(col("doc_id").as("doc_b"), col("grams").as("gb"),
