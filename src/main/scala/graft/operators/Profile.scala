@@ -28,12 +28,14 @@ object Profile {
         max(sc).as(s"${c}__max"))
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    cols.map { c =>
-      wide.select(lit(c).as("column_name"),
-        col(s"${c}__rows").as("n_rows"), col(s"${c}__nulls").as("n_nulls"),
-        col(s"${c}__distinct").as("n_distinct"),
-        col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s"))
-    }.reduce(_ unionByName _)
+    // unpivot the single wide row with stack() — ONE aggregate in the
+    // plan by construction (the former union-of-selects shape leaned
+    // on exchange reuse to stay one-scan, which AQE need not grant)
+    val stackArgs = cols.map { c =>
+      s"'$c', `${c}__rows`, `${c}__nulls`, `${c}__distinct`, `${c}__min`, `${c}__max`"
+    }.mkString(", ")
+    wide.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+      "(column_name, n_rows, n_nulls, n_distinct, min_s, max_s)")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -96,6 +96,14 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("q58 profile plans exactly one scan of the corpus") {
+    val plan = graft.operators.Profile
+      .queries("q58_profile")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan".r.findAllMatchIn(plan).size
+    assert(scans === 1, s"expected one corpus scan, got $scans:\n$plan")
+  }
+
   test("q60 batch numbering has no single-partition window exchange") {
     // the former global row_number() OVER (ORDER BY tweet_id) planned
     // Exchange SinglePartition + a one-partition WindowExec; the
