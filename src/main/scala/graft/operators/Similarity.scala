@@ -147,8 +147,11 @@ object Similarity {
     // sample and only the assignment pass sees the full data.
     "q39_ann_ivf" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.embeddings(s, d)
-        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      // materialize the double-vector relation once — it feeds three
+      // assignment passes (KmIters + final), each of which would
+      // otherwise recompute the scan + cast pipeline
+      val e = graft.Materialize.cut(Tables.embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
       // seed selection: global top-KCells by hash via orderBy+limit
       // (plans as TakeOrderedAndProject — per-partition top-k, no
       // global sort); the cid-numbering window then runs over only
@@ -173,10 +176,13 @@ object Similarity {
             col("embedding"), col("cid"))
       }
       for (_ <- 1 to KmIters) {
-        cents = assign(cents).groupBy(col("cid")).agg(
-          array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("cv"))
+        // cut per round: the centroid relation is KCells rows but its
+        // lineage would otherwise nest the full previous assignment
+        cents = graft.Materialize.cut(assign(cents).groupBy(col("cid")).agg(
+          array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("cv")))
       }
-      val assigned = assign(cents)
+      // consumed twice below (query row + probed-cell candidates)
+      val assigned = graft.Materialize.cut(assign(cents))
       val qrow = assigned.where(col("vec_id") === 0)
         .select(col("v").as("qv"), col("embedding").as("q_embedding"))
       val qDist = expr(

@@ -232,11 +232,20 @@ object FanIn {
         .option("maxFilesPerTrigger", 1).parquet(dir)
         .as[TaggedPartial]
       val name = s"fanin_replay_${replaySeq.incrementAndGet()}"
-      val q = fanInStream(stream, timeoutMs = 600000)
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
-        .start()
+      // the state-partition count is fixed at the query's FIRST run
+      // from spark.sql.shuffle.partitions; every micro-batch then pays
+      // a state-store commit per partition, so scope the replay to 8
+      // (the file count) instead of the session-wide 32 — same
+      // semantics, a quarter of the per-batch commit overhead
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        fanInStream(stream, timeoutMs = 600000)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // A ProcessingTimeTimeout stateful query never self-terminates
       // (shouldRunAnotherBatch keeps scheduling batches to fire future
       // timers), so poll until every partial's batch has COMMITTED —
@@ -253,7 +262,7 @@ object FanIn {
             seen += p.batchId
             consumed += p.numInputRows
           }
-          if (consumed < expected) Thread.sleep(200)
+          if (consumed < expected) Thread.sleep(50)
         }
         assert(consumed >= expected,
           s"replay timed out: consumed $consumed of $expected partials")
