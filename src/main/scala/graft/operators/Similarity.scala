@@ -217,6 +217,27 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
+
+    // Embedding near-dup with DATA-DERIVED blocking: candidates share
+    // an LSH bucket (the same seeded hyperplane signs as q37) instead
+    // of a ground-truth label — the honest 100 TB formulation, since a
+    // raw crawl has no labels. One equi-join on the bucket key, never
+    // a global cross join; the kernel runs only inside buckets.
+    "q38b_embed_neardup_lsh" -> { (s, d) =>
+      // materialize once: the 8×64-mult bucketing feeds both join legs
+      val e = graft.Materialize.cut(Tables.embeddings(s, d)
+        .withColumn("bucket", bucketCol))
+      val a = e.select(col("vec_id").as("vec_a"), col("bucket"),
+        col("embedding").as("emb_a"))
+      val b = e.select(col("vec_id").as("vec_b"), col("bucket"),
+        col("embedding").as("emb_b"))
+      a.join(b, Seq("bucket"))
+        .where(col("vec_a") < col("vec_b"))
+        .withColumn("cos", cos6(col("emb_a"), col("emb_b")))
+        .where(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
   )
 
   def oracle: Map[String, String] = {
@@ -287,6 +308,14 @@ object Similarity {
            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
            |  ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
            |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+           |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.4
+           |ORDER BY vec_a, vec_b""".stripMargin,
+      "q38b_embed_neardup_lsh" ->
+        s"""$base,
+           |bk AS (SELECT *, ${bucketSql("v")} AS bucket FROM n)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+           |  ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+           |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.4
            |ORDER BY vec_a, vec_b""".stripMargin,
     )
