@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val tmp = Files.createTempDirectory("graft-bench").toString
     // warmup: pay one-time session/codegen/file-listing/scan setup
     // outside the timings — touch every main table with a real column
     // scan (count() alone reads only row-group stats), so the first
@@ -26,7 +27,16 @@ object Bench {
     }
     try graft.Tables.events(spark, sfDir).select("event_id").count()
     catch { case _: Throwable => }
-    val tmp = Files.createTempDirectory("graft-bench").toString
+    // prime whole-stage-codegen/Janino for the aggregate paths the
+    // first timed query would otherwise JIT (decimal sum + groupBy)
+    try {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy(col("n_regionkey"))
+        .agg(sum(col("n_nationkey").cast("decimal(12,2)")),
+          avg(col("n_nationkey")), count(lit(1)))
+        .write.mode("overwrite").parquet(s"$tmp/_warmup.parquet")
+    } catch { case _: Throwable => }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
