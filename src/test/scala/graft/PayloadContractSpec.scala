@@ -47,6 +47,30 @@ class PayloadContractSpec extends SparkSpec {
       .orderBy($"tweet_id").limit(40)
   }
 
+  test("payload JSON survives adversarial text (quotes, newlines, controls, unicode)") {
+    val s = spark
+    import s.implicits._
+    val nasty = Seq(
+      ("1", "quote \" backslash \\ slash /"),
+      ("2", "newline\nand\r\ncarriage"),
+      ("3", "tab\tand controls "),
+      ("4", "unicode 漢字 emoji 😀 accents éüñ"),
+      ("5", """json-ish {"tag": [1,2]} trailing"""),
+      ("6", ""),
+    ).toDF("tag", "text")
+    val json = nasty
+      .agg(sort_array(collect_list(struct($"tag", $"text"))).as("texts"))
+      .select(Payloads.nerRequestJson(lit("r"), lit("t"), lit(1L),
+        lit("d"), $"texts").as("j"))
+      .as[String].collect().toSeq
+    val back = streamed(json) { df =>
+      df.select(Payloads.parseNerRequest(col("raw")).as("m"))
+        .select(explode(col("m.texts")).as("t"))
+        .select(col("t.tag"), col("t.text"))
+    }
+    assert(rows(back) === rows(nasty))
+  }
+
   test("NER leg: request and response payloads round-trip exactly") {
     val s = spark
     import s.implicits._
