@@ -241,6 +241,7 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id")))
     Materialize.release(labels)
     Materialize.release(docRep)
+    Materialize.release(edges)
     out
   }
 
@@ -272,7 +273,10 @@ object Dedup {
     "q33_simhash_pairs" -> { (s, d) =>
       // materialize the fingerprints once — the self-join would
       // otherwise run the 16-bit fold pipeline for both sides
-      val sh = Materialize(withSimhash(Tables.documents(s, d))
+      // cut (not persist): the returned frame is lazy, so a persisted
+      // sh could never be released and would pin block-manager storage
+      // once per invocation under the "persist" strategy
+      val sh = Materialize.cut(withSimhash(Tables.documents(s, d))
         .select(col("doc_id"), col("simhash"),
           shiftright(col("simhash"), 8).as("bucket")))
       val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a"), col("bucket"))
@@ -325,6 +329,7 @@ object Dedup {
             round(base + lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 8).as("pr"))
         pr = Materialize.cut(pr)
       }
+      Materialize.release(edges) // the final pr is materialized; edges done
       pr.select(col("node").as("doc_id"), col("pr"))
         .orderBy(col("doc_id"))
     },

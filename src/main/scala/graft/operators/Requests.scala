@@ -38,11 +38,17 @@ object Requests {
       // a global `row_number() OVER (ORDER BY tweet_id)` — without
       // funneling the whole relation through a single partition. The
       // offsets pass collects one count per partition (exactly what
-      // RDD.zipWithIndex does); recomputation between the two jobs is
-      // deterministic (seeded range sampling over a deterministic
-      // scan), so pids are stable.
-      val parts = valid.repartitionByRange(col("tweet_id"))
-        .withColumn("pid", spark_partition_id())
+      // RDD.zipWithIndex does). The frame is MATERIALIZED once and
+      // both jobs (counts, numbering) read the same blocks: a
+      // re-executed repartitionByRange draws its boundary sample with
+      // a seed derived from the per-execution rdd id, so pids would
+      // NOT be stable across two separate executions once the sampler
+      // actually subsamples (large partitions) — RDD.zipWithIndex
+      // avoids that by running both passes on one RDD, and the
+      // materialization restores exactly that property here.
+      val parts = graft.Materialize.cut(
+        valid.repartitionByRange(col("tweet_id"))
+          .withColumn("pid", spark_partition_id()))
       val localW = Window.partitionBy(col("pid")).orderBy(col("tweet_id"))
       val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("pid"))

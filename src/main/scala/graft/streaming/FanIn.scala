@@ -215,12 +215,14 @@ object FanIn {
 
     // q27s: the SAME oracle, but through the real Structured Streaming
     // operator — the tagged partials are staged as many small files
-    // and replayed with maxFilesPerTrigger=1 + Trigger.AvailableNow,
-    // so partials of one tweet arrive across DIFFERENT micro-batches
-    // and the flatMapGroupsWithState state store genuinely buffers
-    // between triggers (reference runtime shape:
-    // J/TwitterStreamTypeWindowTrigger.java:38-96). Driver-visible
-    // proof that the streaming guise equals the relational semantics.
+    // and replayed with maxFilesPerTrigger=1 under a ProcessingTime
+    // trigger (polled to completion below — a ProcessingTimeTimeout
+    // query cannot self-terminate), so partials of one tweet arrive
+    // across DIFFERENT micro-batches and the flatMapGroupsWithState
+    // state store genuinely buffers between triggers (reference
+    // runtime shape: J/TwitterStreamTypeWindowTrigger.java:38-96).
+    // Driver-visible proof that the streaming guise equals the
+    // relational semantics.
     "q27s_fanin_stream_replay" -> { (s, d) =>
       import s.implicits._
       val parts = taggedPartials(s, d)
@@ -267,6 +269,13 @@ object FanIn {
         assert(consumed >= expected,
           s"replay timed out: consumed $consumed of $expected partials")
       } finally q.stop()
+      // the memory sink holds the rows; the staging files are done
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
       challengeRows(s.table(name).as[ProcessedTweet])
     },
   )
