@@ -76,6 +76,63 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared euclidean distance over array<double> columns — the k-means
+  * assignment kernel (`graft.operators.Similarity` q39). Same rationale
+  * as [[CosineSimilarity]]: the HOF formulation
+  * (`aggregate(zip_with(...))`) walks an interpreted lambda per
+  * element per candidate row; this emits one fused primitive loop.
+  * Arithmetic is the identical left-to-right double fold, so results
+  * are bit-equal to the HOF form and the DuckDB oracle's
+  * `list_sum(list_transform(...))`. */
+case class SquaredL2Distance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_l2sq expects (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val di = ctx.freshName("di")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $di = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $di * $di;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Column-level entry point: cosine(a, b) over array<float> columns. */
@@ -83,13 +140,24 @@ object VectorFunctions {
     GraftSqlBridge.column(CosineSimilarity(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
-  /** Idempotent SQL registration so `graft_cosine(a, b)` works in
-    * `spark.sql` / `expr` strings on an existing session. */
-  def register(spark: SparkSession): Unit =
+  /** Column-level entry point: squared L2 over array<double> columns. */
+  def l2sq(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SquaredL2Distance(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Idempotent SQL registration so `graft_cosine(a, b)` /
+    * `graft_l2sq(a, b)` work in `spark.sql` / `expr` strings on an
+    * existing session. */
+  def register(spark: SparkSession): Unit = {
     GraftSqlBridge.registerFunction(spark,
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       children => CosineSimilarity(children(0), children(1)))
+    GraftSqlBridge.registerFunction(spark,
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[SquaredL2Distance].getName, "graft_l2sq"),
+      children => SquaredL2Distance(children(0), children(1)))
+  }
 }
 
 /** Algebraic rewrite: `graft_cosine(x, x)` is identically 1.0 for any
@@ -130,6 +198,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+    ext.injectFunction(
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[SquaredL2Distance].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => SquaredL2Distance(children(0), children(1)))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
   }
 }

@@ -163,8 +163,10 @@ object Similarity {
       var cents = seeds
         .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
         .select((col("rn") - 1).as("cid"), col("v").as("cv"))
-      val distExpr = expr(
-        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
+      // native codegen'd kernel (same left-to-right fold as the HOF
+      // form and the oracle's list_sum — bit-identical, but no
+      // interpreted lambda per element per candidate row)
+      val distExpr = VectorFunctions.l2sq(col("v"), col("cv"))
       def assign(c: DataFrame): DataFrame = {
         val aw = Window.partitionBy(col("vec_id"))
           .orderBy(col("dist"), col("cid"))
@@ -185,8 +187,7 @@ object Similarity {
       val assigned = graft.Materialize.cut(assign(cents))
       val qrow = assigned.where(col("vec_id") === 0)
         .select(col("v").as("qv"), col("embedding").as("q_embedding"))
-      val qDist = expr(
-        "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)")
+      val qDist = VectorFunctions.l2sq(col("qv"), col("cv"))
       val pw = Window.orderBy(col("qdist"), col("cid"))
       val probed = cents.crossJoin(broadcast(qrow.select(col("qv"))))
         .withColumn("qdist", qDist)

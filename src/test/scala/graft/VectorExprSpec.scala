@@ -32,6 +32,31 @@ class VectorExprSpec extends SparkSpec {
     }
   }
 
+  test("native l2sq equals the HOF formulation bit-for-bit and works from SQL") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(s, sf).limit(50)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val q = e.where($"vec_id" === 0).select($"v".as("qv"))
+    val hof = e.crossJoin(broadcast(q))
+      .select($"vec_id", expr(
+        "aggregate(zip_with(v, qv, (x, y) -> (x - y) * (x - y)), 0D, (acc, p) -> acc + p)").as("d"))
+      .as[(Long, Double)].collect().toMap
+    val native = e.crossJoin(broadcast(q))
+      .select($"vec_id", VectorFunctions.l2sq($"v", $"qv").as("d"))
+      .as[(Long, Double)].collect().toMap
+    assert(native.keySet === hof.keySet)
+    native.foreach { case (id, d) =>
+      assert(java.lang.Double.doubleToLongBits(d) ===
+        java.lang.Double.doubleToLongBits(hof(id)), s"vec $id differs")
+    }
+    VectorFunctions.register(s)
+    e.limit(3).createOrReplaceTempView("emb_l2_tmp")
+    val self = s.sql("SELECT graft_l2sq(v, v) FROM emb_l2_tmp LIMIT 1")
+      .collect().head.getDouble(0)
+    assert(self === 0.0)
+  }
+
   test("graft_cosine is callable from SQL after registration") {
     val s = spark
     VectorFunctions.register(s)
