@@ -15,10 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failures = List.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
+        failures ::= (name, String.valueOf(e.getMessage))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -47,6 +49,12 @@ object Verify {
     catch { case e: Throwable =>
       System.err.println(s"[verify] repo-root oracle_sql.json write failed: ${e.getMessage}")
     }
+    // machine-readable failure manifest (the per-query try/catch means
+    // exit code 0 even on failures — stderr lines scroll away, a file
+    // doesn't)
+    val failJson = failures.sortBy(_._1)
+      .map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
     spark.stop()
   }
 }
