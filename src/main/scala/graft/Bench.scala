@@ -52,11 +52,7 @@ object Bench {
     }
     // the timings no longer need the materialized outputs — reclaim
     // the temp dir so repeated bench runs don't fill /tmp
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(Paths.get(tmp)).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: Throwable => }
+    Fs.deleteRecursively(tmp)
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum

@@ -52,15 +52,27 @@ object Materialize {
     val s = df.sparkSession
     val sc = s.sparkContext
     if (sc.getCheckpointDir.isEmpty) {
-      sc.setCheckpointDir(s.conf.get("spark.graft.checkpointDir",
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
+      s.conf.getOption("spark.graft.checkpointDir") match {
+        case Some(dir) => sc.setCheckpointDir(dir)
+        case None =>
+          // Spark does not remove checkpoint data on stop()
+          // (cleanCheckpoints is off by default), so a temp dir WE
+          // minted is ours to reclaim at JVM exit; a user-configured
+          // dir is left alone.
+          val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+          Runtime.getRuntime.addShutdownHook(
+            new Thread(() => Fs.deleteRecursively(tmp)))
+          sc.setCheckpointDir(tmp)
+      }
     }
     df.checkpoint(eager = true)
   }
 
-  /** Drop a frame previously materialized in `"persist"` mode (no-op for
-    * the checkpoint strategies, whose storage is reclaimed with the
-    * session / checkpoint dir). */
+  /** Drop a frame previously materialized in `"persist"` mode (no-op
+    * for the checkpoint strategies: localCheckpoint storage dies with
+    * the session's executors, and checkpoint files under a temp dir
+    * this object minted are deleted by its JVM shutdown hook —
+    * user-configured checkpoint dirs are the user's to manage). */
   def release(df: DataFrame): Unit =
     df.sparkSession.conf.get("spark.graft.materialize", "local") match {
       case "persist" => df.unpersist(blocking = false)

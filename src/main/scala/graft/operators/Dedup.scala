@@ -48,9 +48,10 @@ object Dedup {
     * every pair a near-dup, which is volume without meaning. */
   val EstThreshold: Double = 15.0 / 16.0
 
-  /** Whitespace tokens, lowercased, empties dropped (multiplicity kept). */
-  private val toksExpr = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
-  private val toksSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+  /** Whitespace tokens, lowercased, empties dropped (multiplicity
+    * kept) — the engine-wide tokenization shared with TextAnalysis. */
+  private val toksExpr = Tokens.toksExpr
+  private val toksSql = Tokens.toksSql
 
   /** Per-doc token + distinct-token-set columns. */
   private def withToks(docs: DataFrame): DataFrame =
@@ -234,6 +235,11 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // a chain-shaped component with diameter > the round cap would
+    // exit unconverged; silent wrong labels are worse than failure
+    require(converged,
+      s"label propagation did not converge after $rounds rounds — " +
+        "component diameter exceeds the cap; raise the bound")
     // the memoized result must not depend on per-loop frames that a
     // "persist" strategy may later release — cut the joined doc-level
     // labels themselves (memo outlives every per-round frame)
@@ -358,10 +364,13 @@ object Dedup {
     "q34_ngram_jaccard" -> { (s, d) =>
       // materialize the gram relation once — the block self-join would
       // otherwise run the shingling pipeline for both legs
+      // guarded like q43: below 3 chars Spark's sequence(1, n-2)
+      // counts DOWN and substring() fabricates grams while the
+      // oracle's range() is empty — an empty array matches
       val sh = Materialize.cut(Tables.documents(s, d)
         .withColumn("lt", lower(col("text")))
         .withColumn("grams", expr(
-          "array_distinct(transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3)))"))
+          "CASE WHEN length(lt) >= 3 THEN array_distinct(transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))) ELSE array() END"))
         .select(col("doc_id"), col("lang"), col("n_chars"), col("grams")))
       val a = sh.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
         col("lang"), col("n_chars"))

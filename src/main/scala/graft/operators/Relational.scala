@@ -278,8 +278,7 @@ object Relational {
     // pipeline: map-only, no shuffle, reproducible.
     "q19_stratified_sample" -> { (s, d) =>
       import s.implicits._
-      val h = expr("(instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 1, 1)) - 1) * 16" +
-        " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 2, 1)) - 1)")
+      val h = expr(Tokens.mdByteExpr("doc_id"))
       val keep = when($"lang" === "en", lit(205))     // ~80%
         .when($"lang" === "de", lit(128))             // ~50%
         .when($"lang".isin("es", "fr"), lit(64))      // ~25%
@@ -335,8 +334,7 @@ object Relational {
     // split every training pipeline needs to be able to replay).
     "q19b_split_assign" -> { (s, d) =>
       import s.implicits._
-      val h = expr("(instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 1, 1)) - 1) * 16" +
-        " + (instr('0123456789abcdef', substr(md5(cast(doc_id AS STRING)), 2, 1)) - 1)")
+      val h = expr(Tokens.mdByteExpr("doc_id"))
       Tables.documents(s, d)
         .withColumn("h", h)
         .withColumn("split",
@@ -351,9 +349,7 @@ object Relational {
     "q16_sample_hash" -> { (s, d) =>
       import s.implicits._
       Tables.orders(s, d)
-        .withColumn("h",
-          expr("(instr('0123456789abcdef', substr(md5(cast(o_orderkey AS STRING)), 1, 1)) - 1) * 16" +
-            " + (instr('0123456789abcdef', substr(md5(cast(o_orderkey AS STRING)), 2, 1)) - 1)"))
+        .withColumn("h", expr(Tokens.mdByteExpr("o_orderkey")))
         .where($"h" < 26)
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .orderBy($"o_orderkey")
@@ -489,10 +485,9 @@ object Relational {
         |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q19_stratified_sample" ->
-      """SELECT doc_id, lang, source FROM (
+      s"""SELECT doc_id, lang, source FROM (
         |  SELECT *,
-        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS h,
+        |    ${Tokens.mdByteSql("doc_id")} AS h,
         |    CASE WHEN lang = 'en' THEN 205
         |         WHEN lang = 'de' THEN 128
         |         WHEN lang IN ('es', 'fr') THEN 64
@@ -526,20 +521,18 @@ object Relational {
         |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q19b_split_assign" ->
-      """SELECT doc_id, lang,
+      s"""SELECT doc_id, lang,
         |  CASE WHEN h < 204 THEN 'train' WHEN h < 230 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM (
         |  SELECT doc_id, lang,
-        |    (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-        |      + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS h
+        |    ${Tokens.mdByteSql("doc_id")} AS h
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q16_sample_hash" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT *,
-        |    (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
-        |      + (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) AS h
+        |    ${Tokens.mdByteSql("o_orderkey")} AS h
         |  FROM orders)
         |WHERE h < 26 ORDER BY o_orderkey""".stripMargin,
   )

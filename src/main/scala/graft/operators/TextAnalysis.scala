@@ -34,8 +34,9 @@ object TextAnalysis {
   /** English-ish stopwords for the quality score. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "value", "data")
 
-  private val toksExpr = "filter(split(lower(text), '\\\\s+'), t -> t != '')"
-  private val toksSql = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+  // engine-wide tokenization — shared with the dedup sketches
+  private val toksExpr = Tokens.toksExpr
+  private val toksSql = Tokens.toksSql
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols.
     * Spark SQL string literals eat one level of backslash ('\s' -> 's'),

@@ -1,0 +1,33 @@
+package graft.operators
+
+/** THE tokenization of this engine, in both dialects — whitespace
+  * split of the lowercased text, empties dropped, multiplicity kept.
+  * Dedup sketches (q30-q35) and text analysis (q40-q49) must agree on
+  * one tokenization or their oracles silently diverge; both modules
+  * reference these single definitions.
+  *
+  * Also the shared md5-first-byte uniform hash (range [0, 256)) used
+  * by every deterministic sampling operator (q16/q19/q19b) — one
+  * definition per dialect keeps the Spark and DuckDB sides in
+  * lockstep. */
+object Tokens {
+
+  /** Spark SQL: array<string> of whitespace tokens of `text`. */
+  val toksExpr: String =
+    "filter(split(lower(text), '\\\\s+'), t -> t != '')"
+
+  /** DuckDB: the same token list. */
+  val toksSql: String =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+  /** Spark SQL: uniform hash in [0, 256) from the first two md5 hex
+    * digits of `keyExpr` cast to string. */
+  def mdByteExpr(keyExpr: String): String =
+    s"(instr('0123456789abcdef', substr(md5(cast($keyExpr AS STRING)), 1, 1)) - 1) * 16" +
+      s" + (instr('0123456789abcdef', substr(md5(cast($keyExpr AS STRING)), 2, 1)) - 1)"
+
+  /** DuckDB: the same uniform hash. */
+  def mdByteSql(keyExpr: String): String =
+    s"(instr('0123456789abcdef', substr(md5(CAST($keyExpr AS VARCHAR)), 1, 1)) - 1) * 16" +
+      s" + (instr('0123456789abcdef', substr(md5(CAST($keyExpr AS VARCHAR)), 2, 1)) - 1)"
+}

@@ -239,43 +239,45 @@ object FanIn {
       // a state-store commit per partition, so scope the replay to 8
       // (the file count) instead of the session-wide 32 — same
       // semantics, a quarter of the per-batch commit overhead
+      // The shuffle-partition override must outlive start(): the
+      // stream thread clones the session conf asynchronously while
+      // planning batch 0, so restoring immediately after start() races
+      // it and the 8-partition scoping could silently not apply.
+      // Restore only after the replay is fully consumed and stopped —
+      // the replay runs alone in this session during those seconds.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val q = try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        fanInStream(stream, timeoutMs = 600000)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = fanInStream(stream, timeoutMs = 600000)
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
           .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // A ProcessingTimeTimeout stateful query never self-terminates
-      // (shouldRunAnotherBatch keeps scheduling batches to fire future
-      // timers), so poll until every partial's batch has COMMITTED —
-      // progress events post after commit, so at that point the full
-      // output is in the sink — then stop explicitly. Input rows are
-      // accumulated per batchId because recentProgress is a bounded
-      // ring the idle timer batches would otherwise evict from.
-      try {
-        val deadline = System.currentTimeMillis() + 300000
-        var consumed = 0L
-        var seen = Set.empty[Long]
-        while (System.currentTimeMillis() < deadline && consumed < expected) {
-          for (p <- q.recentProgress if !seen.contains(p.batchId)) {
-            seen += p.batchId
-            consumed += p.numInputRows
+        // A ProcessingTimeTimeout stateful query never self-terminates
+        // (shouldRunAnotherBatch keeps scheduling batches to fire
+        // future timers), so poll until every partial's batch has
+        // COMMITTED — progress events post after commit, so at that
+        // point the full output is in the sink — then stop explicitly.
+        // Input rows are accumulated per batchId because
+        // recentProgress is a bounded ring the idle timer batches
+        // would otherwise evict from.
+        try {
+          val deadline = System.currentTimeMillis() + 300000
+          var consumed = 0L
+          var seen = Set.empty[Long]
+          while (System.currentTimeMillis() < deadline && consumed < expected) {
+            for (p <- q.recentProgress if !seen.contains(p.batchId)) {
+              seen += p.batchId
+              consumed += p.numInputRows
+            }
+            if (consumed < expected) Thread.sleep(50)
           }
-          if (consumed < expected) Thread.sleep(50)
-        }
-        assert(consumed >= expected,
-          s"replay timed out: consumed $consumed of $expected partials")
-      } finally q.stop()
+          assert(consumed >= expected,
+            s"replay timed out: consumed $consumed of $expected partials")
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the memory sink holds the rows; the staging files are done
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-          .iterator().asScala.toSeq.sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => }
+      graft.Fs.deleteRecursively(dir)
       challengeRows(s.table(name).as[ProcessedTweet])
     },
   )

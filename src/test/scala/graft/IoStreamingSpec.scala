@@ -64,7 +64,8 @@ class IoStreamingSpec extends SparkSpec {
     val expected = docs.count()
     docs.repartition(3).write.mode("overwrite")
       .option("sep", "\t").option("header", "true").csv(staged)
-    val listener = new ProgressListener(expectedRows = expected)
+    val listener = new ProgressListener(expectedRows = expected,
+      queryName = Some("progress_csv"))
     s.streams.addListener(listener)
     try {
       val q = Sources.csvDatasetStream(s, staged, docs.schema, maxFilesPerTrigger = 1)
