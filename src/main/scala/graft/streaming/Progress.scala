@@ -34,6 +34,10 @@ final class ProgressListener(expectedRows: Long,
 
   def heartbeats: Seq[Heartbeat] = events.asScala.toSeq
 
+  /** Input rows attributed to the tracked query so far (all queries
+    * when no name filter is set). */
+  def inputRows: Long = seen
+
   private def emit(h: Heartbeat): Unit = { events.add(h); onProgress(h) }
 
   /** Listener callbacks fire for EVERY query on the session; when

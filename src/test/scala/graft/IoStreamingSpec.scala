@@ -84,6 +84,43 @@ class IoStreamingSpec extends SparkSpec {
     } finally s.streams.removeListener(listener)
   }
 
+  test("progress listener with a name filter ignores concurrent queries") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val staged = tmpDir("csv_progress_iso")
+    val docs = Tables.documents(s, sf).select($"doc_id", $"lang")
+    val expected = docs.count()
+    docs.repartition(2).write.mode("overwrite")
+      .option("sep", "\t").option("header", "true").csv(staged)
+    val listener = new ProgressListener(expectedRows = expected,
+      queryName = Some("progress_iso"))
+    s.streams.addListener(listener)
+    // a noisy concurrent stream whose rows must NOT count
+    val noise = MemoryStream[Long]
+    noise.addData(1L to 500L: _*)
+    val nq = noise.toDS().writeStream.format("memory")
+      .queryName("progress_noise").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      val q = Sources.csvDatasetStream(s, staged, docs.schema, maxFilesPerTrigger = 1)
+        .writeStream.format("memory").queryName("progress_iso")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      nq.awaitTermination(60000)
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        !listener.heartbeats.exists(_.isLast)) Thread.sleep(100)
+      assert(listener.inputRows === expected,
+        s"listener counted ${listener.inputRows}, expected $expected — " +
+          "concurrent query contaminated the progress")
+      assert(listener.heartbeats.exists(_.isLast))
+    } finally {
+      s.streams.removeListener(listener)
+      nq.stop()
+    }
+  }
+
   test("watermarked streaming window agg matches batch semantics") {
     val s = spark
     import s.implicits._
