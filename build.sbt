@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suppress sbt's "[success] Total time: ..." epilogue so a `runMain`
+// whose final println is a machine-readable JSON line really ends
+// stdout with that line (graft.Bench's contract with its caller).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Let the forked run JVM write to the real stdout/stderr instead of
+// being re-logged with "[info] "/"[error] " prefixes, so Bench's JSON
+// line arrives verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
