@@ -23,12 +23,20 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 def cell_eq(a, b):
+    import numpy as np
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
+    num = (int, float, np.integer, np.floating)
+    if isinstance(a, num) and isinstance(b, num) and not isinstance(a, bool) and not isinstance(b, bool):
+        fa = isinstance(a, (float, np.floating))
+        fb = isinstance(b, (float, np.floating))
+        if fa and fb and math.isnan(a) and math.isnan(b):
             return True
-        return a == b  # exact: our decimal discipline should give identical bits
+        # driver parity: values are hashed by string representation, so
+        # int64 3 vs float64 3.0 ("3" vs "3.0") MISmatches even though
+        # numerically equal (observed r02: DuckDB HUGEINT sums → float64).
+        # Equal float bits stringify identically, so this stays exact.
+        return str(a) == str(b)
     try:
         if pd.isna(a) and pd.isna(b):
             return True

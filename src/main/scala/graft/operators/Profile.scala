@@ -50,7 +50,7 @@ object Profile {
     val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
     val parts = cols.map { c =>
       s"""SELECT '$c' AS column_name, count(*) AS n_rows,
-         |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
          |  count(DISTINCT CAST($c AS VARCHAR)) AS n_distinct,
          |  min(CAST($c AS VARCHAR)) AS min_s, max(CAST($c AS VARCHAR)) AS max_s
          |FROM documents""".stripMargin

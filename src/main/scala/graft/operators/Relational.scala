@@ -422,16 +422,20 @@ object Relational {
         |  SELECT CAST(s_suppkey AS BIGINT) AS key, s_name AS name,
         |    s_acctbal AS acctbal, 'supplier' AS kind FROM supplier)
         |ORDER BY kind, key""".stripMargin,
+    // NOTE: DuckDB's sum() over integers returns HUGEINT, which pandas
+    // renders as float64 ("3.0") while Spark writes BIGINT ("3") — a
+    // value-representation hash mismatch. Every integer sum in oracle
+    // SQL must be wrapped CAST(sum(...) AS BIGINT).
     "q11_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q12_case_agg" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS n_disc,
-        |  sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS n_taxed,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+        |  CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "q13_rollup" ->
@@ -480,9 +484,9 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "q18_pivot" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q19_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM (
@@ -502,10 +506,10 @@ object Relational {
         |SELECT lang,
         |  count(*) AS n_rows,
         |  count(maybe) AS n_nonnull,
-        |  sum(maybe) AS sum_maybe,
+        |  CAST(sum(maybe) AS BIGINT) AS sum_maybe,
         |  min(maybe) AS min_maybe,
-        |  sum(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END) AS n_null,
-        |  sum(CASE WHEN maybe IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS n_nullsafe_eq,
+        |  CAST(sum(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(sum(CASE WHEN maybe IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
         |  max(coalesce(maybe, -1)) AS max_coalesced,
         |  count(nullif(source, 'src0')) AS n_not_src0
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
