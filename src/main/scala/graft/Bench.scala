@@ -38,7 +38,16 @@ object Bench {
         .write.mode("overwrite").parquet(s"$tmp/_warmup.parquet")
     } catch { case _: Throwable => }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev convenience (mirrors Verify): SPARK_GRAFT_ONLY=q31,q32 times a
+    // subset; unset (the driver's invocation) times everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(pats) => SparkEntry.queries.filter { case (n, _) =>
+        pats.exists(n.contains) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Time what Verify's gate does — materialize to parquet — so Catalyst
       // can't drop presentation sorts or skip column materialization the way

@@ -16,7 +16,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failures = List.empty[(String, String)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev convenience: SPARK_GRAFT_ONLY=q32,q33 runs a subset (substring
+    // match); unset (the driver's invocation) runs everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(pats) => SparkEntry.queries.filter { case (n, _) =>
+        pats.exists(n.contains) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>

@@ -145,6 +145,16 @@ object VectorFunctions {
     GraftSqlBridge.column(SquaredL2Distance(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Column-level entry point: 16-bit SimHash over an array<string>
+    * token column. */
+  def simhash16(toks: Column): Column =
+    GraftSqlBridge.column(SimHash16(GraftSqlBridge.expression(toks)))
+
+  /** Column-level entry point: K=16 MinHash hex signature array over
+    * an array<string> token-set column. */
+  def minhash16(tokset: Column): Column =
+    GraftSqlBridge.column(MinHash16(GraftSqlBridge.expression(tokset)))
+
   /** Idempotent SQL registration so `graft_cosine(a, b)` /
     * `graft_l2sq(a, b)` work in `spark.sql` / `expr` strings on an
     * existing session. */
@@ -157,6 +167,14 @@ object VectorFunctions {
       FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[SquaredL2Distance].getName, "graft_l2sq"),
       children => SquaredL2Distance(children(0), children(1)))
+    GraftSqlBridge.registerFunction(spark,
+      FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
+      children => SimHash16(children(0)))
+    GraftSqlBridge.registerFunction(spark,
+      FunctionIdentifier("graft_minhash16"),
+      new ExpressionInfo(classOf[MinHash16].getName, "graft_minhash16"),
+      children => MinHash16(children(0)))
   }
 }
 
@@ -202,6 +220,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[SquaredL2Distance].getName, "graft_l2sq"),
       (children: Seq[Expression]) => SquaredL2Distance(children(0), children(1)))
+    ext.injectFunction(
+      FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
+      (children: Seq[Expression]) => SimHash16(children(0)))
+    ext.injectFunction(
+      FunctionIdentifier("graft_minhash16"),
+      new ExpressionInfo(classOf[MinHash16].getName, "graft_minhash16"),
+      (children: Seq[Expression]) => MinHash16(children(0)))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
   }
 }

@@ -59,43 +59,46 @@ object Dedup {
       .withColumn("tokset", array_distinct(col("toks")))
 
   /** MinHash signature columns sig0..sig{K-1}: min over the token set
-    * of md5("<i>:" ++ token) — k independent permutations by salting. */
-  def withMinhash(docs: DataFrame): DataFrame =
-    (0 until K).foldLeft(withToks(docs)) { (df, i) =>
-      df.withColumn(s"sig$i",
-        expr(s"array_min(transform(tokset, t -> md5(concat('$i:', t))))"))
-    }.withColumn("sig", array((0 until K).map(i => col(s"sig$i")): _*))
+    * of md5("<i>:" ++ token) — k independent permutations by salting.
+    * Computed by the native one-pass [[graft.functions.MinHash16]]
+    * kernel (bit-identical to the 16 `array_min(transform(...))`
+    * lambdas it replaced); coalesce keeps the legacy NULL-tokset →
+    * array-of-16-NULLs shape that `array(sig0, ..., sig15)` yielded. */
+  def withMinhash(docs: DataFrame): DataFrame = {
+    val base = withToks(docs).withColumn("sig",
+      coalesce(graft.functions.VectorFunctions.minhash16(col("tokset")),
+        array((0 until K).map(_ => lit(null).cast("string")): _*)))
+    (0 until K).foldLeft(base) { (df, i) =>
+      df.withColumn(s"sig$i", col("sig").getItem(i))
+    }
+  }
 
   private def sigSqlCols: String = (0 until K).map(i =>
     s"list_min(list_transform(tokset, t -> md5('$i:' || t))) AS sig$i").mkString(",\n         ")
 
   /** SimHash: 16-bit fingerprint; bit b is the sign of the
-    * token-frequency-weighted sum of bit b of each token's md5.
-    * The per-token hash (first 4 md5 hex digits as a 16-bit int) is
-    * materialized ONCE into an int array, then each bit weight is a
-    * cheap integer fold — not 16 separate md5 passes. */
+    * token-frequency-weighted sum of bit b of each token's md5 (the
+    * hash value is the first 4 md5 hex digits, little-endian nibble
+    * weights). The Spark side computes it with the native one-pass
+    * [[graft.functions.SimHash16]] kernel; the oracle keeps the
+    * declarative form below — they are bit-identical. */
   private val tokvalExprBody = (0 until 4).map { j =>
     s"(instr('0123456789abcdef', substr(h, ${j + 1}, 1)) - 1) * ${1 << (4 * j)}"
   }.mkString(" + ")
-  private def tokvalSpark =
-    s"transform(toks, t -> ${tokvalExprBody.replace("h,", "md5(t),")})"
   private def tokvalSql =
     s"list_transform(toks, t -> ${tokvalExprBody.replace("h,", "md5(t),")})"
 
-  private def simhashBitSpark(b: Int): String =
-    s"aggregate(tv, 0, (acc, x) -> acc + (CASE WHEN ((shiftright(x, $b)) & 1) = 1 THEN 1 ELSE -1 END))"
   private def simhashBitSql(b: Int): String =
     s"list_sum(list_transform(tv, x -> CASE WHEN ((x >> $b) & 1) = 1 THEN 1 ELSE -1 END))"
 
-  def withSimhash(docs: DataFrame): DataFrame = {
-    val withBits = (0 until 16).foldLeft(
-        withToks(docs).withColumn("tv", expr(tokvalSpark))) { (df, b) =>
-      df.withColumn(s"w$b", expr(simhashBitSpark(b)))
-    }
-    val fp = (0 until 16).map(b =>
-      when(col(s"w$b") > 0, lit(1 << b)).otherwise(lit(0))).reduce(_ + _)
-    withBits.withColumn("simhash", fp.cast("int"))
-  }
+  def withSimhash(docs: DataFrame): DataFrame =
+    // native one-pass kernel (graft.functions.SimHash16): bit-identical
+    // to the declarative 1×transform + 16×aggregate form this replaced,
+    // without 17 interpreted-lambda traversals per row. coalesce keeps
+    // the legacy NULL-toks → fingerprint 0 semantics (the SQL CASE
+    // yields 0 per bit on a NULL token array, and so does the oracle).
+    withToks(docs).withColumn("simhash",
+      coalesce(graft.functions.VectorFunctions.simhash16(col("toks")), lit(0)))
 
   private def simhashSql: String = {
     val bits = (0 until 16).map(b => s"${simhashBitSql(b)} AS w$b").mkString(",\n         ")

@@ -73,6 +73,69 @@ class VectorExprSpec extends SparkSpec {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
+  test("native simhash16 equals the declarative 17-lambda formulation") {
+    val s = spark
+    import s.implicits._
+    val toks = Tables.documents(s, sf).limit(200)
+      .select($"doc_id", split(lower($"text"), "\\s+").as("toks"))
+    val tokval = (0 until 4).map { j =>
+      s"(instr('0123456789abcdef', substr(md5(t), ${j + 1}, 1)) - 1) * ${1 << (4 * j)}"
+    }.mkString(" + ")
+    val withBits = (0 until 16).foldLeft(
+        toks.withColumn("tv", expr(s"transform(toks, t -> $tokval)"))) { (df, b) =>
+      df.withColumn(s"w$b", expr(
+        s"aggregate(tv, 0, (acc, x) -> acc + (CASE WHEN ((shiftright(x, $b)) & 1) = 1 THEN 1 ELSE -1 END))"))
+    }
+    val declarative = withBits.withColumn("fp",
+      (0 until 16).map(b => when(col(s"w$b") > 0, lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _).cast("int"))
+      .select($"doc_id", $"fp").as[(Long, Int)].collect().toMap
+    val native = toks
+      .select($"doc_id", VectorFunctions.simhash16($"toks").as("fp"))
+      .as[(Long, Int)].collect().toMap
+    assert(native === declarative)
+    // edge semantics: empty array → 0, NULL array → NULL, NULL token
+    // counts as -1 per bit (same as the SQL CASE)
+    VectorFunctions.register(s)
+    val r = s.sql(
+      """SELECT graft_simhash16(CAST(array() AS ARRAY<STRING>)) AS empty,
+        |  graft_simhash16(CAST(NULL AS ARRAY<STRING>)) AS nul,
+        |  graft_simhash16(array('a', NULL)) AS withnull,
+        |  graft_simhash16(array('a')) AS single""".stripMargin)
+      .collect().head
+    assert(r.getInt(0) === 0)
+    assert(r.isNullAt(1))
+    // 'a' vs ('a', NULL): the NULL token's -1 cancels the single +1 on
+    // every bit 'a' has set (2*ones = n is NOT > n), so the pair
+    // fingerprint must be 0 while the singleton keeps a's bits
+    assert(r.getInt(2) === 0)
+    assert(r.getInt(3) !== 0)
+  }
+
+  test("native minhash16 equals the declarative 16-lambda formulation") {
+    val s = spark
+    import s.implicits._
+    val toks = Tables.documents(s, sf).limit(200)
+      .select($"doc_id",
+        array_distinct(split(lower($"text"), "\\s+")).as("tokset"))
+    val declarative = (0 until 16).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"sig$i",
+        expr(s"array_min(transform(tokset, t -> md5(concat('$i:', t))))"))
+    }.select($"doc_id",
+        array((0 until 16).map(i => col(s"sig$i")): _*).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    val native = toks
+      .select($"doc_id", VectorFunctions.minhash16($"tokset").as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(native === declarative)
+    // empty token set → all 16 positions NULL (array_min of empty)
+    VectorFunctions.register(s)
+    val empty = s.sql(
+      "SELECT graft_minhash16(CAST(array() AS ARRAY<STRING>)) AS sig")
+      .collect().head.getSeq[String](0)
+    assert(empty.size === 16 && empty.forall(_ == null))
+  }
+
   test("interpreted fallback matches codegen") {
     val s = spark
     import s.implicits._
