@@ -228,7 +228,11 @@ object FanIn {
       val parts = taggedPartials(s, d)
       val dir = java.nio.file.Files
         .createTempDirectory("graft-fanin-replay").toString
-      parts.toDF().repartition(8).write.mode("overwrite").parquet(dir)
+      // 4 staged files → 5 serialized micro-batches: still genuinely
+      // multi-batch (partials of one tweet cross batch boundaries, the
+      // state store buffers between triggers), at half the per-batch
+      // commit cost of the previous 8-file staging
+      parts.toDF().repartition(4).write.mode("overwrite").parquet(dir)
       val expected = s.read.parquet(dir).count()
       val stream = s.readStream.schema(parts.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir)
@@ -246,12 +250,15 @@ object FanIn {
       // Restore only after the replay is fully consumed and stopped —
       // the replay runs alone in this session during those seconds.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
+        // ProcessingTime(0): next micro-batch starts as soon as the
+        // previous commits — the batches are serialized anyway, so a
+        // non-zero cadence is a pure floor on replay latency
         val q = fanInStream(stream, timeoutMs = 600000)
           .writeStream.format("memory").queryName(name)
           .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+          .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
           .start()
         // A ProcessingTimeTimeout stateful query never self-terminates
         // (shouldRunAnotherBatch keeps scheduling batches to fire
