@@ -381,9 +381,13 @@ object Dedup {
         col("lang"), col("n_chars"))
       a.join(b, Seq("lang", "n_chars"))
         .where(col("doc_a") < col("doc_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("ga"), col("gb"))).cast("double") /
-            size(array_union(col("ga"), col("gb"))).cast("double"))
+        // grams are distinct, so |a ∪ b| = |a| + |b| - |a ∩ b| — one
+        // hash-probe pass per pair instead of two (array_union built
+        // and sized a second array per pair for a number we already
+        // know); same integer, bit-identical double
+        .withColumn("n_common", size(array_intersect(col("ga"), col("gb"))))
+        .withColumn("jaccard", col("n_common").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("n_common")).cast("double"))
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
