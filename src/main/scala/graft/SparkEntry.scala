@@ -22,6 +22,7 @@ object SparkEntry {
     (operators.Multimodal.queries, operators.Multimodal.oracle),
     (operators.NeelPipeline.queries, operators.NeelPipeline.oracle),
     (operators.Profile.queries, operators.Profile.oracle),
+    (operators.Curation.queries, operators.Curation.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

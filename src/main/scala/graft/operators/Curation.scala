@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators — the filters a training-data pipeline
+  * runs between raw crawl and tokenizer:
+  *
+  *  - benchmark DECONTAMINATION (q63): drop-or-flag train documents
+  *    sharing a 5-token shingle with an eval/benchmark set;
+  *  - PII SCRUBBING (q64): redact emails / phone numbers, count
+  *    redactions;
+  *  - REPETITION metrics (q65): within-document duplicate-token and
+  *    duplicate-3-gram fractions (the Gopher/MassiveText-style
+  *    repetition filters);
+  *  - DOMAIN MIXING (q66): per-source sampling weights toward a
+  *    uniform token budget across sources, with a deterministic
+  *    per-document keep decision.
+  *
+  * Scale shapes: q64/q65 are map-only column expressions (one scan,
+  * no shuffle but the presentation sort). q63 broadcasts the
+  * benchmark shingle set (eval suites are tiny by definition) so the
+  * corpus side stays map + partial-agg — the 100 TB corpus is never
+  * shuffled by shingle. q66 aggregates to one row per source (tiny),
+  * broadcasts the weights back, and decides keep/drop per document
+  * with the engine-wide md5 hash — no per-document state, fully
+  * reproducible at any parallelism.
+  */
+object Curation {
+
+  private val toksExpr = Tokens.toksExpr
+  private val toksSql = Tokens.toksSql
+
+  /** Distinct 5-token shingles (space-joined); empty below 5 tokens
+    * (guarded — Spark's sequence(1, n-4) counts DOWN for n<5). */
+  private val grams5Spark =
+    "CASE WHEN size(toks) >= 5 THEN array_distinct(transform(" +
+      "sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+  private val grams5Sql =
+    "CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(" +
+      "range(1, len(toks) - 3), i -> array_to_string(list_slice(toks, i, i + 4), ' '))) " +
+      "ELSE [] END"
+
+  /** All 3-token shingles, multiplicity kept (the repetition metric
+    * needs the duplicate count); empty below 3 tokens. */
+  private val grams3Spark =
+    "CASE WHEN size(toks) >= 3 THEN transform(" +
+      "sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+  private val grams3Sql =
+    "CASE WHEN len(toks) >= 3 THEN list_transform(" +
+      "range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' ')) " +
+      "ELSE [] END"
+
+  /** Documents whose id is divisible by this form the stand-in
+    * benchmark/eval set for decontamination. */
+  val BenchmarkMod = 97
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\+1-555-[0-9]{4}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benchmark decontamination: n-gram overlap against the benchmark
+    // set. The benchmark shingle relation is DISTINCT + broadcast (an
+    // eval suite is KBs against a 100 TB corpus); the train side is
+    // scan → explode → broadcast-hash semi-match → partial agg — the
+    // corpus never shuffles by shingle, and the left join back for
+    // zero-hit docs is on doc_id (co-partitioned with the agg).
+    "q63_decontaminate" -> { (s, d) =>
+      val g = Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("grams", expr(grams5Spark))
+      val bench = g.where(col("doc_id") % BenchmarkMod === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      val train = g.where(col("doc_id") % BenchmarkMod =!= 0)
+      val hits = train
+        .select(col("doc_id"), explode(col("grams")).as("gram"))
+        .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      train.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
+    // PII scrubbing: deterministic synthetic PII is injected into a
+    // slice of documents (the corpus itself is clean), then redacted
+    // with the same regexes a real pipeline would run. Map-only.
+    "q64_pii_scrub" -> { (s, d) =>
+      val aug =
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example or call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .when(col("doc_id") % 7 === 3, concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@web.example")))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .withColumn("augmented", aug)
+        .select(col("doc_id"),
+          regexp_count(col("augmented"), lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(col("augmented"), lit(phoneRe)).cast("long").as("n_phones"),
+          regexp_replace(
+            regexp_replace(col("augmented"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("scrubbed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Repetition metrics: duplicate-token and duplicate-3-gram
+    // fractions per document (repetitious documents are the classic
+    // LLM-quality filter). Pure column expressions over one scan.
+    "q65_repetition" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("g3", expr(grams3Spark))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("frac_dup_tokens", when(col("n_toks") > 0,
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+            col("n_toks").cast("double"), 6)).otherwise(lit(0.0)))
+        .withColumn("frac_dup_3grams", when(size(col("g3")) > 0,
+          round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") /
+            size(col("g3")).cast("double"), 6)).otherwise(lit(0.0)))
+        .select(col("doc_id"), col("n_toks"),
+          col("frac_dup_tokens"), col("frac_dup_3grams"),
+          (col("frac_dup_3grams") > 0.1 || col("frac_dup_tokens") > 0.6)
+            .as("repetitive"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Domain mixing: per-source token counts → uniform-target weights
+    // (capped at 1) → deterministic per-document keep via the
+    // engine-wide md5 byte against floor(weight * 256). The weight
+    // table is one row per source — broadcast back to the corpus; the
+    // only corpus-wide shuffle is the per-source aggregation itself.
+    "q66_domain_mix" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("h", expr(Tokens.mdByteExpr("doc_id")))
+      val bySource = docs.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      val totals = bySource.agg(
+        sum(col("n_tokens")).as("t_total"),
+        count(lit(1)).as("n_sources"))
+      val weights = bySource.crossJoin(broadcast(totals))
+        .withColumn("weight", least(lit(1.0), round(
+          col("t_total").cast("double") / col("n_sources").cast("double") /
+            col("n_tokens").cast("double"), 6)))
+        .withColumn("threshold", floor(col("weight") * 256).cast("int"))
+      val kept = docs.join(broadcast(weights.select(col("source"),
+          col("threshold"))), Seq("source"))
+        .where(col("h") < col("threshold"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      weights.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("weight"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q63_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, $grams5Sql AS grams FROM toks),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+         |          WHERE doc_id % $BenchmarkMod = 0),
+         |train_hits AS (
+         |  SELECT t.doc_id, count(*) AS n_hits FROM
+         |    (SELECT doc_id, unnest(grams) AS gram FROM g
+         |     WHERE doc_id % $BenchmarkMod <> 0) t
+         |  JOIN bench USING (gram) GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN train_hits h USING (doc_id)
+         |WHERE d.doc_id % $BenchmarkMod <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+    "q64_pii_scrub" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+         |         CAST(doc_id AS VARCHAR) || '@mail.example or call +1-555-' ||
+         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |       WHEN doc_id % 7 = 3 THEN text || ' reach user' ||
+         |         CAST(doc_id AS VARCHAR) || '@web.example'
+         |       ELSE text END AS augmented
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(augmented, '$emailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(augmented, '$phoneRe')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(augmented, '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g') AS scrubbed
+         |FROM aug ORDER BY doc_id""".stripMargin,
+    "q65_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, toks, $grams3Sql AS g3 FROM toks),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_toks,
+         |  CASE WHEN len(toks) > 0 THEN round(1.0 -
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS frac_dup_tokens,
+         |  CASE WHEN len(g3) > 0 THEN round(1.0 -
+         |    CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE), 6)
+         |    ELSE 0.0 END AS frac_dup_3grams
+         |  FROM g)
+         |SELECT doc_id, n_toks, frac_dup_tokens, frac_dup_3grams,
+         |  frac_dup_3grams > 0.1 OR frac_dup_tokens > 0.6 AS repetitive
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "q66_domain_mix" ->
+      s"""WITH docs AS (SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS n_toks,
+         |    ${Tokens.mdByteSql("doc_id")} AS h
+         |  FROM documents),
+         |by_source AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+         |  FROM docs GROUP BY source),
+         |totals AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+         |    count(*) AS n_sources FROM by_source),
+         |weights AS (SELECT source, n_docs, n_tokens,
+         |    least(1.0, round(CAST(t_total AS DOUBLE) / CAST(n_sources AS DOUBLE) /
+         |      CAST(n_tokens AS DOUBLE), 6)) AS weight,
+         |    CAST(floor(least(1.0, round(CAST(t_total AS DOUBLE) / CAST(n_sources AS DOUBLE) /
+         |      CAST(n_tokens AS DOUBLE), 6)) * 256) AS INTEGER) AS threshold
+         |  FROM by_source CROSS JOIN totals),
+         |kept AS (SELECT d.source, count(*) AS n_kept
+         |  FROM docs d JOIN weights w ON d.source = w.source
+         |  WHERE d.h < w.threshold GROUP BY d.source)
+         |SELECT w.source, w.n_docs, w.n_tokens, w.weight,
+         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM weights w LEFT JOIN kept k ON w.source = k.source
+         |ORDER BY w.source""".stripMargin,
+  )
+}

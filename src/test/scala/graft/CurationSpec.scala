@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks for the corpus-curation operators (q63-q66) beyond
+  * the DuckDB oracle: invariants that must hold on ANY corpus, not
+  * just value-equality on this one. */
+class CurationSpec extends SparkSpec {
+
+  private def run(name: String) =
+    operators.Curation.queries(name)(spark, sf)
+
+  test("q63: benchmark docs are excluded and an exact duplicate of a benchmark doc is contaminated") {
+    val s = spark
+    import s.implicits._
+    val out = run("q63_decontaminate").cache()
+    try {
+      // no benchmark doc leaks into the scored set
+      assert(out.where($"doc_id" % operators.Curation.BenchmarkMod === 0).count() === 0)
+      // a train doc with text identical to a benchmark doc must share
+      // all its shingles — if such a pair exists, it must be flagged
+      val docs = Tables.documents(s, sf)
+      val benchTexts = docs
+        .where($"doc_id" % operators.Curation.BenchmarkMod === 0)
+        .select($"text").distinct()
+      val dupTrainIds = docs
+        .where($"doc_id" % operators.Curation.BenchmarkMod =!= 0)
+        .join(benchTexts, Seq("text"))
+        // only docs long enough to have 5-gram shingles at all
+        .where(size(split(trim($"text"), "\\s+")) >= 5)
+        .select($"doc_id").as[Long].collect().toSet
+      if (dupTrainIds.nonEmpty) {
+        val flagged = out.where($"contaminated")
+          .select($"doc_id").as[Long].collect().toSet
+        assert(dupTrainIds.subsetOf(flagged),
+          s"exact benchmark duplicates not flagged: ${dupTrainIds -- flagged}")
+      }
+    } finally out.unpersist()
+  }
+
+  test("q64: scrubbed text contains no residual PII and counts match injections") {
+    val s = spark
+    import s.implicits._
+    val out = run("q64_pii_scrub").cache()
+    try {
+      val residual = out.where(
+        regexp_count($"scrubbed", lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")) > 0 ||
+        regexp_count($"scrubbed", lit("\\+1-555-[0-9]{4}")) > 0).count()
+      assert(residual === 0)
+      // every doc_id % 7 == 0 got exactly one email + one phone; % 7 == 3 one email
+      assert(out.where($"doc_id" % 7 === 0 && ($"n_emails" =!= 1 || $"n_phones" =!= 1)).count() === 0)
+      assert(out.where($"doc_id" % 7 === 3 && ($"n_emails" =!= 1 || $"n_phones" =!= 0)).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("q65: fractions are in [0,1] and a constant-token doc maxes out") {
+    val s = spark
+    import s.implicits._
+    val out = run("q65_repetition")
+    val bad = out.where(
+      $"frac_dup_tokens" < 0 || $"frac_dup_tokens" > 1 ||
+      $"frac_dup_3grams" < 0 || $"frac_dup_3grams" > 1).count()
+    assert(bad === 0)
+    // synthetic corpus has heavy vocab reuse — some docs must be repetitive
+    assert(out.where($"repetitive").count() > 0)
+  }
+
+  test("q66: weights are in (0,1], every source appears once, kept <= docs") {
+    val s = spark
+    import s.implicits._
+    val out = run("q66_domain_mix").cache()
+    try {
+      assert(out.where($"weight" <= 0 || $"weight" > 1).count() === 0)
+      assert(out.select($"source").distinct().count() === out.count())
+      assert(out.where($"n_kept" > $"n_docs").count() === 0)
+      // the uniform target downsamples at least the most over-represented source
+      val nSources = out.count()
+      if (nSources > 1) assert(out.agg(min($"weight")).head.getDouble(0) <= 1.0)
+    } finally out.unpersist()
+  }
+}
