@@ -157,7 +157,7 @@ object Curation {
           col("threshold"))), Seq("source"))
         .where(col("h") < col("threshold"))
         .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
-      weights.join(kept, Seq("source"), "left")
+      weights.join(broadcast(kept), Seq("source"), "left")
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("weight"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy(col("source"))

@@ -65,6 +65,21 @@ class CurationSpec extends SparkSpec {
     assert(out.where($"repetitive").count() > 0)
   }
 
+  test("q63/q66 plan shape: benchmark grams and weights join broadcast, never shuffle the corpus by key") {
+    def physical(name: String): String =
+      run(name).queryExecution.executedPlan.toString
+    val p63 = physical("q63_decontaminate")
+    assert(p63.contains("BroadcastHashJoin"),
+      "q63 must broadcast the benchmark gram set")
+    assert(!p63.contains("SortMergeJoin"),
+      "q63 must not sort-merge the corpus by shingle")
+    val p66 = physical("q66_domain_mix")
+    assert(p66.contains("BroadcastHashJoin"),
+      "q66 must broadcast the per-source weight table")
+    assert(!p66.contains("SortMergeJoin"),
+      "q66 must not shuffle-join the corpus against 20 weight rows")
+  }
+
   test("q66: weights are in (0,1], every source appears once, kept <= docs") {
     val s = spark
     import s.implicits._
