@@ -80,6 +80,51 @@ class CurationSpec extends SparkSpec {
       "q66 must not shuffle-join the corpus against 20 weight rows")
   }
 
+  test("streaming decontamination: stream-static gram join equals batch q63 hits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // static side: the benchmark shingle set, exactly as q63 builds it
+    val toksE = operators.Tokens.toksExpr
+    val grams5 =
+      "CASE WHEN size(toks) >= 5 THEN array_distinct(transform(" +
+        "sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
+    val docs = Tables.documents(s, sf)
+      .withColumn("toks", expr(toksE)).withColumn("grams", expr(grams5))
+    val bench = docs
+      .where($"doc_id" % operators.Curation.BenchmarkMod === 0)
+      .select(explode($"grams").as("gram")).distinct()
+    // stream side: the train documents arrive as a stream (the 100 TB
+    // streaming-ingest guise: stream-static broadcast join against the
+    // eval set, per-doc aggregation in update-free complete mode)
+    val mem = MemoryStream[(Long, String)]
+    val hits = mem.toDS().toDF("doc_id", "text")
+      .withColumn("toks", expr(toksE)).withColumn("grams", expr(grams5))
+      .select($"doc_id", explode($"grams").as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+    val q = hits.writeStream.format("memory").queryName("deco_stream")
+      .outputMode("complete").start()
+    try {
+      val train = docs.where($"doc_id" % operators.Curation.BenchmarkMod =!= 0)
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      // feed in two batches to cross a trigger boundary
+      val (a, b) = train.splitAt(train.length / 2)
+      mem.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = s.table("deco_stream")
+        .as[(Long, Long)].collect().toMap
+      val batch = run("q63_decontaminate")
+        .where($"n_hits" > 0)
+        .select($"doc_id", $"n_hits").as[(Long, Long)].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("q66: weights are in (0,1], every source appears once, kept <= docs") {
     val s = spark
     import s.implicits._
