@@ -155,6 +155,20 @@ object VectorFunctions {
   def minhash16(tokset: Column): Column =
     GraftSqlBridge.column(MinHash16(GraftSqlBridge.expression(tokset)))
 
+  /** Space-joined k-token shingles (optionally distinct,
+    * first-occurrence order); empty below k tokens. */
+  def shingles(toks: Column, k: Int, distinct: Boolean): Column =
+    GraftSqlBridge.column(TokenShingles(GraftSqlBridge.expression(toks), k, distinct))
+
+  /** Distinct character k-grams (substring semantics); empty below k
+    * chars. */
+  def charNgrams(s: Column, k: Int): Column =
+    GraftSqlBridge.column(CharNgrams(GraftSqlBridge.expression(s), k))
+
+  /** Lexicographic min of md5 hex over array<string>; NULL on empty. */
+  def minMd5(arr: Column): Column =
+    GraftSqlBridge.column(MinMd5(GraftSqlBridge.expression(arr)))
+
   /** Idempotent SQL registration so `graft_cosine(a, b)` /
     * `graft_l2sq(a, b)` work in `spark.sql` / `expr` strings on an
     * existing session. */

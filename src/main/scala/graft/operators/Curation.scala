@@ -32,12 +32,13 @@ object Curation {
   private val toksExpr = Tokens.toksExpr
   private val toksSql = Tokens.toksSql
 
-  /** Distinct 5-token shingles (space-joined); empty below 5 tokens
-    * (guarded — Spark's sequence(1, n-4) counts DOWN for n<5). */
-  private val grams5Spark =
-    "CASE WHEN size(toks) >= 5 THEN array_distinct(transform(" +
-      "sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))) " +
-      "ELSE CAST(array() AS ARRAY<STRING>) END"
+  /** Distinct 5-token shingles (space-joined); empty below 5 tokens.
+    * Native one-pass kernel (graft.functions.TokenShingles) — the
+    * interpreted transform+slice+concat_ws lambda this replaces cost
+    * ~10 s per corpus pass at sf0.1. The oracle keeps the declarative
+    * form; VectorExprSpec asserts bit-parity. */
+  def grams5(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.shingles(toks, 5, distinct = true)
   private val grams5Sql =
     "CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(" +
       "range(1, len(toks) - 3), i -> array_to_string(list_slice(toks, i, i + 4), ' '))) " +
@@ -45,10 +46,8 @@ object Curation {
 
   /** All 3-token shingles, multiplicity kept (the repetition metric
     * needs the duplicate count); empty below 3 tokens. */
-  private val grams3Spark =
-    "CASE WHEN size(toks) >= 3 THEN transform(" +
-      "sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))) " +
-      "ELSE CAST(array() AS ARRAY<STRING>) END"
+  private def grams3(toks: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.shingles(toks, 3, distinct = false)
   private val grams3Sql =
     "CASE WHEN len(toks) >= 3 THEN list_transform(" +
       "range(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 2), ' ')) " +
@@ -72,7 +71,7 @@ object Curation {
     "q63_decontaminate" -> { (s, d) =>
       val g = Tables.documents(s, d)
         .withColumn("toks", expr(toksExpr))
-        .withColumn("grams", expr(grams5Spark))
+        .withColumn("grams", grams5(col("toks")))
       val bench = g.where(col("doc_id") % BenchmarkMod === 0)
         .select(explode(col("grams")).as("gram")).distinct()
       val train = g.where(col("doc_id") % BenchmarkMod =!= 0)
@@ -118,7 +117,7 @@ object Curation {
     "q65_repetition" -> { (s, d) =>
       Tables.documents(s, d)
         .withColumn("toks", expr(toksExpr))
-        .withColumn("g3", expr(grams3Spark))
+        .withColumn("g3", grams3(col("toks")))
         .withColumn("n_toks", size(col("toks")).cast("long"))
         .withColumn("frac_dup_tokens", when(col("n_toks") > 0,
           round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /

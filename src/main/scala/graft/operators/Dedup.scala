@@ -366,14 +366,12 @@ object Dedup {
     // Exact character-3-gram Jaccard within (lang, n_chars) blocks.
     "q34_ngram_jaccard" -> { (s, d) =>
       // materialize the gram relation once — the block self-join would
-      // otherwise run the shingling pipeline for both legs
-      // guarded like q43: below 3 chars Spark's sequence(1, n-2)
-      // counts DOWN and substring() fabricates grams while the
-      // oracle's range() is empty — an empty array matches
+      // otherwise run the shingling pipeline for both legs. Native
+      // one-pass char-3-gram kernel (below 3 chars → empty array,
+      // matching the oracle's empty range()).
       val sh = Materialize.cut(Tables.documents(s, d)
-        .withColumn("lt", lower(col("text")))
-        .withColumn("grams", expr(
-          "CASE WHEN length(lt) >= 3 THEN array_distinct(transform(sequence(1, length(lt) - 2), i -> substring(lt, i, 3))) ELSE array() END"))
+        .withColumn("grams",
+          graft.functions.VectorFunctions.charNgrams(lower(col("text")), 3))
         .select(col("doc_id"), col("lang"), col("n_chars"), col("grams")))
       val a = sh.select(col("doc_id").as("doc_a"), col("grams").as("ga"),
         col("lang"), col("n_chars"))

@@ -236,11 +236,11 @@ object TextAnalysis {
       Tables.documents(s, d)
         .withColumn("toks", expr(toksExpr))
         .withColumn("content_md5", md5(concat_ws(" ", col("toks"))))
-        // guarded: below 5 tokens Spark's sequence(1, n-4) counts DOWN
-        // (e.g. [1, 0]) and slice() throws on the non-positive index;
-        // NULL here matches the oracle's empty-range list_min
-        .withColumn("shingle_min", expr(
-          "CASE WHEN size(toks) >= 5 THEN array_min(transform(sequence(1, size(toks) - 4), i -> md5(concat_ws(' ', slice(toks, i, 5))))) END"))
+        // native kernels: 5-token shingles (empty below 5 tokens) +
+        // min-md5 winnowing (NULL on empty — matching the oracle's
+        // empty-range list_min)
+        .withColumn("shingle_min", graft.functions.VectorFunctions.minMd5(
+          graft.functions.VectorFunctions.shingles(col("toks"), 5, distinct = false)))
         .select(col("doc_id"), col("content_md5"), col("shingle_min"))
         .orderBy(col("doc_id"))
     },

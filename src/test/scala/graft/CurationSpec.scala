@@ -87,12 +87,9 @@ class CurationSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     // static side: the benchmark shingle set, exactly as q63 builds it
     val toksE = operators.Tokens.toksExpr
-    val grams5 =
-      "CASE WHEN size(toks) >= 5 THEN array_distinct(transform(" +
-        "sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))) " +
-        "ELSE CAST(array() AS ARRAY<STRING>) END"
     val docs = Tables.documents(s, sf)
-      .withColumn("toks", expr(toksE)).withColumn("grams", expr(grams5))
+      .withColumn("toks", expr(toksE))
+      .withColumn("grams", operators.Curation.grams5(col("toks")))
     val bench = docs
       .where($"doc_id" % operators.Curation.BenchmarkMod === 0)
       .select(explode($"grams").as("gram")).distinct()
@@ -101,7 +98,8 @@ class CurationSpec extends SparkSpec {
     // eval set, per-doc aggregation in update-free complete mode)
     val mem = MemoryStream[(Long, String)]
     val hits = mem.toDS().toDF("doc_id", "text")
-      .withColumn("toks", expr(toksE)).withColumn("grams", expr(grams5))
+      .withColumn("toks", expr(toksE))
+      .withColumn("grams", operators.Curation.grams5(col("toks")))
       .select($"doc_id", explode($"grams").as("gram"))
       .join(broadcast(bench), Seq("gram"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))

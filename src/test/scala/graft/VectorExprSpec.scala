@@ -136,6 +136,52 @@ class VectorExprSpec extends SparkSpec {
     assert(empty.size === 16 && empty.forall(_ == null))
   }
 
+  test("native shingle kernels equal the declarative formulations") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(s, sf).limit(200)
+      .withColumn("toks", expr(operators.Tokens.toksExpr))
+      .withColumn("lt", lower($"text"))
+    // token shingles, distinct and with multiplicity
+    val declDistinct = docs.select($"doc_id", expr(
+      "CASE WHEN size(toks) >= 5 THEN array_distinct(transform(" +
+        "sequence(1, size(toks) - 4), i -> concat_ws(' ', slice(toks, i, 5)))) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END").as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val natDistinct = docs.select($"doc_id",
+      VectorFunctions.shingles($"toks", 5, distinct = true).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(natDistinct === declDistinct)
+    val declMulti = docs.select($"doc_id", expr(
+      "CASE WHEN size(toks) >= 3 THEN transform(" +
+        "sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3))) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END").as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val natMulti = docs.select($"doc_id",
+      VectorFunctions.shingles($"toks", 3, distinct = false).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(natMulti === declMulti)
+    // char n-grams
+    val declChar = docs.select($"doc_id", expr(
+      "CASE WHEN length(lt) >= 3 THEN array_distinct(transform(" +
+        "sequence(1, length(lt) - 2), i -> substring(lt, i, 3))) " +
+        "ELSE CAST(array() AS ARRAY<STRING>) END").as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    val natChar = docs.select($"doc_id",
+      VectorFunctions.charNgrams($"lt", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(natChar === declChar)
+    // min-md5 winnowing (nullable when below 5 tokens)
+    val declMin = docs.select($"doc_id", expr(
+      "CASE WHEN size(toks) >= 5 THEN array_min(transform(" +
+        "sequence(1, size(toks) - 4), i -> md5(concat_ws(' ', slice(toks, i, 5))))) END").as("m"))
+      .as[(Long, Option[String])].collect().toMap
+    val natMin = docs.select($"doc_id",
+      VectorFunctions.minMd5(VectorFunctions.shingles($"toks", 5, distinct = false)).as("m"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(natMin === declMin)
+  }
+
   test("interpreted fallback matches codegen") {
     val s = spark
     import s.implicits._
