@@ -201,6 +201,41 @@ object Temporal {
           col("asof_ts"), col("asof_event_id"), col("asof_value"))
         .orderBy(col("event_id"))
     },
+
+    // Binned RANGE (interval) join: events × overlapping campaign
+    // windows derived from the event time span. The scale-safe
+    // formulation — both sides carry a bucket key (bucket width = the
+    // campaign step, so each campaign covers exactly 2 buckets) and
+    // the join is an EQUI-join on bucket with the range predicate as
+    // residual, never a nested-loop/cartesian over the corpus. All
+    // boundary math is integer microseconds (`div`), bit-stable
+    // across engines. At 100 TB both sides shuffle-partition by
+    // bucket; here the 80-row campaign leg simply broadcasts.
+    "q67_range_join" -> { (s, d) =>
+      val nCamp = 40
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t"))
+      val bounds = ev.agg(min(col("t")).as("tmin"), max(col("t")).as("tmax"))
+        .withColumn("step", expr(s"greatest((tmax - tmin) div $nCamp, 1L)"))
+      val camp = bounds
+        .select(explode(expr(s"sequence(0L, ${nCamp - 1}L)")).as("campaign_id"),
+          col("tmin"), col("step"))
+        .withColumn("start_us", expr("tmin + campaign_id * step"))
+        .withColumn("end_us", expr("start_us + 2 * step"))
+      // half-open [start, end): campaign c covers buckets c and c+1
+      val campBuckets = camp
+        .select(col("campaign_id"), col("start_us"), col("end_us"),
+          explode(expr("array(campaign_id, campaign_id + 1)")).as("bucket"))
+      val evBuckets = ev.crossJoin(broadcast(bounds.select(col("tmin"), col("step"))))
+        .withColumn("bucket", expr("(t - tmin) div step"))
+      evBuckets
+        .join(broadcast(campBuckets),
+          evBuckets("bucket") === campBuckets("bucket") &&
+            col("t") >= col("start_us") && col("t") < col("end_us"))
+        .select(col("event_id"), col("campaign_id"), col("user_id"))
+        .orderBy(col("campaign_id"), col("event_id"))
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -302,5 +337,24 @@ object Temporal {
         |  r.ts AS asof_ts, r.r_event_id AS asof_event_id, r.r_value AS asof_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+    // the oracle uses the direct non-equi range join — small data; the
+    // Spark side's binned equi-join must produce the identical pairs
+    "q67_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events),
+        |bounds AS (
+        |  SELECT min(t) AS tmin, max(t) AS tmax,
+        |    greatest((max(t) - min(t)) // 40, 1) AS step
+        |  FROM ev),
+        |camp AS (
+        |  SELECT CAST(c.campaign_id AS BIGINT) AS campaign_id,
+        |    b.tmin + c.campaign_id * b.step AS start_us,
+        |    b.tmin + c.campaign_id * b.step + 2 * b.step AS end_us
+        |  FROM (SELECT unnest(range(0, 40)) AS campaign_id) c
+        |  CROSS JOIN bounds b)
+        |SELECT e.event_id, c.campaign_id, e.user_id
+        |FROM ev e JOIN camp c ON e.t >= c.start_us AND e.t < c.end_us
+        |ORDER BY c.campaign_id, e.event_id""".stripMargin,
   )
 }

@@ -78,6 +78,23 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), "BNLJ in as-of plan")
   }
 
+  test("range join is a binned equi-join: no cartesian/BNLJ, matches are in-interval") {
+    val s = spark
+    import s.implicits._
+    val q = Temporal.queries("q67_range_join")(s, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian in range-join plan")
+    // the corpus-side join must be hash on the bucket key; the only
+    // nested-loop allowed is the 1-row bounds broadcast
+    assert(plan.contains("BroadcastHashJoin"), "bucket equi-join missing")
+    // every event matches >= 1 campaign except possibly boundary rows,
+    // and no event matches more than the 2 overlapping windows + 1
+    val perEvent = q.groupBy($"event_id").count()
+    assert(perEvent.filter($"count" > 3).count() === 0)
+    assert(q.count() > Tables.events(s, sf).count(),
+      "overlapping windows should multiply matches")
+  }
+
   test("sessionization covers every event exactly once") {
     val s = spark
     import s.implicits._
