@@ -1,0 +1,200 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A DataSource V2 streaming source with EXACT row-level admission
+  * control: at most `rowsPerTrigger` CSV rows enter each micro-batch.
+  *
+  * This is the faithful Spark re-expression of the reference's
+  * rate-limited dataset source (`J/source/GridFSCsvSource.java:98-128`
+  * — a parallelism-1 source that sleeps `1000/maxReadRate` ms per
+  * row, `J/Constants.java:36` caps it at 4 rows/s). The reference
+  * enforces rate by wall-clock sleeps inside the emit loop; here the
+  * same budget is declarative: `rowsPerTrigger` rows admitted per
+  * trigger, so `rowsPerTrigger = 4` with a 1 s `ProcessingTime`
+  * trigger IS 4 rows/s — but replayable from checkpointed offsets,
+  * and it composes with `Trigger.AvailableNow` (drain everything at
+  * the admitted batch size, then stop — the reference's EOF-sentinel
+  * protocol for free).
+  *
+  * Usage:
+  * {{{
+  * spark.readStream.format("graft-rate-csv")
+  *   .option("path", file).option("rowsPerTrigger", "4")
+  *   .option("sep", "\t").option("header", "true")
+  *   .load()
+  * }}}
+  * All columns are strings (the reference emits raw CSV fields and
+  * parses downstream); the schema comes from the header row or
+  * `c0..cN`, or a user-supplied all-string schema. Quoting is not
+  * interpreted (split on the separator) — same as the reference's
+  * line split.
+  */
+class RateLimitedCsvProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-rate-csv"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RateLimitedCsv.schemaFor(options)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(schema.fields.forall(_.dataType == StringType),
+      s"graft-rate-csv emits raw CSV fields: all columns must be string, got $schema")
+    new RateLimitedCsvTable(schema,
+      new CaseInsensitiveStringMap(properties))
+  }
+}
+
+private[sources] object RateLimitedCsv {
+  def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft-rate-csv requires option 'path'")
+    p
+  }
+  def sep(options: CaseInsensitiveStringMap): String =
+    Option(options.get("sep")).getOrElse(",")
+  def header(options: CaseInsensitiveStringMap): Boolean =
+    Option(options.get("header")).forall(_.toBoolean)
+  def rowsPerTrigger(options: CaseInsensitiveStringMap): Int = {
+    val n = Option(options.get("rowsPerTrigger")).map(_.toInt).getOrElse(4)
+    require(n > 0, s"rowsPerTrigger must be positive, got $n")
+    n
+  }
+
+  /** All lines of the file (header excluded when header=true). Reads
+    * on the driver — the reference source is likewise a single
+    * driver-side reader over one dataset document. */
+  def dataLines(options: CaseInsensitiveStringMap): IndexedSeq[String] = {
+    val all = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(path(options)))).asScala.toIndexedSeq
+    if (header(options)) all.drop(1) else all
+  }
+
+  def schemaFor(options: CaseInsensitiveStringMap): StructType = {
+    val all = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path(options)))
+    require(!all.isEmpty, s"empty csv: ${path(options)}")
+    val cols = all.get(0).split(java.util.regex.Pattern.quote(sep(options)), -1)
+    val names =
+      if (header(options)) cols.toSeq
+      else cols.indices.map(i => s"c$i")
+    StructType(names.map(n => StructField(n, StringType, nullable = true)))
+  }
+}
+
+private[sources] class RateLimitedCsvTable(
+    tableSchema: StructType, options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-rate-csv:${RateLimitedCsv.path(options)}"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new RateLimitedCsvStream(tableSchema, options)
+        override def toBatch: Batch =
+          throw new UnsupportedOperationException(
+            "graft-rate-csv is a streaming source (batch CSV reads use spark.read.csv)")
+      }
+    }
+}
+
+/** Offset = number of data rows fully admitted so far. */
+private[sources] case class RowCountOffset(rows: Long) extends Offset {
+  override def json(): String = rows.toString
+}
+
+private[sources] class RateLimitedCsvStream(
+    schema: StructType, options: CaseInsensitiveStringMap)
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  private val sep = RateLimitedCsv.sep(options)
+  private val perTrigger = RateLimitedCsv.rowsPerTrigger(options)
+  // loaded once per stream; the admitted window [start, end) indexes it
+  private lazy val lines = RateLimitedCsv.dataLines(options)
+  // end fence for Trigger.AvailableNow: drain up to the rows present
+  // when the trigger started, still rowsPerTrigger per batch
+  @volatile private var fence: Long = Long.MaxValue
+
+  override def initialOffset(): Offset = RowCountOffset(0L)
+
+  override def deserializeOffset(json: String): Offset =
+    RowCountOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perTrigger)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    fence = lines.length.toLong
+
+  /** Admission control: at most `rowsPerTrigger` rows past `start` —
+    * the engine calls this once per trigger, so the per-trigger budget
+    * is exact under any trigger (ProcessingTime or AvailableNow). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[RowCountOffset].rows
+    RowCountOffset(math.min(math.min(lines.length.toLong, fence), from + perTrigger))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def reportLatestOffset(): Offset = RowCountOffset(lines.length.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[RowCountOffset].rows.toInt
+    val to = end.asInstanceOf[RowCountOffset].rows.toInt
+    // a micro-batch is <= rowsPerTrigger rows by construction: one
+    // partition (the reference source is parallelism-1 by design;
+    // parallelism comes from downstream stages)
+    Array(CsvSlicePartition(lines.slice(from, to).toArray, sep, schema.length))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    CsvSliceReaderFactory
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class CsvSlicePartition(
+    rows: Array[String], sep: String, nCols: Int) extends InputPartition
+
+private[sources] object CsvSliceReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CsvSlicePartition]
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.rows.length }
+      override def get(): InternalRow = {
+        val fields = p.rows(i).split(java.util.regex.Pattern.quote(p.sep), -1)
+        val out = new Array[Any](p.nCols)
+        var j = 0
+        while (j < p.nCols) {
+          out(j) = if (j < fields.length) UTF8String.fromString(fields(j)) else null
+          j += 1
+        }
+        new GenericInternalRow(out)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -13,7 +13,11 @@ import org.apache.spark.sql.types.StructType
   * source-side admission control per micro-batch: `maxFilesPerTrigger`
   * / `maxBytesPerTrigger` for files, `maxOffsetsPerTrigger` for Kafka
   * — declarative, parallel, and replayable instead of wall-clock
-  * sleeps (documented divergence: rate is per-trigger, not per-row).
+  * sleeps. For EXACT row-level admission (the reference's 4 rows/s),
+  * [[graft.sources.RateLimitedCsvProvider]] is a full DataSource V2
+  * `MicroBatchStream` with `SupportsAdmissionControl`:
+  * `format("graft-rate-csv").option("rowsPerTrigger", "4")` admits
+  * exactly 4 rows per trigger from checkpointable offsets.
   *
   * The reference's EOF-sentinel protocol (empty map then idle) is
   * subsumed by Spark's `Trigger.AvailableNow` (process everything,
