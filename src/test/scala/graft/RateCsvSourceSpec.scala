@@ -84,6 +84,37 @@ class RateCsvSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streams the reference's own tweets.csv fixture at the reference's rate shape") {
+    val s = spark
+    import s.implicits._
+    val fixture = "/root/reference/src/main/resources/tweets.csv"
+    org.scalatest.Assertions.assume(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
+    // reference dataset mode: GridFS CSV at a row-rate cap, drained to
+    // completion. 177 data rows at 64/trigger = 3 admitted batches.
+    val q = s.readStream.format("graft-rate-csv")
+      .option("path", fixture).option("sep", "\t")
+      .option("rowsPerTrigger", "64")
+      .load()
+      .writeStream.format("memory").queryName("rate_csv_fixture")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val out = s.table("rate_csv_fixture")
+      assert(out.count() === 177)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length === 3 && batches.forall(_.numInputRows <= 64))
+      // same rows the raw line split yields (the reference's own
+      // parse-then-drop happens downstream, reference #12)
+      val expected = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(java.nio.file.Paths.get(fixture)))
+        .asScala.drop(1).map(_.split("\t", -1)(0)).toSeq.sorted
+      val got = out.select($"id").as[String].collect().toSeq.sorted
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("schema inference from the header, c0..cN without") {
     val s = spark
     val path = writeCsv(2)
