@@ -35,7 +35,11 @@ def cell_eq(a, b):
         # driver parity: values are hashed by string representation, so
         # int64 3 vs float64 3.0 ("3" vs "3.0") MISmatches even though
         # numerically equal (observed r02: DuckDB HUGEINT sums → float64).
-        # Equal float bits stringify identically, so this stays exact.
+        # Keep float/float exact (str() would let different-width floats
+        # that stringify alike slip through); normalize to float64 first
+        # so a float32 cell is widened the way pandas does before hashing.
+        if fa and fb:
+            return float(np.float64(a)) == float(np.float64(b))
         return str(a) == str(b)
     try:
         if pd.isna(a) and pd.isna(b):

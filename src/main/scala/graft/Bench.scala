@@ -68,6 +68,22 @@ object Bench {
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // The driver parses the final stdout line from a bounded (2000-char)
+    // capture window, so the printed line must stay well under that. Use the
+    // qNN prefix as the key (the contract's own example format: {"q1":sec})
+    // and millisecond precision; the full-name map above still goes to the
+    // BENCH.json file. Prefixes are unique across the query set (asserted —
+    // fall back to full names if that ever breaks).
+    val shortKeys = ok.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    val qsShort =
+      if (shortKeys.map(_._1).distinct.size == shortKeys.size)
+        shortKeys.map { case (k, v) =>
+          "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        }.mkString("{", ",", "}")
+      else qs
+    val totalShort = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val jsonLine =
+      s"""{"metric":"total","value":$totalShort,"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir"}"""
     // sbt appends its own "[success] ..." epilogue to stdout, so the printed
     // line may not be last. Persist the JSON to known files the driver (or a
     // human) can always read: an env-given path and the working directory
@@ -80,6 +96,6 @@ object Bench {
     }
     spark.stop()
     // last print after spark.stop() so no executor/log lines follow it
-    println(json)
+    println(jsonLine)
   }
 }

@@ -35,8 +35,9 @@ object ShingleKernels {
   def tokenShingles(arr: ArrayData, k: Int, distinct: Boolean): ArrayData = {
     val n = arr.numElements()
     if (n < k) return new GenericArrayData(new Array[AnyRef](0))
-    val out = new java.util.LinkedHashSet[UTF8String]()
-    val list = new java.util.ArrayList[AnyRef](n - k + 1)
+    // hot path: allocate only the container this mode uses
+    val out = if (distinct) new java.util.LinkedHashSet[UTF8String]() else null
+    val list = if (distinct) null else new java.util.ArrayList[AnyRef](n - k + 1)
     var i = 0
     while (i <= n - k) {
       // concat_ws semantics: null tokens are skipped, others joined

@@ -39,6 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * `c0..cN`, or a user-supplied all-string schema. Quoting is not
   * interpreted (split on the separator) — same as the reference's
   * line split.
+  *
+  * NOTE: `header` defaults to TRUE (the reference's dataset documents
+  * always carry a header row — `J/source/GridFSCsvSource.java:104`),
+  * which is the opposite of `spark.read.csv`'s default. Pass
+  * `.option("header", "false")` for headerless files.
   */
 class RateLimitedCsvProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-rate-csv"
@@ -145,12 +150,29 @@ private[sources] class RateLimitedCsvStream(
   override def prepareForTriggerAvailableNow(): Unit =
     fence = lines.length.toLong
 
-  /** Admission control: at most `rowsPerTrigger` rows past `start` —
-    * the engine calls this once per trigger, so the per-trigger budget
-    * is exact under any trigger (ProcessingTime or AvailableNow). */
+  /** Row budget of an engine-passed ReadLimit. The engine normally
+    * echoes back [[getDefaultReadLimit]] (maxRows = rowsPerTrigger),
+    * but honor whatever it actually asks for: composed limits take the
+    * tightest row bound; unrecognized kinds fall back to perTrigger. */
+  private def rowBudget(limit: ReadLimit): Long = limit match {
+    case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => m.maxRows()
+    case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable => Long.MaxValue
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      val bounds = c.getReadLimits.map(rowBudget)
+      if (bounds.isEmpty) perTrigger.toLong else bounds.min
+    case _ => perTrigger.toLong
+  }
+
+  /** Admission control: at most the ReadLimit's row budget past
+    * `start` — the engine calls this once per trigger, so the
+    * per-trigger budget is exact under any trigger (ProcessingTime or
+    * AvailableNow). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[RowCountOffset].rows
-    RowCountOffset(math.min(math.min(lines.length.toLong, fence), from + perTrigger))
+    val avail = math.min(lines.length.toLong, fence)
+    val budget = rowBudget(limit)
+    val to = if (budget >= avail - from) avail else from + budget
+    RowCountOffset(math.min(avail, math.max(from, to)))
   }
 
   override def latestOffset(): Offset =
@@ -182,10 +204,14 @@ private[sources] object CsvSliceReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CsvSlicePartition]
     new PartitionReader[InternalRow] {
+      // quoted separator is multi-char source text, so String.split's
+      // single-char fast path never applies — compile once per reader
+      private val sepPattern =
+        java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(p.sep))
       private var i = -1
       override def next(): Boolean = { i += 1; i < p.rows.length }
       override def get(): InternalRow = {
-        val fields = p.rows(i).split(java.util.regex.Pattern.quote(p.sep), -1)
+        val fields = sepPattern.split(p.rows(i), -1)
         val out = new Array[Any](p.nCols)
         var j = 0
         while (j < p.nCols) {
