@@ -29,6 +29,30 @@ object Temporal {
   private def decSum(c: String) =
     sum(col(c).cast(DecimalType(18, 6))).cast("double")
 
+  /** KMV (bottom-k / theta) sketch size for q55b: k = 64 gives a
+    * ~1/sqrt(k-2) ≈ 13% standard error on the distinct-count estimate
+    * while staying below the per-group distinct-user count at every
+    * test scale factor (so the estimator path actually runs). */
+  val KmvK = 64
+
+  /** Fraction of rows (out of 256 md5-byte values) kept by q55b's
+    * deterministic Bernoulli sample: 64/256 = 25%. */
+  val SampleByte = 64
+
+  /** Fold the first 12 md5 hex digits of expression `h` into a uniform
+    * 48-bit non-negative BIGINT. Written as the identical explicit
+    * digit fold in Spark SQL and DuckDB (both have instr/substr with
+    * these exact semantics), so the two engines agree bit-for-bit —
+    * the same trick as [[Tokens.mdByteExpr]], widened to 48 bits so
+    * k-minimum order statistics are collision-free in practice. */
+  private def hex48(h: String): String =
+    (0 until 12).map { i =>
+      // CAST each weight to BIGINT: weights below 2^31 would otherwise
+      // be INT literals and 15 * 16^7 overflows int32 (ANSI mode)
+      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1)" +
+        s" * CAST(${BigInt(16).pow(11 - i)} AS BIGINT)"
+    }.mkString(" + ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type.
     "q50_window_agg" -> { (s, d) =>
@@ -153,19 +177,55 @@ object Temporal {
         .orderBy(col("user_id"))
     },
 
-    // Sketch aggregates — the 100 TB form of q55/q09: approximate
-    // percentiles + HLL distinct counts in one pass. Sketches are not
-    // SQL-oracle-expressible (engine-specific), so this query has no
-    // oracleSql entry — the driver records the weaker rows-only check;
-    // OperatorsSpec bounds the error against the exact aggregates.
+    // Sketch aggregates — the 100 TB form of q55/q09, in a
+    // DETERMINISTIC formulation both engines can hash-check:
+    //   - p50/p99 from a fixed-fraction Bernoulli sample (md5 byte of
+    //     event_id < 64 keeps exactly the same ~25% of rows in both
+    //     engines) — a reservoir-sample percentile sketch with the
+    //     randomness replaced by a content hash;
+    //   - distinct users per type from a KMV (bottom-k / theta)
+    //     sketch: take the k-th smallest distinct 48-bit md5-derived
+    //     hash h_k and estimate (k-1) * 2^48 div h_k — pure integer
+    //     arithmetic, bit-equal across engines; groups with fewer
+    //     than k distinct hashes fall back to the exact count (the
+    //     standard KMV small-cardinality case).
+    // Spark's native approx_percentile / approx_count_distinct remain
+    // the production one-liners; their (engine-specific, non-oracle-
+    // expressible) error is bounded in OperatorsSpec instead.
+    // Scale shape: the sample aggregate is one map-side-combined
+    // shuffle on event_type; the KMV leg shuffles only DISTINCT
+    // (event_type, 8-byte hash) rows — per-group state is bounded by
+    // the distinct-hash count, and at 100 TB the bottom-k could
+    // further prune with a per-partition top-k before the shuffle.
     "q55b_sketch_stats" -> { (s, d) =>
-      Tables.events(s, d)
+      val ev = Tables.events(s, d)
+      val samp = ev
+        .withColumn("in_samp", expr(Tokens.mdByteExpr("event_id")) < SampleByte)
         .groupBy(col("event_type"))
         .agg(
-          expr("approx_percentile(value, 0.5, 10000)").as("p50_approx"),
-          expr("approx_percentile(value, 0.99, 10000)").as("p99_approx"),
-          approx_count_distinct(col("user_id")).as("users_approx"),
+          round(expr("percentile(CASE WHEN in_samp THEN value END, 0.5)"), 6)
+            .as("p50_est"),
+          round(expr("percentile(CASE WHEN in_samp THEN value END, 0.99)"), 6)
+            .as("p99_est"),
+          count(when(col("in_samp"), 1)).as("n_sample"),
           count(lit(1)).as("n"))
+      val hashes = ev
+        .select(col("event_type"),
+          md5(concat(lit("u:"), col("user_id").cast("string"))).as("hx"))
+        .select(col("event_type"), expr(hex48("hx")).as("h"))
+        .distinct()
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val kmv = hashes
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nd"),
+          max(when(col("rn") === KmvK, col("h"))).as("h_k"))
+        .select(col("event_type"),
+          coalesce(expr(s"(${KmvK - 1} * 281474976710656) div h_k"), col("nd"))
+            .cast("long").as("users_est"))
+      samp.join(kmv, Seq("event_type"))
+        .select(col("event_type"), col("p50_est"), col("p99_est"),
+          col("users_est"), col("n_sample"), col("n"))
         .orderBy(col("event_type"))
     },
 
@@ -304,6 +364,33 @@ object Temporal {
         |  round(quantile_cont(value, 0.99), 6) AS p99,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q55b_sketch_stats" ->
+      s"""WITH hs AS (
+         |  SELECT DISTINCT event_type, ${hex48("hx")} AS h FROM (
+         |    SELECT event_type, md5('u:' || CAST(user_id AS VARCHAR)) AS hx
+         |    FROM events)),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM hs),
+         |kmv AS (
+         |  SELECT event_type,
+         |    CAST(COALESCE(
+         |      (${KmvK - 1} * 281474976710656) // max(CASE WHEN rn = $KmvK THEN h END),
+         |      count(*)) AS BIGINT) AS users_est
+         |  FROM r GROUP BY event_type),
+         |s AS (
+         |  SELECT event_type,
+         |    round(quantile_cont(CASE WHEN ${Tokens.mdByteSql("event_id")} < $SampleByte
+         |      THEN value END, 0.5), 6) AS p50_est,
+         |    round(quantile_cont(CASE WHEN ${Tokens.mdByteSql("event_id")} < $SampleByte
+         |      THEN value END, 0.99), 6) AS p99_est,
+         |    CAST(count(CASE WHEN ${Tokens.mdByteSql("event_id")} < $SampleByte
+         |      THEN 1 END) AS BIGINT) AS n_sample,
+         |    count(*) AS n
+         |  FROM events GROUP BY event_type)
+         |SELECT s.event_type, s.p50_est, s.p99_est, kmv.users_est, s.n_sample, s.n
+         |FROM s JOIN kmv USING (event_type) ORDER BY event_type""".stripMargin,
     "q53_sliding_window" ->
       """WITH b AS (
         |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS ws,

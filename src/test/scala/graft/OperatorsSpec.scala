@@ -177,25 +177,42 @@ class OperatorsSpec extends SparkSpec {
   test("sketch stats track exact percentiles and distincts") {
     val s = spark
     import s.implicits._
-    val exact = Temporal.queries("q55_percentiles")(s, sf)
-      .select($"event_type", $"p50", $"p99").as[(String, Double, Double)]
-      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // exact order-statistic brackets per type: the sampled estimators
+    // are order statistics of a fixed ~25% subset, so bound them by
+    // exact quantile ranges rather than distances (robust at the tiny
+    // test SF where the per-group sample is ~50 rows)
+    val brackets = Tables.events(s, sf).groupBy($"event_type")
+      .agg(expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.75)").as("p75"),
+        expr("percentile(value, 0.9)").as("p90"),
+        org.apache.spark.sql.functions.max($"value").as("vmax"),
+        countDistinct($"user_id").as("nd"))
+      .as[(String, Double, Double, Double, Double, Long)]
+      .collect().map(r => r._1 -> r).toMap
     val sketch = Temporal.queries("q55b_sketch_stats")(s, sf)
-      .select($"event_type", $"p50_approx", $"p99_approx")
-      .as[(String, Double, Double)].collect()
-    // approx_percentile is nearest-rank; percentile() interpolates.
-    // In a sparse tail adjacent order statistics can be far apart, so
-    // p99 is bounded by order, not distance.
-    val maxes = Temporal.queries("q55_percentiles")(s, sf)
-      .select($"event_type").as[String].collect().map { t =>
-        t -> Tables.events(s, sf).filter($"event_type" === t)
-          .agg(org.apache.spark.sql.functions.max($"value"))
-          .as[Double].head()
-      }.toMap
-    sketch.foreach { case (t, p50a, p99a) =>
-      val (p50, p99) = exact(t)
-      assert(math.abs(p50a - p50) <= math.max(5.0, p50 * 0.1), s"$t p50")
-      assert(p99a >= p50 && p99a <= maxes(t), s"$t p99=$p99a exact=$p99")
+      .select($"event_type", $"p50_est", $"p99_est", $"users_est", $"n_sample", $"n")
+      .as[(String, Double, Double, Long, Long, Long)].collect()
+    assert(sketch.nonEmpty)
+    sketch.foreach { case (t, p50e, p99e, usersEst, nSample, n) =>
+      val (_, p25, p75, p90, vmax, nd) = brackets(t)
+      assert(p50e >= p25 && p50e <= p75, s"$t p50_est=$p50e not in [$p25,$p75]")
+      assert(p99e >= p90 && p99e <= vmax, s"$t p99_est=$p99e not in [$p90,$vmax]")
+      // KMV k=64: ~13% std error above k distinct; exact below k
+      assert(math.abs(usersEst - nd).toDouble / nd <= 0.4,
+        s"$t users_est=$usersEst exact=$nd")
+      assert(nSample > 0 && nSample < n, s"$t sample $nSample of $n")
+    }
+    // the engine-native sketches (approx_percentile + HLL) remain the
+    // production one-liners; their error is engine-specific and not
+    // oracle-expressible, so it is bounded here instead
+    val native = Tables.events(s, sf).groupBy($"event_type")
+      .agg(expr("approx_percentile(value, 0.5, 10000)").as("p50a"),
+        approx_count_distinct($"user_id").as("ua"))
+      .as[(String, Double, Long)].collect()
+    native.foreach { case (t, p50a, ua) =>
+      val (_, p25, p75, _, _, nd) = brackets(t)
+      assert(p50a >= p25 && p50a <= p75, s"$t native p50=$p50a")
+      assert(math.abs(ua - nd).toDouble / nd <= 0.1, s"$t native users=$ua exact=$nd")
     }
   }
 
