@@ -37,7 +37,6 @@ object Bench {
           avg(col("n_nationkey")), count(lit(1)))
         .write.mode("overwrite").parquet(s"$tmp/_warmup.parquet")
     } catch { case _: Throwable => }
-    var failed = List.empty[String]
     // dev convenience (mirrors Verify): SPARK_GRAFT_ONLY=q31,q32 times a
     // subset; unset (the driver's invocation) times everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -47,27 +46,60 @@ object Bench {
         pats.exists(n.contains) }
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Time what Verify's gate does — materialize to parquet — so Catalyst
-      // can't drop presentation sorts or skip column materialization the way
-      // a bare count() lets it.
-      try fn(spark, sfDir).write.mode("overwrite").parquet(s"$tmp/$name.parquet")
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    val names = selected.toSeq.sortBy(_._1)
+    // Variance control: single-run timings swung individual queries by
+    // up to 3.4x between rounds on unchanged code, which makes a real
+    // regression unfalsifiable. Time each query SPARK_GRAFT_RUNS times
+    // (default 3) and report the per-query MEDIAN. The repeats run as
+    // whole-suite sweeps, not back-to-back per query, with session
+    // memos (Dedup's pair/cluster relations) cleared between sweeps:
+    // within a sweep queries legitimately share memoized work (that is
+    // the production shape), but a repeat run must not be timed
+    // against the previous run's materialized results.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    val timings = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    val failedSet = scala.collection.mutable.Set[String]()
+    for (sweep <- 1 to runs) {
+      graft.operators.Dedup.clearMemos()
+      for ((name, fn) <- names if !failedSet(name)) {
+        val t0 = System.nanoTime()
+        // Time what Verify's gate does — materialize to parquet — so Catalyst
+        // can't drop presentation sorts or skip column materialization the way
+        // a bare count() lets it.
+        try {
+          fn(spark, sfDir).write.mode("overwrite").parquet(s"$tmp/$name.parquet")
+          timings(name) = timings.getOrElse(name, Nil) :+
+            (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          failedSet += name
+          System.err.println(s"[bench] $name failed (sweep $sweep): ${e.getMessage}")
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    val failed = failedSet.toList
     // the timings no longer need the materialized outputs — reclaim
     // the temp dir so repeated bench runs don't fill /tmp
     Fs.deleteRecursively(tmp)
-    val ok = results.filterNot { case (k, _) => failed.contains(k) }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val ok = timings.toSeq.collect {
+      case (k, ts) if ts.nonEmpty && !failedSet(k) => k -> median(ts)
+    }
     val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // full-fidelity file form: medians under "queries" (shape-compatible
+    // with earlier rounds) plus the raw per-sweep samples under "detail"
+    val detail = timings.toSeq.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t =>
+        BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"detail":$detail,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver parses the final stdout line from a bounded (2000-char)
     // capture window, so the printed line must stay well under that. Use the
     // qNN prefix as the key (the contract's own example format: {"q1":sec})
@@ -75,12 +107,21 @@ object Bench {
     // BENCH.json file. Prefixes are unique across the query set (asserted —
     // fall back to full names if that ever breaks).
     val shortKeys = ok.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    def round3(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
     val qsShort =
-      if (shortKeys.map(_._1).distinct.size == shortKeys.size)
-        shortKeys.map { case (k, v) =>
-          "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-        }.mkString("{", ",", "}")
-      else qs
+      if (shortKeys.map(_._1).distinct.size == shortKeys.size) round3(shortKeys)
+      else {
+        // collision: keep full names but KEEP the 3-decimal rounding —
+        // the precision, not the names, is most of the stdout bloat
+        // (full-precision full-name output is what overflowed the
+        // driver's 2000-char capture in rounds 1-3)
+        System.err.println(
+          "[bench] qNN key collision — emitting full-name keys; check stdout size")
+        round3(ok)
+      }
     val totalShort = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     val jsonLine =
       s"""{"metric":"total","value":$totalShort,"unit":"sec","queries":$qsShort,"failed":$failedJson,"sf":"$sfDir"}"""
