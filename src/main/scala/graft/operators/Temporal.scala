@@ -39,19 +39,10 @@ object Temporal {
     * deterministic Bernoulli sample: 64/256 = 25%. */
   val SampleByte = 64
 
-  /** Fold the first 12 md5 hex digits of expression `h` into a uniform
-    * 48-bit non-negative BIGINT. Written as the identical explicit
-    * digit fold in Spark SQL and DuckDB (both have instr/substr with
-    * these exact semantics), so the two engines agree bit-for-bit —
-    * the same trick as [[Tokens.mdByteExpr]], widened to 48 bits so
-    * k-minimum order statistics are collision-free in practice. */
-  private def hex48(h: String): String =
-    (0 until 12).map { i =>
-      // CAST each weight to BIGINT: weights below 2^31 would otherwise
-      // be INT literals and 15 * 16^7 overflows int32 (ANSI mode)
-      s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1)" +
-        s" * CAST(${BigInt(16).pow(11 - i)} AS BIGINT)"
-    }.mkString(" + ")
+  /** Dialect-neutral 48-bit fold of the first 12 md5 hex digits — see
+    * [[Tokens.hex48]]; widened from the sampling byte so k-minimum
+    * order statistics are collision-free in practice. */
+  private def hex48(h: String): String = Tokens.hex48(h)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type.
