@@ -77,22 +77,69 @@ private[sources] object RateLimitedCsv {
     require(n > 0, s"rowsPerTrigger must be positive, got $n")
     n
   }
+  def indexEvery(options: CaseInsensitiveStringMap): Int = {
+    val n = Option(options.get("indexEvery")).map(_.toInt).getOrElse(1024)
+    require(n > 0, s"indexEvery must be positive, got $n")
+    n
+  }
 
-  /** All lines of the file (header excluded when header=true). Reads
-    * on the driver — the reference source is likewise a single
-    * driver-side reader over one dataset document. */
-  def dataLines(options: CaseInsensitiveStringMap): IndexedSeq[String] = {
-    val all = scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get(path(options)))).asScala.toIndexedSeq
-    if (header(options)) all.drop(1) else all
+  /** Driver-side index of the file's DATA lines: total count plus the
+    * byte offset of every `blockSize`-th line start. Bounded driver
+    * memory (8 bytes per `blockSize` lines — a billion-line file at
+    * the default granularity indexes in ~8 MB) no matter the file
+    * size; the line CONTENT never lives on the driver — executors
+    * read their own byte ranges. Line terminators are `\n`, `\r\n`,
+    * or lone `\r` (exactly `BufferedReader.readLine`'s rule, so the
+    * index agrees with the executor-side reader byte for byte; UTF-8
+    * multibyte sequences never contain those bytes, so every recorded
+    * offset is a character boundary). */
+  final case class LineIndex(count: Long, blockSize: Int, blockOffsets: Array[Long])
+
+  def buildIndex(options: CaseInsensitiveStringMap): LineIndex = {
+    val blockSize = indexEvery(options)
+    val headerLines = if (header(options)) 1L else 0L
+    val in = new java.io.BufferedInputStream(
+      new java.io.FileInputStream(path(options)), 1 << 16)
+    try {
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var dataCount = 0L
+      var lineNo = 0L
+      var pos = 0L
+      var atLineStart = true
+      var c = in.read()
+      while (c != -1) {
+        if (atLineStart) {
+          val dataIdx = lineNo - headerLines
+          if (dataIdx >= 0) {
+            if (dataIdx % blockSize == 0) offsets += pos
+            dataCount = dataIdx + 1
+          }
+          atLineStart = false
+        }
+        if (c == '\n') {
+          lineNo += 1; atLineStart = true; pos += 1; c = in.read()
+        } else if (c == '\r') {
+          lineNo += 1; atLineStart = true; pos += 1
+          c = in.read()
+          if (c == '\n') { pos += 1; c = in.read() } // \r\n = one terminator
+        } else {
+          pos += 1; c = in.read()
+        }
+      }
+      LineIndex(dataCount, blockSize, offsets.toArray)
+    } finally in.close()
   }
 
   def schemaFor(options: CaseInsensitiveStringMap): StructType = {
-    val all = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(path(options)))
-    require(!all.isEmpty, s"empty csv: ${path(options)}")
-    val cols = all.get(0).split(java.util.regex.Pattern.quote(sep(options)), -1)
+    // only the header line is read — never the whole file
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.io.FileInputStream(path(options)),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val first =
+      try reader.readLine()
+      finally reader.close()
+    require(first != null, s"empty csv: ${path(options)}")
+    val cols = first.split(java.util.regex.Pattern.quote(sep(options)), -1)
     val names =
       if (header(options)) cols.toSeq
       else cols.indices.map(i => s"c$i")
@@ -134,8 +181,10 @@ private[sources] class RateLimitedCsvStream(
 
   private val sep = RateLimitedCsv.sep(options)
   private val perTrigger = RateLimitedCsv.rowsPerTrigger(options)
-  // loaded once per stream; the admitted window [start, end) indexes it
-  private lazy val lines = RateLimitedCsv.dataLines(options)
+  // built once per stream: counts + sparse byte offsets ONLY — the
+  // file content itself never enters the driver heap, so a multi-GB
+  // dataset replay costs the driver ~8 bytes per `indexEvery` lines
+  private lazy val index = RateLimitedCsv.buildIndex(options)
   // end fence for Trigger.AvailableNow: drain up to the rows present
   // when the trigger started, still rowsPerTrigger per batch
   @volatile private var fence: Long = Long.MaxValue
@@ -148,17 +197,25 @@ private[sources] class RateLimitedCsvStream(
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(perTrigger)
 
   override def prepareForTriggerAvailableNow(): Unit =
-    fence = lines.length.toLong
+    fence = index.count
 
   /** Row budget of an engine-passed ReadLimit. The engine normally
     * echoes back [[getDefaultReadLimit]] (maxRows = rowsPerTrigger),
-    * but honor whatever it actually asks for: composed limits take the
-    * tightest row bound; unrecognized kinds fall back to perTrigger. */
-  private def rowBudget(limit: ReadLimit): Long = limit match {
+    * but honor whatever it actually asks for. Inside a composite,
+    * only row-bounding members (maxRows; allAvailable = unbounded)
+    * participate in the min — a non-row member such as minRows
+    * imposes NO row bound, so a composite like (minRows, maxRows=N)
+    * honors N rather than collapsing to perTrigger. Only when no
+    * member bounds rows at all does the budget fall back to
+    * perTrigger. */
+  private[sources] def rowBudget(limit: ReadLimit): Long = limit match {
     case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => m.maxRows()
     case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable => Long.MaxValue
     case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
-      val bounds = c.getReadLimits.map(rowBudget)
+      val bounds = c.getReadLimits.collect {
+        case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => m.maxRows()
+        case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable => Long.MaxValue
+      }
       if (bounds.isEmpty) perTrigger.toLong else bounds.min
     case _ => perTrigger.toLong
   }
@@ -169,7 +226,7 @@ private[sources] class RateLimitedCsvStream(
     * AvailableNow). */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[RowCountOffset].rows
-    val avail = math.min(lines.length.toLong, fence)
+    val avail = math.min(index.count, fence)
     val budget = rowBudget(limit)
     val to = if (budget >= avail - from) avail else from + budget
     RowCountOffset(math.min(avail, math.max(from, to)))
@@ -179,15 +236,23 @@ private[sources] class RateLimitedCsvStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
-  override def reportLatestOffset(): Offset = RowCountOffset(lines.length.toLong)
+  override def reportLatestOffset(): Offset = RowCountOffset(index.count)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[RowCountOffset].rows.toInt
-    val to = end.asInstanceOf[RowCountOffset].rows.toInt
+    val from = start.asInstanceOf[RowCountOffset].rows
+    val to = end.asInstanceOf[RowCountOffset].rows
+    if (to <= from) return Array.empty
     // a micro-batch is <= rowsPerTrigger rows by construction: one
     // partition (the reference source is parallelism-1 by design;
-    // parallelism comes from downstream stages)
-    Array(CsvSlicePartition(lines.slice(from, to).toArray, sep, schema.length))
+    // parallelism comes from downstream stages). The partition carries
+    // a BYTE RANGE recipe, not content: seek to the nearest indexed
+    // block start at or before `from`, skip the remainder line-wise.
+    val blockIdx = (from / index.blockSize).toInt
+    Array(CsvRangePartition(
+      RateLimitedCsv.path(options), sep, schema.length,
+      index.blockOffsets(blockIdx),
+      from - blockIdx.toLong * index.blockSize,
+      to - from))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -197,21 +262,48 @@ private[sources] class RateLimitedCsvStream(
   override def stop(): Unit = ()
 }
 
-private[sources] case class CsvSlicePartition(
-    rows: Array[String], sep: String, nCols: Int) extends InputPartition
+/** A byte-range read recipe: seek `startOffset`, skip `skipLines`
+  * lines, serve `numRows` lines. The path must be visible to the
+  * executor (local FS in tests; any shared mount / distributed FS in
+  * production — the same contract as every file-based source). */
+private[sources] case class CsvRangePartition(
+    path: String, sep: String, nCols: Int,
+    startOffset: Long, skipLines: Long, numRows: Long) extends InputPartition
 
 private[sources] object CsvSliceReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[CsvSlicePartition]
+    val p = partition.asInstanceOf[CsvRangePartition]
     new PartitionReader[InternalRow] {
       // quoted separator is multi-char source text, so String.split's
       // single-char fast path never applies — compile once per reader
       private val sepPattern =
         java.util.regex.Pattern.compile(java.util.regex.Pattern.quote(p.sep))
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < p.rows.length }
+      private val reader = {
+        val in = new java.io.FileInputStream(p.path)
+        var toSkip = p.startOffset
+        while (toSkip > 0) {
+          val s = in.skip(toSkip)
+          require(s > 0, s"seek to ${p.startOffset} failed in ${p.path}")
+          toSkip -= s
+        }
+        val r = new java.io.BufferedReader(new java.io.InputStreamReader(
+          in, java.nio.charset.StandardCharsets.UTF_8))
+        var i = 0L
+        while (i < p.skipLines) { r.readLine(); i += 1 }
+        r
+      }
+      private var served = 0L
+      private var line: String = _
+      override def next(): Boolean = {
+        if (served >= p.numRows) false
+        else {
+          line = reader.readLine()
+          served += 1
+          line != null
+        }
+      }
       override def get(): InternalRow = {
-        val fields = sepPattern.split(p.rows(i), -1)
+        val fields = sepPattern.split(line, -1)
         val out = new Array[Any](p.nCols)
         var j = 0
         while (j < p.nCols) {
@@ -220,7 +312,7 @@ private[sources] object CsvSliceReaderFactory extends PartitionReaderFactory {
         }
         new GenericInternalRow(out)
       }
-      override def close(): Unit = ()
+      override def close(): Unit = reader.close()
     }
   }
 }
