@@ -160,8 +160,18 @@ object Similarity {
         .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
         .orderBy(col("h"), col("vec_id"))
         .limit(KCells)
+      // constant-0 partition key: these windows run over <= KCells
+      // rows post-limit, so a single partition IS the right plan —
+      // the explicit key just keeps WindowExec's "no partition
+      // defined / moving all data" warning out of every bench log.
+      // The key must survive the optimizer (lit(0) is stripped by
+      // EliminateWindowPartitions, `x * 0` by arithmetic
+      // simplification); pmod(vec_id, 1) = 0 for the non-null
+      // non-negative ids and is left intact.
       var cents = seeds
-        .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(pmod(col("vec_id"), lit(1)))
+            .orderBy(col("h"), col("vec_id"))))
         .select((col("rn") - 1).as("cid"), col("v").as("cv"))
       // native codegen'd kernel (same left-to-right fold as the HOF
       // form and the oracle's list_sum — bit-identical, but no
@@ -188,7 +198,9 @@ object Similarity {
       val qrow = assigned.where(col("vec_id") === 0)
         .select(col("v").as("qv"), col("embedding").as("q_embedding"))
       val qDist = VectorFunctions.l2sq(col("qv"), col("cv"))
-      val pw = Window.orderBy(col("qdist"), col("cid"))
+      // <= KCells rows here too — see the seed-numbering window above
+      val pw = Window.partitionBy(pmod(col("cid"), lit(1)))
+        .orderBy(col("qdist"), col("cid"))
       val probed = cents.crossJoin(broadcast(qrow.select(col("qv"))))
         .withColumn("qdist", qDist)
         .withColumn("prn", row_number().over(pw))
