@@ -38,6 +38,12 @@ def cell_eq(a, b):
         # Keep float/float exact (str() would let different-width floats
         # that stringify alike slip through); normalize to float64 first
         # so a float32 cell is widened the way pandas does before hashing.
+        # NOTE: this path is DELIBERATELY stricter than the driver for
+        # mixed-width floats — a float32 cell whose shortest repr equals
+        # the float64 oracle's (e.g. 0.1) passes the driver's string
+        # hash but fails here after exact float64 widening. The safe
+        # direction (possible false FAIL, never false PASS); in practice
+        # every float column this library emits is already float64.
         if fa and fb:
             return float(np.float64(a)) == float(np.float64(b))
         return str(a) == str(b)
