@@ -133,6 +133,94 @@ case class SquaredL2Distance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signed-random-projection (Charikar) LSH bucket over an
+  * array<float> embedding: bit j of the result is the sign of the
+  * dot product with seeded hyperplane j. The declarative form is 8
+  * sum-of-64-products column expressions — a 512-term tree that costs
+  * ~1 s of fresh codegen per plan plus slow evaluation; this kernel
+  * is one fused pass (all 8 accumulators per element).
+  *
+  * Arithmetic is the identical left-to-right double fold per plane as
+  * the SQL expression it replaces and the DuckDB oracle's explicit
+  * sum, so sign bits — and therefore buckets, probe sets, and final
+  * top-k — are bit-equal. NULL embedding → NULL (callers that need
+  * the legacy CASE-folds-null-to-0 semantics wrap in coalesce). */
+case class HyperplaneBucket(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import HyperplaneBucket._
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_hplane_bucket expects array<float>, got $t")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_hplane_bucket"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), Dims)
+    val acc = new Array[Double](Planes)
+    var i = 0
+    while (i < n) {
+      val vi = v.getFloat(i).toDouble
+      var j = 0
+      while (j < Planes) { acc(j) += vi * Coef(j)(i); j += 1 }
+      i += 1
+    }
+    var b = 0
+    var j = 0
+    while (j < Planes) { if (acc(j) > 0) b |= 1 << j; j += 1 }
+    b
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val coef = ctx.addReferenceObj("hplaneCoef", Coef, "double[][]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val vi = ctx.freshName("vi")
+      val b = ctx.freshName("b")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $Dims);
+         |double[] $acc = new double[$Planes];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $vi = (double) $a.getFloat($i);
+         |  for (int $j = 0; $j < $Planes; $j++) {
+         |    $acc[$j] += $vi * $coef[$j][$i];
+         |  }
+         |}
+         |int $b = 0;
+         |for (int $j = 0; $j < $Planes; $j++) {
+         |  if ($acc[$j] > 0) $b |= 1 << $j;
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  val Planes = 8
+  val Dims = 64
+
+  /** Seeded hyperplane coefficients — (j, i) from the first four md5
+    * bytes of "plane:j:dim:i", mapped to [-1, 1). Public data only
+    * (md5), reproducible everywhere; the SINGLE source of truth — the
+    * oracle SQL embeds exactly these doubles as literals. */
+  val Coef: Array[Array[Double]] = Array.tabulate(Planes, Dims) { (j, i) =>
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane:$j:dim:$i".getBytes("UTF-8"))
+    val x = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    x.toDouble / (1L << 31).toDouble - 1.0
+  }
+}
+
 object VectorFunctions {
 
   /** Column-level entry point: cosine(a, b) over array<float> columns. */
@@ -169,6 +257,10 @@ object VectorFunctions {
   def minMd5(arr: Column): Column =
     GraftSqlBridge.column(MinMd5(GraftSqlBridge.expression(arr)))
 
+  /** 8-plane LSH bucket over an array<float> embedding column. */
+  def hyperplaneBucket(v: Column): Column =
+    GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(v)))
+
   /** Idempotent SQL registration so `graft_cosine(a, b)` /
     * `graft_l2sq(a, b)` work in `spark.sql` / `expr` strings on an
     * existing session. */
@@ -189,6 +281,10 @@ object VectorFunctions {
       FunctionIdentifier("graft_minhash16"),
       new ExpressionInfo(classOf[MinHash16].getName, "graft_minhash16"),
       children => MinHash16(children(0)))
+    GraftSqlBridge.registerFunction(spark,
+      FunctionIdentifier("graft_hplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hplane_bucket"),
+      children => HyperplaneBucket(children(0)))
   }
 }
 
@@ -242,6 +338,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash16"),
       new ExpressionInfo(classOf[MinHash16].getName, "graft_minhash16"),
       (children: Seq[Expression]) => MinHash16(children(0)))
+    ext.injectFunction(
+      FunctionIdentifier("graft_hplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hplane_bucket"),
+      (children: Seq[Expression]) => HyperplaneBucket(children(0)))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
   }
 }

@@ -67,18 +67,14 @@ object Similarity {
   private def cos6(a: Column, b: Column): Column =
     round(VectorFunctions.cosine(a, b), 6)
 
-  /** Seeded random hyperplanes: coefficient (j, i) from the first four
-    * md5 bytes of "plane:j:dim:i", mapped to [-1, 1). Public data only
-    * (md5), reproducible everywhere, and embedded as literals so both
-    * engines share the exact doubles. */
-  private[operators] val planeCoef: IndexedSeq[IndexedSeq[Double]] =
-    IndexedSeq.tabulate(Planes, 64) { (j, i) =>
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"plane:$j:dim:$i".getBytes("UTF-8"))
-      val x = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
-      x.toDouble / (1L << 31).toDouble - 1.0
-    }
+  /** Seeded random hyperplanes — (j, i) from the first four md5 bytes
+    * of "plane:j:dim:i", mapped to [-1, 1). Public data only (md5),
+    * reproducible everywhere; the single source of truth lives in the
+    * native kernel ([[graft.functions.HyperplaneBucket.Coef]]) and is
+    * embedded as literals in the oracle SQL so both engines share the
+    * exact doubles. */
+  private[operators] def planeCoef: Array[Array[Double]] =
+    graft.functions.HyperplaneBucket.Coef
 
   /** Signed projection of dims expression `v(i)` onto plane j, written
     * as an explicit left-to-right sum — identical evaluation order in
@@ -87,11 +83,13 @@ object Similarity {
     (0 until 64).map(i => s"${v(i)} * ${planeCoef(j)(i)}").mkString(" + ")
 
   /** Random-hyperplane LSH bucket (Spark side, over the raw float
-    * array column `embedding`). */
+    * array column `embedding`): the fused native kernel — the
+    * declarative 8×64-term expression tree it replaces cost ~1 s of
+    * codegen per fresh plan and dominated q37/q38b runtime. coalesce
+    * keeps the legacy NULL-embedding → bucket 0 fold (the oracle's
+    * CASE WHEN NULL > 0 yields 0 per bit). */
   private def bucketCol: Column =
-    (0 until Planes).map(j =>
-      when(expr(projection(j, i => s"CAST(embedding[$i] AS DOUBLE)")) > 0,
-        lit(1 << j)).otherwise(lit(0))).reduce(_ + _)
+    coalesce(VectorFunctions.hyperplaneBucket(col("embedding")), lit(0))
 
   /** Same bucket over the oracle's 1-indexed double list `v`. */
   private def bucketSql(v: String): String =
