@@ -87,14 +87,22 @@ case class SimHash16(child: Expression) extends UnaryExpression {
 
 /** Shared kernel for [[MinHash16]] — also the interpreted fallback.
   *
-  * Signature position i is `min over tokens of md5("<i>:" ++ token)`
-  * where min is the LEXICOGRAPHIC min of the lowercase-hex digest
-  * string — identical to `array_min(transform(tokset, t ->
-  * md5(concat('<i>:', t))))` and DuckDB's `list_min(list_transform(
-  * tokset, t -> md5('<i>:' || t)))`. Lowercase hex of equal length
-  * compares exactly like the unsigned digest bytes, so the kernel
-  * compares raw 16-byte digests and hex-encodes only the K winners.
-  * NULL tokens are skipped (array_min ignores NULLs); a position with
+  * K = 16 salted permutations, as ever: position i ranks tokens by
+  * md5("<i>:" ++ token). The carried VALUE is the first 32 bits of
+  * the winning digest as an unsigned number in a BIGINT (== the
+  * numeric fold of the digest's first 8 hex chars) — 8 bytes per
+  * position through every downstream join/shuffle/checkpoint instead
+  * of a 32-char hex string. The min is taken over the 32-bit
+  * prefixes directly; numeric order of prefixes == lexicographic
+  * order of the 8-hex-char prefixes, so DuckDB mirrors it exactly as
+  * `hexFold(list_min(list_transform(tokset, t ->
+  * substr(md5('<i>:' || t), 1, 8))), 8)`. (A 4-digest sliced variant
+  * was measured and REVERTED: the different permutation family drew
+  * band mega-buckets of ~1.5k docs on this corpus — candidate volume
+  * doubled while half failed the est filter, q31 9s → 20s. Prefix
+  * truncation keeps the ORIGINAL family's bucket structure, modulo
+  * negligible 32-bit prefix ties that both engines share.)
+  * NULL tokens are skipped (list_min ignores NULLs); a position with
   * no non-NULL token (empty tokset) is NULL.
   */
 object MinHash16Kernel {
@@ -105,37 +113,17 @@ object MinHash16Kernel {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  private val hexChars = "0123456789abcdef".toCharArray
-
-  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < a.length) {
-      val ai = a(i) & 0xff
-      val bi = b(i) & 0xff
-      if (ai != bi) return ai < bi
-      i += 1
-    }
-    false
-  }
-
-  private def hex(h: Array[Byte]): UTF8String = {
-    val out = new Array[Byte](h.length * 2)
-    var i = 0
-    while (i < h.length) {
-      out(2 * i) = hexChars((h(i) >>> 4) & 0xf).toByte
-      out(2 * i + 1) = hexChars(h(i) & 0xf).toByte
-      i += 1
-    }
-    UTF8String.fromBytes(out)
-  }
 
   def sigs(arr: ArrayData): ArrayData = {
-    val mins = new Array[Array[Byte]](K)
+    val mins = new Array[Long](K)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var seen = false
     val md = digest.get()
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
+        seen = true
         val tok = arr.getUTF8String(i).getBytes
         var k = 0
         while (k < K) {
@@ -143,17 +131,18 @@ object MinHash16Kernel {
           md.update(salts(k))
           md.update(tok)
           val h = md.digest()
-          if (mins(k) == null || unsignedLess(h, mins(k))) mins(k) = h
+          val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+            ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+          if (v < mins(k)) mins(k) = v
           k += 1
         }
       }
       i += 1
     }
     val out = new Array[AnyRef](K)
-    var k = 0
-    while (k < K) {
-      out(k) = if (mins(k) == null) null else hex(mins(k))
-      k += 1
+    if (seen) {
+      var k = 0
+      while (k < K) { out(k) = java.lang.Long.valueOf(mins(k)); k += 1 }
     }
     new GenericArrayData(out)
   }
@@ -162,8 +151,8 @@ object MinHash16Kernel {
 /** K=16 MinHash signature over an array<string> token-set column in a
   * single codegen'd pass: one array traversal with 16 salted md5s per
   * token, instead of 16 interpreted `array_min(transform(...))`
-  * lambdas each re-walking the array. Output is array<string> of the
-  * 16 hex min-hashes, sig[i] = the old sig<i> column bit-for-bit.
+  * lambdas each re-walking the array. Output is array<bigint> of the
+  * 16 min values (32-bit digest prefixes — see [[MinHash16Kernel]]).
   * NULL input → NULL; call sites needing the legacy
   * array-of-16-NULLs (what `array(sig0, ..., sig15)` yielded on a
   * NULL token set) use coalesce. */
@@ -174,7 +163,8 @@ case class MinHash16(child: Expression) extends UnaryExpression {
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_minhash16 expects array<string>, got $t")
   }
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
   override def prettyName: String = "graft_minhash16"
 
   override def nullSafeEval(a: Any): Any =

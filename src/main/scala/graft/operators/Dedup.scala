@@ -58,23 +58,33 @@ object Dedup {
     docs.withColumn("toks", expr(toksExpr))
       .withColumn("tokset", array_distinct(col("toks")))
 
-  /** MinHash signature columns sig0..sig{K-1}: min over the token set
-    * of md5("<i>:" ++ token) — k independent permutations by salting.
-    * Computed by the native one-pass [[graft.functions.MinHash16]]
-    * kernel (bit-identical to the 16 `array_min(transform(...))`
-    * lambdas it replaced); coalesce keeps the legacy NULL-tokset →
+  /** MinHash signature columns sig0..sig{K-1} (BIGINT): position i
+    * ranks tokens by md5("<i>:" ++ token) and carries the winning
+    * digest's first 32 bits as an unsigned number (see
+    * [[graft.functions.MinHash16Kernel]]) — 8 bytes per position
+    * through every downstream join/shuffle/checkpoint instead of a
+    * 32-char hex string, numerically equal to the oracle's
+    * fold-of-min-hex-prefix because the fold is order-isomorphic to
+    * the fixed-length prefix. coalesce keeps the legacy NULL-tokset →
     * array-of-16-NULLs shape that `array(sig0, ..., sig15)` yielded. */
   def withMinhash(docs: DataFrame): DataFrame = {
     val base = withToks(docs).withColumn("sig",
       coalesce(graft.functions.VectorFunctions.minhash16(col("tokset")),
-        array((0 until K).map(_ => lit(null).cast("string")): _*)))
+        array((0 until K).map(_ => lit(null).cast("long")): _*)))
     (0 until K).foldLeft(base) { (df, i) =>
       df.withColumn(s"sig$i", col("sig").getItem(i))
     }
   }
 
-  private def sigSqlCols: String = (0 until K).map(i =>
-    s"list_min(list_transform(tokset, t -> md5('$i:' || t))) AS sig$i").mkString(",\n         ")
+  /** Oracle twin of the kernel, two stages: p_i = lexicographic min of
+    * the position's 8-hex-char digest slice over the token set, then
+    * sig_i = hexFold(p_i) — numeric min == fold of min-prefix. */
+  private def sigPrefixSqlCols: String = (0 until K).map { i =>
+    s"list_min(list_transform(tokset, t -> substr(md5('$i:' || t), 1, 8))) AS p$i"
+  }.mkString(",\n         ")
+
+  private def sigFoldSqlCols: String = (0 until K).map(i =>
+    s"${Tokens.hexFold(s"p$i", 8)} AS sig$i").mkString(",\n         ")
 
   /** SimHash: 16-bit fingerprint; bit b is the sign of the
     * token-frequency-weighted sum of bit b of each token's md5 (the
@@ -192,9 +202,12 @@ object Dedup {
     // most once. The earlier-band residual never sees NULL keys: a
     // NULL band key (empty tokset) nulls EVERY band key of that doc,
     // and null keys don't equi-match, so such docs reach no residual.
+    // ':'-separated decimal rendering of the band's sig values — the
+    // oracle concatenates CAST(sig AS VARCHAR) the same way, so the
+    // md5'd key bytes are identical in both engines
     val hexed = sig.select(col("doc_id") +: (0 until Bands).map { b =>
-      md5(concat((b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => col(s"sig$i")): _*)).as(s"hx$b")
+      md5(concat_ws(":", (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"sig$i").cast("string")): _*)).as(s"hx$b")
     }: _*)
     val keyed = hexed.select(col("doc_id") +: (0 until Bands).map { b =>
       expr(Tokens.hex48(s"hx$b")).as(s"bk$b")
@@ -432,18 +445,24 @@ object Dedup {
     * candidate pairs (mirrors the Spark pipeline stage for stage). */
   private def minhashCtes: String = {
     // band_key mirrors the Spark side's packed key exactly: md5 of the
-    // concatenated band signatures, hex48-folded to a BIGINT
+    // ':'-joined (concat_ws — both engines skip NULLs identically)
+    // decimal band signatures, hex48-folded to a BIGINT
     val bandKeys = (0 until Bands).map { b =>
       val key = (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => s"sig$i").mkString(" || ")
-      s"SELECT doc_id, sig, $b AS band_id, ${Tokens.hex48(s"md5($key)")} AS band_key FROM sig"
+        .map(i => s"CAST(sig$i AS VARCHAR)").mkString(", ")
+      s"SELECT doc_id, sig, $b AS band_id, " +
+        s"${Tokens.hex48(s"md5(concat_ws(':', $key))")} AS band_key FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""tok AS (
        |  SELECT doc_id, list_distinct($toksSql) AS tokset FROM documents),
+       |sigp AS (
+       |  SELECT doc_id,
+       |         $sigPrefixSqlCols
+       |  FROM tok),
        |sig0 AS (
        |  SELECT doc_id,
-       |         $sigSqlCols
-       |  FROM tok),
+       |         $sigFoldSqlCols
+       |  FROM sigp),
        |sig AS (SELECT *, [${(0 until K).map(i => s"sig$i").mkString(", ")}] AS sig FROM sig0),
        |bands AS (
        |  $bandKeys),

@@ -31,18 +31,22 @@ object Tokens {
     s"(instr('0123456789abcdef', substr(md5(CAST($keyExpr AS VARCHAR)), 1, 1)) - 1) * 16" +
       s" + (instr('0123456789abcdef', substr(md5(CAST($keyExpr AS VARCHAR)), 2, 1)) - 1)"
 
-  /** Fold the first 12 hex digits of hex-string expression `h` into a
-    * uniform 48-bit non-negative BIGINT. The fold is written with
-    * instr/substr only, whose semantics are identical in Spark SQL and
-    * DuckDB — ONE definition serves both dialects, so any key or
-    * sketch built from it is in lockstep across engines (identical
-    * values, hence identical joins/order statistics, even under hash
-    * truncation). Each weight is CAST to BIGINT: weights below 2^31
-    * would otherwise be INT literals and 15 * 16^7 overflows int32
-    * under ANSI mode. */
-  def hex48(h: String): String =
-    (0 until 12).map { i =>
+  /** Fold the first `digits` hex digits of hex-string expression `h`
+    * into a uniform non-negative BIGINT (numeric order == the
+    * lexicographic order of the fixed-length hex prefix). The fold is
+    * written with instr/substr only, whose semantics are identical in
+    * Spark SQL and DuckDB — ONE definition serves both dialects, so
+    * any key or sketch built from it is in lockstep across engines
+    * (identical values, hence identical joins/order statistics, even
+    * under hash truncation). Each weight is CAST to BIGINT: weights
+    * below 2^31 would otherwise be INT literals and 15 * 16^7
+    * overflows int32 under ANSI mode. */
+  def hexFold(h: String, digits: Int): String =
+    (0 until digits).map { i =>
       s"(instr('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1)" +
-        s" * CAST(${BigInt(16).pow(11 - i)} AS BIGINT)"
+        s" * CAST(${BigInt(16).pow(digits - 1 - i)} AS BIGINT)"
     }.mkString(" + ")
+
+  /** 48-bit fold (12 hex digits) — the sampling/sketch hash width. */
+  def hex48(h: String): String = hexFold(h, 12)
 }

@@ -112,27 +112,32 @@ class VectorExprSpec extends SparkSpec {
     assert(r.getInt(3) !== 0)
   }
 
-  test("native minhash16 equals the declarative 16-lambda formulation") {
+  test("native minhash16 equals the declarative slice-min formulation") {
     val s = spark
     import s.implicits._
     val toks = Tables.documents(s, sf).limit(200)
       .select($"doc_id",
         array_distinct(split(lower($"text"), "\\s+")).as("tokset"))
+    // declarative twin: per position, lexicographic min of the
+    // 8-hex-char digest slice, then an INDEPENDENT hex->long decode
+    // (conv, not the kernel's byte math) — proves value and order
+    // agreement end to end
     val declarative = (0 until 16).foldLeft(toks) { (df, i) =>
-      df.withColumn(s"sig$i",
-        expr(s"array_min(transform(tokset, t -> md5(concat('$i:', t))))"))
+      df.withColumn(s"sig$i", expr(
+        s"CAST(conv(array_min(transform(tokset, t -> " +
+          s"substring(md5(concat('$i:', t)), 1, 8))), 16, 10) AS BIGINT)"))
     }.select($"doc_id",
         array((0 until 16).map(i => col(s"sig$i")): _*).as("sig"))
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[java.lang.Long])].collect().toMap
     val native = toks
       .select($"doc_id", VectorFunctions.minhash16($"tokset").as("sig"))
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[java.lang.Long])].collect().toMap
     assert(native === declarative)
     // empty token set → all 16 positions NULL (array_min of empty)
     VectorFunctions.register(s)
     val empty = s.sql(
       "SELECT graft_minhash16(CAST(array() AS ARRAY<STRING>)) AS sig")
-      .collect().head.getSeq[String](0)
+      .collect().head.getSeq[java.lang.Long](0)
     assert(empty.size === 16 && empty.forall(_ == null))
   }
 
