@@ -148,12 +148,33 @@ object Dedup {
     * expensive map stage of the dedup suite (~3 s at sf0.1), and both
     * the pair generator and the clustering contraction consume it —
     * without the memo each standalone query re-runs it. At cluster
-    * scale this is "persist the signature table once per corpus". */
+    * scale this is "persist the signature table once per corpus".
+    *
+    * Repartitioned by doc_id at materialization: the corpus parquet
+    * arrives in O(file-size/128MB) splits (ONE split at bench scale),
+    * and every downstream band join BROADCASTS its small side — a
+    * broadcast join preserves the probe side's partitioning, so
+    * without this shuffle the multi-million-row candidate stream and
+    * its K-comparison match count would execute on a single core
+    * (measured: 22s → ~3s at sf0.1 on local[32]). At cluster scale
+    * this is the same move: the persisted signature table is hash-
+    * distributed by doc_id so candidate generation parallelizes
+    * independently of the raw corpus's file layout.
+    *
+    * The partition count is EXPLICIT: AQE sizes shuffle partitions by
+    * the shuffled bytes (a few hundred KB of signatures here → it
+    * coalesces a bare `repartition(col)` back to ONE partition), but
+    * the relation's cost is downstream — each signature row fans out
+    * to hundreds of candidate pairs through the band joins. A
+    * user-specified count is exempt from AQE coalescing, which is
+    * exactly the intent. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     sigMemo.computeIfAbsent((s, d),
       _ => Materialize.cut(withMinhash(Tables.documents(s, d))
         .select((col("doc_id") +: col("sig") +:
-          (0 until K).map(i => col(s"sig$i"))): _*)))
+          (0 until K).map(i => col(s"sig$i"))): _*)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))))
 
   /** MinHash+LSH near-dup pairs (unsorted — q31 adds the presentation
     * sort; the graph queries consume this directly). Materialized once
@@ -237,6 +258,12 @@ object Dedup {
       .withColumn("est_jaccard", col("matches") / lit(K.toDouble))
       .where(col("est_jaccard") >= EstThreshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      // the union of 8 band joins yields 8 x (probe partitions)
+      // slices; coalesce (map-side, NO shuffle — the band joins and
+      // match count still execute at full width inside the merged
+      // tasks) so the materialized pair relation doesn't hand every
+      // downstream consumer hundreds of near-empty partitions
+      .coalesce(s.conf.get("spark.sql.shuffle.partitions").toInt)
   }
 
   /** Connected components over the near-dup pair graph, memoized per
@@ -370,15 +397,19 @@ object Dedup {
       val nDocs = docs.count()
       val base = lit(0.15 / nDocs)
       val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-      val edges = Materialize(pairs
+      // (src, dst, deg) materialized ONCE: the degree join is
+      // loop-invariant, so hoisting it leaves each iteration exactly
+      // one broadcast join (pr is one row per doc) + one aggregation
+      val undirected = pairs
         .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst"))
-      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .toDF("src", "dst")
+      val edges = Materialize(undirected
+        .join(undirected.groupBy(col("src")).agg(count(lit(1)).as("deg")),
+          Seq("src")))
       var pr = docs.select(col("doc_id").as("node"),
         lit(1.0 / nDocs).as("pr"))
       for (_ <- 1 to 3) {
         val contrib = edges
-          .join(outdeg, Seq("src"))
           .join(pr, edges("src") === pr("node"))
           .select(col("dst"), (col("pr") / col("deg")).as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
