@@ -23,6 +23,7 @@ object SparkEntry {
     (operators.NeelPipeline.queries, operators.NeelPipeline.oracle),
     (operators.Profile.queries, operators.Profile.oracle),
     (operators.Curation.queries, operators.Curation.oracle),
+    (operators.Skew.queries, operators.Skew.oracle),
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

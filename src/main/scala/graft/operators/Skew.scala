@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Skew-mitigation utilities: salted shuffle join and salted two-phase
   * aggregation.
@@ -47,4 +49,61 @@ object Skew {
       .groupBy(col(key))
       .agg(sum(col("__partial")).as("sum_value"), sum(col("__n")).as("n"))
   }
+
+  /** Driver-gated queries: each salted form must be SET-IDENTICAL to
+    * the plain join/aggregation the oracle runs — the salt is a
+    * physical-layout device, never a semantic one. Sums go through
+    * DECIMAL(12,2) so the two-phase reduction is order-exact against
+    * the oracle's single-phase sum (the q01 convention). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Salted skewed join: lineitem (large, skewed probe) x orders
+    // (moderate build side, replicated salts x). At 100 TB this is the
+    // explicit form for the key distributions AQE's runtime skew
+    // splitting can't fix — a single key too hot for ONE task even
+    // after split, spread across `salts` partitions by a deterministic
+    // row hash. Output aggregated per priority so the gate checks the
+    // full join product without hashing 6M rows.
+    "q68_salted_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      saltedJoin(li, ord, "okey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("price")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Salted two-phase aggregation: 6M lineitem rows funneled into 3
+    // grouping keys — the adversarial case where every row of a key
+    // would otherwise meet in one reduce task. Partial-agg on
+    // (key, salt), final on key.
+    "q69_salted_agg" -> { (s, d) =>
+      saltedSum(
+        Tables.lineitem(s, d).where(col("l_returnflag").isNotNull),
+        "l_returnflag", col("l_quantity").cast("decimal(12,2)"),
+        salts = 16)
+        .select(col("l_returnflag"),
+          col("sum_value").cast("double").as("sum_qty"), col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q68_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q69_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_returnflag IS NOT NULL
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
 }
