@@ -183,6 +183,27 @@ object Dedup {
     pairsMemo.computeIfAbsent((s, d),
       _ => Materialize.cut(minhashPairsUncached(s, d)))
 
+  /** (doc_id, bk0..bk{Bands-1}): each band key PACKED to one 48-bit
+    * BIGINT — md5 of the ':'-separated decimal rendering of the band's
+    * sig values, hex-folded. The oracle applies the IDENTICAL
+    * CAST-concat-md5-fold, so the key bytes match in both engines. */
+  private def bandKeyed(sig: DataFrame): DataFrame = {
+    val hexed = sig.select(col("doc_id") +: (0 until Bands).map { b =>
+      md5(concat_ws(":", (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => col(s"sig$i").cast("string")): _*)).as(s"hx$b")
+    }: _*)
+    hexed.select(col("doc_id") +: (0 until Bands).map { b =>
+      expr(Tokens.hex48(s"hx$b")).as(s"bk$b")
+    }: _*)
+  }
+
+  /** Melted (doc_id, band_id, band_key) layout — the persisted "LSH
+    * index table" shape a streaming dup-filter probes against. */
+  private def bandMelt(keyed: DataFrame): DataFrame =
+    keyed.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"bk$b")): _*)))
+      .toDF("doc_id", "band_id", "band_key")
+
   private def minhashPairsUncached(s: SparkSession, d: String): DataFrame = {
     // the memoized signature relation feeds both sides of the band
     // self-join and both joinbacks — without it the K-md5 sketch
@@ -223,16 +244,7 @@ object Dedup {
     // most once. The earlier-band residual never sees NULL keys: a
     // NULL band key (empty tokset) nulls EVERY band key of that doc,
     // and null keys don't equi-match, so such docs reach no residual.
-    // ':'-separated decimal rendering of the band's sig values — the
-    // oracle concatenates CAST(sig AS VARCHAR) the same way, so the
-    // md5'd key bytes are identical in both engines
-    val hexed = sig.select(col("doc_id") +: (0 until Bands).map { b =>
-      md5(concat_ws(":", (b * RowsPerBand until (b + 1) * RowsPerBand)
-        .map(i => col(s"sig$i").cast("string")): _*)).as(s"hx$b")
-    }: _*)
-    val keyed = hexed.select(col("doc_id") +: (0 until Bands).map { b =>
-      expr(Tokens.hex48(s"hx$b")).as(s"bk$b")
-    }: _*)
+    val keyed = bandKeyed(sig)
     val left = keyed.toDF("doc_a" +: (0 until Bands).map(b => s"a$b"): _*)
     val right = keyed.toDF("doc_b" +: (0 until Bands).map(b => s"b$b"): _*)
     val pairs = (0 until Bands).map { b =>
@@ -470,7 +482,53 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
+
+    // STREAMING dup-filter — the online half of the dedup pipeline: a
+    // corpus's LSH band index is persisted once (band_id, band_key
+    // DISTINCT — at 100 TB a bucketed table, here Materialize.cut),
+    // and incoming documents stream through sketch → band keys →
+    // stream-static equi-join against it; any band collision flags
+    // the arrival as a near-dup of the standing corpus. The map side
+    // (tokenize, MinHash16 kernel, key packing) is stateless, so the
+    // stream needs no watermark or state store, and every micro-batch
+    // does per-row work + one hash join — the shape that keeps up
+    // with an ingest firehose. Replayed over staged files (3 files →
+    // serialized micro-batches) under Trigger.AvailableNow; docs with
+    // doc_id % 10 = 7 play the arrivals, the rest the corpus.
+    "q75_stream_dup_filter" -> { (s, d) =>
+      val sig = minhashSignatures(s, d)
+      val index = Materialize.cut(
+        bandMelt(bandKeyed(sig.where(col("doc_id") % 10 =!= 7)))
+          .select(col("band_id"), col("band_key")).distinct())
+      val incoming = Tables.documents(s, d).where(col("doc_id") % 10 === 7)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-stream-dup").toString
+      incoming.repartition(3).write.mode("overwrite").parquet(dir)
+      val stream = s.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val matched = bandMelt(bandKeyed(withMinhash(stream)))
+        .join(index, Seq("band_id", "band_key"))
+        .select(col("doc_id"), col("band_id"))
+      val name = s"stream_dup_${streamSeq.incrementAndGet()}"
+      val q = matched.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(300000), "stream dup-filter timed out")
+      finally q.stop()
+      graft.Fs.deleteRecursively(dir)
+      val hits = s.table(name)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bands_hit"))
+      incoming.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bands_hit"), lit(0L)).as("n_bands_hit"),
+          col("n_bands_hit").isNotNull.as("is_dup"))
+        .orderBy(col("doc_id"))
+    },
   )
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Shared oracle CTE chain: tokens → k signatures → bands → distinct
     * candidate pairs (mirrors the Spark pipeline stage for stage). */
@@ -600,5 +658,21 @@ object Dedup {
         |FROM sh a JOIN sh b
         |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q75_stream_dup_filter" ->
+      s"""WITH $minhashCtes,
+         |inc AS (
+         |  SELECT doc_id, band_id, band_key FROM bands WHERE doc_id % 10 = 7),
+         |idx AS (
+         |  SELECT DISTINCT band_id, band_key FROM bands WHERE doc_id % 10 <> 7),
+         |hits AS (
+         |  SELECT i.doc_id, count(*) AS n_bands_hit
+         |  FROM inc i JOIN idx USING (band_id, band_key)
+         |  GROUP BY i.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(h.n_bands_hit, 0) AS n_bands_hit,
+         |       h.doc_id IS NOT NULL AS is_dup
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
+         |WHERE d.doc_id % 10 = 7
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }
