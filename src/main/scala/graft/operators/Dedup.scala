@@ -429,8 +429,14 @@ object Dedup {
           .join(contrib, col("node") === contrib("dst"), "left")
           .select(col("node"),
             round(base + lit(0.85) * coalesce(col("in_sum"), lit(0.0)), 8).as("pr"))
-        pr = Materialize.cut(pr)
       }
+      // ONE cut after the loop: each intermediate pr is consumed
+      // exactly once by the next iteration, so the nested 3-iteration
+      // plan executes as a single job — eager per-iteration
+      // checkpoints of a one-row-per-doc relation cost 3 extra job
+      // roundtrips and buy no reuse. (At unbounded iteration counts
+      // the cut moves back inside the loop to cap plan depth.)
+      pr = Materialize.cut(pr)
       Materialize.release(edges) // the final pr is materialized; edges done
       pr.select(col("node").as("doc_id"), col("pr"))
         .orderBy(col("doc_id"))
