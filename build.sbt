@@ -35,5 +35,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: a local[32] single-JVM run localCheckpoints
+  // multi-million-row relations (LSH pairs, edges); at 8g the bench
+  // sweeps spent enough time in GC to swing per-query timings 2-3x
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
