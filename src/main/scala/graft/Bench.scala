@@ -61,6 +61,7 @@ object Bench {
     val failedSet = scala.collection.mutable.Set[String]()
     for (sweep <- 1 to runs) {
       graft.operators.Dedup.clearMemos()
+      graft.operators.Similarity.clearMemos()
       for ((name, fn) <- names if !failedSet(name)) {
         val t0 = System.nanoTime()
         // Time what Verify's gate does — materialize to parquet — so Catalyst

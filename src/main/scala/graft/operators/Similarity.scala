@@ -67,6 +67,73 @@ object Similarity {
   private def cos6(a: Column, b: Column): Column =
     round(VectorFunctions.cosine(a, b), 6)
 
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** Evict memoized relations (for long-lived sessions / bench sweeps). */
+  def clearMemos(): Unit = ivfMemo.clear()
+
+  /** The deterministic Lloyd k-means coarse quantizer, memoized per
+    * (session, dir): (centroids (cid, cv), assignment (vec_id, label,
+    * v, embedding, cid)). Seeds = the KCells vectors ranked first by
+    * md5("seed:"||vec_id); KmIters assign/update rounds; centroid dims
+    * rounded to 6 for reduction-order stability. Both the IVF probe
+    * (q39) and semantic dedup (q76) consume the same trained model —
+    * at 100 TB this is "train the quantizer once per corpus, persist
+    * the assignment table". */
+  private def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ivfMemo.computeIfAbsent((s, d), _ => {
+      import org.apache.spark.sql.expressions.Window
+      // materialize the double-vector relation once — it feeds three
+      // assignment passes (KmIters + final), each of which would
+      // otherwise recompute the scan + cast pipeline
+      val e = graft.Materialize.cut(Tables.embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+      // seed selection: global top-KCells by hash via orderBy+limit
+      // (plans as TakeOrderedAndProject — per-partition top-k, no
+      // global sort); the cid-numbering window then runs over only
+      // KCells rows.
+      val seeds = e
+        .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(KCells)
+      // constant-0 partition key: these windows run over <= KCells
+      // rows post-limit, so a single partition IS the right plan —
+      // the explicit key just keeps WindowExec's "no partition
+      // defined / moving all data" warning out of every bench log.
+      // The key must survive the optimizer (lit(0) is stripped by
+      // EliminateWindowPartitions, `x * 0` by arithmetic
+      // simplification); pmod(vec_id, 1) = 0 for the non-null
+      // non-negative ids and is left intact.
+      var cents = seeds
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(pmod(col("vec_id"), lit(1)))
+            .orderBy(col("h"), col("vec_id"))))
+        .select((col("rn") - 1).as("cid"), col("v").as("cv"))
+      // native codegen'd kernel (same left-to-right fold as the HOF
+      // form and the oracle's list_sum — bit-identical, but no
+      // interpreted lambda per element per candidate row)
+      val distExpr = VectorFunctions.l2sq(col("v"), col("cv"))
+      def assign(c: DataFrame): DataFrame = {
+        val aw = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist"), col("cid"))
+        e.crossJoin(broadcast(c))
+          .withColumn("dist", distExpr)
+          .withColumn("arn", row_number().over(aw))
+          .where(col("arn") === 1)
+          .select(col("vec_id"), col("label"), col("v"),
+            col("embedding"), col("cid"))
+      }
+      for (_ <- 1 to KmIters) {
+        // cut per round: the centroid relation is KCells rows but its
+        // lineage would otherwise nest the full previous assignment
+        cents = graft.Materialize.cut(assign(cents).groupBy(col("cid")).agg(
+          array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("cv")))
+      }
+      // consumed by q39 (query row + probed-cell candidates) and q76
+      (cents, graft.Materialize.cut(assign(cents)))
+    })
+
   /** Seeded random hyperplanes — (j, i) from the first four md5 bytes
     * of "plane:j:dim:i", mapped to [-1, 1). Public data only (md5),
     * reproducible everywhere; the single source of truth lives in the
@@ -145,54 +212,7 @@ object Similarity {
     // sample and only the assignment pass sees the full data.
     "q39_ann_ivf" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // materialize the double-vector relation once — it feeds three
-      // assignment passes (KmIters + final), each of which would
-      // otherwise recompute the scan + cast pipeline
-      val e = graft.Materialize.cut(Tables.embeddings(s, d)
-        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
-      // seed selection: global top-KCells by hash via orderBy+limit
-      // (plans as TakeOrderedAndProject — per-partition top-k, no
-      // global sort); the cid-numbering window then runs over only
-      // KCells rows.
-      val seeds = e
-        .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
-        .orderBy(col("h"), col("vec_id"))
-        .limit(KCells)
-      // constant-0 partition key: these windows run over <= KCells
-      // rows post-limit, so a single partition IS the right plan —
-      // the explicit key just keeps WindowExec's "no partition
-      // defined / moving all data" warning out of every bench log.
-      // The key must survive the optimizer (lit(0) is stripped by
-      // EliminateWindowPartitions, `x * 0` by arithmetic
-      // simplification); pmod(vec_id, 1) = 0 for the non-null
-      // non-negative ids and is left intact.
-      var cents = seeds
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(pmod(col("vec_id"), lit(1)))
-            .orderBy(col("h"), col("vec_id"))))
-        .select((col("rn") - 1).as("cid"), col("v").as("cv"))
-      // native codegen'd kernel (same left-to-right fold as the HOF
-      // form and the oracle's list_sum — bit-identical, but no
-      // interpreted lambda per element per candidate row)
-      val distExpr = VectorFunctions.l2sq(col("v"), col("cv"))
-      def assign(c: DataFrame): DataFrame = {
-        val aw = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist"), col("cid"))
-        e.crossJoin(broadcast(c))
-          .withColumn("dist", distExpr)
-          .withColumn("arn", row_number().over(aw))
-          .where(col("arn") === 1)
-          .select(col("vec_id"), col("label"), col("v"),
-            col("embedding"), col("cid"))
-      }
-      for (_ <- 1 to KmIters) {
-        // cut per round: the centroid relation is KCells rows but its
-        // lineage would otherwise nest the full previous assignment
-        cents = graft.Materialize.cut(assign(cents).groupBy(col("cid")).agg(
-          array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("cv")))
-      }
-      // consumed twice below (query row + probed-cell candidates)
-      val assigned = graft.Materialize.cut(assign(cents))
+      val (cents, assigned) = ivfModel(s, d)
       val qrow = assigned.where(col("vec_id") === 0)
         .select(col("v").as("qv"), col("embedding").as("q_embedding"))
       val qDist = VectorFunctions.l2sq(col("qv"), col("cv"))
@@ -249,6 +269,31 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), col("bucket"), col("cos"))
         .orderBy(col("vec_a"), col("vec_b"))
     },
+
+    // SEMANTIC dedup (the SemDeDup shape): cluster the embedding space
+    // with the SAME trained k-means quantizer as IVF, then within each
+    // cell drop any vector whose cosine to a lower-id cell-mate
+    // reaches the near-dup threshold — keep exactly the id-minimal
+    // representative of every near-dup neighborhood. The pair search
+    // never leaves a cell: at 100 TB cid is the partition key, the
+    // quadratic is bounded per cell, and the keep rule is one
+    // anti-join pass, not an iterative clustering.
+    "q76_semantic_dedup" -> { (s, d) =>
+      val (_, assigned) = ivfModel(s, d)
+      val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"))
+      val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"))
+      val dropped = a.join(b, Seq("cid"))
+        .where(col("vec_a") < col("vec_b") &&
+          cos6(col("emb_a"), col("emb_b")) >= 0.4)
+        .select(col("vec_b").as("vec_id")).distinct()
+        .withColumn("hit", lit(true))
+      assigned.select(col("vec_id"), col("cid").cast("bigint").as("cid"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("hit").isNull.as("kept"))
+        .orderBy(col("vec_id"))
+    },
   )
 
   def oracle: Map[String, String] = {
@@ -256,6 +301,31 @@ object Similarity {
       s"""WITH e AS (
          |  SELECT vec_id, label, $vecSql AS v FROM embeddings),
          |n AS (SELECT vec_id, label, v, $nrmSql AS nrm FROM e)""".stripMargin
+    // shared k-means CTE chain (mirrors ivfModel stage for stage):
+    // seeds -> KmIters assign/update rounds -> final assignment `fin`
+    val centDims = (1 to 64).map(i => s"round(avg(v[$i]), 6)").mkString(", ")
+    def distSql(v: String, cv: String) =
+      s"list_sum(list_transform(range(1, 65), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
+    def assignCte(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, label, v, nrm, cid FROM (
+         |    SELECT e.vec_id, e.label, e.v, e.nrm, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql("e.v", "c.cv")}, c.cid) AS arn
+         |    FROM n e CROSS JOIN $cents c) WHERE arn = 1)""".stripMargin
+    val iterCtes = (1 to KmIters).map { it =>
+      s"""${assignCte(s"cents${it - 1}", s"a$it")},
+         |cents$it AS (SELECT cid, [$centDims] AS cv FROM a$it GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val kmeansCtes =
+      s"""sd AS (
+         |  SELECT v, rn - 1 AS cid FROM (
+         |    SELECT v, row_number() OVER (
+         |      ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM n) WHERE rn <= $KCells),
+         |cents0 AS (SELECT cid, v AS cv FROM sd),
+         |$iterCtes,
+         |${assignCte(s"cents$KmIters", "fin")}""".stripMargin
     Map(
       "q36_knn_brute" ->
         s"""$base
@@ -276,30 +346,9 @@ object Similarity {
            |FROM bk a JOIN probe q ON a.bucket = q.bucket
            |WHERE a.vec_id <> 0
            |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
-      "q39_ann_ivf" -> {
-        val centDims = (1 to 64).map(i => s"round(avg(v[$i]), 6)").mkString(", ")
-        def distSql(v: String, cv: String) =
-          s"list_sum(list_transform(range(1, 65), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
-        def assignCte(cents: String, out: String) =
-          s"""$out AS (
-             |  SELECT vec_id, label, v, nrm, cid FROM (
-             |    SELECT e.vec_id, e.label, e.v, e.nrm, c.cid,
-             |      row_number() OVER (PARTITION BY e.vec_id
-             |        ORDER BY ${distSql("e.v", "c.cv")}, c.cid) AS arn
-             |    FROM n e CROSS JOIN $cents c) WHERE arn = 1)""".stripMargin
-        val iterCtes = (1 to KmIters).map { it =>
-          s"""${assignCte(s"cents${it - 1}", s"a$it")},
-             |cents$it AS (SELECT cid, [$centDims] AS cv FROM a$it GROUP BY cid)""".stripMargin
-        }.mkString(",\n")
+      "q39_ann_ivf" ->
         s"""$base,
-           |sd AS (
-           |  SELECT v, rn - 1 AS cid FROM (
-           |    SELECT v, row_number() OVER (
-           |      ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
-           |    FROM n) WHERE rn <= $KCells),
-           |cents0 AS (SELECT cid, v AS cv FROM sd),
-           |$iterCtes,
-           |${assignCte(s"cents$KmIters", "fin")},
+           |$kmeansCtes,
            |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
            |probed AS (
            |  SELECT cid FROM (
@@ -312,8 +361,19 @@ object Similarity {
            |JOIN probed p ON a.cid = p.cid
            |CROSS JOIN (SELECT v, nrm FROM n WHERE vec_id = 0) q2
            |WHERE a.vec_id <> 0
-           |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin
-      },
+           |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
+      "q76_semantic_dedup" ->
+        s"""$base,
+           |$kmeansCtes,
+           |dropped AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM fin a JOIN fin b
+           |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.4)
+           |SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cid,
+           |       d.vec_id IS NULL AS kept
+           |FROM fin f LEFT JOIN dropped d ON f.vec_id = d.vec_id
+           |ORDER BY f.vec_id""".stripMargin,
       "q38_embed_neardup" ->
         s"""$base
            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
