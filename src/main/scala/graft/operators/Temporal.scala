@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables
+import scala.jdk.CollectionConverters._
 
 /** Temporal operators over the `events` table: tumbling-window
   * aggregation, gap-based sessionization, and a scalable as-of join.
@@ -25,6 +26,8 @@ import graft.Tables
   *     ASOF JOIN is the oracle).
   */
 object Temporal {
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def decSum(c: String) =
     sum(col(c).cast(DecimalType(18, 6))).cast("double")
@@ -52,6 +55,79 @@ object Temporal {
         .agg(count(lit(1)).as("n"), decSum("value").as("sum_value"))
         .select(col("w.start").as("window_start"), col("event_type"),
           col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // q50's aggregation through the REAL watermarked streaming
+    // operator: events replay from staged files (3 files → serialized
+    // micro-batches), the aggregation runs under
+    // withWatermark + window() in APPEND mode — the only mode that
+    // scales (complete mode re-emits the whole result every trigger) —
+    // and a sentinel event past every real window advances the final
+    // watermark so the state store flushes closed windows (the
+    // "watermark heartbeat" a production pipeline emits for exactly
+    // this purpose). The delay is sized past the corpus's full time
+    // span, so cross-file arrival order cannot drop a late row; the
+    // oracle is q50's batch SQL verbatim — driver-visible proof that
+    // streaming ≡ batch for windowed aggregation.
+    "q77_stream_window_agg" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-stream-window").toString
+      ev.repartition(3).write.mode("overwrite").parquet(dir)
+      // the sentinel must reach the source LAST (FileStreamSource
+      // orders by modification time): one event 400 days out, written
+      // after the data files, its mtime bumped a minute ahead so the
+      // ordering holds even on a coarse-mtime filesystem
+      val dp = java.nio.file.Paths.get(dir)
+      def parquetFiles: Set[java.nio.file.Path] = {
+        val st = java.nio.file.Files.list(dp)
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+        finally st.close()
+      }
+      val dataFiles = parquetFiles
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs.getTime + 400L * 24 * 3600 * 1000)
+      s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(
+            sentinelTs, "__sentinel", 0.0)), ev.schema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      val bumped = java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() + 60000)
+      (parquetFiles -- dataFiles).foreach(
+        java.nio.file.Files.setLastModifiedTime(_, bumped))
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val agg = stream
+        .withWatermark("ts", "365 days")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum("value").as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val name = s"stream_window_${streamSeq.incrementAndGet()}"
+      // state-partition count pins at the query's FIRST run from
+      // spark.sql.shuffle.partitions, and every micro-batch then pays
+      // a state-store commit per partition; scope the replay to 4
+      // (the file count) — q27s's move, same semantics, a fraction of
+      // the per-batch commit overhead. Restored only after the replay
+      // is fully consumed (the stream thread clones the session conf
+      // asynchronously while planning batch 0).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(300000), "stream window agg timed out")
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      graft.Fs.deleteRecursively(dir)
+      s.table(name)
+        .where(col("event_type") =!= "__sentinel")
         .orderBy(col("window_start"), col("event_type"))
     },
 
@@ -291,6 +367,12 @@ object Temporal {
 
   def oracle: Map[String, String] = Map(
     "q50_window_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the streaming guise must equal the batch aggregation exactly
+    "q77_stream_window_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
