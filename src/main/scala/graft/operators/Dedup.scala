@@ -501,6 +501,49 @@ object Dedup {
     // with an ingest firehose. Replayed over staged files (3 files →
     // serialized micro-batches) under Trigger.AvailableNow; docs with
     // doc_id % 10 = 7 play the arrivals, the rest the corpus.
+    // STREAMING exact dedup with BOUNDED state: arrivals stream
+    // through dropDuplicatesWithinWatermark on the content digest —
+    // the state store holds only digests younger than the watermark
+    // delay, the form that survives an unbounded firehose (plain
+    // dropDuplicates grows state forever). Arrival time is synthetic
+    // (epoch + doc_id seconds — deterministic) and the delay covers
+    // the replay's whole span, so emission is exactly
+    // first-occurrence and the output SET equals batch DISTINCT; no
+    // sentinel needed because rows emit on arrival, not on flush.
+    "q78_stream_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("content_md5"))
+        .withColumn("ts",
+          timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-stream-dedup").toString
+      docs.repartition(3).write.mode("overwrite").parquet(dir)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val dedup = stream
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark("content_md5")
+        .select(col("content_md5"))
+      val name = s"stream_dedup_${streamSeq.incrementAndGet()}"
+      // state-partition count pins at first run; scope the replay to 4
+      // (file count) to cut per-batch state-store commit overhead —
+      // restored only after the replay is fully consumed (q27s's move)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = dedup.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try require(q.awaitTermination(300000), "stream dedup timed out")
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      graft.Fs.deleteRecursively(dir)
+      // set semantics are the contract (the delay makes re-emission
+      // impossible here; distinct states the invariant)
+      s.table(name).distinct().orderBy(col("content_md5"))
+    },
+
     "q75_stream_dup_filter" -> { (s, d) =>
       val sig = minhashSignatures(s, d)
       val index = Materialize.cut(
@@ -664,6 +707,9 @@ object Dedup {
         |FROM sh a JOIN sh b
         |  ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q78_stream_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_md5
+        |FROM documents ORDER BY content_md5""".stripMargin,
     "q75_stream_dup_filter" ->
       s"""WITH $minhashCtes,
          |inc AS (
