@@ -130,7 +130,10 @@ object Bench {
     // line may not be last. Persist the JSON to known files the driver (or a
     // human) can always read: an env-given path and the working directory
     // (repo root when run via sbt).
-    for (p <- sys.env.get("SPARK_GRAFT_BENCH_OUT").toList :+ "BENCH.json") {
+    // subset runs (SPARK_GRAFT_ONLY) go to BENCH_partial.json so a dev
+    // iteration can't clobber the committed full-suite artifact
+    val defaultOut = if (only.isEmpty) "BENCH.json" else "BENCH_partial.json"
+    for (p <- sys.env.get("SPARK_GRAFT_BENCH_OUT").toList :+ defaultOut) {
       try Files.writeString(Paths.get(p), json + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] write $p failed: ${e.getMessage}")
