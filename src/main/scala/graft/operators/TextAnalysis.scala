@@ -38,6 +38,10 @@ object TextAnalysis {
   private val toksExpr = Tokens.toksExpr
   private val toksSql = Tokens.toksSql
 
+  /** Token budget per packed training sequence (q79): ~54 tokens per
+    * synthetic doc -> ~9-10 docs per sequence. */
+  val SeqBudget = 512
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols.
     * Spark SQL string literals eat one level of backslash ('\s' -> 's'),
     * so the Spark-side literal needs the extra escape. */
@@ -230,6 +234,45 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // SEQUENCE PACKING — the layout step before an LLM train job:
+    // assign the tokenized corpus (doc_id order) to fixed-budget
+    // training sequences by the global running token count. The
+    // running sum uses the zipWithIndex shape (range partition →
+    // per-partition sums → broadcast offsets → within-partition
+    // cumsum) — global-order semantics with NO single-partition
+    // window; the offsets pass collects one sum per partition. At
+    // 100 TB this is exactly how a packing job lays out trillions of
+    // tokens without funneling them through one task.
+    "q79_sequence_pack" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, d)
+        .withColumn("n_toks", size(expr(toksExpr)).cast("long"))
+        .select(col("doc_id"), col("n_toks"))
+      // materialized once so the sums pass and the packing pass read
+      // the same partition layout (see q60's numbering note)
+      val parts = graft.Materialize.cut(
+        toks.repartitionByRange(col("doc_id"))
+          .withColumn("pid", spark_partition_id()))
+      val sums = parts.groupBy(col("pid")).agg(sum(col("n_toks")).as("psum"))
+        .orderBy(col("pid")).as[(Int, Long)].collect()
+      var acc = 0L
+      val offsets = sums.map { case (pid, ps) =>
+        val o = (pid, acc); acc += ps; o
+      }.toSeq
+      val cumW = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      parts.join(broadcast(offsets.toDF("pid", "offset")), Seq("pid"))
+        .withColumn("tok_start",
+          col("offset") + coalesce(sum(col("n_toks")).over(cumW), lit(0L)))
+        .withColumn("seq_id",
+          floor(col("tok_start") / lit(SeqBudget.toDouble)))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("seq_id"))
+    },
+
     // Fingerprinting: whole-content digest + winnowed min-hash over
     // 5-token shingles (rolling window), both md5-exact vs the oracle.
     "q43_fingerprint" -> { (s, d) =>
@@ -309,6 +352,18 @@ object TextAnalysis {
            |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
            |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
            |ORDER BY tf.doc_id, tf.term""".stripMargin,
+      "q79_sequence_pack" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, len($toksSql) AS n_toks FROM documents),
+           |c AS (
+           |  SELECT doc_id, n_toks,
+           |    coalesce(sum(n_toks) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+           |  FROM t)
+           |SELECT CAST(floor(tok_start / ${SeqBudget.toDouble}) AS BIGINT) AS seq_id,
+           |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
       "q49_chunking" ->
         s"""WITH t AS (
            |  SELECT doc_id, $toksSql AS toks FROM documents),
