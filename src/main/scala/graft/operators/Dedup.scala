@@ -270,11 +270,11 @@ object Dedup {
       .withColumn("est_jaccard", col("matches") / lit(K.toDouble))
       .where(col("est_jaccard") >= EstThreshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      // the union of 8 band joins yields 8 x (probe partitions)
-      // slices; coalesce (map-side, NO shuffle — the band joins and
-      // match count still execute at full width inside the merged
-      // tasks) so the materialized pair relation doesn't hand every
-      // downstream consumer hundreds of near-empty partitions
+      // the union of the per-band joins yields Bands x (probe
+      // partitions) slices; coalesce (map-side, NO shuffle — the band
+      // joins and match count still execute at full width inside the
+      // merged tasks) so the materialized pair relation doesn't hand
+      // every downstream consumer stacks of near-empty partitions
       .coalesce(s.conf.get("spark.sql.shuffle.partitions").toInt)
   }
 
@@ -506,42 +506,30 @@ object Dedup {
     // the state store holds only digests younger than the watermark
     // delay, the form that survives an unbounded firehose (plain
     // dropDuplicates grows state forever). Arrival time is synthetic
-    // (epoch + doc_id seconds — deterministic) and the delay covers
-    // the replay's whole span, so emission is exactly
-    // first-occurrence and the output SET equals batch DISTINCT; no
-    // sentinel needed because rows emit on arrival, not on flush.
+    // (epoch + doc_id seconds — deterministic), and the delay is
+    // DERIVED from max(doc_id) so it covers the replay's whole span
+    // at any corpus size — a fixed delay would silently drop
+    // cross-file "late" digests once ids outgrow it. Emission is then
+    // exactly first-occurrence and the output SET equals batch
+    // DISTINCT; no sentinel needed because rows emit on arrival, not
+    // on flush.
     "q78_stream_dedup" -> { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("content_md5"))
         .withColumn("ts",
           timestamp_seconds(lit(1700000000L) + col("doc_id")))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-stream-dedup").toString
-      docs.repartition(3).write.mode("overwrite").parquet(dir)
-      val stream = s.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir)
-      val dedup = stream
-        .withWatermark("ts", "30 days")
-        .dropDuplicatesWithinWatermark("content_md5")
-        .select(col("content_md5"))
-      val name = s"stream_dedup_${streamSeq.incrementAndGet()}"
-      // state-partition count pins at first run; scope the replay to 4
-      // (file count) to cut per-batch state-store commit overhead —
-      // restored only after the replay is fully consumed (q27s's move)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = dedup.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try require(q.awaitTermination(300000), "stream dedup timed out")
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      graft.Fs.deleteRecursively(dir)
-      // set semantics are the contract (the delay makes re-emission
-      // impossible here; distinct states the invariant)
-      s.table(name).distinct().orderBy(col("content_md5"))
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      graft.streaming.Replay.run(s, docs, files = 3, stateParts = Some(3)) {
+        stream =>
+          stream
+            .withWatermark("ts", s"${maxId + 60} seconds")
+            .dropDuplicatesWithinWatermark("content_md5")
+            .select(col("content_md5"))
+      }
+        // set semantics are the contract (the delay makes re-emission
+        // impossible here; distinct states the invariant)
+        .distinct().orderBy(col("content_md5"))
     },
 
     "q75_stream_dup_filter" -> { (s, d) =>
@@ -550,23 +538,13 @@ object Dedup {
         bandMelt(bandKeyed(sig.where(col("doc_id") % 10 =!= 7)))
           .select(col("band_id"), col("band_key")).distinct())
       val incoming = Tables.documents(s, d).where(col("doc_id") % 10 === 7)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-stream-dup").toString
-      incoming.repartition(3).write.mode("overwrite").parquet(dir)
-      val stream = s.readStream.schema(incoming.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir)
-      val matched = bandMelt(bandKeyed(withMinhash(stream)))
-        .join(index, Seq("band_id", "band_key"))
-        .select(col("doc_id"), col("band_id"))
-      val name = s"stream_dup_${streamSeq.incrementAndGet()}"
-      val q = matched.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try require(q.awaitTermination(300000), "stream dup-filter timed out")
-      finally q.stop()
-      graft.Fs.deleteRecursively(dir)
-      val hits = s.table(name)
+      val matched = graft.streaming.Replay.run(s, incoming, files = 3) {
+        stream =>
+          bandMelt(bandKeyed(withMinhash(stream)))
+            .join(index, Seq("band_id", "band_key"))
+            .select(col("doc_id"), col("band_id"))
+      }
+      val hits = matched
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_bands_hit"))
       incoming.select(col("doc_id"))
         .join(hits, Seq("doc_id"), "left")
@@ -576,8 +554,6 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
   )
-
-  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Shared oracle CTE chain: tokens → k signatures → bands → distinct
     * candidate pairs (mirrors the Spark pipeline stage for stage). */

@@ -43,7 +43,11 @@ object Skew {
   def saltedSum(df: DataFrame, key: String, valueCol: Column,
       salts: Int): DataFrame = {
     require(salts > 0)
-    df.withColumn("__salt", pmod(hash(valueCol), lit(salts)))
+    // salt from ALL row columns, not the aggregated value: a hot key
+    // whose rows share one value (the common adversarial case) would
+    // otherwise hash to a single salt and defeat the spread entirely
+    val scatter = pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts))
+    df.withColumn("__salt", scatter)
       .groupBy(col(key), col("__salt"))
       .agg(sum(valueCol).as("__partial"), count(lit(1)).as("__n"))
       .groupBy(col(key))

@@ -27,8 +27,6 @@ import scala.jdk.CollectionConverters._
   */
 object Temporal {
 
-  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
-
   private def decSum(c: String) =
     sum(col(c).cast(DecimalType(18, 6))).cast("double")
 
@@ -73,62 +71,53 @@ object Temporal {
     "q77_stream_window_agg" -> { (s, d) =>
       val ev = Tables.events(s, d)
         .select(col("ts"), col("event_type"), col("value"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-stream-window").toString
-      ev.repartition(3).write.mode("overwrite").parquet(dir)
-      // the sentinel must reach the source LAST (FileStreamSource
-      // orders by modification time): one event 400 days out, written
-      // after the data files, its mtime bumped a minute ahead so the
-      // ordering holds even on a coarse-mtime filesystem
-      val dp = java.nio.file.Paths.get(dir)
-      def parquetFiles: Set[java.nio.file.Path] = {
-        val st = java.nio.file.Files.list(dp)
-        try st.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toSet
-        finally st.close()
+      val maxRow = ev.agg(max(col("ts"))).head()
+      if (maxRow.isNullAt(0)) {
+        // empty input: the batch form's empty result, same schema
+        queries("q50_window_agg")(s, d)
+          .select(col("window_start"), col("event_type"),
+            col("n"), col("sum_value")).limit(0)
+      } else {
+        val maxTs = maxRow.getTimestamp(0)
+        // the sentinel must reach the source LAST (FileStreamSource
+        // orders by modification time): one event 400 days out,
+        // appended after the data files with its mtime bumped a
+        // minute ahead so the ordering holds even on a coarse-mtime
+        // filesystem
+        def appendSentinel(dir: String): Unit = {
+          val dp = java.nio.file.Paths.get(dir)
+          def parquetFiles: Set[java.nio.file.Path] = {
+            val st = java.nio.file.Files.list(dp)
+            try st.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSet
+            finally st.close()
+          }
+          val dataFiles = parquetFiles
+          val sentinelTs = new java.sql.Timestamp(
+            maxTs.getTime + 400L * 24 * 3600 * 1000)
+          s.createDataFrame(
+              java.util.List.of(org.apache.spark.sql.Row(
+                sentinelTs, "__sentinel", 0.0)), ev.schema)
+            .coalesce(1).write.mode("append").parquet(dir)
+          val bumped = java.nio.file.attribute.FileTime
+            .fromMillis(System.currentTimeMillis() + 60000)
+          (parquetFiles -- dataFiles).foreach(
+            java.nio.file.Files.setLastModifiedTime(_, bumped))
+        }
+        graft.streaming.Replay.run(s, ev, files = 3,
+          stateParts = Some(4), afterStage = appendSentinel) { stream =>
+          stream
+            .withWatermark("ts", "365 days")
+            .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("n"), decSum("value").as("sum_value"))
+            .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+        }
+          // null-safe: a NULL event_type group is real data and must
+          // survive the sentinel filter (plain =!= would null it out)
+          .where(!col("event_type").eqNullSafe("__sentinel"))
+          .orderBy(col("window_start"), col("event_type"))
       }
-      val dataFiles = parquetFiles
-      val sentinelTs = new java.sql.Timestamp(
-        maxTs.getTime + 400L * 24 * 3600 * 1000)
-      s.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(
-            sentinelTs, "__sentinel", 0.0)), ev.schema)
-        .coalesce(1).write.mode("append").parquet(dir)
-      val bumped = java.nio.file.attribute.FileTime
-        .fromMillis(System.currentTimeMillis() + 60000)
-      (parquetFiles -- dataFiles).foreach(
-        java.nio.file.Files.setLastModifiedTime(_, bumped))
-      val stream = s.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir)
-      val agg = stream
-        .withWatermark("ts", "365 days")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), decSum("value").as("sum_value"))
-        .select(col("w.start").as("window_start"), col("event_type"),
-          col("n"), col("sum_value"))
-      val name = s"stream_window_${streamSeq.incrementAndGet()}"
-      // state-partition count pins at the query's FIRST run from
-      // spark.sql.shuffle.partitions, and every micro-batch then pays
-      // a state-store commit per partition; scope the replay to 4
-      // (the file count) — q27s's move, same semantics, a fraction of
-      // the per-batch commit overhead. Restored only after the replay
-      // is fully consumed (the stream thread clones the session conf
-      // asynchronously while planning batch 0).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try require(q.awaitTermination(300000), "stream window agg timed out")
-        finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      graft.Fs.deleteRecursively(dir)
-      s.table(name)
-        .where(col("event_type") =!= "__sentinel")
-        .orderBy(col("window_start"), col("event_type"))
     },
 
     // Gap-based sessions (30 min) per user.
