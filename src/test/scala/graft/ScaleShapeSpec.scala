@@ -189,6 +189,23 @@ class ScaleShapeSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("compaction rewrites a fragmented dataset into sized files, row-identical") {
+    val s = spark
+    val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
+    val frag = java.nio.file.Files.createTempDirectory("graft-frag").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // 32 tiny files — the streaming-sink fragmentation pattern
+    docs.repartition(32).write.mode("overwrite").parquet(frag)
+    // target sized so the fragments compact to a couple of files
+    val outFiles = sinks.Compact.compactParquet(s, frag, dest,
+      targetBytes = 64L << 10)
+    assert(outFiles < 32)
+    val before = docs.orderBy(col("doc_id")).collect()
+    val after = s.read.parquet(dest).orderBy(col("doc_id")).collect()
+    assert(after === before)
+    for (p <- Seq(frag, dest)) Fs.deleteRecursively(p)
+  }
+
   test("HLL cardinality estimate tracks exact distinct within 5%") {
     val s = spark
     import s.implicits._
