@@ -270,6 +270,33 @@ object Similarity {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // INT8 quantization — the storage/bandwidth op of a 100 TB vector
+    // lake: 4x smaller embeddings (plus a per-vector scale) before
+    // ANN probing or shipping to trainers. Symmetric absmax scheme:
+    // scale = max|x|/127, q_i = floor(x_i/scale + 0.5). Map-only, one
+    // pass; every arithmetic step (fold-max, divide, floor) is
+    // IEEE-identical in both engines, so the oracle hash-checks the
+    // full quantized payload via a canonical digest. floor(x + 0.5)
+    // is used instead of round() to pin down half-way behavior
+    // identically everywhere.
+    "q80_quantize_int8" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("amax",
+          expr("aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+        .withColumn("scale", col("amax") / lit(127.0))
+        .withColumn("q", expr(
+          "transform(v, x -> CAST(floor(CASE WHEN scale = 0.0 THEN 0.0 " +
+            "ELSE x / scale END + 0.5) AS INT))"))
+        .withColumn("q_digest",
+          md5(expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')")))
+        .withColumn("n_clipped",
+          expr("size(filter(q, x -> x > 127 OR x < -127))"))
+        .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+          col("q_digest"), col("n_clipped"))
+        .orderBy(col("vec_id"))
+    },
+
     // SEMANTIC dedup (the SemDeDup shape): cluster the embedding space
     // with the SAME trained k-means quantizer as IVF, then within each
     // cell drop any vector whose cosine to a lower-id cell-mate
@@ -362,6 +389,24 @@ object Similarity {
            |CROSS JOIN (SELECT v, nrm FROM n WHERE vec_id = 0) q2
            |WHERE a.vec_id <> 0
            |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
+      "q80_quantize_int8" ->
+        s"""WITH e AS (
+           |  SELECT vec_id, $vecSql AS v FROM embeddings),
+           |a AS (
+           |  SELECT vec_id, v,
+           |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+           |  FROM e),
+           |sc AS (SELECT vec_id, v, amax / 127.0 AS scale FROM a),
+           |qz AS (
+           |  SELECT vec_id, scale,
+           |    list_transform(v, x -> CAST(floor(
+           |      CASE WHEN scale = 0.0 THEN 0.0 ELSE x / scale END + 0.5)
+           |      AS INTEGER)) AS q
+           |  FROM sc)
+           |SELECT vec_id, round(scale, 9) AS scale,
+           |  md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_digest,
+           |  len(list_filter(q, x -> x > 127 OR x < -127)) AS n_clipped
+           |FROM qz ORDER BY vec_id""".stripMargin,
       "q76_semantic_dedup" ->
         s"""$base,
            |$kmeansCtes,

@@ -25,6 +25,24 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.forall { case (a, b, e) => a < b && e >= 0.75 && e <= 1.0 })
   }
 
+  test("int8 quantization reconstructs within half a scale step") {
+    val s = spark
+    import s.implicits._
+    val bad = Tables.embeddings(s, sf)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("amax",
+        expr("aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .withColumn("scale", $"amax" / lit(127.0))
+      .withColumn("q", expr(
+        "transform(v, x -> CAST(floor(CASE WHEN scale = 0.0 THEN 0.0 " +
+          "ELSE x / scale END + 0.5) AS INT))"))
+      .withColumn("max_err", expr(
+        "aggregate(zip_with(v, q, (x, qq) -> abs(x - qq * scale)), " +
+          "CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, x))"))
+      .where($"max_err" > $"scale" * 0.5000001).count()
+    assert(bad === 0)
+  }
+
   test("simhash fingerprints are 16-bit") {
     val s = spark
     import s.implicits._
