@@ -137,6 +137,57 @@ object Curation {
     // engine-wide md5 byte against floor(weight * 256). The weight
     // table is one row per source — broadcast back to the corpus; the
     // only corpus-wide shuffle is the per-source aggregation itself.
+    // The COMPOSED curation pipeline — every filter a C4-style corpus
+    // pass applies, as ONE query: quality score + repetition metrics
+    // computed map-only in a single corpus scan, benchmark
+    // decontamination as a broadcast gram semi-join, exact dedup as a
+    // digest groupBy keeping the id-minimal copy, then the conjunction
+    // of all gates. This is the "a user runs their whole pipeline on
+    // this engine" proof: one scan + two skinny joins, no operator
+    // recomputes another's scan. At 100 TB the signal columns ride the
+    // scan for free and only (digest, doc_id) and (doc_id, gram-hit)
+    // streams ever shuffle.
+    "q81_curation_pipeline" -> { (s, d) =>
+      val sig = Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("stop_hits", expr(TextAnalysis.hitsSpark(TextAnalysis.stopwords)))
+        .withColumn("n_punct",
+          expr("length(regexp_replace(text, '[a-z0-9\\\\s]', ''))"))
+        .withColumn("quality", round(
+          lit(0.4) * least(lit(1.0), col("n_toks").cast("double") / lit(50.0))
+            + lit(0.4) * (col("stop_hits").cast("double") / col("n_toks").cast("double"))
+            + lit(0.2) * (lit(1.0) - col("n_punct").cast("double")
+                / length(col("text")).cast("double")), 6))
+        .withColumn("g3", grams3(col("toks")))
+        .withColumn("frac_dup_3grams", when(size(col("g3")) > 0,
+          round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") /
+            size(col("g3")).cast("double"), 6)).otherwise(lit(0.0)))
+        .withColumn("frac_dup_tokens", when(col("n_toks") > 0,
+          round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+            col("n_toks").cast("double"), 6)).otherwise(lit(0.0)))
+        .withColumn("repetitive",
+          col("frac_dup_3grams") > 0.1 || col("frac_dup_tokens") > 0.6)
+        .withColumn("digest", md5(col("text")))
+      val train = sig.where(col("doc_id") % BenchmarkMod =!= 0)
+      val benchGrams = sig.where(col("doc_id") % BenchmarkMod === 0)
+        .select(explode(grams5(col("toks"))).as("gram")).distinct()
+      val contaminated = train
+        .select(col("doc_id"), explode(grams5(col("toks"))).as("gram"))
+        .join(broadcast(benchGrams), Seq("gram"))
+        .select(col("doc_id")).distinct()
+      val canonical = train.groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      train
+        .join(canonical, Seq("digest", "doc_id"))
+        .join(contaminated.withColumn("hit", lit(true)), Seq("doc_id"), "left")
+        .where(col("hit").isNull &&
+          col("quality") >= 0.5 && !col("repetitive"))
+        .select(col("doc_id"), col("n_toks"), col("quality"),
+          col("frac_dup_3grams"))
+        .orderBy(col("doc_id"))
+    },
+
     "q66_domain_mix" -> { (s, d) =>
       val docs = Tables.documents(s, d)
         .withColumn("toks", expr(toksExpr))
@@ -210,6 +261,48 @@ object Curation {
          |SELECT doc_id, n_toks, frac_dup_tokens, frac_dup_3grams,
          |  frac_dup_3grams > 0.1 OR frac_dup_tokens > 0.6 AS repetitive
          |FROM m ORDER BY doc_id""".stripMargin,
+    "q81_curation_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id, text, toks,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    ${TextAnalysis.hitsSql(TextAnalysis.stopwords)} AS stop_hits,
+         |    length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct,
+         |    $grams3Sql AS g3,
+         |    $grams5Sql AS grams,
+         |    md5(text) AS digest
+         |  FROM t),
+         |scored AS (
+         |  SELECT doc_id, n_toks, grams, digest,
+         |    round(0.4 * least(1.0, CAST(n_toks AS DOUBLE) / 50.0)
+         |      + 0.4 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE))
+         |      + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE)),
+         |      6) AS quality,
+         |    CASE WHEN len(g3) > 0 THEN round(1.0 -
+         |      CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE), 6)
+         |      ELSE 0.0 END AS frac_dup_3grams,
+         |    CASE WHEN len(toks) > 0 THEN round(1.0 -
+         |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+         |      ELSE 0.0 END AS frac_dup_tokens
+         |  FROM sig),
+         |train AS (SELECT * FROM scored WHERE doc_id % $BenchmarkMod <> 0),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM scored
+         |          WHERE doc_id % $BenchmarkMod = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT g.doc_id FROM
+         |    (SELECT doc_id, unnest(grams) AS gram FROM train) g
+         |  JOIN bench USING (gram)),
+         |canonical AS (
+         |  SELECT digest, min(doc_id) AS doc_id FROM train GROUP BY digest)
+         |SELECT tr.doc_id, tr.n_toks, tr.quality, tr.frac_dup_3grams
+         |FROM train tr
+         |JOIN canonical c ON tr.digest = c.digest AND tr.doc_id = c.doc_id
+         |LEFT JOIN contaminated x ON tr.doc_id = x.doc_id
+         |WHERE x.doc_id IS NULL
+         |  AND tr.quality >= 0.5
+         |  AND NOT (tr.frac_dup_3grams > 0.1 OR tr.frac_dup_tokens > 0.6)
+         |ORDER BY tr.doc_id""".stripMargin,
     "q66_domain_mix" ->
       s"""WITH docs AS (SELECT doc_id, source,
          |    CAST(len($toksSql) AS BIGINT) AS n_toks,

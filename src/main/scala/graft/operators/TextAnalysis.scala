@@ -48,11 +48,11 @@ object TextAnalysis {
   private val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
   private val bpePatternSpark = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
 
-  private def hitsSpark(words: Seq[String]): String = {
+  private[operators] def hitsSpark(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString(", ")
     s"size(filter(toks, t -> array_contains(array($arr), t)))"
   }
-  private def hitsSql(words: Seq[String]): String = {
+  private[operators] def hitsSql(words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter(toks, t -> list_contains([$arr], t)))"
   }
