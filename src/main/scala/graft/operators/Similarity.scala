@@ -59,13 +59,83 @@ object Similarity {
   private val probeMasks: Seq[Int] =
     (0 until (1 << Planes)).filter(Integer.bitCount(_) <= ProbeHamming)
 
-  /** k-means cells, probed cells, and Lloyd iterations for IVF. */
+  /** k-means cells (floor), probed cells, and Lloyd iterations for
+    * IVF. The actual cell count is derived from the corpus:
+    * k = max(KCells, ceil(n / TargetPerCell)), so cells hold ~1000
+    * vectors in expectation at any corpus size instead of n/8 — the
+    * first half of keeping q76's per-cell quadratic bounded. Both
+    * engines compute k from the same count, so the trained quantizer
+    * stays in cross-engine lockstep. */
   val KCells = 8
   val NProbe = 3
   val KmIters = 2
+  val TargetPerCell = 1000
+
+  /** Hard per-chunk cap for the within-cell pair search (q76): a cell
+    * over the cap is rank-chunked (see [[cellBoundedCandidates]]) so
+    * no task's candidate volume exceeds ~1.5*cap per member, no matter
+    * how skewed the embedding space is. [[CellCapGate]] is the
+    * deliberately small cap baked into q76b so the chunked code path
+    * itself is exercised and oracle-gated at sf0.01 (where average
+    * cells sit well under the production cap). */
+  val CellCap = 4096
+  val CellCapGate = 48
 
   private def cos6(a: Column, b: Column): Column =
     round(VectorFunctions.cosine(a, b), 6)
+
+  /** Within-cell near-dup candidate pairs with a HARD bound on the
+    * per-task quadratic. Cell members are ranked by (distance to
+    * their final centroid, vec_id) and chunked into rank blocks of
+    * `cap`; pairs are searched only within a chunk and between
+    * rank-adjacent chunks. A cell at or under `cap` keeps the exact
+    * full quadratic (single chunk, unchanged semantics); an oversized
+    * — skewed — cell degrades to a bounded neighborhood search
+    * instead of an O(cell²) task: each vector meets <= 3*cap
+    * rank-neighbors, so candidate volume is <= 1.5*cap*n however
+    * skewed the embedding space is (the ScaleShapeSpec fixture proves
+    * the bound on a single mega-cell). Rank-adjacency in centroid
+    * distance is the SemDeDup-style approximation: near-identical
+    * vectors have near-identical centroid distances, so true
+    * near-dups land in the same or adjacent chunks. The ranking
+    * window itself is linear per cell (one external sort), never
+    * quadratic. */
+  private[graft] def cellBoundedCandidates(assigned: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cw = Window.partitionBy(col("cid"))
+    val ranked = assigned
+      .withColumn("rn", row_number().over(cw.orderBy(col("dist"), col("vec_id"))))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .withColumn("chunk", floor((col("rn") - lit(1.0)) / lit(cap)))
+    // the probe side fans out to its own and both adjacent chunks ONLY
+    // when the cell is over the cap — pairs at chunk distance <= 1
+    // match exactly once (the build side stays at its home chunk)
+    val a = ranked
+      .select(col("cid"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("chunk"), col("cnt"))
+      .withColumn("pc", explode(when(col("cnt") > cap,
+        array(col("chunk") - 1, col("chunk"), col("chunk") + 1))
+        .otherwise(array(col("chunk")))))
+      .drop("chunk", "cnt")
+    val b = ranked.select(col("cid"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("chunk").as("pc"))
+    a.join(b, Seq("cid", "pc")).where(col("vec_a") < col("vec_b"))
+  }
+
+  /** The SemDeDup keep-rule over [[cellBoundedCandidates]]: drop any
+    * vector with a lower-id near-dup (cos >= 0.4) in its bounded
+    * search neighborhood; one anti-join pass, not iterative. */
+  private def semanticKept(s: SparkSession, d: String, cap: Int): DataFrame = {
+    val (_, assigned) = ivfModel(s, d)
+    val dropped = cellBoundedCandidates(assigned, cap)
+      .where(cos6(col("emb_a"), col("emb_b")) >= 0.4)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("hit", lit(true))
+    assigned.select(col("vec_id"), col("cid").cast("bigint").as("cid"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("hit").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
 
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
@@ -81,7 +151,7 @@ object Similarity {
     * (q39) and semantic dedup (q76) consume the same trained model —
     * at 100 TB this is "train the quantizer once per corpus, persist
     * the assignment table". */
-  private def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
+  private[graft] def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfMemo.computeIfAbsent((s, d), _ => {
       import org.apache.spark.sql.expressions.Window
       // materialize the double-vector relation once — it feeds three
@@ -89,14 +159,19 @@ object Similarity {
       // otherwise recompute the scan + cast pipeline
       val e = graft.Materialize.cut(Tables.embeddings(s, d)
         .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
-      // seed selection: global top-KCells by hash via orderBy+limit
+      // corpus-derived cell count: one O(1)-result count job, then
+      // k = max(KCells, ceil(n / TargetPerCell)) — the oracle computes
+      // the identical GREATEST(ceil(count/…)) so seeds match
+      val k = math.max(KCells,
+        math.ceil(e.count().toDouble / TargetPerCell).toInt)
+      // seed selection: global top-k by hash via orderBy+limit
       // (plans as TakeOrderedAndProject — per-partition top-k, no
       // global sort); the cid-numbering window then runs over only
-      // KCells rows.
+      // k rows.
       val seeds = e
         .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
         .orderBy(col("h"), col("vec_id"))
-        .limit(KCells)
+        .limit(k)
       // constant-0 partition key: these windows run over <= KCells
       // rows post-limit, so a single partition IS the right plan —
       // the explicit key just keeps WindowExec's "no partition
@@ -121,8 +196,10 @@ object Similarity {
           .withColumn("dist", distExpr)
           .withColumn("arn", row_number().over(aw))
           .where(col("arn") === 1)
+          // dist (to the winning centroid) rides along: q76's bounded
+          // pair search ranks cell members by it
           .select(col("vec_id"), col("label"), col("v"),
-            col("embedding"), col("cid"))
+            col("embedding"), col("cid"), col("dist"))
       }
       for (_ <- 1 to KmIters) {
         // cut per round: the centroid relation is KCells rows but its
@@ -302,25 +379,18 @@ object Similarity {
     // cell drop any vector whose cosine to a lower-id cell-mate
     // reaches the near-dup threshold — keep exactly the id-minimal
     // representative of every near-dup neighborhood. The pair search
-    // never leaves a cell: at 100 TB cid is the partition key, the
-    // quadratic is bounded per cell, and the keep rule is one
-    // anti-join pass, not an iterative clustering.
-    "q76_semantic_dedup" -> { (s, d) =>
-      val (_, assigned) = ivfModel(s, d)
-      val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
-        col("embedding").as("emb_a"))
-      val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
-        col("embedding").as("emb_b"))
-      val dropped = a.join(b, Seq("cid"))
-        .where(col("vec_a") < col("vec_b") &&
-          cos6(col("emb_a"), col("emb_b")) >= 0.4)
-        .select(col("vec_b").as("vec_id")).distinct()
-        .withColumn("hit", lit(true))
-      assigned.select(col("vec_id"), col("cid").cast("bigint").as("cid"))
-        .join(dropped, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cid"), col("hit").isNull.as("kept"))
-        .orderBy(col("vec_id"))
-    },
+    // never leaves a cell (cid is the partition key at 100 TB), the
+    // quadratic is HARD-bounded per cell by rank-chunking (see
+    // cellBoundedCandidates — k scales with corpus size AND any
+    // skewed mega-cell is chunked at CellCap), and the keep rule is
+    // one anti-join pass, not an iterative clustering.
+    "q76_semantic_dedup" -> { (s, d) => semanticKept(s, d, CellCap) },
+
+    // The same operator with the chunk cap forced small (CellCapGate)
+    // so the oversized-cell code path — rank-chunking + adjacent-chunk
+    // probing — is what the sf0.01 oracle gate actually executes and
+    // hash-checks, rather than a branch that only fires on skew.
+    "q76b_semantic_dedup_capped" -> { (s, d) => semanticKept(s, d, CellCapGate) },
   )
 
   def oracle: Map[String, String] = {
@@ -335,8 +405,9 @@ object Similarity {
       s"list_sum(list_transform(range(1, 65), i -> ($v[i] - $cv[i]) * ($v[i] - $cv[i])))"
     def assignCte(cents: String, out: String) =
       s"""$out AS (
-         |  SELECT vec_id, label, v, nrm, cid FROM (
+         |  SELECT vec_id, label, v, nrm, cid, dist FROM (
          |    SELECT e.vec_id, e.label, e.v, e.nrm, c.cid,
+         |      ${distSql("e.v", "c.cv")} AS dist,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${distSql("e.v", "c.cv")}, c.cid) AS arn
          |    FROM n e CROSS JOIN $cents c) WHERE arn = 1)""".stripMargin
@@ -349,10 +420,38 @@ object Similarity {
          |  SELECT v, rn - 1 AS cid FROM (
          |    SELECT v, row_number() OVER (
          |      ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
-         |    FROM n) WHERE rn <= $KCells),
+         |    FROM n)
+         |  WHERE rn <= (SELECT GREATEST($KCells,
+         |    CAST(ceil(COUNT(*) / $TargetPerCell.0) AS BIGINT)) FROM n)),
          |cents0 AS (SELECT cid, v AS cv FROM sd),
          |$iterCtes,
          |${assignCte(s"cents$KmIters", "fin")}""".stripMargin
+    // mirrors cellBoundedCandidates + semanticKept: rank cell members
+    // by (dist-to-final-centroid, vec_id), chunk at `cap`, probe own +
+    // adjacent chunks only when the cell is over the cap
+    def semdedupSql(cap: Int) =
+      s"""$base,
+         |$kmeansCtes,
+         |rk AS (
+         |  SELECT vec_id, v, nrm, cid,
+         |    row_number() OVER (PARTITION BY cid ORDER BY dist, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cid) AS cnt
+         |  FROM fin),
+         |ck AS (
+         |  SELECT *, CAST(floor((rn - 1.0) / $cap) AS BIGINT) AS chunk FROM rk),
+         |ae AS (
+         |  SELECT ck.vec_id, ck.v, ck.nrm, ck.cid, ck.chunk + o.off AS pc
+         |  FROM ck CROSS JOIN (VALUES (-1), (0), (1)) AS o(off)
+         |  WHERE ck.cnt > $cap OR o.off = 0),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM ae a JOIN ck b
+         |    ON a.cid = b.cid AND a.pc = b.chunk AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.4)
+         |SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cid,
+         |       d.vec_id IS NULL AS kept
+         |FROM fin f LEFT JOIN dropped d ON f.vec_id = d.vec_id
+         |ORDER BY f.vec_id""".stripMargin
     Map(
       "q36_knn_brute" ->
         s"""$base
@@ -407,18 +506,8 @@ object Similarity {
            |  md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_digest,
            |  len(list_filter(q, x -> x > 127 OR x < -127)) AS n_clipped
            |FROM qz ORDER BY vec_id""".stripMargin,
-      "q76_semantic_dedup" ->
-        s"""$base,
-           |$kmeansCtes,
-           |dropped AS (
-           |  SELECT DISTINCT b.vec_id
-           |  FROM fin a JOIN fin b
-           |    ON a.cid = b.cid AND a.vec_id < b.vec_id
-           |  WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.4)
-           |SELECT f.vec_id, CAST(f.cid AS BIGINT) AS cid,
-           |       d.vec_id IS NULL AS kept
-           |FROM fin f LEFT JOIN dropped d ON f.vec_id = d.vec_id
-           |ORDER BY f.vec_id""".stripMargin,
+      "q76_semantic_dedup" -> semdedupSql(CellCap),
+      "q76b_semantic_dedup_capped" -> semdedupSql(CellCapGate),
       "q38_embed_neardup" ->
         s"""$base
            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,

@@ -206,6 +206,31 @@ class ScaleShapeSpec extends SparkSpec {
     for (p <- Seq(frag, dest)) Fs.deleteRecursively(p)
   }
 
+  test("q76 bounded pair search: a skewed mega-cell's candidate volume stays capped") {
+    val s = spark
+    import s.implicits._
+    // every vector lands in ONE cell — the adversarial skew SemDeDup
+    // hits when one region of embedding space dominates the corpus.
+    // The naive within-cell quadratic would be n*(n-1)/2 candidates in
+    // a single task; the rank-chunked search must stay <= ~1.5*cap*n.
+    val n = 600
+    val cap = 50
+    val assigned = s.range(n.toLong).select(
+      lit(0).as("cid"), col("id").as("vec_id"),
+      array(lit(1.0f), (col("id") % 97).cast("float")).as("embedding"),
+      (col("id") % 97).cast("double").as("dist"))
+    val got = operators.Similarity.cellBoundedCandidates(assigned, cap).count()
+    val quadratic = n.toLong * (n - 1) / 2
+    val bound = (1.5 * cap * n).toLong
+    assert(got <= bound, s"candidates $got exceed hard bound $bound")
+    assert(got < quadratic / 2,
+      s"chunking gave no reduction vs the full quadratic ($got vs $quadratic)")
+    // …while a cell at or under the cap keeps the exact full quadratic
+    val small = operators.Similarity
+      .cellBoundedCandidates(assigned.limit(40), cap).count()
+    assert(small === 40L * 39 / 2)
+  }
+
   test("HLL cardinality estimate tracks exact distinct within 5%") {
     val s = spark
     import s.implicits._

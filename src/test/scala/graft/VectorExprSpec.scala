@@ -187,6 +187,32 @@ class VectorExprSpec extends SparkSpec {
     assert(natMin === declMin)
   }
 
+  test("q76 and q39 consume one quantizer: retraining keeps them in lockstep") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Similarity
+    // (a) semantic dedup's cid column IS the shared model's assignment
+    val assigned = Similarity.ivfModel(s, sf)._2
+      .select($"vec_id", $"cid".cast("long")).as[(Long, Long)].collect().toMap
+    val q76cid = Similarity.queries("q76_semantic_dedup")(s, sf)
+      .select($"vec_id", $"cid").as[(Long, Long)].collect().toMap
+    assert(q76cid === assigned)
+    // (b) retraining from scratch (memo evicted) reproduces the exact
+    // same assignment — so a quantizer tweak can never move q39 (ANN
+    // recall) without moving q76 (dedup keeps) identically, and both
+    // re-derive deterministically
+    Similarity.clearMemos()
+    val retrained = Similarity.ivfModel(s, sf)._2
+      .select($"vec_id", $"cid".cast("long")).as[(Long, Long)].collect().toMap
+    assert(retrained === assigned)
+    // (c) q39's answers all come from cells of that same assignment —
+    // every returned neighbor's cid is one of the probed cells
+    val resultCids = Similarity.queries("q39_ann_ivf")(s, sf)
+      .select($"vec_id").as[Long].collect().toSet.map(assigned)
+    assert(resultCids.size <= Similarity.NProbe,
+      s"q39 results span ${resultCids.size} cells > NProbe=${Similarity.NProbe}")
+  }
+
   test("interpreted fallback matches codegen") {
     val s = spark
     import s.implicits._
