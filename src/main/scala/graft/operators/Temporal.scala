@@ -84,14 +84,12 @@ object Temporal {
         // appended after the data files with its mtime bumped a
         // minute ahead so the ordering holds even on a coarse-mtime
         // filesystem
+        // staging I/O through the Hadoop FileSystem API (graft.Fs) so
+        // the sentinel trick works against hdfs:// staging unchanged
         def appendSentinel(dir: String): Unit = {
-          val dp = java.nio.file.Paths.get(dir)
-          def parquetFiles: Set[java.nio.file.Path] = {
-            val st = java.nio.file.Files.list(dp)
-            try st.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toSet
-            finally st.close()
-          }
+          val hconf = s.sparkContext.hadoopConfiguration
+          def parquetFiles: Set[String] = graft.Fs
+            .listDataFiles(dir, hconf).map(_.getPath.toString).toSet
           val dataFiles = parquetFiles
           val sentinelTs = new java.sql.Timestamp(
             maxTs.getTime + 400L * 24 * 3600 * 1000)
@@ -99,10 +97,9 @@ object Temporal {
               java.util.List.of(org.apache.spark.sql.Row(
                 sentinelTs, "__sentinel", 0.0)), ev.schema)
             .coalesce(1).write.mode("append").parquet(dir)
-          val bumped = java.nio.file.attribute.FileTime
-            .fromMillis(System.currentTimeMillis() + 60000)
+          val bumped = System.currentTimeMillis() + 60000
           (parquetFiles -- dataFiles).foreach(
-            java.nio.file.Files.setLastModifiedTime(_, bumped))
+            graft.Fs.setMTime(_, hconf, bumped))
         }
         graft.streaming.Replay.run(s, ev, files = 3,
           stateParts = Some(4), afterStage = appendSentinel) { stream =>

@@ -16,6 +16,12 @@ import org.apache.spark.sql.SparkSession
   * metastore/table-format pointer flip (or a rename), which stays the
   * caller's one-line responsibility instead of a fake in-place
   * rewrite here.
+  *
+  * File sizing and counting go through the Hadoop `FileSystem` API
+  * ([[graft.Fs]]) with a RECURSIVE listing, so the same code runs on
+  * hdfs://-or-s3a:// paths and sizes hive-partitioned sources (part
+  * files nested under key=value dirs) correctly instead of summing
+  * zero bytes and funneling the whole dataset into one file.
   */
 object Compact {
 
@@ -24,27 +30,12 @@ object Compact {
   def compactParquet(s: SparkSession, srcDir: String, destDir: String,
       targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0)
-    val src = java.nio.file.Paths.get(srcDir)
-    val st = java.nio.file.Files.list(src)
-    val totalBytes =
-      try {
-        val it = st.iterator()
-        var sum = 0L
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet"))
-            sum += java.nio.file.Files.size(p)
-        }
-        sum
-      } finally st.close()
+    val conf = s.sparkContext.hadoopConfiguration
+    val totalBytes = graft.Fs.listDataFiles(srcDir, conf).map(_.getLen).sum
     val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     s.read.parquet(srcDir)
       .repartition(n)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(destDir)
-    import scala.jdk.CollectionConverters._
-    val dst = java.nio.file.Files.list(java.nio.file.Paths.get(destDir))
-    try dst.iterator().asScala
-      .count(_.getFileName.toString.endsWith(".parquet"))
-    finally dst.close()
+    graft.Fs.listDataFiles(destDir, conf).size
   }
 }

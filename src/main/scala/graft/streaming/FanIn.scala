@@ -226,8 +226,7 @@ object FanIn {
     "q27s_fanin_stream_replay" -> { (s, d) =>
       import s.implicits._
       val parts = taggedPartials(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-fanin-replay").toString
+      val dir = graft.Fs.createStagingDir(s, "graft-fanin-replay")
       // 4 staged files → 5 serialized micro-batches: still genuinely
       // multi-batch (partials of one tweet cross batch boundaries, the
       // state store buffers between triggers), at half the per-batch
@@ -284,7 +283,7 @@ object FanIn {
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the memory sink holds the rows; the staging files are done
-      graft.Fs.deleteRecursively(dir)
+      graft.Fs.deleteRecursively(dir, s.sparkContext.hadoopConfiguration)
       challengeRows(s.table(name).as[ProcessedTweet])
     },
   )

@@ -32,8 +32,9 @@ object Replay {
       stateParts: Option[Int] = None,
       afterStage: String => Unit = _ => ())(
       build: DataFrame => DataFrame): DataFrame = {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-replay").toString
+    // staging through graft.Fs: local tmpdir in local mode, or a
+    // shared FS via spark.graft.stagingDir on a cluster
+    val dir = graft.Fs.createStagingDir(s, "graft-replay")
     try {
       frame.repartition(files).write.mode("overwrite").parquet(dir)
       afterStage(dir)
@@ -53,6 +54,7 @@ object Replay {
       } finally stateParts.foreach(_ =>
         s.conf.set("spark.sql.shuffle.partitions", prevParts))
       s.table(name)
-    } finally graft.Fs.deleteRecursively(dir)
+    } finally graft.Fs.deleteRecursively(dir,
+      s.sparkContext.hadoopConfiguration)
   }
 }
