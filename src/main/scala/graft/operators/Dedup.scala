@@ -512,7 +512,12 @@ object Dedup {
     // cross-file "late" digests once ids outgrow it. Emission is then
     // exactly first-occurrence and the output SET equals batch
     // DISTINCT; no sentinel needed because rows emit on arrival, not
-    // on flush.
+    // on flush. The production form runs a small FIXED delay instead:
+    // state stays bounded and a duplicate arriving after its
+    // predecessor expired is re-admitted — that TTL-vs-exactness
+    // trade is exercised directly in StreamBatchParitySpec ("small
+    // fixed TTL"), which observes state eviction and the re-admitted
+    // late dup.
     "q78_stream_dedup" -> { (s, d) =>
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), md5(col("text")).as("content_md5"))

@@ -32,6 +32,74 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("q78's production form: a small fixed TTL bounds state and re-admits late dups") {
+    // q78's oracle gate derives its watermark delay from max(doc_id) so
+    // no digest expires during the replay (output ≡ batch DISTINCT).
+    // The production operator instead runs a small FIXED TTL and trades
+    // exactness for bounded state: digests older than the delay are
+    // evicted, and a duplicate arriving after eviction is re-admitted.
+    // This exercises that trade directly: 3 staged files → serialized
+    // micro-batches, 60 s TTL, a deliberate late duplicate in batch 3.
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = Files.createTempDirectory("graft-ttl-stage").toString
+    try {
+      def stageBatch(name: String, mtimeOffsetSec: Int,
+          rows: Seq[(Long, String, Long)]): Unit = {
+        val tmp = Files.createTempDirectory("graft-ttl-batch").toString
+        rows.toDF("doc_id", "content_md5", "sec")
+          .select($"doc_id", $"content_md5",
+            timestamp_seconds($"sec").as("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        val dest = Paths.get(s"$stage/$name")
+        Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() + mtimeOffsetSec * 1000L))
+        Fs.deleteRecursively(tmp)
+      }
+      // batch 1: A and B early; batch 2: C far ahead — advances the
+      // watermark past A/B's expiry under the 60 s TTL; batch 3 (D)
+      // runs under that advanced watermark, so its end-of-batch
+      // cleanup evicts A/B (eviction is lazy — it happens in the
+      // first batch EXECUTED with the advanced watermark, not the one
+      // that advanced it); batch 4: A again, after eviction
+      stageBatch("b1.parquet", 0, Seq((1L, "A", 1000L), (2L, "B", 1001L)))
+      stageBatch("b2.parquet", 60, Seq((3L, "C", 50000L)))
+      stageBatch("b3.parquet", 120, Seq((4L, "D", 50002L)))
+      stageBatch("b4.parquet", 180, Seq((5L, "A", 50003L)))
+      val schema = s.read.parquet(s"$stage/b1.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .withWatermark("ts", "60 seconds")
+        .dropDuplicatesWithinWatermark("content_md5")
+        .writeStream.format("memory").queryName("ttl_dedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try assert(q.awaitTermination(120000), "TTL replay timed out")
+      finally q.stop()
+      val out = s.table("ttl_dedup").select($"content_md5")
+        .as[String].collect().toSeq
+      // the late duplicate is ADMITTED (the TTL-vs-exactness trade);
+      // in-TTL duplicates would still dedup (none staged here)
+      assert(out.count(_ == "A") === 2, s"late dup not re-admitted: $out")
+      assert(out.count(_ == "B") === 1)
+      assert(out.count(_ == "C") === 1)
+      assert(out.count(_ == "D") === 1)
+      // state actually SHRANK when the watermark passed: A and B were
+      // evicted, and the final state holds only the young digests
+      val progs = q.recentProgress.toSeq.flatMap(_.stateOperators)
+      assert(progs.map(_.numRowsRemoved).sum >= 2,
+        s"no state eviction observed: ${progs.map(_.numRowsRemoved).toList}")
+      val finalState = progs.lastOption.map(_.numRowsTotal)
+      assert(finalState.exists(_ <= 3),
+        s"state did not stay bounded: $finalState")
+      s.catalog.dropTempView("ttl_dedup")
+    } finally Fs.deleteRecursively(stage)
+  }
+
   test("q76: semantic dedup keeps the id-minimal member of every cell") {
     val s = spark
     import s.implicits._
