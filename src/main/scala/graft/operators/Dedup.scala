@@ -525,7 +525,8 @@ object Dedup {
           timestamp_seconds(lit(1700000000L) + col("doc_id")))
       val maxRow = docs.agg(max(col("doc_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      graft.streaming.Replay.run(s, docs, files = 3, stateParts = Some(3)) {
+      graft.streaming.Replay.run(s, docs, files = 3, stateParts = Some(3),
+        stageKey = Some(s"q78:$d")) {
         stream =>
           stream
             .withWatermark("ts", s"${maxId + 60} seconds")
@@ -543,7 +544,8 @@ object Dedup {
         bandMelt(bandKeyed(sig.where(col("doc_id") % 10 =!= 7)))
           .select(col("band_id"), col("band_key")).distinct())
       val incoming = Tables.documents(s, d).where(col("doc_id") % 10 === 7)
-      val matched = graft.streaming.Replay.run(s, incoming, files = 3) {
+      val matched = graft.streaming.Replay.run(s, incoming, files = 3,
+        stageKey = Some(s"q75:$d")) {
         stream =>
           bandMelt(bandKeyed(withMinhash(stream)))
             .join(index, Seq("band_id", "band_key"))

@@ -102,7 +102,8 @@ object Temporal {
             graft.Fs.setMTime(_, hconf, bumped))
         }
         graft.streaming.Replay.run(s, ev, files = 3,
-          stateParts = Some(4), afterStage = appendSentinel) { stream =>
+          stateParts = Some(4), afterStage = appendSentinel,
+          stageKey = Some(s"q77:$d")) { stream =>
           stream
             .withWatermark("ts", "365 days")
             .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))

@@ -226,12 +226,14 @@ object FanIn {
     "q27s_fanin_stream_replay" -> { (s, d) =>
       import s.implicits._
       val parts = taggedPartials(s, d)
-      val dir = graft.Fs.createStagingDir(s, "graft-fanin-replay")
       // 4 staged files → 5 serialized micro-batches: still genuinely
       // multi-batch (partials of one tweet cross batch boundaries, the
       // state store buffers between triggers), at half the per-batch
-      // commit cost of the previous 8-file staging
-      parts.toDF().repartition(4).write.mode("overwrite").parquet(dir)
+      // commit cost of the previous 8-file staging. Staged ONCE per
+      // (session, sf dir) — a bench sweep replays the same landed
+      // corpus instead of re-writing it every run.
+      val dir = graft.streaming.Replay.stageOnce(
+        s, s"q27s:$d", parts.toDF(), files = 4)
       val expected = s.read.parquet(dir).count()
       val stream = s.readStream.schema(parts.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir)
@@ -282,9 +284,12 @@ object FanIn {
             s"replay timed out: consumed $consumed of $expected partials")
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      // the memory sink holds the rows; the staging files are done
-      graft.Fs.deleteRecursively(dir, s.sparkContext.hadoopConfiguration)
-      challengeRows(s.table(name).as[ProcessedTweet])
+      // materialize the sink rows, then release the sink (a bench
+      // sweep re-runs this — undropped memory sinks accumulate)
+      val out = graft.Materialize.cut(
+        challengeRows(s.table(name).as[ProcessedTweet]).toDF())
+      s.catalog.dropTempView(name)
+      out
     },
   )
 
