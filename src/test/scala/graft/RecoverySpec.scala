@@ -10,40 +10,56 @@ import org.apache.spark.sql.streaming.Trigger
   * output. This is the production property the staged-file replays
   * (q75/q77/q78) rely on implicitly; here it is exercised across a
   * real stop/restart boundary.
+  *
+  * The mid-replay cut is DETERMINISTIC: the input is staged in two
+  * phases, and phase B's files only appear in the source directory
+  * after the first incarnation has stopped. However slow or bursty
+  * the machine, incarnation 1 cannot have consumed rows it never saw
+  * — so "the crash happened before the replay finished" holds by
+  * construction, not by a trigger-cadence race.
   */
 class RecoverySpec extends SparkSpec {
 
-  private def stageDocs(files: Int): (String, Long) = {
-    val s = spark
-    val docs = Tables.documents(s, sf)
-      .select(col("doc_id"), md5(col("text")).as("content_md5"))
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-recovery-stage").toString
-    docs.repartition(files).write.mode("overwrite").parquet(dir)
-    (dir, docs.count())
+  /** Move `from`'s staged parquet part-files into `to` (simulates new
+    * data landing between the crash and the restart). */
+  private def appendFiles(from: String, to: String): Unit = {
+    for (f <- new java.io.File(from).listFiles()
+         if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.move(f.toPath,
+        java.nio.file.Paths.get(to, f.getName))
+    Fs.deleteRecursively(from)
   }
 
   test("stateless stream restarted from checkpoint is exactly-once") {
     val s = spark
-    val (stage, total) = stageDocs(files = 8)
+    val docs = Tables.documents(s, sf)
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+    val total = docs.count()
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-recovery-stage").toString
+    val pending = java.nio.file.Files
+      .createTempDirectory("graft-recovery-pending").toString
+    docs.where(col("doc_id") % 2 === 0)
+      .repartition(4).write.mode("overwrite").parquet(stage)
+    docs.where(col("doc_id") % 2 === 1)
+      .repartition(4).write.mode("overwrite").parquet(pending)
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-recovery-ckpt").toString
     val sink = java.nio.file.Files
       .createTempDirectory("graft-recovery-sink").toString
     val schema = s.read.parquet(stage).schema
-    def startQuery() = s.readStream.schema(schema)
+    def build(trigger: Trigger) = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
       .select(col("doc_id"), col("content_md5"))
       .writeStream.format("parquet")
       .option("path", sink).option("checkpointLocation", ckpt)
       .outputMode("append")
-      .trigger(Trigger.ProcessingTime(250))
+      .trigger(trigger)
       .start()
-    // first incarnation: stop after at least one batch has committed
-    // but before the replay finishes — a mid-stream crash. The 250 ms
-    // cadence spaces the 8 single-file batches ~2 s apart in total so
-    // the stop below reliably lands mid-replay
-    val q1 = startQuery()
+    // first incarnation: stop after at least one batch has committed.
+    // Phase B is not yet visible, so this incarnation CANNOT finish
+    // the full replay regardless of how many batches it drains.
+    val q1 = build(Trigger.ProcessingTime(250))
     val deadline = System.currentTimeMillis() + 120000
     while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
         System.currentTimeMillis() < deadline) Thread.sleep(10)
@@ -51,15 +67,10 @@ class RecoverySpec extends SparkSpec {
     val afterCrash = s.read.parquet(sink).count()
     assert(afterCrash < total, "first incarnation consumed everything; " +
       "the restart would prove nothing")
-    // second incarnation: same checkpoint, runs to completion
-    val q2 = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1).parquet(stage)
-      .select(col("doc_id"), col("content_md5"))
-      .writeStream.format("parquet")
-      .option("path", sink).option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // the rest of the data lands, then the second incarnation resumes
+    // from the same checkpoint and runs to completion
+    appendFiles(pending, stage)
+    val q2 = build(Trigger.AvailableNow())
     assert(q2.awaitTermination(120000), "recovery run timed out")
     val out = s.read.parquet(sink)
     assert(out.count() === total)           // nothing lost, nothing doubled
@@ -69,15 +80,23 @@ class RecoverySpec extends SparkSpec {
 
   test("stateful dedup restarted from checkpoint recovers its state") {
     val s = spark
-    // duplicate every document so dedup state matters across batches
+    // phase A: every document once; phase B (landing only after the
+    // restart): a full duplicate of every document. Every phase-B row
+    // must be dropped by state RECOVERED from the checkpoint — digests
+    // emitted before the crash are only deduped after it if the store
+    // survived the restart.
     val docs = Tables.documents(s, sf)
       .select(col("doc_id"), md5(col("text")).as("content_md5"))
-    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000))
+    def withTs(df: org.apache.spark.sql.DataFrame) = df
       .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val distinctDigests = docs.select(col("content_md5")).distinct().count()
     val stage = java.nio.file.Files
       .createTempDirectory("graft-recovery2-stage").toString
-    doubled.repartition(8).write.mode("overwrite").parquet(stage)
-    val distinctDigests = docs.select(col("content_md5")).distinct().count()
+    val pending = java.nio.file.Files
+      .createTempDirectory("graft-recovery2-pending").toString
+    withTs(docs).repartition(4).write.mode("overwrite").parquet(stage)
+    withTs(docs.withColumn("doc_id", col("doc_id") + 1000000))
+      .repartition(4).write.mode("overwrite").parquet(pending)
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-recovery2-ckpt").toString
     val sink = java.nio.file.Files
@@ -98,6 +117,7 @@ class RecoverySpec extends SparkSpec {
     while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
         System.currentTimeMillis() < deadline) Thread.sleep(10)
     q1.stop()
+    appendFiles(pending, stage)
     val q2 = build(Trigger.AvailableNow())
     assert(q2.awaitTermination(120000), "stateful recovery timed out")
     val out = s.read.parquet(sink)
