@@ -145,12 +145,13 @@ object Similarity {
 
   /** The deterministic Lloyd k-means coarse quantizer, memoized per
     * (session, dir): (centroids (cid, cv), assignment (vec_id, label,
-    * v, embedding, cid)). Seeds = the KCells vectors ranked first by
-    * md5("seed:"||vec_id); KmIters assign/update rounds; centroid dims
-    * rounded to 6 for reduction-order stability. Both the IVF probe
-    * (q39) and semantic dedup (q76) consume the same trained model —
-    * at 100 TB this is "train the quantizer once per corpus, persist
-    * the assignment table". */
+    * v, embedding, cid, dist)). Seeds = the k vectors ranked first by
+    * md5("seed:"||vec_id), k corpus-derived (max(KCells,
+    * ceil(n/TargetPerCell))); KmIters assign/update rounds; centroid
+    * dims rounded to 6 for reduction-order stability. Both the IVF
+    * probe (q39) and semantic dedup (q76) consume the same trained
+    * model — at 100 TB this is "train the quantizer once per corpus,
+    * persist the assignment table". */
   private[graft] def ivfModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
     ivfMemo.computeIfAbsent((s, d), _ => {
       import org.apache.spark.sql.expressions.Window
@@ -172,7 +173,7 @@ object Similarity {
         .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
         .orderBy(col("h"), col("vec_id"))
         .limit(k)
-      // constant-0 partition key: these windows run over <= KCells
+      // constant-0 partition key: these windows run over <= k
       // rows post-limit, so a single partition IS the right plan —
       // the explicit key just keeps WindowExec's "no partition
       // defined / moving all data" warning out of every bench log.
@@ -202,7 +203,7 @@ object Similarity {
             col("embedding"), col("cid"), col("dist"))
       }
       for (_ <- 1 to KmIters) {
-        // cut per round: the centroid relation is KCells rows but its
+        // cut per round: the centroid relation is k rows but its
         // lineage would otherwise nest the full previous assignment
         cents = graft.Materialize.cut(assign(cents).groupBy(col("cid")).agg(
           array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("cv")))
@@ -293,7 +294,7 @@ object Similarity {
       val qrow = assigned.where(col("vec_id") === 0)
         .select(col("v").as("qv"), col("embedding").as("q_embedding"))
       val qDist = VectorFunctions.l2sq(col("qv"), col("cv"))
-      // <= KCells rows here too — see the seed-numbering window above
+      // <= k rows here too — see the seed-numbering window above
       val pw = Window.partitionBy(pmod(col("cid"), lit(1)))
         .orderBy(col("qdist"), col("cid"))
       val probed = cents.crossJoin(broadcast(qrow.select(col("qv"))))
