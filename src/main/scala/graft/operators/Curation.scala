@@ -188,6 +188,57 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // CORPUS-FREQUENCY SURPRISAL FILTER (the CCNet/perplexity-filter
+    // shape with the corpus's own unigram model standing in for the
+    // external LM): per-token negative logprob from corpus-wide term
+    // frequencies, averaged per document, and a z-score keep rule —
+    // docs whose mean surprisal sits > 2 sigma from the corpus mean
+    // are boilerplate (too predictable) or gibberish (too surprising).
+    // Determinism: ln is rounded to 6 ONCE per term type (the q47
+    // libm-parity move) and carried as DECIMAL(18,6), so every
+    // per-document sum is order-independent; mu/sigma come from
+    // DECIMAL sums of rounded values, so the keep threshold is
+    // bit-identical in both engines. Scale: the (term) join is the
+    // one corpus-wide shuffle (a production run broadcasts a top-K
+    // vocab with an OOV bucket instead); mu/sigma are one tiny
+    // aggregate broadcast back — the keep decision itself is map-only,
+    // never a global sort/percentile pass.
+    "q82_surprisal_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("toks", expr(toksExpr))
+      val terms = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      val tot = terms.agg(count(lit(1)).as("n_total"))
+      val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .withColumn("nlp", round(-log(
+          col("cnt").cast("double") / col("n_total").cast("double")), 6)
+          .cast("decimal(18,6)"))
+        .select(col("term"), col("nlp"))
+      val perDoc = terms.join(freq, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("nlp")).as("snlp"))
+        .withColumn("s", round(
+          col("snlp").cast("double") / col("n_toks").cast("double"), 6))
+      val stats = perDoc.agg(
+        count(lit(1)).cast("double").as("nd"),
+        sum(col("s").cast("decimal(18,6)")).cast("double").as("s1"),
+        sum(round(col("s") * col("s"), 6).cast("decimal(18,6)"))
+          .cast("double").as("s2"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(perDoc.select(col("doc_id"), col("n_toks"), col("s")),
+          Seq("doc_id"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("mu", col("s1") / col("nd"))
+        .withColumn("sigma", sqrt(greatest(
+          col("s2") / col("nd") - col("mu") * col("mu"), lit(0.0))))
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          col("s").as("avg_surprisal"),
+          when(col("s").isNull, lit(false))
+            .otherwise(abs(col("s") - col("mu")) <= lit(2.0) * col("sigma"))
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     "q66_domain_mix" -> { (s, d) =>
       val docs = Tables.documents(s, d)
         .withColumn("toks", expr(toksExpr))
@@ -215,6 +266,34 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "q82_surprisal_filter" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |terms AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |tot AS (SELECT count(*) AS n_total FROM terms),
+         |freq AS (SELECT term, CAST(round(-ln(CAST(count(*) AS DOUBLE)
+         |    / (SELECT n_total FROM tot)), 6) AS DECIMAL(18,6)) AS nlp
+         |  FROM terms GROUP BY term),
+         |pd AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |    sum(f.nlp) AS snlp
+         |  FROM terms t JOIN freq f USING (term) GROUP BY t.doc_id),
+         |r AS (SELECT doc_id, n_toks,
+         |    round(CAST(snlp AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS s
+         |  FROM pd),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |    CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(round(s * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s2
+         |  FROM r),
+         |z AS (SELECT s1 / nd AS mu,
+         |    sqrt(greatest(s2 / nd - (s1 / nd) * (s1 / nd), 0.0)) AS sigma
+         |  FROM st)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(coalesce(r.n_toks, 0) AS BIGINT) AS n_toks,
+         |  r.s AS avg_surprisal,
+         |  CASE WHEN r.s IS NULL THEN false
+         |       ELSE abs(r.s - (SELECT mu FROM z)) <= 2 * (SELECT sigma FROM z)
+         |  END AS keep
+         |FROM documents d LEFT JOIN r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "q63_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, $grams5Sql AS grams FROM toks),

@@ -41,6 +41,11 @@ object Dedup {
   val Bands = 2
   val RowsPerBand = 8
 
+  /** Character-window length for exact substring duplication (q83) —
+    * the ~50-char threshold of the substring-dedup literature, sized
+    * down to this corpus's shorter documents. */
+  val SubstrWindow = 40
+
   /** Near-dup decision threshold on the estimated Jaccard: 15/16
     * signature positions. On a small-vocabulary corpus moderate
     * token-set similarity is the norm (avg j≈0.6 here), so a dedup
@@ -538,6 +543,42 @@ object Dedup {
         .distinct().orderBy(col("content_md5"))
     },
 
+    // EXACT SUBSTRING duplication (the "Deduplicating Training Data
+    // Makes Language Models Better" shape, hash-window form): flag
+    // every document sharing a 40-char text window with ANY other
+    // document, with the count of shared windows. A suffix array is
+    // the single-node tool; the distributed shape is the window-hash
+    // stream — each document emits md5(substring(i, 40)) per position,
+    // the corpus groups by hash, and only (hash, doc_id) pairs ever
+    // shuffle (16 bytes + id per position; the text itself never
+    // moves). At 100 TB the group-by key is uniform md5 — no skew —
+    // and the per-doc window explode is map-side linear in text size.
+    "q83_substring_dup" -> { (s, d) =>
+      val W = SubstrWindow
+      val docs = Tables.documents(s, d)
+      val wins = docs.select(col("doc_id"), explode(expr(
+        s"CASE WHEN length(text) >= $W THEN transform(" +
+          s"sequence(1, length(text) - ${W - 1}), " +
+          s"i -> md5(substring(text, i, $W))) " +
+          "ELSE array() END")).as("h"))
+        .distinct()
+      // wins is distinct per (doc, h): count == number of docs
+      val shared = wins.groupBy(col("h"))
+        .agg(count(lit(1)).as("nd"))
+        .where(col("nd") >= 2)
+        .select(col("h"))
+      val hits = wins.join(shared, Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      docs.select(col("doc_id"),
+          greatest(length(col("text")).cast("long") - (W - 1), lit(0L))
+            .as("n_windows"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_windows"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).as("has_dup"))
+        .orderBy(col("doc_id"))
+    },
+
     "q75_stream_dup_filter" -> { (s, d) =>
       val sig = minhashSignatures(s, d)
       val index = Materialize.cut(
@@ -708,6 +749,23 @@ object Dedup {
          |       h.doc_id IS NOT NULL AS is_dup
          |FROM documents d LEFT JOIN hits h USING (doc_id)
          |WHERE d.doc_id % 10 = 7
+         |ORDER BY d.doc_id""".stripMargin,
+    "q83_substring_dup" ->
+      s"""WITH w0 AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(length(text) - ${SubstrWindow - 1}, 0) + 1),
+         |    i -> md5(substr(text, i, $SubstrWindow)))) AS h
+         |  FROM documents),
+         |wins AS (SELECT DISTINCT doc_id, h FROM w0),
+         |shared AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+         |hits AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM wins JOIN shared USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(greatest(length(d.text) - ${SubstrWindow - 1}, 0) AS BIGINT) AS n_windows,
+         |  CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+         |  coalesce(h.n_shared, 0) > 0 AS has_dup
+         |FROM documents d LEFT JOIN hits h USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
   )
 }

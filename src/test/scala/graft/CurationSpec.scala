@@ -123,6 +123,42 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q82: surprisal is positive, z-keep drops only outliers, empty docs dropped") {
+    val s = spark
+    import s.implicits._
+    val out = run("q82_surprisal_filter").cache()
+    try {
+      assert(out.count() === Tables.documents(s, sf).count())
+      // per-token negative logprob is > 0 (every term's corpus
+      // probability < 1), so the per-doc mean must be too
+      assert(out.where($"avg_surprisal".isNotNull &&
+        $"avg_surprisal" <= 0).count() === 0)
+      // a 2-sigma band keeps the vast majority — the filter flags the
+      // tails, it doesn't decimate the corpus
+      val n = out.count().toDouble
+      val kept = out.where($"keep").count().toDouble
+      assert(kept / n >= 0.75, s"z-keep kept only ${kept / n} of the corpus")
+      assert(kept < n, "z-keep flagged nothing — degenerate on this corpus")
+      // tokenless docs are never kept (no signal to judge them on)
+      assert(out.where($"n_toks" === 0 && $"keep").count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("q83: substring-dup counts are bounded by windows and symmetric") {
+    val s = spark
+    import s.implicits._
+    val out = operators.Dedup.queries("q83_substring_dup")(s, sf).cache()
+    try {
+      assert(out.count() === Tables.documents(s, sf).count())
+      // shared windows can never exceed the doc's distinct window count
+      assert(out.where($"n_shared" > $"n_windows").count() === 0)
+      assert(out.where($"has_dup" =!= ($"n_shared" > 0)).count() === 0)
+      // sharing is symmetric: a shared window implies >= 2 flagged docs
+      val dups = out.where($"has_dup").count()
+      assert(dups != 1, "exactly one doc flagged — sharing must be mutual")
+    } finally out.unpersist()
+  }
+
   test("q66: weights are in (0,1], every source appears once, kept <= docs") {
     val s = spark
     import s.implicits._
