@@ -231,6 +231,35 @@ class ScaleShapeSpec extends SparkSpec {
     assert(small === 40L * 39 / 2)
   }
 
+  test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
+    val s = spark
+    import s.implicits._
+    // sweep (n, cap) shapes: under-cap (exact quadratic), just-over,
+    // tiny chunks, many chunks — against a driver-side reference model
+    for ((n, cap) <- Seq((40, 64), (100, 16), (60, 7), (200, 64))) {
+      val assigned = s.range(n.toLong).select(
+        (col("id") % 3).cast("int").as("cid"),
+        col("id").as("vec_id"),
+        array(lit(1.0f)).as("embedding"),
+        pmod(col("id") * 37 + 11, lit(97)).cast("double").as("dist"))
+      val pairs = operators.Similarity.cellBoundedCandidates(assigned, cap)
+        .select($"vec_a", $"vec_b").as[(Long, Long)].collect()
+      assert(pairs.length === pairs.toSet.size,
+        s"duplicate candidate pairs at n=$n cap=$cap")
+      val rows = assigned.select($"cid", $"vec_id", $"dist")
+        .as[(Int, Long, Double)].collect()
+      val expected = rows.groupBy(_._1).values.flatMap { cell =>
+        val ranked = cell.toSeq.sortBy(r => (r._3, r._2)).zipWithIndex
+          .map { case ((_, id, _), i) => (id, i / cap) }
+        for {
+          (a, ca) <- ranked; (b, cb) <- ranked
+          if a < b && math.abs(ca - cb) <= 1
+        } yield (a, b)
+      }.toSet
+      assert(pairs.toSet === expected, s"candidate set mismatch at n=$n cap=$cap")
+    }
+  }
+
   test("HLL cardinality estimate tracks exact distinct within 5%") {
     val s = spark
     import s.implicits._
