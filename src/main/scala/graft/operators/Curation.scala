@@ -205,7 +205,16 @@ object Curation {
     // never a global sort/percentile pass.
     "q82_surprisal_filter" -> { (s, d) =>
       val docs = Tables.documents(s, d).withColumn("toks", expr(toksExpr))
-      val terms = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      // materialized once: the exploded term stream feeds the total,
+      // the frequency table, and the per-doc sum — three consumers
+      // that would otherwise re-tokenize the corpus. Explicit
+      // repartition ahead of the ~50x token fan-out (the q31 move —
+      // the parquet scan is ONE split at bench scale and AQE can't
+      // see the explosion)
+      val terms = graft.Materialize.cut(docs
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))
+        .select(col("doc_id"), explode(col("toks")).as("term")))
       val tot = terms.agg(count(lit(1)).as("n_total"))
       val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(tot))

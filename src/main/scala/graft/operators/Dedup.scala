@@ -548,20 +548,40 @@ object Dedup {
     // every document sharing a 40-char text window with ANY other
     // document, with the count of shared windows. A suffix array is
     // the single-node tool; the distributed shape is the window-hash
-    // stream — each document emits md5(substring(i, 40)) per position,
-    // the corpus groups by hash, and only (hash, doc_id) pairs ever
-    // shuffle (16 bytes + id per position; the text itself never
-    // moves). At 100 TB the group-by key is uniform md5 — no skew —
-    // and the per-doc window explode is map-side linear in text size.
+    // stream — each document emits a hash per position, the corpus
+    // groups by hash, and only (hash, doc_id) pairs ever shuffle (the
+    // text never moves). The window md5 is hex48-folded to ONE BIGINT
+    // before the shuffle (the q31 packed-key move: 8 bytes instead of
+    // a 32-char hex string — same fold in the oracle, so the keys
+    // match across engines; a 48-bit collision just flags one spurious
+    // shared window, the accepted trade of any hash-window detector).
+    // At 100 TB the group-by key is uniform — no skew — and the
+    // per-doc window explode is map-side linear in text size. The
+    // distinct (doc, hash) relation feeds both the shared-hash count
+    // and the per-doc join, so it is materialized once.
     "q83_substring_dup" -> { (s, d) =>
       val W = SubstrWindow
       val docs = Tables.documents(s, d)
-      val wins = docs.select(col("doc_id"), explode(expr(
-        s"CASE WHEN length(text) >= $W THEN transform(" +
-          s"sequence(1, length(text) - ${W - 1}), " +
-          s"i -> md5(substring(text, i, $W))) " +
-          "ELSE array() END")).as("h"))
-        .distinct()
+      // explode POSITIONS, hash in the outer projection: higher-order
+      // transform lambdas run interpreted (md5 per element, no
+      // codegen), so the window hash is computed in a codegen'd
+      // ProjectExec after the Generate instead — subexpression
+      // elimination evaluates the md5 once even though the hex fold
+      // names it 12 times. The corpus is repartitioned with an
+      // EXPLICIT count before the ~300x window fan-out (the q31
+      // fan-out-blindness move: the parquet arrives in
+      // O(file-size/128MB) splits — ONE at bench scale — and AQE
+      // sizes by input bytes, so without this the whole md5 stage
+      // runs on a single core)
+      val wins = Materialize.cut(docs
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_id"))
+        .where(length(col("text")) >= W)
+        .select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(1, length(text) - ${W - 1})")).as("i"))
+        .select(col("doc_id"),
+          expr(Tokens.hex48(s"md5(substring(text, i, $W))")).as("h"))
+        .distinct())
       // wins is distinct per (doc, h): count == number of docs
       val shared = wins.groupBy(col("h"))
         .agg(count(lit(1)).as("nd"))
@@ -754,9 +774,9 @@ object Dedup {
       s"""WITH w0 AS (
          |  SELECT doc_id, unnest(list_transform(
          |    range(1, greatest(length(text) - ${SubstrWindow - 1}, 0) + 1),
-         |    i -> md5(substr(text, i, $SubstrWindow)))) AS h
+         |    i -> md5(substr(text, i, $SubstrWindow)))) AS m
          |  FROM documents),
-         |wins AS (SELECT DISTINCT doc_id, h FROM w0),
+         |wins AS (SELECT DISTINCT doc_id, ${Tokens.hex48("m")} AS h FROM w0),
          |shared AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
          |hits AS (
          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
