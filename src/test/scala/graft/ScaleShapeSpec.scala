@@ -231,6 +231,23 @@ class ScaleShapeSpec extends SparkSpec {
     assert(small === 40L * 39 / 2)
   }
 
+  test("q82/q83 fan-out stages run on more than one partition") {
+    val s = spark
+    // the corpus parquet is ONE split at test scale; without the
+    // explicit pre-explode repartition the whole tokenize/window-hash
+    // map stage (and everything until the next shuffle) runs on a
+    // single core — the q31 fan-out-blindness regression this guards
+    val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    assume(parts > 1)
+    for (name <- Seq("q82_surprisal_filter", "q83_substring_dup")) {
+      val df = SparkEntry.queries(name)(s, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("REPARTITION_BY_NUM") ||
+        plan.contains(s"hashpartitioning(doc_id"),
+        s"$name lost its explicit pre-explode repartition:\n${plan.take(800)}")
+    }
+  }
+
   test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
     val s = spark
     import s.implicits._
