@@ -188,6 +188,75 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // STREAMING curation — q81's composed pipeline on the ingest
+    // firehose: every gate of the batch pass (quality, repetition,
+    // benchmark decontamination, exact dedup) applied to a document
+    // STREAM in one query. Quality/repetition are per-row column
+    // expressions (stateless, identical to q81's); decontamination is
+    // an array_intersect against the benchmark gram set shipped as a
+    // broadcast literal (an eval suite is KBs by definition — the
+    // streaming twin of q63's broadcast semi-join); exact dedup is
+    // dropDuplicatesWithinWatermark on the content digest (q78's
+    // bounded-state form, delay derived from max(doc_id) for the
+    // gate; a production job sets a fixed TTL). Output is keyed by
+    // the content DIGEST — the unit a stream can deduplicate on; all
+    // gates are content-determined, so the kept set equals the batch
+    // pipeline's kept set: streaming ≡ batch for the WHOLE pipeline,
+    // proven at the driver's oracle gate, not just for its pieces.
+    "q84_stream_curation" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val benchGrams = docs
+        .withColumn("toks", expr(toksExpr))
+        .where(col("doc_id") % BenchmarkMod === 0)
+        .select(explode(grams5(col("toks"))).as("gram"))
+        .distinct().orderBy(col("gram"))
+        .collect().map(_.getString(0))
+      val train = docs.where(col("doc_id") % BenchmarkMod =!= 0)
+        .select(col("doc_id"), col("text"))
+      val maxRow = train.agg(max(col("doc_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val contaminatedCol =
+        if (benchGrams.isEmpty) lit(false)
+        else size(array_intersect(grams5(col("toks")),
+          array(benchGrams.map(lit).toSeq: _*))) > 0
+      graft.streaming.Replay.run(s, train, files = 3, stateParts = Some(3),
+        stageKey = Some(s"q84:$d")) { stream =>
+        stream
+          .withColumn("toks", expr(toksExpr))
+          .withColumn("n_toks", size(col("toks")).cast("long"))
+          .withColumn("stop_hits",
+            expr(TextAnalysis.hitsSpark(TextAnalysis.stopwords)))
+          .withColumn("n_punct",
+            expr("length(regexp_replace(text, '[a-z0-9\\\\s]', ''))"))
+          .withColumn("quality", round(
+            lit(0.4) * least(lit(1.0), col("n_toks").cast("double") / lit(50.0))
+              + lit(0.4) * (col("stop_hits").cast("double") /
+                  col("n_toks").cast("double"))
+              + lit(0.2) * (lit(1.0) - col("n_punct").cast("double")
+                  / length(col("text")).cast("double")), 6))
+          .withColumn("g3", grams3(col("toks")))
+          .withColumn("frac_dup_3grams", when(size(col("g3")) > 0,
+            round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") /
+              size(col("g3")).cast("double"), 6)).otherwise(lit(0.0)))
+          .withColumn("frac_dup_tokens", when(col("n_toks") > 0,
+            round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+              col("n_toks").cast("double"), 6)).otherwise(lit(0.0)))
+          .withColumn("digest", md5(col("text")))
+          .withColumn("contaminated", contaminatedCol)
+          .where(!col("contaminated") && col("quality") >= 0.5 &&
+            !(col("frac_dup_3grams") > 0.1 || col("frac_dup_tokens") > 0.6))
+          .withColumn("ts",
+            timestamp_seconds(lit(1700000000L) + col("doc_id")))
+          .withWatermark("ts", s"${maxId + 60} seconds")
+          .dropDuplicatesWithinWatermark("digest")
+          .select(col("digest"), col("n_toks"), col("quality"),
+            col("frac_dup_3grams"))
+      }
+        // set semantics are the contract (as q78: the delay makes
+        // re-emission impossible here; distinct states the invariant)
+        .distinct().orderBy(col("digest"))
+    },
+
     // CORPUS-FREQUENCY SURPRISAL FILTER (the CCNet/perplexity-filter
     // shape with the corpus's own unigram model standing in for the
     // external LM): per-token negative logprob from corpus-wide term
@@ -275,6 +344,45 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "q84_stream_curation" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id, text, toks,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    ${TextAnalysis.hitsSql(TextAnalysis.stopwords)} AS stop_hits,
+         |    length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct,
+         |    $grams3Sql AS g3,
+         |    $grams5Sql AS grams,
+         |    md5(text) AS digest
+         |  FROM t),
+         |scored AS (
+         |  SELECT doc_id, n_toks, grams, digest,
+         |    round(0.4 * least(1.0, CAST(n_toks AS DOUBLE) / 50.0)
+         |      + 0.4 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE))
+         |      + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE)),
+         |      6) AS quality,
+         |    CASE WHEN len(g3) > 0 THEN round(1.0 -
+         |      CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE), 6)
+         |      ELSE 0.0 END AS frac_dup_3grams,
+         |    CASE WHEN len(toks) > 0 THEN round(1.0 -
+         |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+         |      ELSE 0.0 END AS frac_dup_tokens
+         |  FROM sig),
+         |train AS (SELECT * FROM scored WHERE doc_id % $BenchmarkMod <> 0),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM scored
+         |          WHERE doc_id % $BenchmarkMod = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT g.doc_id FROM
+         |    (SELECT doc_id, unnest(grams) AS gram FROM train) g
+         |  JOIN bench USING (gram))
+         |SELECT DISTINCT tr.digest, tr.n_toks, tr.quality, tr.frac_dup_3grams
+         |FROM train tr
+         |LEFT JOIN contaminated x ON tr.doc_id = x.doc_id
+         |WHERE x.doc_id IS NULL
+         |  AND tr.quality >= 0.5
+         |  AND NOT (tr.frac_dup_3grams > 0.1 OR tr.frac_dup_tokens > 0.6)
+         |ORDER BY tr.digest""".stripMargin,
     "q82_surprisal_filter" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |terms AS (SELECT doc_id, unnest(toks) AS term FROM tk),

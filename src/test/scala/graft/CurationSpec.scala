@@ -123,6 +123,23 @@ class CurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("q84: the streaming curation pipeline keeps exactly the batch q81 set") {
+    val s = spark
+    import s.implicits._
+    val streamed = operators.Curation.queries("q84_stream_curation")(s, sf)
+      .as[(String, Long, Double, Double)].collect().toSet
+    // q81 keys by doc_id; rekey its kept rows by content digest — the
+    // unit the stream deduplicates on
+    val batch = operators.Curation.queries("q81_curation_pipeline")(s, sf)
+      .join(Tables.documents(s, sf).select($"doc_id", md5($"text").as("digest")),
+        Seq("doc_id"))
+      .select($"digest", $"n_toks", $"quality", $"frac_dup_3grams")
+      .distinct()
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("q82: surprisal is positive, z-keep drops only outliers, empty docs dropped") {
     val s = spark
     import s.implicits._
