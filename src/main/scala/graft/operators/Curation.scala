@@ -60,6 +60,24 @@ object Curation {
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val phoneRe = "\\+1-555-[0-9]{4}"
 
+  /** q82's exploded (doc_id, term) stage, materialized once: it feeds
+    * the total, the frequency table, and the per-doc sum — three
+    * consumers that would otherwise re-tokenize the corpus. The
+    * EXPLICIT-count repartition ahead of the ~50x token fan-out is the
+    * q31 move: the parquet scan is ONE split at bench scale and AQE
+    * sizes by input bytes, blind to the explosion. Package-visible so
+    * ScaleShapeSpec can assert the materialized partition count
+    * directly (the localCheckpoint severs lineage, so the final plan
+    * string can't show the repartition). */
+  private[graft] def surprisalTermsPlan(s: SparkSession, docs: DataFrame): DataFrame =
+    docs
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+
+  private[graft] def surprisalTerms(s: SparkSession, docs: DataFrame): DataFrame =
+    graft.Materialize.cut(surprisalTermsPlan(s, docs))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Benchmark decontamination: n-gram overlap against the benchmark
@@ -274,16 +292,7 @@ object Curation {
     // never a global sort/percentile pass.
     "q82_surprisal_filter" -> { (s, d) =>
       val docs = Tables.documents(s, d).withColumn("toks", expr(toksExpr))
-      // materialized once: the exploded term stream feeds the total,
-      // the frequency table, and the per-doc sum — three consumers
-      // that would otherwise re-tokenize the corpus. Explicit
-      // repartition ahead of the ~50x token fan-out (the q31 move —
-      // the parquet scan is ONE split at bench scale and AQE can't
-      // see the explosion)
-      val terms = graft.Materialize.cut(docs
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-          col("doc_id"))
-        .select(col("doc_id"), explode(col("toks")).as("term")))
+      val terms = surprisalTerms(s, docs)
       val tot = terms.agg(count(lit(1)).as("n_total"))
       val freq = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
         .crossJoin(broadcast(tot))

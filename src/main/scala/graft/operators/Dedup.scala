@@ -348,6 +348,37 @@ object Dedup {
     out
   }
 
+  /** q83's distinct (doc_id, 48-bit window-hash) relation, materialized
+    * once (it feeds both the shared-hash count and the per-doc join).
+    * Positions are exploded and the hash computed in the outer
+    * projection: higher-order transform lambdas run interpreted (md5
+    * per element, no codegen), so the window hash lives in a codegen'd
+    * ProjectExec after the Generate — subexpression elimination
+    * evaluates the md5 once even though the hex fold names it 12
+    * times. The corpus is repartitioned with an EXPLICIT count before
+    * the ~300x window fan-out (the q31 fan-out-blindness move: the
+    * parquet arrives in O(file-size/128MB) splits — ONE at bench
+    * scale — and AQE sizes by input bytes, so without this the whole
+    * md5 stage runs on a single core). Package-visible so
+    * ScaleShapeSpec can assert the materialized partition count
+    * directly (localCheckpoint severs lineage, so the repartition is
+    * invisible in the final plan string). */
+  private[graft] def substringWindowsPlan(s: SparkSession, docs: DataFrame): DataFrame = {
+    val W = SubstrWindow
+    docs
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"))
+      .where(length(col("text")) >= W)
+      .select(col("doc_id"), col("text"),
+        explode(expr(s"sequence(1, length(text) - ${W - 1})")).as("i"))
+      .select(col("doc_id"),
+        expr(Tokens.hex48(s"md5(substring(text, i, $W))")).as("h"))
+      .distinct()
+  }
+
+  private[graft] def substringWindows(s: SparkSession, docs: DataFrame): DataFrame =
+    Materialize.cut(substringWindowsPlan(s, docs))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one shuffle of (digest, id); text never moves.
     "q30_dedup_exact" -> { (s, d) =>
@@ -543,6 +574,8 @@ object Dedup {
         .distinct().orderBy(col("content_md5"))
     },
 
+    // q83's distinct (doc_id, window-hash) relation — see
+    // substringWindows below for the scale shape.
     // EXACT SUBSTRING duplication (the "Deduplicating Training Data
     // Makes Language Models Better" shape, hash-window form): flag
     // every document sharing a 40-char text window with ANY other
@@ -562,26 +595,7 @@ object Dedup {
     "q83_substring_dup" -> { (s, d) =>
       val W = SubstrWindow
       val docs = Tables.documents(s, d)
-      // explode POSITIONS, hash in the outer projection: higher-order
-      // transform lambdas run interpreted (md5 per element, no
-      // codegen), so the window hash is computed in a codegen'd
-      // ProjectExec after the Generate instead — subexpression
-      // elimination evaluates the md5 once even though the hex fold
-      // names it 12 times. The corpus is repartitioned with an
-      // EXPLICIT count before the ~300x window fan-out (the q31
-      // fan-out-blindness move: the parquet arrives in
-      // O(file-size/128MB) splits — ONE at bench scale — and AQE
-      // sizes by input bytes, so without this the whole md5 stage
-      // runs on a single core)
-      val wins = Materialize.cut(docs
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-          col("doc_id"))
-        .where(length(col("text")) >= W)
-        .select(col("doc_id"), col("text"),
-          explode(expr(s"sequence(1, length(text) - ${W - 1})")).as("i"))
-        .select(col("doc_id"),
-          expr(Tokens.hex48(s"md5(substring(text, i, $W))")).as("h"))
-        .distinct())
+      val wins = substringWindows(s, docs)
       // wins is distinct per (doc, h): count == number of docs
       val shared = wins.groupBy(col("h"))
         .agg(count(lit(1)).as("nd"))

@@ -42,17 +42,40 @@ object Replay {
   private val staged = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
+  // ONE shutdown hook for every staged dir, registered lazily on first
+  // staging: a per-dir hook would accumulate unboundedly in a
+  // long-lived session and outlive clearStaged (running later against
+  // dirs already reclaimed). The hook snapshots the live map at JVM
+  // exit; delete is best-effort (the Hadoop conf may already be
+  // stopped, in which case the temp dir dies with the host).
+  private lazy val exitHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      val it = staged.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        try graft.Fs.deleteRecursively(e.getValue,
+          e.getKey._1.sparkContext.hadoopConfiguration)
+        catch { case _: Throwable => () }
+      }
+    }))
+
   /** Stage `frame` as `files` parquet files exactly once per
     * (session, key); later calls reuse the directory. */
   def stageOnce(s: SparkSession, key: String, frame: => DataFrame,
       files: Int, afterStage: String => Unit = _ => ()): String =
     staged.computeIfAbsent((s, key), _ => {
+      exitHook
       val dir = graft.Fs.createStagingDir(s, "graft-replay")
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => graft.Fs.deleteRecursively(dir,
-          s.sparkContext.hadoopConfiguration)))
-      frame.repartition(files).write.mode("overwrite").parquet(dir)
-      afterStage(dir)
+      // a failed staging write must not leave a memoized half-staged
+      // dir (computeIfAbsent discards the mapping on throw, but the
+      // partial files would leak without this cleanup)
+      try {
+        frame.repartition(files).write.mode("overwrite").parquet(dir)
+        afterStage(dir)
+      } catch { case t: Throwable =>
+        graft.Fs.deleteRecursively(dir, s.sparkContext.hadoopConfiguration)
+        throw t
+      }
       dir
     })
 
@@ -72,15 +95,19 @@ object Replay {
       afterStage: String => Unit = _ => (),
       stageKey: Option[String] = None)(
       build: DataFrame => DataFrame): DataFrame = {
+    // un-keyed staging happens INSIDE the try below, so a failure
+    // during the staging write itself (not just the replay) still
+    // deletes the private dir — the docstring's "deleted on every exit
+    // path" guarantee.
     val dir = stageKey match {
       case Some(k) => stageOnce(s, k, frame, files, afterStage)
-      case None =>
-        val d = graft.Fs.createStagingDir(s, "graft-replay")
-        frame.repartition(files).write.mode("overwrite").parquet(d)
-        afterStage(d)
-        d
+      case None => graft.Fs.createStagingDir(s, "graft-replay")
     }
     try {
+      if (stageKey.isEmpty) {
+        frame.repartition(files).write.mode("overwrite").parquet(dir)
+        afterStage(dir)
+      }
       val stream = s.readStream.schema(frame.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir)
       val name = s"replay_${seq.incrementAndGet()}"

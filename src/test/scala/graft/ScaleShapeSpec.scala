@@ -236,16 +236,31 @@ class ScaleShapeSpec extends SparkSpec {
     // the corpus parquet is ONE split at test scale; without the
     // explicit pre-explode repartition the whole tokenize/window-hash
     // map stage (and everything until the next shuffle) runs on a
-    // single core — the q31 fan-out-blindness regression this guards
+    // single core — the q31 fan-out-blindness regression this guards.
+    // The queries localCheckpoint (cut) these stages, which severs
+    // lineage — the FINAL plan can never show the repartition (a
+    // previous revision of this test string-matched it anyway and
+    // passed vacuously via the downstream doc_id shuffle). So assert
+    // on the PRE-CUT fragments the queries actually materialize:
+    // (a) the explicit-count exchange is in the fragment's plan, and
+    // (b) for q82 (no shuffle between repartition and cut) the
+    // materialized RDD really has the repartitioned width.
     val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
     assume(parts > 1)
-    for (name <- Seq("q82_surprisal_filter", "q83_substring_dup")) {
-      val df = SparkEntry.queries(name)(s, sf)
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("REPARTITION_BY_NUM") ||
-        plan.contains(s"hashpartitioning(doc_id"),
-        s"$name lost its explicit pre-explode repartition:\n${plan.take(800)}")
-    }
+    val docs82 = Tables.documents(s, sf)
+      .withColumn("toks", expr(operators.Tokens.toksExpr))
+    val termsPlan = operators.Curation.surprisalTermsPlan(s, docs82)
+      .queryExecution.executedPlan.toString
+    assert(termsPlan.contains("REPARTITION_BY_NUM"),
+      s"q82 lost its explicit pre-explode repartition:\n${termsPlan.take(800)}")
+    assert(operators.Curation.surprisalTerms(s, docs82)
+      .rdd.getNumPartitions === parts,
+      "q82's materialized term stage is not at the repartitioned width")
+    val winsPlan = operators.Dedup
+      .substringWindowsPlan(s, Tables.documents(s, sf))
+      .queryExecution.executedPlan.toString
+    assert(winsPlan.contains("REPARTITION_BY_NUM"),
+      s"q83 lost its explicit pre-explode repartition:\n${winsPlan.take(800)}")
   }
 
   test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
