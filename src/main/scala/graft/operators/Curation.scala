@@ -57,6 +57,13 @@ object Curation {
     * benchmark/eval set for decontamination. */
   val BenchmarkMod = 97
 
+  /** Vocabulary cap for the broadcast-vocab surprisal filter (q82b):
+    * the top-K terms by corpus frequency form the vocabulary, the tail
+    * pools into one OOV bucket. Sized below this corpus's 31 distinct
+    * terms so the OOV path is exercised and oracle-gated (the
+    * production value is ~100K — whatever comfortably broadcasts). */
+  val VocabK = 24
+
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val phoneRe = "\\+1-555-[0-9]{4}"
 
@@ -326,6 +333,73 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // BROADCAST-VOCAB surprisal filter — q82's PRODUCTION form (the
+    // comment there promises it; this delivers it): the frequency
+    // model is capped at the top-[[VocabK]] terms by corpus count
+    // (term-asc tiebreak, deterministic in both engines) with the
+    // whole tail pooled into ONE OOV bucket, and the capped table is
+    // BROADCAST for scoring. The corpus is never shuffled by term at
+    // corpus row volume:
+    //   - vocab training is groupBy(term) over the term stream —
+    //     map-side partial aggregation means the term-keyed exchange
+    //     carries (partition x vocab) partially-summed rows, not
+    //     corpus tokens;
+    //   - top-K is orderBy.limit → TakeOrderedAndProject (per-
+    //     partition top-K, no global sort);
+    //   - scoring is a BroadcastHashJoin of the term stream against
+    //     the K+1-row nlp table — map-only per token — and the only
+    //     corpus-scale shuffle left is the per-doc aggregation on the
+    //     uniform doc_id key (ScaleShapeSpec asserts no shuffle join
+    //     on term anywhere in the plan).
+    // Determinism: same DECIMAL(18,6)-rounded-nlp machinery as q82, so
+    // sums are order-independent; the OOV nlp comes from the pooled
+    // tail count (floored at 1 occurrence so an all-vocab corpus
+    // cannot produce ln(0)).
+    "q82b_surprisal_vocab" -> { (s, d) =>
+      val docs = Tables.documents(s, d).withColumn("toks", expr(toksExpr))
+      val terms = surprisalTerms(s, docs)
+      val tot = terms.agg(count(lit(1)).as("n_total"))
+      val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(VocabK)
+      val vocabNlp = vocab.crossJoin(broadcast(tot))
+        .select(col("term"), round(-log(
+          col("cnt").cast("double") / col("n_total").cast("double")), 6)
+          .cast("decimal(18,6)").as("nlp"))
+      val oov = vocab.agg(sum(col("cnt")).as("v_cnt"))
+        .crossJoin(broadcast(tot))
+        .select(round(-log(
+          greatest(col("n_total") - col("v_cnt"), lit(1L)).cast("double") /
+            col("n_total").cast("double")), 6)
+          .cast("decimal(18,6)").as("oov_nlp"))
+      val perDoc = terms
+        .join(broadcast(vocabNlp), Seq("term"), "left")
+        .crossJoin(broadcast(oov))
+        .withColumn("nlp", coalesce(col("nlp"), col("oov_nlp")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("nlp")).as("snlp"))
+        .withColumn("s", round(
+          col("snlp").cast("double") / col("n_toks").cast("double"), 6))
+      val stats = perDoc.agg(
+        count(lit(1)).cast("double").as("nd"),
+        sum(col("s").cast("decimal(18,6)")).cast("double").as("s1"),
+        sum(round(col("s") * col("s"), 6).cast("decimal(18,6)"))
+          .cast("double").as("s2"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(perDoc.select(col("doc_id"), col("n_toks"), col("s")),
+          Seq("doc_id"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("mu", col("s1") / col("nd"))
+        .withColumn("sigma", sqrt(greatest(
+          col("s2") / col("nd") - col("mu") * col("mu"), lit(0.0))))
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          col("s").as("avg_surprisal"),
+          when(col("s").isNull, lit(false))
+            .otherwise(abs(col("s") - col("mu")) <= lit(2.0) * col("sigma"))
+            .as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     "q66_domain_mix" -> { (s, d) =>
       val docs = Tables.documents(s, d)
         .withColumn("toks", expr(toksExpr))
@@ -402,6 +476,42 @@ object Curation {
          |pd AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
          |    sum(f.nlp) AS snlp
          |  FROM terms t JOIN freq f USING (term) GROUP BY t.doc_id),
+         |r AS (SELECT doc_id, n_toks,
+         |    round(CAST(snlp AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS s
+         |  FROM pd),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+         |    CAST(sum(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(round(s * s, 6) AS DECIMAL(18,6))) AS DOUBLE) AS s2
+         |  FROM r),
+         |z AS (SELECT s1 / nd AS mu,
+         |    sqrt(greatest(s2 / nd - (s1 / nd) * (s1 / nd), 0.0)) AS sigma
+         |  FROM st)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(coalesce(r.n_toks, 0) AS BIGINT) AS n_toks,
+         |  r.s AS avg_surprisal,
+         |  CASE WHEN r.s IS NULL THEN false
+         |       ELSE abs(r.s - (SELECT mu FROM z)) <= 2 * (SELECT sigma FROM z)
+         |  END AS keep
+         |FROM documents d LEFT JOIN r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "q82b_surprisal_vocab" ->
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |terms AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |tot AS (SELECT count(*) AS n_total FROM terms),
+         |cnts AS (SELECT term, count(*) AS cnt FROM terms GROUP BY term),
+         |vocab AS (SELECT term, cnt FROM (
+         |    SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rn
+         |    FROM cnts) WHERE rn <= $VocabK),
+         |vnlp AS (SELECT term, CAST(round(-ln(CAST(cnt AS DOUBLE)
+         |    / (SELECT n_total FROM tot)), 6) AS DECIMAL(18,6)) AS nlp
+         |  FROM vocab),
+         |oov AS (SELECT CAST(round(-ln(
+         |    CAST(greatest((SELECT n_total FROM tot) -
+         |      (SELECT CAST(sum(cnt) AS BIGINT) FROM vocab), 1) AS DOUBLE)
+         |    / (SELECT n_total FROM tot)), 6) AS DECIMAL(18,6)) AS oov_nlp),
+         |pd AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |    sum(coalesce(v.nlp, (SELECT oov_nlp FROM oov))) AS snlp
+         |  FROM terms t LEFT JOIN vnlp v USING (term) GROUP BY t.doc_id),
          |r AS (SELECT doc_id, n_toks,
          |    round(CAST(snlp AS DOUBLE) / CAST(n_toks AS DOUBLE), 6) AS s
          |  FROM pd),

@@ -263,6 +263,23 @@ class ScaleShapeSpec extends SparkSpec {
       s"q83 lost its explicit pre-explode repartition:\n${winsPlan.take(800)}")
   }
 
+  test("q82b scores through a broadcast vocab — no shuffle join on term") {
+    val s = spark
+    // the production CCNet shape: the capped vocab (+OOV bucket) is
+    // broadcast, so scoring never shuffles the corpus-scale term
+    // stream by term. Vocab TRAINING may exchange partially-aggregated
+    // (term, count) rows (map-side combine bounds that at partitions x
+    // vocab); what must not appear is a shuffle-based JOIN keyed on
+    // term — that was q82's documented production caveat.
+    val df = SparkEntry.queries("q82b_surprisal_vocab")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [term"),
+      s"vocab join is not broadcast:\n${plan.take(1200)}")
+    for (shuffled <- Seq("SortMergeJoin [term", "ShuffledHashJoin [term"))
+      assert(!plan.contains(shuffled),
+        s"corpus shuffled by term through a $shuffled:\n${plan.take(1200)}")
+  }
+
   test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
     val s = spark
     import s.implicits._
