@@ -76,6 +76,52 @@ object Curation {
     * ScaleShapeSpec can assert the materialized partition count
     * directly (the localCheckpoint severs lineage, so the final plan
     * string can't show the repartition). */
+  /** q84's per-row gate pipeline over a (doc_id, text) document
+    * stream: quality + repetition scoring (stateless column
+    * expressions, identical to q81's), then benchmark decontamination
+    * as a stream-static LEFT ANTI join against the gram relation.
+    *
+    * The anti join is a BroadcastNestedLoopJoin on
+    * `array_contains(grams, gram)` by construction — an equi-hash form
+    * would need the gram-exploded doc re-AGGREGATED back to one row
+    * per doc, and an append-mode stream allows no aggregation ahead of
+    * the watermark dedup (and no stream-stream anti join to subtract a
+    * contaminated-id stream). Per row it scans the broadcast gram set
+    * until first match — the same work the plan-literal
+    * `array_intersect` form did, but the eval suite now ships ONCE as
+    * a broadcast relation instead of O(|bench|) literal expressions
+    * re-planned every micro-batch. An empty bench relation keeps every
+    * row, matching the old lit(false) special case. */
+  private[graft] def curationGates(stream: DataFrame, benchGrams: DataFrame): DataFrame =
+    stream
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .withColumn("stop_hits",
+        expr(TextAnalysis.hitsSpark(TextAnalysis.stopwords)))
+      .withColumn("n_punct",
+        expr("length(regexp_replace(text, '[a-z0-9\\\\s]', ''))"))
+      .withColumn("quality", round(
+        lit(0.4) * least(lit(1.0), col("n_toks").cast("double") / lit(50.0))
+          + lit(0.4) * (col("stop_hits").cast("double") /
+              col("n_toks").cast("double"))
+          + lit(0.2) * (lit(1.0) - col("n_punct").cast("double")
+              / length(col("text")).cast("double")), 6))
+      .withColumn("g3", grams3(col("toks")))
+      .withColumn("frac_dup_3grams", when(size(col("g3")) > 0,
+        round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") /
+          size(col("g3")).cast("double"), 6)).otherwise(lit(0.0)))
+      .withColumn("frac_dup_tokens", when(col("n_toks") > 0,
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          col("n_toks").cast("double"), 6)).otherwise(lit(0.0)))
+      .withColumn("digest", md5(col("text")))
+      // cheap scalar gates first so the anti join sees fewer rows
+      .where(col("quality") >= 0.5 &&
+        !(col("frac_dup_3grams") > 0.1 || col("frac_dup_tokens") > 0.6))
+      .withColumn("grams", grams5(col("toks")))
+      .join(broadcast(benchGrams),
+        array_contains(col("grams"), col("gram")), "left_anti")
+      .drop("grams")
+
   private[graft] def surprisalTermsPlan(s: SparkSession, docs: DataFrame): DataFrame =
     docs
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
@@ -230,46 +276,22 @@ object Curation {
     // proven at the driver's oracle gate, not just for its pieces.
     "q84_stream_curation" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val benchGrams = docs
+      // the benchmark gram set stays a RELATION (cut once; ~KBs by
+      // definition) and reaches the stream as a broadcast — not as a
+      // driver-collected plan literal, which bloated the plan by
+      // O(|bench|) expressions per micro-batch and would not survive
+      // an eval suite growing past KBs
+      val benchGrams = graft.Materialize.cut(docs
         .withColumn("toks", expr(toksExpr))
         .where(col("doc_id") % BenchmarkMod === 0)
-        .select(explode(grams5(col("toks"))).as("gram"))
-        .distinct().orderBy(col("gram"))
-        .collect().map(_.getString(0))
+        .select(explode(grams5(col("toks"))).as("gram")).distinct())
       val train = docs.where(col("doc_id") % BenchmarkMod =!= 0)
         .select(col("doc_id"), col("text"))
       val maxRow = train.agg(max(col("doc_id"))).head()
       val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-      val contaminatedCol =
-        if (benchGrams.isEmpty) lit(false)
-        else size(array_intersect(grams5(col("toks")),
-          array(benchGrams.map(lit).toSeq: _*))) > 0
       graft.streaming.Replay.run(s, train, files = 3, stateParts = Some(3),
         stageKey = Some(s"q84:$d")) { stream =>
-        stream
-          .withColumn("toks", expr(toksExpr))
-          .withColumn("n_toks", size(col("toks")).cast("long"))
-          .withColumn("stop_hits",
-            expr(TextAnalysis.hitsSpark(TextAnalysis.stopwords)))
-          .withColumn("n_punct",
-            expr("length(regexp_replace(text, '[a-z0-9\\\\s]', ''))"))
-          .withColumn("quality", round(
-            lit(0.4) * least(lit(1.0), col("n_toks").cast("double") / lit(50.0))
-              + lit(0.4) * (col("stop_hits").cast("double") /
-                  col("n_toks").cast("double"))
-              + lit(0.2) * (lit(1.0) - col("n_punct").cast("double")
-                  / length(col("text")).cast("double")), 6))
-          .withColumn("g3", grams3(col("toks")))
-          .withColumn("frac_dup_3grams", when(size(col("g3")) > 0,
-            round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") /
-              size(col("g3")).cast("double"), 6)).otherwise(lit(0.0)))
-          .withColumn("frac_dup_tokens", when(col("n_toks") > 0,
-            round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
-              col("n_toks").cast("double"), 6)).otherwise(lit(0.0)))
-          .withColumn("digest", md5(col("text")))
-          .withColumn("contaminated", contaminatedCol)
-          .where(!col("contaminated") && col("quality") >= 0.5 &&
-            !(col("frac_dup_3grams") > 0.1 || col("frac_dup_tokens") > 0.6))
+        curationGates(stream, benchGrams)
           .withColumn("ts",
             timestamp_seconds(lit(1700000000L) + col("doc_id")))
           .withWatermark("ts", s"${maxId + 60} seconds")

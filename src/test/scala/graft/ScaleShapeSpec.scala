@@ -280,6 +280,45 @@ class ScaleShapeSpec extends SparkSpec {
         s"corpus shuffled by term through a $shuffled:\n${plan.take(1200)}")
   }
 
+  test("q84 decontamination gate is a stream-static broadcast join, not a plan literal") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the benchmark gram set must reach the STREAM as a broadcast
+    // relation (O(1) plan size in |bench|), not as the O(|bench|)
+    // array-of-literals the previous q84 planned per micro-batch. An
+    // equi-hash join can't express the per-row gate in append mode
+    // (see curationGates' doc), so the expected shape is a LeftAnti
+    // BroadcastNestedLoopJoin on array_contains.
+    val docs = Tables.documents(s, sf)
+      .withColumn("toks", expr(operators.Tokens.toksExpr))
+    val bench = docs
+      .where($"doc_id" % operators.Curation.BenchmarkMod === 0)
+      .select(explode(operators.Curation.grams5($"toks")).as("gram"))
+      .distinct()
+    val mem = MemoryStream[(Long, String)]
+    val gated = operators.Curation.curationGates(
+      mem.toDS().toDF("doc_id", "text"), bench)
+    val q = gated.writeStream.format("memory").queryName("q84_plan_probe")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.where($"doc_id" % operators.Curation.BenchmarkMod =!= 0)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().take(50).toIndexedSeq)
+      q.processAllAvailable()
+      val baos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(baos))(q.explain())
+      val plan = baos.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") &&
+        plan.contains("LeftAnti") && plan.contains("array_contains"),
+        s"q84's gate is not the broadcast anti join:\n${plan.take(1500)}")
+    } finally {
+      q.stop()
+      s.catalog.dropTempView("q84_plan_probe")
+    }
+  }
+
   test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
     val s = spark
     import s.implicits._
