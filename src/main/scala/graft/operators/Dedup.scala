@@ -46,6 +46,20 @@ object Dedup {
     * down to this corpus's shorter documents. */
   val SubstrWindow = 40
 
+  /** Skew guard for the band self-join: a band key whose bucket
+    * exceeds [[HotBandThreshold]] members would put an O(bucket²)
+    * candidate quadratic in ONE task (md5-derived keys are uniform,
+    * so this only fires on adversarial/degenerate corpora — e.g. a
+    * crawl where millions of documents share a boilerplate template
+    * and thus a signature band). Hot buckets are salted into
+    * [[BandSaltGroups]] groups and joined per group-PAIR (the
+    * triangle decomposition in [[saltedBandPairs]]), bounding any
+    * task at ~(bucket/groups)² comparisons. Threshold × threshold is
+    * the max un-salted task (~10⁸ comparisons); groups² = 256 is the
+    * salting's task-shrink factor. */
+  val HotBandThreshold = 10000
+  val BandSaltGroups = 16
+
   /** Near-dup decision threshold on the estimated Jaccard: 15/16
     * signature positions. On a small-vocabulary corpus moderate
     * token-set similarity is the norm (avg j≈0.6 here), so a dedup
@@ -249,17 +263,44 @@ object Dedup {
     // most once. The earlier-band residual never sees NULL keys: a
     // NULL band key (empty tokset) nulls EVERY band key of that doc,
     // and null keys don't equi-match, so such docs reach no residual.
-    val keyed = bandKeyed(sig)
+    // materialized once: the skew-guarded join references the keyed
+    // relation several times per band (hot-key counts, the cold anti
+    // joins, the hot semi joins) — without the cut every reference
+    // recomputes the band-key md5+fold projection over the corpus
+    val keyed = Materialize.cut(bandKeyed(sig))
     val left = keyed.toDF("doc_a" +: (0 until Bands).map(b => s"a$b"): _*)
     val right = keyed.toDF("doc_b" +: (0 until Bands).map(b => s"b$b"): _*)
+    // ADAPTIVE skew guard: one key-level count probe (map-side
+    // combined, one number to the driver — the same move as
+    // ivfModel's corpus count) decides whether any band bucket
+    // exceeds the hot threshold. The md5-uniform normal case keeps
+    // the exact plain join plan at zero overhead; a degenerate
+    // corpus (boilerplate template ⇒ mega-bucket) switches every
+    // band to the salted triangle join, whose per-task volume is
+    // bounded at ~(bucket/groups)². AQE's skew-join split cannot do
+    // this: it splits the PROBE side of a shuffle join but must
+    // still pair each split against the whole matching build
+    // partition, so an O(bucket²) self-join task stays quadratic.
+    val maxBucket = bandMelt(keyed)
+      .where(col("band_key").isNotNull)
+      .groupBy(col("band_id"), col("band_key"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
     val pairs = (0 until Bands).map { b =>
       val earlierDiffer = (0 until b)
         .map(i => col(s"a$i") =!= col(s"b$i"))
         .foldLeft(lit(true))(_ && _)
-      left.join(right,
-          col(s"a$b") === col(s"b$b") &&
-            col("doc_a") < col("doc_b") && earlierDiffer)
-        .select(col("doc_a"), col("doc_b"))
+      if (maxBucket <= HotBandThreshold)
+        left.join(right,
+            col(s"a$b") === col(s"b$b") &&
+              col("doc_a") < col("doc_b") && earlierDiffer)
+          .select(col("doc_a"), col("doc_b"))
+      else
+        saltedBandPairs(left, right, b, earlierDiffer,
+          HotBandThreshold, BandSaltGroups)
     }.reduce(_ unionByName _)
     val sigs = sig.select(col("doc_id"), col("sig"))
     pairs
@@ -281,6 +322,68 @@ object Dedup {
       // merged tasks) so the materialized pair relation doesn't hand
       // every downstream consumer stacks of near-empty partitions
       .coalesce(s.conf.get("spark.sql.shuffle.partitions").toInt)
+  }
+
+  /** One band's candidate join with a SKEW GUARD: keys whose bucket
+    * stays at or under `threshold` take the plain equi-join; hot keys
+    * are salted into `groups` groups (crc32 of the doc id — id
+    * patterns can be adversarial, the hash is not) and joined per
+    * group-PAIR via the triangle decomposition:
+    *
+    *   each row of group g replicates to every unordered group pair
+    *   {g, x} (as (glo, ghi) key columns), so the pair (a, b) with
+    *   groups (ga, gb), ga ≠ gb, equi-matches exactly once — on
+    *   (min(ga,gb), max(ga,gb)) — and a SAME-group pair, which the
+    *   replication would match on all `groups` shared pairs, is
+    *   restricted by the diagonal predicate to its own (ga, ga) task.
+    *
+    * Every task then holds two ~bucket/groups slices instead of the
+    * whole bucket: ~(bucket/groups)² comparisons, the bound
+    * ScaleShapeSpec's mega-bucket fixture asserts. Replication costs
+    * `groups`× on HOT rows only; cold keys (the md5-uniform normal
+    * case — everything at bench scale) pay one broadcast anti-join
+    * probe and keep their exact previous plan. Hot-key detection is a
+    * key-level count aggregate (map-side combined, never corpus-row
+    * volume) broadcast to both sides. The emitted pair SET is
+    * identical to the plain join's — salting is pure partitioning,
+    * proven set-identical in the spec. This is [[Skew.saltedJoin]]'s
+    * replicate-the-other-side move adapted to self-pair enumeration,
+    * where BOTH sides are the big side and the "other side" is the
+    * group-pair space. */
+  private[graft] def saltedBandPairs(left: DataFrame, right: DataFrame,
+      b: Int, earlierDiffer: Column, threshold: Int, groups: Int): DataFrame = {
+    val hotK = broadcast(
+      left.where(col(s"a$b").isNotNull)
+        .groupBy(col(s"a$b")).agg(count(lit(1)).as("n"))
+        .where(col("n") > threshold)
+        .select(col(s"a$b").as("hot_k")))
+    val coldL = left.join(hotK, col(s"a$b") === col("hot_k"), "left_anti")
+    val coldR = right.join(hotK, col(s"b$b") === col("hot_k"), "left_anti")
+    val cold = coldL.join(coldR,
+        col(s"a$b") === col(s"b$b") &&
+          col("doc_a") < col("doc_b") && earlierDiffer)
+      .select(col("doc_a"), col("doc_b"))
+    val gxs = array((0 until groups).map(lit): _*)
+    val hotL = left.join(hotK, col(s"a$b") === col("hot_k"), "left_semi")
+      .withColumn("ga", pmod(crc32(col("doc_a").cast("string")), lit(groups)))
+      .withColumn("gx", explode(gxs))
+      .withColumn("aglo", least(col("ga"), col("gx")))
+      .withColumn("aghi", greatest(col("ga"), col("gx")))
+      .drop("gx")
+    val hotR = right.join(hotK, col(s"b$b") === col("hot_k"), "left_semi")
+      .withColumn("gb", pmod(crc32(col("doc_b").cast("string")), lit(groups)))
+      .withColumn("gx", explode(gxs))
+      .withColumn("bglo", least(col("gb"), col("gx")))
+      .withColumn("bghi", greatest(col("gb"), col("gx")))
+      .drop("gx")
+    val hot = hotL.join(hotR,
+        col(s"a$b") === col(s"b$b") &&
+          col("aglo") === col("bglo") && col("aghi") === col("bghi") &&
+          col("doc_a") < col("doc_b") && earlierDiffer &&
+          (col("ga") =!= col("gb") ||
+            (col("aglo") === col("ga") && col("aghi") === col("ga"))))
+      .select(col("doc_a"), col("doc_b"))
+    cold.unionByName(hot)
   }
 
   /** Connected components over the near-dup pair graph, memoized per

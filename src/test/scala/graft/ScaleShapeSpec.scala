@@ -348,6 +348,55 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("q31 skew guard: a mega-bucket band key salts to bounded tasks, set-identical") {
+    val s = spark
+    import s.implicits._
+    // adversarial boilerplate case: 400 docs share ONE band key (plus
+    // a 20-doc cold bucket that must keep the plain path and never
+    // cross-pair with the hot one). Unsalted, the hot bucket is an
+    // 79 800-pair quadratic in a single task.
+    val n = 400
+    val coldN = 20
+    val groups = 8
+    val threshold = 50
+    val keyed = s.range(n.toLong)
+      .select(col("id").as("doc_id"), lit(1L).as("bk0"))
+      .union(s.range(1000L, 1000L + coldN)
+        .select(col("id").as("doc_id"), lit(2L).as("bk0")))
+    val left = keyed.toDF("doc_a", "a0")
+    val right = keyed.toDF("doc_b", "b0")
+    val got = operators.Dedup
+      .saltedBandPairs(left, right, 0, lit(true), threshold, groups)
+      .as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "duplicate pairs from the salting")
+    val hotIds = (0L until n).toSeq
+    val coldIds = (1000L until 1000L + coldN).toSeq
+    val expected = (for {
+      bucket <- Seq(hotIds, coldIds)
+      a <- bucket; b <- bucket if a < b
+    } yield (a, b)).toSet
+    assert(got.toSet === expected, "salted pair set differs from the plain join's")
+    // the task bound: a pair lands in the equi-task keyed by
+    // (band_key, glo, ghi) of its members' crc32-derived groups —
+    // recompute the assignment driver-side and assert no task exceeds
+    // the ~(bucket/groups)² design bound, far under the quadratic
+    def grp(id: Long): Int = {
+      val c = new java.util.zip.CRC32
+      c.update(id.toString.getBytes("UTF-8"))
+      (c.getValue % groups).toInt
+    }
+    val taskPairs = (for { a <- hotIds; b <- hotIds if a < b } yield {
+      val (ga, gb) = (grp(a), grp(b))
+      (math.min(ga, gb), math.max(ga, gb))
+    }).groupBy(identity).map(_._2.size)
+    val perGroup = math.ceil(n.toDouble / groups)
+    val bound = (2 * perGroup * perGroup).toLong
+    assert(taskPairs.max <= bound,
+      s"worst task holds ${taskPairs.max} pairs, bound $bound")
+    assert(taskPairs.max < n.toLong * (n - 1) / 2 / 4,
+      "salting gave no meaningful reduction vs the single-task quadratic")
+  }
+
   test("HLL cardinality estimate tracks exact distinct within 5%") {
     val s = spark
     import s.implicits._
