@@ -64,8 +64,14 @@ object Curation {
     * production value is ~100K — whatever comfortably broadcasts). */
   val VocabK = 24
 
+  // PII patterns — identical strings reach Spark (java.util.regex)
+  // and the oracle (RE2): only constructs with the same semantics in
+  // both engines (char classes, bounded repetition, literal escapes).
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val phoneRe = "\\+1-555-[0-9]{4}"
+  private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val cardRe = "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}"
+  private val ibanRe = "[A-Z]{2}[0-9]{2}[A-Z0-9]{12}"
 
   /** q82's exploded (doc_id, term) stage, materialized once: it feeds
     * the total, the frequency table, and the per-doc sum — three
@@ -158,9 +164,13 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
-    // PII scrubbing: deterministic synthetic PII is injected into a
-    // slice of documents (the corpus itself is clean), then redacted
-    // with the same regexes a real pipeline would run. Map-only.
+    // PII scrubbing: deterministic synthetic PII is injected into
+    // slices of documents (the corpus itself is clean), then redacted
+    // with the same regexes a real pipeline would run — emails,
+    // phones, IPv4 addresses, 16-digit card numbers, IBAN-shaped
+    // account ids. Map-only; replacement order is fixed and mirrored
+    // in the oracle (the patterns are mutually non-overlapping by
+    // construction, so order is belt-and-braces, not semantics).
     "q64_pii_scrub" -> { (s, d) =>
       val aug =
         when(col("doc_id") % 7 === 0, concat(col("text"),
@@ -170,15 +180,32 @@ object Curation {
         .when(col("doc_id") % 7 === 3, concat(col("text"),
           lit(" reach user"), col("doc_id").cast("string"),
           lit("@web.example")))
+        .when(col("doc_id") % 7 === 1, concat(col("text"),
+          lit(" client ip 10."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string"),
+          lit("."), ((col("doc_id") % 250) + 1).cast("string")))
+        .when(col("doc_id") % 7 === 5, concat(col("text"),
+          lit(" card 4111-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit("-2222-"),
+          lpad((col("doc_id") % 9999).cast("string"), 4, "0")))
+        .when(col("doc_id") % 7 === 2, concat(col("text"),
+          lit(" iban DE"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+          lpad((col("doc_id") % 1000000).cast("string"), 12, "0")))
         .otherwise(col("text"))
       Tables.documents(s, d)
         .withColumn("augmented", aug)
         .select(col("doc_id"),
           regexp_count(col("augmented"), lit(emailRe)).cast("long").as("n_emails"),
           regexp_count(col("augmented"), lit(phoneRe)).cast("long").as("n_phones"),
-          regexp_replace(
+          regexp_count(col("augmented"), lit(ipRe)).cast("long").as("n_ips"),
+          regexp_count(col("augmented"), lit(cardRe)).cast("long").as("n_cards"),
+          regexp_count(col("augmented"), lit(ibanRe)).cast("long").as("n_ibans"),
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
             regexp_replace(col("augmented"), emailRe, "<EMAIL>"),
-            phoneRe, "<PHONE>").as("scrubbed"))
+            phoneRe, "<PHONE>"), ipRe, "<IP>"), cardRe, "<CARD>"),
+            ibanRe, "<IBAN>").as("scrubbed"))
         .orderBy(col("doc_id"))
     },
 
@@ -575,13 +602,28 @@ object Curation {
          |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
          |       WHEN doc_id % 7 = 3 THEN text || ' reach user' ||
          |         CAST(doc_id AS VARCHAR) || '@web.example'
+         |       WHEN doc_id % 7 = 1 THEN text || ' client ip 10.' ||
+         |         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         |         CAST(doc_id % 100 AS VARCHAR) || '.' ||
+         |         CAST(doc_id % 250 + 1 AS VARCHAR)
+         |       WHEN doc_id % 7 = 5 THEN text || ' card 4111-' ||
+         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-2222-' ||
+         |         lpad(CAST(doc_id % 9999 AS VARCHAR), 4, '0')
+         |       WHEN doc_id % 7 = 2 THEN text || ' iban DE' ||
+         |         lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+         |         lpad(CAST(doc_id % 1000000 AS VARCHAR), 12, '0')
          |       ELSE text END AS augmented
          |  FROM documents)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(augmented, '$emailRe')) AS BIGINT) AS n_emails,
          |  CAST(len(regexp_extract_all(augmented, '$phoneRe')) AS BIGINT) AS n_phones,
-         |  regexp_replace(regexp_replace(augmented, '$emailRe', '<EMAIL>', 'g'),
-         |    '$phoneRe', '<PHONE>', 'g') AS scrubbed
+         |  CAST(len(regexp_extract_all(augmented, '$ipRe')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(augmented, '$cardRe')) AS BIGINT) AS n_cards,
+         |  CAST(len(regexp_extract_all(augmented, '$ibanRe')) AS BIGINT) AS n_ibans,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |    regexp_replace(augmented, '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g'), '$ipRe', '<IP>', 'g'),
+         |    '$cardRe', '<CARD>', 'g'), '$ibanRe', '<IBAN>', 'g') AS scrubbed
          |FROM aug ORDER BY doc_id""".stripMargin,
     "q65_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),

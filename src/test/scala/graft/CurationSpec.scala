@@ -45,11 +45,22 @@ class CurationSpec extends SparkSpec {
     try {
       val residual = out.where(
         regexp_count($"scrubbed", lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")) > 0 ||
-        regexp_count($"scrubbed", lit("\\+1-555-[0-9]{4}")) > 0).count()
+        regexp_count($"scrubbed", lit("\\+1-555-[0-9]{4}")) > 0 ||
+        regexp_count($"scrubbed",
+          lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")) > 0 ||
+        regexp_count($"scrubbed", lit("[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}")) > 0 ||
+        regexp_count($"scrubbed", lit("[A-Z]{2}[0-9]{2}[A-Z0-9]{12}")) > 0).count()
       assert(residual === 0)
-      // every doc_id % 7 == 0 got exactly one email + one phone; % 7 == 3 one email
+      // each injection slice got exactly its own PII kind, once
       assert(out.where($"doc_id" % 7 === 0 && ($"n_emails" =!= 1 || $"n_phones" =!= 1)).count() === 0)
       assert(out.where($"doc_id" % 7 === 3 && ($"n_emails" =!= 1 || $"n_phones" =!= 0)).count() === 0)
+      assert(out.where($"doc_id" % 7 === 1 && $"n_ips" =!= 1).count() === 0)
+      assert(out.where($"doc_id" % 7 === 5 && $"n_cards" =!= 1).count() === 0)
+      assert(out.where($"doc_id" % 7 === 2 && $"n_ibans" =!= 1).count() === 0)
+      // clean slices stay clean (no pattern cross-fires on corpus text)
+      assert(out.where($"doc_id" % 7 === 4 &&
+        ($"n_emails" + $"n_phones" + $"n_ips" + $"n_cards" + $"n_ibans") =!= 0)
+        .count() === 0)
     } finally out.unpersist()
   }
 
