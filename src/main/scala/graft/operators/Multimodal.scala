@@ -9,14 +9,18 @@ import graft.Tables
   * struct; decode / feature-extract / resize / frame-sample run as
   * partition-local typed transforms.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC FAKE (clearly marked below): it derives features from
-  * raw bytes only. Everything around it — the binary column schema,
-  * the metadata struct, the `Dataset[T]` encoder plumbing, the
-  * `mapPartitions` batch shape (one iterator per partition, the Scala
-  * analogue of a Pandas-UDF batch), partition-preserving execution —
-  * is real and tested. A production deployment swaps `fakeDecode` for
-  * a codec call; nothing else changes.
+  * The IMAGE leg is decoded by a REAL codec: image rows carry an
+  * actual binary P6 PPM payload (synthesized deterministically per
+  * row — small real dimensions standing in for bytes an object store
+  * would serve) and [[PpmCodec]] parses the genuine format grammar —
+  * header, comments, raster — before feature extraction, so q71's
+  * width/height/mean/checksum come from REAL PIXELS, with the decoded
+  * header dims authoritative over the catalog metadata struct (the
+  * "trust but verify" check a real pipeline runs). Audio/video decode
+  * remains a clearly-marked byte-level stub (no audio/video codec is
+  * expressible in a few hundred lines); their plumbing — binary
+  * column, typed features, `mapPartitions` batch shape — is identical
+  * and a production deployment swaps only the codec call.
   *
   * Scale notes: media bytes never shuffle — every stage is map-only on
   * the scan partitioning; features/metadata (small columns) are what
@@ -28,33 +32,74 @@ object Multimodal {
   /** Typed row for the decode stage. */
   final case class MediaRow(doc_id: Long, media_type: String, media: Array[Byte])
   final case class MediaFeatures(doc_id: Long, media_type: String,
-      byte_len: Int, first_byte: Int, checksum: Long)
+      byte_len: Int, img_width: Int, img_height: Int,
+      mean_px_milli: Long, checksum: Long)
 
-  /** Attach a synthetic opaque payload + typed metadata to each doc
-    * (payload = utf-8 text bytes standing in for real media bytes). */
+  /** Real image dimensions for the synthesized PPM payloads — small
+    * (4..19 x 4..15) so the oracle can recompute pixel features via
+    * bounded list arithmetic; the metadata struct's width/height stay
+    * the (larger) catalog claims, which q71's decoded dims override. */
+  private val pxWSql = "CAST(doc_id % 16 + 4 AS INT)"
+  private val pxHSql = "CAST(doc_id % 12 + 4 AS INT)"
+
+  /** Pixel byte k of doc `doc_id`: (doc_id + 7k) mod 256 — integer
+    * arithmetic both engines reproduce exactly. */
+  private def ppmPayload: org.apache.spark.sql.Column =
+    // built as hex text then unhex'd to binary: header || raster.
+    // The transform lambda is interpreted, but it generates <= 960
+    // SYNTHETIC bytes per image row — data synthesis, not a corpus
+    // hot path (a real deployment reads these bytes from storage).
+    unhex(concat(
+      hex(concat(lit("P6\n"), expr(pxWSql).cast("string"), lit(" "),
+        expr(pxHSql).cast("string"), lit("\n255\n"))),
+      expr(s"array_join(transform(sequence(0, $pxWSql * $pxHSql * 3 - 1), " +
+        "k -> lpad(hex(pmod(doc_id + 7*k, 256)), 2, '0')), '')")))
+
+  /** Attach payload + typed metadata to each doc: image rows get a
+    * real P6 PPM binary, audio/video get opaque utf-8 text bytes
+    * (stand-ins for real media bytes). */
   def withMedia(docs: DataFrame): DataFrame =
     docs
-      .withColumn("media", col("text").cast("binary"))
       .withColumn("media_type",
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")))
+      .withColumn("media",
+        when(col("media_type") === "image", ppmPayload)
+          .otherwise(col("text").cast("binary")))
       .withColumn("meta", struct(
         (col("doc_id") % 640 + 16).cast("int").as("width"),
         (col("doc_id") % 480 + 16).cast("int").as("height"),
         lit(16000).as("sample_rate"),
         (col("n_chars") % 240 + 1).cast("int").as("n_frames")))
 
-  /** STUB DECODE — deterministic fake standing in for a codec: reads
-    * raw bytes only (length, first byte, additive checksum of the
-    * first 64 bytes mod 997). Partition-local, zero shuffle. */
-  def fakeDecode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+  /** Partition-local decode: images through the REAL [[PpmCodec]]
+    * (header-parsed dims, mean pixel value in milli-units, a
+    * position-weighted raster checksum mod 1e9+7); audio/video
+    * through the byte-level STUB (length + additive checksum of the
+    * first 64 bytes mod 997, dims/mean = -1). Zero shuffle. */
+  def decodeMedia(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
-      val n = r.media.length
-      val first = if (n > 0) r.media(0) & 0xFF else -1
-      var sum = 0L
-      var i = 0
-      while (i < math.min(64, n)) { sum += (r.media(i) & 0xFF); i += 1 }
-      MediaFeatures(r.doc_id, r.media_type, n, first, sum % 997)
+      if (r.media_type == "image") {
+        val img = PpmCodec.decode(r.media)
+        val n = img.pixels.length
+        var sum = 0L
+        var chk = 0L
+        var k = 0
+        while (k < n) {
+          val p = img.pixels(k) & 0xFF
+          sum += p
+          chk = (chk + p.toLong * (k + 1)) % 1000000007L
+          k += 1
+        }
+        MediaFeatures(r.doc_id, r.media_type, r.media.length,
+          img.width, img.height, sum * 1000 / n, chk)
+      } else {
+        val n = r.media.length
+        var sum = 0L
+        var i = 0
+        while (i < math.min(64, n)) { sum += (r.media(i) & 0xFF); i += 1 }
+        MediaFeatures(r.doc_id, r.media_type, n, -1, -1, -1L, sum % 997)
+      }
     }
 
   /** The typed decode pass: Dataset[MediaRow] -> mapPartitions. */
@@ -63,7 +108,7 @@ object Multimodal {
     import s.implicits._
     media.select(col("doc_id"), col("media_type"), col("media"))
       .as[MediaRow]
-      .mapPartitions(fakeDecode)
+      .mapPartitions(decodeMedia)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -77,7 +122,9 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
-    // The mapPartitions decode stage (STUBBED codec, real plumbing).
+    // The mapPartitions decode stage: REAL PPM codec for images
+    // (dims/mean/checksum from parsed pixels), byte-level stub for
+    // audio/video.
     "q71_media_features" -> { (s, d) =>
       decodeFeatures(withMedia(Tables.documents(s, d)))
         .toDF()
@@ -122,25 +169,48 @@ object Multimodal {
     },
   )
 
-  // The payload bytes are the utf-8 text bytes (ASCII corpus), so the
-  // oracle can recompute byte arithmetic via ascii(substring(text,i,1)).
+  // Audio/video payload bytes are the utf-8 text bytes (ASCII corpus),
+  // so the oracle recomputes byte arithmetic via
+  // ascii(substring(text,i,1)); image payloads are the synthesized P6
+  // PPMs, whose header length and pixel bytes ((doc_id + 7k) mod 256)
+  // the oracle recomputes with the same integer arithmetic the codec
+  // sees after parsing.
+  private val ppmLenSql =
+    "length('P6' || chr(10) || CAST(doc_id % 16 + 4 AS VARCHAR) || ' ' || " +
+      "CAST(doc_id % 12 + 4 AS VARCHAR) || chr(10) || '255' || chr(10)) + " +
+      "(doc_id % 16 + 4) * (doc_id % 12 + 4) * 3"
+
   def oracle: Map[String, String] = Map(
     "q70_media_meta" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-        |  length(text) AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST($ppmLenSql AS INTEGER)
+        |       ELSE length(text) END AS n_bytes,
         |  CAST(doc_id % 640 + 16 AS INTEGER) AS width,
         |  CAST(doc_id % 480 + 16 AS INTEGER) AS height,
         |  CAST(n_chars % 240 + 1 AS INTEGER) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q71_media_features" ->
-      """SELECT doc_id,
-        |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
-        |  CAST(length(text) AS INTEGER) AS byte_len,
-        |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_byte,
-        |  CAST(list_sum(list_transform(range(1, least(64, length(text)) + 1),
-        |    i -> ascii(substring(text, i, 1)))) % 997 AS BIGINT) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH m AS (SELECT doc_id, text,
+        |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
+        |    CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+        |    CAST(doc_id % 12 + 4 AS INTEGER) AS h
+        |  FROM documents)
+        |SELECT doc_id, media_type,
+        |  CASE WHEN media_type = 'image' THEN CAST($ppmLenSql AS INTEGER)
+        |       ELSE CAST(length(text) AS INTEGER) END AS byte_len,
+        |  CASE WHEN media_type = 'image' THEN w ELSE -1 END AS img_width,
+        |  CASE WHEN media_type = 'image' THEN h ELSE -1 END AS img_height,
+        |  CASE WHEN media_type = 'image' THEN
+        |    CAST(list_sum(list_transform(range(0, w * h * 3),
+        |      k -> (doc_id + 7 * k) % 256)) * 1000 // (w * h * 3) AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS mean_px_milli,
+        |  CASE WHEN media_type = 'image' THEN
+        |    CAST(list_sum(list_transform(range(0, w * h * 3),
+        |      k -> ((doc_id + 7 * k) % 256) * (k + 1))) % 1000000007 AS BIGINT)
+        |    ELSE CAST(list_sum(list_transform(range(1, least(64, length(text)) + 1),
+        |      i -> ascii(substring(text, i, 1)))) % 997 AS BIGINT) END AS checksum
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q72_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, CAST(n_chars % 240 + 1 AS INTEGER) AS n_frames

@@ -323,7 +323,7 @@ class IoStreamingSpec extends SparkSpec {
       "decode stage must stay map-only (sort for presentation only)")
   }
 
-  test("fake decode checksum matches a driver-side recompute") {
+  test("decode features: real PPM pixels for images, byte stub for audio/video") {
     val s = spark
     import s.implicits._
     val feats = Multimodal.queries("q71_media_features")(s, sf)
@@ -331,9 +331,42 @@ class IoStreamingSpec extends SparkSpec {
     val texts = Tables.documents(s, sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
     texts.foreach { case (id, text) =>
-      val bytes = text.getBytes("UTF-8")
-      val expected = bytes.take(64).map(_ & 0xFF).map(_.toLong).sum % 997
+      val expected =
+        if (id % 3 == 0) {
+          // image: the position-weighted checksum over the ACTUAL
+          // decoded raster — (doc_id + 7k) mod 256 pixel bytes
+          val n = (id % 16 + 4).toInt * (id % 12 + 4).toInt * 3
+          (0 until n).foldLeft(0L) { (a, k) =>
+            (a + ((id + 7L * k) % 256) * (k + 1)) % 1000000007L
+          }
+        } else
+          text.getBytes("UTF-8").take(64).map(_ & 0xFF).map(_.toLong).sum % 997
       assert(feats(id) === expected, s"doc $id")
     }
+  }
+
+  test("PPM codec: full grammar round-trip and malformed-input rejection") {
+    import graft.operators.PpmCodec
+    // a non-trivial 5x3 gradient image through encode -> decode
+    val px = Array.tabulate(5 * 3 * 3)(k => ((k * 17 + 3) % 256).toByte)
+    val img = PpmCodec.decode(PpmCodec.encode(5, 3, px))
+    assert(img.width === 5 && img.height === 3)
+    assert(img.pixels.toSeq === px.toSeq)
+    // hand-built header exercising comments, mixed whitespace, and a
+    // raster whose first byte is '#' (must NOT be eaten as a comment)
+    val raster = Array.tabulate(2 * 2 * 3)(k =>
+      (if (k == 0) '#'.toInt else k * 31 % 256).toByte)
+    val wild = ("P6 # format comment\n# full-line comment\n 2\t2 # dims\n" +
+      "# one more\n255\n").getBytes("US-ASCII") ++ raster
+    val parsed = PpmCodec.decode(wild)
+    assert(parsed.width === 2 && parsed.height === 2)
+    assert(parsed.pixels.toSeq === raster.toSeq)
+    // malformed inputs are rejected, not guessed at
+    for (bad <- Seq(
+        "P5\n2 2\n255\n".getBytes("US-ASCII") ++ raster, // wrong magic
+        "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ raster, // 2-byte samples
+        "P6\n2 2\n255\n".getBytes("US-ASCII") ++ raster.take(5), // truncated
+        "P6\n2 2\n255".getBytes("US-ASCII"))) // no separator
+      intercept[IllegalArgumentException](PpmCodec.decode(bad))
   }
 }
