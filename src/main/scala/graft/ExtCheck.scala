@@ -45,7 +45,51 @@ object ExtCheck {
           |""".stripMargin).queryExecution.optimizedPlan.toString
       assert(!plan.contains("graft_cosine"),
         s"FoldSelfCosine did not fire in the extension-built session:\n$plan")
-      println("ExtCheck OK: functions resolve, FoldSelfCosine fires end-to-end")
+      // (c) the opt-in IVF top-k pushdown, end-to-end in this
+      // extension-built session: register an index, flag the rewrite
+      // on, and run the brute-force SQL shape — the optimized plan
+      // must scan the cid-partitioned assignment table (pruned), the
+      // result must cover <= NProbe cells, and recall@10 vs the
+      // un-rewritten exact answer must hold.
+      import org.apache.spark.sql.functions.col
+      // sf0.001: the corpus where the q39 probed path holds
+      // recall@10 = 0.9 (at larger sf the 3-of-k cell probe keeps a
+      // lower floor — same trade, different constant; OperatorsSpec
+      // asserts the 0.7 floor there)
+      val sfDir = "/root/testdata/sf0.001"
+      val idx = graft.plans.IvfTopK.registerIndex(spark, sfDir)
+      val q0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val litSql = q0.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")")
+      val topkSql =
+        s"""SELECT vec_id, graft_cosine(embedding, $litSql) AS cos
+           |FROM parquet.`$sfDir/embeddings.parquet`
+           |WHERE vec_id <> 0
+           |ORDER BY cos DESC LIMIT 10""".stripMargin
+      // the assignment relation is recognizable by its cid partition
+      // column (the original embeddings table has none; the optimized
+      // plan's Relation line truncates file paths)
+      val exact = spark.sql(topkSql)
+      assert(!exact.queryExecution.optimizedPlan.toString.contains("cid#"),
+        "rewrite fired without the opt-in flag")
+      val exactIds = exact.collect().map(_.getLong(0)).toSet
+      spark.conf.set("spark.graft.ivfTopK", "true")
+      val probed = spark.sql(topkSql)
+      val pplan = probed.queryExecution.optimizedPlan.toString
+      assert(pplan.contains("cid#") && pplan.contains(" IN ("),
+        s"IvfTopKRewrite did not fire under the flag:\n${pplan.take(1500)}")
+      val annIds = probed.collect().map(_.getLong(0)).toSet
+      spark.conf.set("spark.graft.ivfTopK", "false")
+      val cellsHit = spark.read.parquet(idx.assignPath)
+        .where(col("vec_id").isin(annIds.toSeq.map(Long.box): _*))
+        .select(col("cid")).distinct().count()
+      assert(cellsHit <= graft.operators.Similarity.NProbe,
+        s"rewritten result spans $cellsHit cells > NProbe")
+      val recall = (annIds & exactIds).size.toDouble / exactIds.size
+      assert(recall >= 0.9, s"IVF pushdown recall@10 $recall < 0.9")
+      println("ExtCheck OK: functions resolve, FoldSelfCosine fires, " +
+        f"IVF top-k pushdown prunes to <= NProbe cells at recall@10 = $recall%.2f")
     } finally spark.stop()
   }
 }

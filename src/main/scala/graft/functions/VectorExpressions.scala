@@ -343,5 +343,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "graft_hplane_bucket"),
       (children: Seq[Expression]) => HyperplaneBucket(children(0)))
     ext.injectOptimizerRule(_ => FoldSelfCosine)
+    // opt-in (spark.graft.ivfTopK) top-k similarity pushdown: rewrite
+    // ORDER BY graft_cosine(col, literal) DESC LIMIT k over a table
+    // with a registered IVF index to the probed-cells scan
+    ext.injectOptimizerRule(_ => graft.plans.IvfTopKRewrite)
   }
 }

@@ -1,0 +1,201 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Descending, Expression, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+import graft.functions.CosineSimilarity
+import graft.operators.Similarity
+
+/** IVF TOP-K PUSHDOWN — the optimizer-extension flagship: a
+  * `Rule[LogicalPlan]` (installed by
+  * [[graft.functions.GraftExtensions]]) that recognizes the
+  * brute-force similarity-search shape
+  *
+  *   SELECT ... FROM <embeddings table>
+  *   ORDER BY graft_cosine(embedding, <literal query vector>) DESC
+  *   LIMIT k
+  *
+  * and, when an IVF index is registered for that table
+  * ([[IvfTopK.registerIndex]]), REPLACES the full-corpus scan with a
+  * scan of the index's cid-partitioned assignment table pruned to the
+  * NProbe cells nearest the query vector — the q39 probed path, chosen
+  * at plan time. At 100 TB this turns a whole-corpus kernel pass into
+  * a read of ~NProbe/k of the data: the cell id is a partition key, so
+  * the pruning happens at the FILE level (PartitionFilters), before a
+  * single byte of the unprobed corpus is read.
+  *
+  * STRICTLY OPT-IN via `spark.graft.ivfTopK=true` (default off): the
+  * rewrite trades exactness for recall — a Catalyst rule may never
+  * silently change results, so the user signs off per session. The
+  * probe itself mirrors q39 exactly: centroid distances in the same
+  * left-to-right double arithmetic, (dist, cid) tiebreak, NProbe
+  * cells.
+  *
+  * Mechanics: the matched Sort/Limit stay in place (Spark still plans
+  * TakeOrderedAndProject — per-partition top-k, no global sort); only
+  * the [[LogicalRelation]] beneath is swapped for the pruned
+  * assignment scan, wrapped in a Project that aliases the new columns
+  * to the ORIGINAL output attribute ids so every expression above
+  * (filters, projections, the cosine itself) resolves unchanged. The
+  * rewritten scan is not a registered table, so the fixed-point
+  * optimizer batch cannot re-fire on its own output.
+  */
+object IvfTopK {
+
+  /** A registered index: the embeddings table it serves, the
+    * cid-partitioned assignment copy, and the (tiny) trained centroid
+    * table held driver-side for plan-time probing. */
+  final case class IvfIndex(embPath: String, assignPath: String,
+      centroids: Array[(Int, Array[Double])]) {
+    /** NProbe cell ids nearest to `q` — q39's probe arithmetic
+      * verbatim: left-to-right double l2², (dist, cid) order. */
+    def probe(q: Array[Double], nprobe: Int = Similarity.NProbe): Seq[Int] =
+      centroids.map { case (cid, cv) =>
+        var d = 0.0
+        var i = 0
+        while (i < cv.length && i < q.length) {
+          val t = q(i) - cv(i); d += t * t; i += 1
+        }
+        (d, cid)
+      }.sortBy(identity).take(nprobe).map(_._2).toSeq
+  }
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
+
+  private[plans] def qualify(s: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).makeQualified(p).toString
+  }
+
+  /** Train (or reuse) the deterministic k-means quantizer for
+    * `sfDir`'s embeddings table, persist the assignment relation
+    * PARTITIONED BY cid (the production IVF layout), and register it
+    * for the rewrite. Idempotent per table path. */
+  def registerIndex(s: SparkSession, sfDir: String): IvfIndex = {
+    val embPath = qualify(s, s"$sfDir/embeddings.parquet")
+    registry.computeIfAbsent(embPath, _ => {
+      val (cents, assigned) = Similarity.ivfModel(s, sfDir)
+      val cols = s.read.parquet(embPath).schema.fieldNames.toSeq
+      val assignPath = graft.Fs.createStagingDir(s, "graft-ivf-index")
+      assigned.select(cols.map(col) :+ col("cid"): _*)
+        .write.mode("overwrite").partitionBy("cid").parquet(assignPath)
+      val cArr = cents.collect().map { r =>
+        (r.getAs[Number]("cid").intValue(),
+          r.getSeq[Double](r.fieldIndex("cv")).toArray)
+      }.sortBy(_._1)
+      IvfIndex(embPath, assignPath, cArr)
+    })
+  }
+
+  def lookup(path: String): Option[IvfIndex] = Option(registry.get(path))
+
+  def isEmpty: Boolean = registry.isEmpty
+
+  /** Drop all registered indexes (tests / corpus-version rollover). */
+  def clear(): Unit = registry.clear()
+}
+
+object IvfTopKRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.ivfTopK", "false").toBoolean ||
+        IvfTopK.isEmpty) return plan
+    plan.transformDown {
+      case gl @ GlobalLimit(_, ll @ LocalLimit(_, srt: Sort))
+          if srt.global && srt.order.length == 1 &&
+            srt.order.head.direction == Descending =>
+        rewriteSort(srt) match {
+          case Some(newSort) => GlobalLimit(gl.limitExpr,
+            LocalLimit(ll.limitExpr, newSort))
+          case None => gl
+        }
+    }
+  }
+
+  private def rewriteSort(srt: Sort): Option[Sort] =
+    for {
+      cos <- resolveCosine(srt.order.head.child, srt.child)
+      (embAttr, qvec) <- splitCosine(cos)
+      (lr, idx) <- findRegisteredScan(srt.child, embAttr)
+    } yield {
+      val probed = idx.probe(qvec)
+      logInfo(s"IvfTopKRewrite: probing cells ${probed.mkString(",")} " +
+        s"of ${idx.centroids.length} for ${idx.embPath}")
+      val replacement = prunedScan(lr, idx, probed)
+      srt.copy(child = srt.child.transformUp {
+        case p if p eq lr => replacement
+      })
+    }
+
+  /** The sort expression is the cosine itself, or an attribute whose
+    * defining Alias (in a Project below) is the cosine. */
+  private def resolveCosine(e: Expression, child: LogicalPlan): Option[CosineSimilarity] =
+    e match {
+      case c: CosineSimilarity => Some(c)
+      case a: AttributeReference =>
+        child.collect { case p: Project => p.projectList }.flatten
+          .collectFirst {
+            case al @ Alias(c: CosineSimilarity, _) if al.exprId == a.exprId => c
+          }
+      case _ => None
+    }
+
+  /** One side a column, the other a foldable (literal) query vector. */
+  private def splitCosine(c: CosineSimilarity): Option[(AttributeReference, Array[Double])] =
+    (c.left, c.right) match {
+      case (a: AttributeReference, l) if l.foldable => evalVec(l).map((a, _))
+      case (l, a: AttributeReference) if l.foldable => evalVec(l).map((a, _))
+      case _ => None
+    }
+
+  private def evalVec(e: Expression): Option[Array[Double]] = e.dataType match {
+    case ArrayType(FloatType, _) =>
+      Option(e.eval(null)).map(_.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble))
+    case ArrayType(DoubleType, _) =>
+      Option(e.eval(null)).map(_.asInstanceOf[ArrayData].toDoubleArray())
+    case _ => None
+  }
+
+  /** The scan that (a) produced the embedding column and (b) has a
+    * registered index. */
+  private def findRegisteredScan(plan: LogicalPlan,
+      embAttr: AttributeReference): Option[(LogicalRelation, IvfTopK.IvfIndex)] =
+    plan.collectFirst {
+      case lr: LogicalRelation
+          if lr.output.exists(_.exprId == embAttr.exprId) &&
+            indexOf(lr).isDefined =>
+        (lr, indexOf(lr).get)
+    }
+
+  private def indexOf(lr: LogicalRelation): Option[IvfTopK.IvfIndex] =
+    lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.iterator
+          .flatMap(p => IvfTopK.lookup(p.toString))
+          .nextOption()
+      case _ => None
+    }
+
+  /** Scan of the assignment table pruned to the probed cells, its
+    * columns re-aliased to the replaced relation's attribute ids so
+    * the plan above resolves unchanged. `cid IN (...)` lands on the
+    * partition column, so downstream file pruning reads only the
+    * probed cells' files. */
+  private def prunedScan(lr: LogicalRelation, idx: IvfTopK.IvfIndex,
+      cids: Seq[Int]): LogicalPlan = {
+    val s = SparkSession.active
+    val rep = s.read.parquet(idx.assignPath)
+      .where(col("cid").isin(cids.map(Int.box): _*))
+      .select(lr.output.map(a => col(a.name)): _*)
+      .queryExecution.analyzed
+    Project(rep.output.zip(lr.output).map { case (n, o) =>
+      Alias(n, o.name)(exprId = o.exprId)
+    }, rep)
+  }
+}

@@ -348,6 +348,39 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k pushdown: flag-gated rewrite swaps the scan for probed cells") {
+    val s = spark
+    graft.functions.VectorFunctions.register(s)
+    val idx = graft.plans.IvfTopK.registerIndex(s, sf)
+    val q0 = s.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val litSql = q0.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")")
+    val analyzed = s.sql(
+      s"""SELECT vec_id, graft_cosine(embedding, $litSql) AS cos
+         |FROM parquet.`$sf/embeddings.parquet`
+         |WHERE vec_id <> 0
+         |ORDER BY cos DESC LIMIT 10""".stripMargin)
+      .queryExecution.analyzed
+    // opt-in contract: without the flag the rule is an exact no-op
+    // (it changes results, so it may never fire silently)
+    assert(graft.plans.IvfTopKRewrite(analyzed).toString === analyzed.toString,
+      "rewrite fired without spark.graft.ivfTopK=true")
+    s.conf.set("spark.graft.ivfTopK", "true")
+    try {
+      val rewritten = graft.plans.IvfTopKRewrite(analyzed).toString
+      // the swapped-in assignment scan is recognizable by its cid
+      // partition column; the IN-list is the probe set
+      val in = "cid#\\d+ IN \\(([0-9,]+)\\)".r.findFirstMatchIn(rewritten)
+      assert(in.isDefined, s"no probed-cell filter in:\n${rewritten.take(1200)}")
+      val cells = in.get.group(1).split(",").length
+      assert(cells <= operators.Similarity.NProbe,
+        s"rewrite probes $cells cells > NProbe")
+      // Sort + Limit survive (Spark still plans TakeOrderedAndProject)
+      assert(rewritten.contains("GlobalLimit") && rewritten.contains("Sort"))
+    } finally s.conf.set("spark.graft.ivfTopK", "false")
+  }
+
   test("q31 skew guard: a mega-bucket band key salts to bounded tasks, set-identical") {
     val s = spark
     import s.implicits._
