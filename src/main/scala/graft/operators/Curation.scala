@@ -82,6 +82,20 @@ object Curation {
     * ScaleShapeSpec can assert the materialized partition count
     * directly (the localCheckpoint severs lineage, so the final plan
     * string can't show the repartition). */
+  /** q85's assignment body over any (doc_id, text) frame: split byte
+    * = first md5 byte of the TEXT, so identical content always lands
+    * in the same split regardless of ids — package-visible so the
+    * spec can prove the leakage guard on a frame with forced
+    * duplicates (the sf0.001 fixture has none). */
+  private[graft] def splitAssign(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .withColumn("b", expr(Tokens.mdByteExpr("text")))
+      .select(col("doc_id"), col("digest"),
+        when(col("b") < 205, lit("train"))
+          .when(col("b") < 230, lit("val"))
+          .otherwise(lit("test")).as("split"))
+
   /** q84's per-row gate pipeline over a (doc_id, text) document
     * stream: quality + repetition scoring (stateless column
     * expressions, identical to q81's), then benchmark decontamination
@@ -449,6 +463,19 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // DATASET SPLIT — the train/val/test assignment every training
+    // pipeline runs last, with the subtlety that makes it a curation
+    // op and not a one-liner: the split key is the CONTENT digest,
+    // not the doc id, so exact duplicates can never straddle splits
+    // (id-keyed splitting leaks duplicated content from train into
+    // eval — the classic invisible contamination). Map-only, one
+    // scan, deterministic at any parallelism: split byte = first md5
+    // byte of the text (the engine-wide uniform hash), thresholds
+    // 205/230 of 256 ≈ 80.1 / 9.8 / 10.2%.
+    "q85_dataset_split" -> { (s, d) =>
+      splitAssign(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
     "q66_domain_mix" -> { (s, d) =>
       val docs = Tables.documents(s, d)
         .withColumn("toks", expr(toksExpr))
@@ -682,6 +709,12 @@ object Curation {
          |  AND tr.quality >= 0.5
          |  AND NOT (tr.frac_dup_3grams > 0.1 OR tr.frac_dup_tokens > 0.6)
          |ORDER BY tr.doc_id""".stripMargin,
+    "q85_dataset_split" ->
+      s"""SELECT doc_id, md5(text) AS digest,
+         |  CASE WHEN ${Tokens.mdByteSql("text")} < 205 THEN 'train'
+         |       WHEN ${Tokens.mdByteSql("text")} < 230 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q66_domain_mix" ->
       s"""WITH docs AS (SELECT doc_id, source,
          |    CAST(len($toksSql) AS BIGINT) AS n_toks,

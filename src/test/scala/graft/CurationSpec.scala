@@ -64,6 +64,34 @@ class CurationSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q85: split is leakage-safe (digest-keyed) with ~80/10/10 mass") {
+    val s = spark
+    import s.implicits._
+    // force exact duplicates under DIFFERENT ids (the sf0.001 fixture
+    // has none): an id-keyed split would scatter them across splits
+    val docs = Tables.documents(s, sf).select($"doc_id", $"text")
+    val dup = docs.union(docs.select($"doc_id" + 1000000, $"text"))
+    val out = operators.Curation.splitAssign(dup).cache()
+    try {
+      val dupDigests = out.groupBy($"digest").count().where($"count" > 1)
+      assert(dupDigests.count() > 0, "fixture has no duplicate content")
+      // every digest lands in exactly one split: duplicated content
+      // can never straddle train and eval
+      val straddling = out.groupBy($"digest")
+        .agg(countDistinct($"split").as("n_splits"))
+        .where($"n_splits" > 1).count()
+      assert(straddling === 0, "duplicate content straddles splits")
+      // hash thresholds put ~80/10/10 of the DISTINCT content mass
+      val byDigest = out.select($"digest", $"split").distinct()
+      val n = byDigest.count().toDouble
+      val frac = byDigest.groupBy($"split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1) / n).toMap
+      assert(frac("train") > 0.72 && frac("train") < 0.88, s"train ${frac("train")}")
+      assert(frac.getOrElse("val", 0.0) > 0.04 && frac("val") < 0.16, s"val ${frac.get("val")}")
+      assert(frac.getOrElse("test", 0.0) > 0.04 && frac("test") < 0.16, s"test ${frac.get("test")}")
+    } finally out.unpersist()
+  }
+
   test("q65: fractions are in [0,1] and a constant-token doc maxes out") {
     val s = spark
     import s.implicits._
