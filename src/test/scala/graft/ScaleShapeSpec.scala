@@ -430,6 +430,38 @@ class ScaleShapeSpec extends SparkSpec {
       "salting gave no meaningful reduction vs the single-task quadratic")
   }
 
+  test("q31 skew guard shape sweep: salted pairs equal the plain join on every bucket profile") {
+    val s = spark
+    import s.implicits._
+    // (ids per bucket-profile, threshold, groups): all-hot (threshold
+    // 0), groups larger than any bucket, many small hot buckets, and
+    // a mixed profile — the salting must be pure partitioning (exact
+    // pair-set identity) in every shape, not just the mega-bucket
+    for ((profile, threshold, groups) <- Seq(
+        (Seq(30, 25), 0, 4), // every bucket hot
+        (Seq(12, 9), 5, 64), // groups >> bucket size
+        (Seq(20, 20, 20, 20), 10, 3), // many hot buckets, few groups
+        (Seq(80, 3, 1), 40, 8))) { // hot + cold + singleton
+      val rows = profile.zipWithIndex.flatMap { case (m, b) =>
+        (0 until m).map(i => (b * 1000L + i, b.toLong + 1))
+      }
+      val keyed = rows.toDF("doc_id", "bk0")
+      val left = keyed.toDF("doc_a", "a0")
+      val right = keyed.toDF("doc_b", "b0")
+      val got = operators.Dedup
+        .saltedBandPairs(left, right, 0, lit(true), threshold, groups)
+        .as[(Long, Long)].collect()
+      val expected = rows.groupBy(_._2).values.flatMap { bucket =>
+        val ids = bucket.map(_._1)
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }.toSet
+      assert(got.length === got.toSet.size,
+        s"duplicates at profile=$profile t=$threshold g=$groups")
+      assert(got.toSet === expected,
+        s"pair-set mismatch at profile=$profile t=$threshold g=$groups")
+    }
+  }
+
   test("HLL cardinality estimate tracks exact distinct within 5%") {
     val s = spark
     import s.implicits._
