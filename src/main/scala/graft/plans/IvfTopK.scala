@@ -76,20 +76,48 @@ object IvfTopK {
   /** Train (or reuse) the deterministic k-means quantizer for
     * `sfDir`'s embeddings table, persist the assignment relation
     * PARTITIONED BY cid (the production IVF layout), and register it
-    * for the rewrite. Idempotent per table path. */
-  def registerIndex(s: SparkSession, sfDir: String): IvfIndex = {
+    * for the rewrite. Idempotent per table path. With `indexDir` the
+    * index lands at a caller-owned location (assignment/, centroids/,
+    * meta/) that [[load]] re-registers in ANY later session without
+    * retraining — the index lifecycle of a production vector lake:
+    * build once per corpus version, load everywhere. Without it the
+    * assignment stages to a session temp dir. */
+  def registerIndex(s: SparkSession, sfDir: String,
+      indexDir: Option[String] = None): IvfIndex = {
     val embPath = qualify(s, s"$sfDir/embeddings.parquet")
     registry.computeIfAbsent(embPath, _ => {
       val (cents, assigned) = Similarity.ivfModel(s, sfDir)
       val cols = s.read.parquet(embPath).schema.fieldNames.toSeq
-      val assignPath = graft.Fs.createStagingDir(s, "graft-ivf-index")
+      val base = indexDir.map(qualify(s, _))
+        .getOrElse(graft.Fs.createStagingDir(s, "graft-ivf-index"))
+      val assignPath = s"$base/assignment"
       assigned.select(cols.map(col) :+ col("cid"): _*)
         .write.mode("overwrite").partitionBy("cid").parquet(assignPath)
       val cArr = cents.collect().map { r =>
         (r.getAs[Number]("cid").intValue(),
           r.getSeq[Double](r.fieldIndex("cv")).toArray)
       }.sortBy(_._1)
+      import s.implicits._
+      cents.select(col("cid").cast("int").as("cid"), col("cv"))
+        .write.mode("overwrite").parquet(s"$base/centroids")
+      Seq(embPath).toDF("emb_path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
       IvfIndex(embPath, assignPath, cArr)
+    })
+  }
+
+  /** Re-register a saved index from disk — no retraining, no scan of
+    * the corpus; the driver reads back only the k-row centroid table
+    * and the one-row meta. */
+  def load(s: SparkSession, indexDir: String): IvfIndex = {
+    val base = qualify(s, indexDir)
+    val embPath = s.read.parquet(s"$base/meta").head().getString(0)
+    registry.computeIfAbsent(embPath, _ => {
+      val cArr = s.read.parquet(s"$base/centroids").collect().map { r =>
+        (r.getAs[Number]("cid").intValue(),
+          r.getSeq[Double](r.fieldIndex("cv")).toArray)
+      }.sortBy(_._1)
+      IvfIndex(embPath, s"$base/assignment", cArr)
     })
   }
 

@@ -381,6 +381,26 @@ class ScaleShapeSpec extends SparkSpec {
     } finally s.conf.set("spark.graft.ivfTopK", "false")
   }
 
+  test("IVF index save/load round-trip re-registers without retraining") {
+    val s = spark
+    val dir = Files.createTempDirectory("ivf_idx").toString
+    graft.plans.IvfTopK.clear()
+    val built = graft.plans.IvfTopK.registerIndex(s, sf, Some(dir))
+    graft.plans.IvfTopK.clear()
+    val loaded = graft.plans.IvfTopK.load(s, dir)
+    assert(loaded.embPath === built.embPath)
+    assert(loaded.centroids.map(_._1).toSeq === built.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.zip(built.centroids).forall {
+      case ((_, a), (_, b)) => a.sameElements(b)
+    }, "centroid vectors differ after reload")
+    // probe parity: the loaded index picks the same cells
+    val q = built.centroids.head._2
+    assert(loaded.probe(q) === built.probe(q))
+    // the persisted assignment covers the whole corpus
+    val n = s.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(s.read.parquet(loaded.assignPath).count() === n)
+  }
+
   test("q31 skew guard: a mega-bucket band key salts to bounded tasks, set-identical") {
     val s = spark
     import s.implicits._
