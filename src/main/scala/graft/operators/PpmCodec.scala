@@ -61,7 +61,13 @@ object PpmCodec {
     // exactly ONE whitespace byte separates maxval from the raster
     if (pos >= bytes.length || !isWs(bytes(pos))) fail("missing raster separator")
     pos += 1
-    val n = w * h * 3
+    // Long math: w*h*3 can wrap Int for adversarial header dims (e.g.
+    // 40000x40000), and a wrapped-to-small n would accept a truncated
+    // raster with bogus huge dims — exactly what strict rejection is
+    // advertised to prevent.
+    val nL = w.toLong * h * 3
+    if (nL > Int.MaxValue) fail(s"raster size overflow: ${w}x$h x3")
+    val n = nL.toInt
     if (bytes.length - pos < n)
       fail(s"truncated raster: need $n bytes, have ${bytes.length - pos}")
     Image(w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n))

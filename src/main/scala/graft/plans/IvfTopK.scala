@@ -56,9 +56,14 @@ object IvfTopK {
       * verbatim: left-to-right double l2², (dist, cid) order. */
     def probe(q: Array[Double], nprobe: Int = Similarity.NProbe): Seq[Int] =
       centroids.map { case (cid, cv) =>
+        // a dimension mismatch must fail, not silently truncate the
+        // loop into plausible-but-wrong nearest cells (the rewrite's
+        // caller treats a thrown probe as "bail out, keep exact plan")
+        require(q.length == cv.length,
+          s"IVF probe: query dim ${q.length} != centroid dim ${cv.length}")
         var d = 0.0
         var i = 0
-        while (i < cv.length && i < q.length) {
+        while (i < cv.length) {
           val t = q(i) - cv(i); d += t * t; i += 1
         }
         (d, cid)
@@ -151,6 +156,11 @@ object IvfTopKRewrite extends Rule[LogicalPlan] {
       cos <- resolveCosine(srt.order.head.child, srt.child)
       (embAttr, qvec) <- splitCosine(cos)
       (lr, idx) <- findRegisteredScan(srt.child, embAttr)
+      // a query vector of the wrong dimensionality keeps the exact
+      // plan (the probe would otherwise have to guess which prefix to
+      // compare); IvfIndex.probe itself also hard-rejects the mismatch
+      // for direct callers
+      if idx.centroids.forall(_._2.length == qvec.length)
     } yield {
       val probed = idx.probe(qvec)
       logInfo(s"IvfTopKRewrite: probing cells ${probed.mkString(",")} " +

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Guards the bench harness's knowledge of which queries use keyed
+  * replay staging: [[Bench.replayStagers]] must list exactly the
+  * query prefixes that pass a `stageKey = Some(s"qNN:...")` to
+  * [[graft.streaming.Replay.run]] or call `Replay.stageOnce(s,
+  * s"qNN:...")` directly. A replay query added without updating the
+  * set would silently lose its untimed pre-stage pass and re-absorb
+  * the one-time staging write into sweep 1's timing — the exact skew
+  * the pass exists to remove. */
+class BenchConfigSpec extends AnyFunSuite {
+
+  test("Bench.replayStagers matches the stageKey call sites in source") {
+    val root = Paths.get("src", "main", "scala")
+    assert(Files.isDirectory(root), s"source root $root not found")
+    val scalaFiles: List[Path] = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .toList
+    // a keyed staging site is the string literal s"<prefix>:..."
+    // appearing as the key argument of stageKey=Some(...) or
+    // stageOnce(session, ...): match the literal within a short
+    // window after either marker (DOTALL — call sites wrap lines)
+    val pat = """(?s)stage(?:Key\s*=\s*Some\(|Once\([^"]{0,80}?)s"([A-Za-z0-9]+):""".r
+    val found = scalaFiles.flatMap { p =>
+      val text = Files.readString(p)
+      pat.findAllMatchIn(text).map(_.group(1))
+    }.toSet
+    assert(found.nonEmpty, "no stageKey call sites found — pattern rot?")
+    assert(found === Bench.replayStagers,
+      s"Bench.replayStagers=${Bench.replayStagers.toSeq.sorted} but source " +
+        s"call sites use ${found.toSeq.sorted} — update Bench.replayStagers")
+  }
+}

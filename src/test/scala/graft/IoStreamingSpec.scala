@@ -366,7 +366,11 @@ class IoStreamingSpec extends SparkSpec {
         "P5\n2 2\n255\n".getBytes("US-ASCII") ++ raster, // wrong magic
         "P6\n2 2\n65535\n".getBytes("US-ASCII") ++ raster, // 2-byte samples
         "P6\n2 2\n255\n".getBytes("US-ASCII") ++ raster.take(5), // truncated
-        "P6\n2 2\n255".getBytes("US-ASCII"))) // no separator
+        "P6\n2 2\n255".getBytes("US-ASCII"), // no separator
+        // adversarial dims whose w*h*3 wraps Int to a small positive
+        // value — must be rejected as overflow, not parsed as a tiny
+        // raster with bogus huge dims (40000*40000*3 = 0x1_1E1A_3000)
+        "P6\n40000 40000\n255\n".getBytes("US-ASCII") ++ raster))
       intercept[IllegalArgumentException](PpmCodec.decode(bad))
   }
 }
