@@ -71,6 +71,9 @@ object Similarity {
   val KmIters = 2
   val TargetPerCell = 1000
 
+  /** Neighbors returned per row by the k-NN similarity JOIN (q86). */
+  val KnnK = 5
+
   /** Hard per-chunk cap for the within-cell pair search (q76): a cell
     * over the cap is rank-chunked (see [[cellBoundedCandidates]]) so
     * no task's candidate volume exceeds ~1.5*cap per member, no matter
@@ -312,6 +315,63 @@ object Similarity {
         .limit(10)
     },
 
+    // k-NN similarity JOIN — top-k neighbors for EVERY row, the
+    // pipeline-scale ANN shape (dedup candidate generation, retrieval
+    // augmentation): q36/q37/q39 answer one lookup vector; this
+    // answers all of them in one relational pass, and NEVER
+    // corpus x corpus. Shape:
+    //   (1) probe assignment: every vector's distances to the k
+    //       centroids are computed MAP-SIDE under the centroid
+    //       broadcast; only the skinny (vec_id, cid, qdist) triple
+    //       enters the ranking shuffle, and the NProbe nearest cells
+    //       survive (the q39 probe arithmetic, vectorized over rows);
+    //   (2) the probe embedding is fetched back by a skinny
+    //       vec_id equi-join (n*NProbe rows wide, not n*k);
+    //   (3) candidates come from the cid EQUI-JOIN of probe rows
+    //       against the cell-keyed corpus — per-probe candidate
+    //       volume is bounded by NProbe cells of ~TargetPerCell
+    //       vectors, and at 100 TB cid is the assignment table's
+    //       partition key, so each task joins co-located cells;
+    //   (4) ranking is TWO-STAGE: a per-(vec_id, cid) top-k window
+    //       first — its partition keys are a superset of the join's
+    //       cid clustering, so it reuses the join exchange (sort
+    //       only, no extra shuffle) — then the global per-vec_id
+    //       top-k runs over the pruned n*NProbe*k rows.
+    // Recall matches q39 by construction (same trained quantizer,
+    // same NProbe, same tie-breaks).
+    "q86_knn_join" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val (cents, assigned) = ivfModel(s, d)
+      val pw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("qdist"), col("cid"))
+      val probes = assigned.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qdist", VectorFunctions.l2sq(col("v"), col("cv")))
+        .select(col("vec_id"), col("cid"), col("qdist"))
+        .withColumn("prn", row_number().over(pw))
+        .where(col("prn") <= NProbe)
+        .select(col("vec_id"), col("cid"))
+      val probeEmb = probes
+        .join(assigned.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val corpus = assigned.select(col("cid"),
+        col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
+      val cand = probeEmb.join(corpus, Seq("cid"))
+        .where(col("nn_id") =!= col("vec_id"))
+        .withColumn("cos", cos6(col("embedding"), col("nn_emb")))
+      val cellW = Window.partitionBy(col("vec_id"), col("cid"))
+        .orderBy(col("cos").desc, col("nn_id"))
+      val topW = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("nn_id"))
+      cand
+        .withColumn("crn", row_number().over(cellW))
+        .where(col("crn") <= KnnK)
+        .withColumn("rnk", row_number().over(topW))
+        .where(col("rnk") <= KnnK)
+        .select(col("vec_id"), col("rnk").cast("int").as("nn_rank"),
+          col("nn_id"), col("cos"))
+        .orderBy(col("vec_id"), col("nn_rank"))
+    },
+
     // Embedding-cosine near-dup pairs, blocked by label.
     "q38_embed_neardup" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -507,6 +567,27 @@ object Similarity {
            |  md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_digest,
            |  len(list_filter(q, x -> x > 127 OR x < -127)) AS n_clipped
            |FROM qz ORDER BY vec_id""".stripMargin,
+      "q86_knn_join" ->
+        s"""$base,
+           |$kmeansCtes,
+           |pr AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT f.vec_id, c.cid, row_number() OVER (PARTITION BY f.vec_id
+           |      ORDER BY ${distSql("f.v", "c.cv")}, c.cid) AS prn
+           |    FROM fin f CROSS JOIN cents$KmIters c) WHERE prn <= $NProbe),
+           |cand AS (
+           |  SELECT p.vec_id, b.vec_id AS nn_id,
+           |    ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+           |  FROM pr p
+           |  JOIN fin a ON a.vec_id = p.vec_id
+           |  JOIN fin b ON b.cid = p.cid AND b.vec_id <> p.vec_id)
+           |SELECT vec_id, CAST(rnk AS INTEGER) AS nn_rank, nn_id, cos FROM (
+           |  SELECT vec_id, nn_id, cos,
+           |    row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY cos DESC, nn_id) AS rnk
+           |  FROM cand)
+           |WHERE rnk <= $KnnK
+           |ORDER BY vec_id, nn_rank""".stripMargin,
       "q76_semantic_dedup" -> semdedupSql(CellCap),
       "q76b_semantic_dedup_capped" -> semdedupSql(CellCapGate),
       "q38_embed_neardup" ->

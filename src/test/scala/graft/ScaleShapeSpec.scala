@@ -319,6 +319,25 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("q86 knn join: no corpus-scale cartesian; candidates come from a cid equi-join") {
+    val s = spark
+    val df = SparkEntry.queries("q86_knn_join")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // never corpus x corpus: no cartesian product anywhere, and the
+    // only nested-loop broadcast allowed is the k-row centroid
+    // relation feeding the probe assignment
+    assert(!plan.contains("CartesianProduct"),
+      s"q86 plans a cartesian product:\n${plan.take(1500)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
+    assert(bnlj <= 1,
+      s"q86 plans $bnlj nested-loop joins (only the centroid broadcast " +
+        s"is allowed):\n${plan.take(1500)}")
+    // candidate generation must be the cell equi-join
+    assert(Seq("SortMergeJoin [cid", "ShuffledHashJoin [cid",
+        "BroadcastHashJoin [cid").exists(plan.contains),
+      s"q86's candidate join is not keyed on cid:\n${plan.take(1500)}")
+  }
+
   test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
     val s = spark
     import s.implicits._
