@@ -88,8 +88,34 @@ object ExtCheck {
         s"rewritten result spans $cellsHit cells > NProbe")
       val recall = (annIds & exactIds).size.toDouble / exactIds.size
       assert(recall >= 0.9, s"IVF pushdown recall@10 $recall < 0.9")
+      // (d) INCREMENTAL APPEND: new vectors join the index with no
+      // retrain and no corpus rescan — twins of existing vectors (same
+      // embedding, fresh id) must land in the same cell as their
+      // originals, and the rewrite's probed scan must RETURN them
+      // (i.e. the appended cid partitions are actually read).
+      val IdOff = 1000000L
+      val twins = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .where(col("vec_id").isin(exactIds.toSeq.take(3).map(Long.box): _*))
+        .withColumn("vec_id", col("vec_id") + IdOff)
+      val nApp = graft.plans.IvfTopK.append(spark, sfDir, twins)
+      assert(nApp == 3, s"append reported $nApp rows, want 3")
+      val assign = spark.read.parquet(idx.assignPath)
+      for (origId <- exactIds.toSeq.take(3)) {
+        val cids = assign
+          .where(col("vec_id").isin(Long.box(origId), Long.box(origId + IdOff)))
+          .select(col("cid")).distinct().collect().map(_.getAs[Number](0))
+        assert(cids.length == 1,
+          s"appended twin of $origId landed in a different cell: ${cids.toSeq}")
+      }
+      spark.conf.set("spark.graft.ivfTopK", "true")
+      val twinHits = spark.sql(topkSql.replace("LIMIT 10", "LIMIT 13"))
+        .collect().map(_.getLong(0)).filter(_ >= IdOff)
+      spark.conf.set("spark.graft.ivfTopK", "false")
+      assert(twinHits.nonEmpty,
+        "probed scan returned no appended vectors — append partitions unread")
       println("ExtCheck OK: functions resolve, FoldSelfCosine fires, " +
-        f"IVF top-k pushdown prunes to <= NProbe cells at recall@10 = $recall%.2f")
+        f"IVF top-k pushdown prunes to <= NProbe cells at recall@10 = $recall%.2f, " +
+        s"append serves ${twinHits.length} new vectors through the probed scan")
     } finally spark.stop()
   }
 }

@@ -126,6 +126,45 @@ object IvfTopK {
     })
   }
 
+  /** Incremental index maintenance — production corpora APPEND. New
+    * vectors are assigned to the EXISTING trained centroids (the exact
+    * q39/ivfModel arithmetic: l2² in left-to-right double order,
+    * (dist, cid) tiebreak) and written with dynamic-partition append,
+    * so only the cid partitions the new rows land in gain files — no
+    * retrain, no rescan of the resident corpus, and the registered
+    * [[IvfIndex]] (paths + centroids) is unchanged. `newRows` must
+    * carry the embeddings table's columns with fresh vec_ids (id
+    * collisions are the caller's contract, as with any append-only
+    * table). Returns the number of appended rows. */
+  def append(s: SparkSession, sfDir: String, newRows:
+      org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, expr, row_number}
+    val embPath = qualify(s, s"$sfDir/embeddings.parquet")
+    val idx = Option(registry.get(embPath)).getOrElse(throw
+      new IllegalStateException(s"no IVF index registered for $embPath — " +
+        "registerIndex or load first"))
+    import s.implicits._
+    val cents = idx.centroids.toSeq.toDF("cid", "cv")
+    val cols = s.read.parquet(embPath).schema.fieldNames.toSeq
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val assigned = newRows
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist",
+        graft.functions.VectorFunctions.l2sq(col("v"), col("cv")))
+      .withColumn("arn", row_number().over(aw))
+      .where(col("arn") === 1)
+      .select(cols.map(col) :+ col("cid"): _*)
+    // count the input, not `assigned` — the arn=1 filter keeps exactly
+    // one row per vector, and counting the input avoids computing the
+    // centroid cross join twice
+    val n = newRows.count()
+    assigned.write.mode("append").partitionBy("cid").parquet(idx.assignPath)
+    n
+  }
+
   def lookup(path: String): Option[IvfIndex] = Option(registry.get(path))
 
   def isEmpty: Boolean = registry.isEmpty
