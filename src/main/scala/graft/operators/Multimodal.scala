@@ -16,11 +16,14 @@ import graft.Tables
   * header, comments, raster — before feature extraction, so q71's
   * width/height/mean/checksum come from REAL PIXELS, with the decoded
   * header dims authoritative over the catalog metadata struct (the
-  * "trust but verify" check a real pipeline runs). Audio/video decode
-  * remains a clearly-marked byte-level stub (no audio/video codec is
-  * expressible in a few hundred lines); their plumbing — binary
-  * column, typed features, `mapPartitions` batch shape — is identical
-  * and a production deployment swaps only the codec call.
+  * "trust but verify" check a real pipeline runs). The AUDIO leg is
+  * likewise real: audio rows carry an actual RIFF/WAV 16-bit PCM
+  * binary and [[WavCodec]] parses the genuine container grammar, so
+  * q74's sample rate/count/RMS/peak come from DECODED SAMPLES. Video
+  * decode remains the one clearly-marked byte-level stub (no video
+  * codec fits this library); its plumbing — binary column, typed
+  * features, `mapPartitions` batch shape — is identical and a
+  * production deployment swaps only the codec call.
   *
   * Scale notes: media bytes never shuffle — every stage is map-only on
   * the scan partitioning; features/metadata (small columns) are what
@@ -34,6 +37,9 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, media_type: String,
       byte_len: Int, img_width: Int, img_height: Int,
       mean_px_milli: Long, checksum: Long)
+  final case class AudioRow(doc_id: Long, media: Array[Byte])
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int,
+      n_samples: Int, byte_len: Int, rms_milli: Long, peak: Int)
 
   /** Real image dimensions for the synthesized PPM payloads — small
     * (4..19 x 4..15) so the oracle can recompute pixel features via
@@ -55,9 +61,48 @@ object Multimodal {
       expr(s"array_join(transform(sequence(0, $pxWSql * $pxHSql * 3 - 1), " +
         "k -> lpad(hex(pmod(doc_id + 7*k, 256)), 2, '0')), '')")))
 
+  /** Real audio dimensions for the synthesized RIFF/WAV payloads:
+    * n = doc_id % 800 + 160 sixteen-bit mono PCM samples at 16 kHz
+    * (10–60 ms), sample k = ((doc_id*31 + 7k) mod 4096) - 2048 —
+    * integer arithmetic both engines reproduce exactly. */
+  private[operators] val nSampSql = "CAST(doc_id % 800 + 160 AS INT)"
+  private[operators] val sampleRate = 16000
+
+  private def le16Lit(v: Int): String =
+    f"${v & 0xFF}%02X${(v >> 8) & 0xFF}%02X"
+  private def le32Lit(v: Int): String =
+    le16Lit(v & 0xFFFF) + le16Lit(v >>> 16)
+  private def asciiHex(s: String): String =
+    s.getBytes("US-ASCII").map(b => f"$b%02X").mkString
+  /** Little-endian hex of a SQL int expression (values < 2^32). */
+  private def le16Sql(e: String): String =
+    s"concat(lpad(hex(($e) % 256), 2, '0'), lpad(hex((($e) DIV 256) % 256), 2, '0'))"
+  private def le32Sql(e: String): String =
+    s"concat(${le16Sql(e)}, ${le16Sql(s"($e) DIV 65536")})"
+
+  /** A COMPLETE RIFF/WAV binary per audio row: canonical 44-byte
+    * header (RIFF size, WAVE, fmt with PCM/mono/16-bit/16 kHz, data
+    * size) followed by the little-endian samples. [[WavCodec]] parses
+    * this through the genuine container grammar — the same
+    * synthesis-stands-in-for-storage trade as [[ppmPayload]]. */
+  private def wavPayload: org.apache.spark.sql.Column = {
+    val n = nSampSql
+    // u16 two's-complement image of the signed 16-bit sample
+    val u16 = "pmod(pmod(doc_id * 31 + 7 * k, 4096) - 2048, 65536)"
+    unhex(concat(
+      lit(asciiHex("RIFF")), expr(le32Sql(s"36 + 2 * $n")),
+      lit(asciiHex("WAVEfmt ") + le32Lit(16) + le16Lit(1) + le16Lit(1) +
+        le32Lit(sampleRate) + le32Lit(sampleRate * 2) + le16Lit(2) +
+        le16Lit(16)),
+      lit(asciiHex("data")), expr(le32Sql(s"2 * $n")),
+      expr(s"array_join(transform(sequence(0, $n - 1), " +
+        s"k -> ${le16Sql(u16)}), '')")))
+  }
+
   /** Attach payload + typed metadata to each doc: image rows get a
-    * real P6 PPM binary, audio/video get opaque utf-8 text bytes
-    * (stand-ins for real media bytes). */
+    * real P6 PPM binary, audio rows a real RIFF/WAV PCM binary, video
+    * rows opaque utf-8 text bytes (the one remaining stand-in — no
+    * video codec fits this library). */
   def withMedia(docs: DataFrame): DataFrame =
     docs
       .withColumn("media_type",
@@ -65,18 +110,21 @@ object Multimodal {
           (col("doc_id") % 3 + 1).cast("int")))
       .withColumn("media",
         when(col("media_type") === "image", ppmPayload)
+          .when(col("media_type") === "audio", wavPayload)
           .otherwise(col("text").cast("binary")))
       .withColumn("meta", struct(
         (col("doc_id") % 640 + 16).cast("int").as("width"),
         (col("doc_id") % 480 + 16).cast("int").as("height"),
-        lit(16000).as("sample_rate"),
+        lit(sampleRate).as("sample_rate"),
         (col("n_chars") % 240 + 1).cast("int").as("n_frames")))
 
   /** Partition-local decode: images through the REAL [[PpmCodec]]
     * (header-parsed dims, mean pixel value in milli-units, a
     * position-weighted raster checksum mod 1e9+7); audio/video
-    * through the byte-level STUB (length + additive checksum of the
-    * first 64 bytes mod 997, dims/mean = -1). Zero shuffle. */
+    * through the generic byte-level leg (length + additive checksum
+    * of the first 64 bytes mod 997, dims/mean = -1 — the
+    * container-agnostic fingerprint; q74 is the real audio decode).
+    * Zero shuffle. */
   def decodeMedia(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
       if (r.media_type == "image") {
@@ -141,19 +189,40 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
-    // Audio metadata: estimated duration from payload size (16-bit
-    // mono at the typed sample rate — STUB arithmetic standing in for
-    // a codec header parse) + 25 ms analysis-window count.
+    // Audio features through the REAL [[WavCodec]]: the container
+    // grammar is parsed (not length-guessed), and sample rate, sample
+    // count, RMS energy and peak amplitude come from the decoded PCM
+    // samples; duration and the 25 ms analysis-window count derive
+    // from the PARSED header fields. Partition-local, zero shuffle —
+    // the audio twin of q71's image leg.
     "q74_audio_meta" -> { (s, d) =>
+      val session = s
+      import session.implicits._
       withMedia(Tables.documents(s, d))
         .where(col("media_type") === "audio")
-        .withColumn("duration_sec", round(
-          octet_length(col("media")).cast("double") /
-            (col("meta.sample_rate").cast("double") * 2.0), 6))
-        .select(col("doc_id"), col("meta.sample_rate").as("sample_rate"),
-          octet_length(col("media")).as("n_bytes"),
-          col("duration_sec"),
-          ceil(col("duration_sec") / 0.025).cast("int").as("n_windows_25ms"))
+        .select(col("doc_id"), col("media"))
+        .as[AudioRow]
+        .mapPartitions(_.map { r =>
+          val w = WavCodec.decode(r.media)
+          val n = w.samples.length
+          var sumSq = 0L
+          var peak = 0
+          var i = 0
+          while (i < n) {
+            val v = w.samples(i).toInt
+            sumSq += v.toLong * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            i += 1
+          }
+          AudioFeatures(r.doc_id, w.sampleRate, n, r.media.length,
+            math.floor(math.sqrt(sumSq.toDouble / n) * 1000).toLong, peak)
+        })
+        .toDF()
+        .withColumn("duration_sec",
+          round(col("n_samples").cast("double") / col("sample_rate"), 6))
+        .withColumn("n_windows_25ms",
+          ceil(col("duration_sec") / 0.025).cast("int"))
         .orderBy(col("doc_id"))
     },
 
@@ -180,11 +249,21 @@ object Multimodal {
       "CAST(doc_id % 12 + 4 AS VARCHAR) || chr(10) || '255' || chr(10)) + " +
       "(doc_id % 16 + 4) * (doc_id % 12 + 4) * 3"
 
+  // The WAV byte model the oracle recomputes: n samples, 44-byte
+  // canonical header whose constant bytes sum to 1722 (RIFF/WAVE/fmt
+  // tags + PCM fields at 16 kHz) plus the two little-endian size
+  // fields, then 2 bytes per sample (two's-complement u16 image).
+  private val nSampOr = "(doc_id % 800 + 160)"
+  private val wavLenSql = s"44 + 2 * $nSampOr"
+  private val u16Or =
+    "(((doc_id * 31 + 7 * k) % 4096 - 2048) + 65536) % 65536"
+
   def oracle: Map[String, String] = Map(
     "q70_media_meta" ->
       s"""SELECT doc_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
         |  CASE WHEN doc_id % 3 = 0 THEN CAST($ppmLenSql AS INTEGER)
+        |       WHEN doc_id % 3 = 1 THEN CAST($wavLenSql AS INTEGER)
         |       ELSE length(text) END AS n_bytes,
         |  CAST(doc_id % 640 + 16 AS INTEGER) AS width,
         |  CAST(doc_id % 480 + 16 AS INTEGER) AS height,
@@ -198,6 +277,7 @@ object Multimodal {
         |  FROM documents)
         |SELECT doc_id, media_type,
         |  CASE WHEN media_type = 'image' THEN CAST($ppmLenSql AS INTEGER)
+        |       WHEN media_type = 'audio' THEN CAST($wavLenSql AS INTEGER)
         |       ELSE CAST(length(text) AS INTEGER) END AS byte_len,
         |  CASE WHEN media_type = 'image' THEN w ELSE -1 END AS img_width,
         |  CASE WHEN media_type = 'image' THEN h ELSE -1 END AS img_height,
@@ -208,6 +288,14 @@ object Multimodal {
         |  CASE WHEN media_type = 'image' THEN
         |    CAST(list_sum(list_transform(range(0, w * h * 3),
         |      k -> ((doc_id + 7 * k) % 256) * (k + 1))) % 1000000007 AS BIGINT)
+        |  WHEN media_type = 'audio' THEN
+        |    -- first 64 bytes of the WAV = the 44-byte header (1722
+        |    -- constant bytes + the two LE size fields) + samples 0..9
+        |    CAST((1722
+        |      + (36 + 2 * $nSampOr) % 256 + (36 + 2 * $nSampOr) // 256
+        |      + (2 * $nSampOr) % 256 + (2 * $nSampOr) // 256
+        |      + list_sum(list_transform(range(0, 10),
+        |          k -> $u16Or % 256 + $u16Or // 256))) % 997 AS BIGINT)
         |    ELSE CAST(list_sum(list_transform(range(1, least(64, length(text)) + 1),
         |      i -> ascii(substring(text, i, 1)))) % 997 AS BIGINT) END AS checksum
         |FROM m ORDER BY doc_id""".stripMargin,
@@ -220,12 +308,23 @@ object Multimodal {
         |WHERE f.range < n_frames
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q74_audio_meta" ->
-      """SELECT doc_id, 16000 AS sample_rate,
-        |  length(text) AS n_bytes,
-        |  round(CAST(length(text) AS DOUBLE) / (16000.0 * 2.0), 6) AS duration_sec,
-        |  CAST(ceil(round(CAST(length(text) AS DOUBLE) / (16000.0 * 2.0), 6) / 0.025) AS INTEGER) AS n_windows_25ms
-        |FROM documents WHERE doc_id % 3 = 1
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH m AS (
+        |  SELECT doc_id, CAST($nSampOr AS INTEGER) AS n FROM documents
+        |  WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, n),
+        |      k -> CAST((doc_id * 31 + 7 * k) % 4096 - 2048 AS BIGINT)) AS smp
+        |  FROM m)
+        |SELECT doc_id, 16000 AS sample_rate, n AS n_samples,
+        |  CAST(44 + 2 * n AS INTEGER) AS byte_len,
+        |  CAST(floor(sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE)
+        |    / n) * 1000) AS BIGINT) AS rms_milli,
+        |  CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak,
+        |  round(CAST(n AS DOUBLE) / 16000, 6) AS duration_sec,
+        |  CAST(ceil(round(CAST(n AS DOUBLE) / 16000, 6) / 0.025) AS INTEGER)
+        |    AS n_windows_25ms
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q73_media_resize" ->
       """SELECT doc_id,
         |  CAST(doc_id % 640 + 16 AS INTEGER) AS width,

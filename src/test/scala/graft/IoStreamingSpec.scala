@@ -339,6 +339,16 @@ class IoStreamingSpec extends SparkSpec {
           (0 until n).foldLeft(0L) { (a, k) =>
             (a + ((id + 7L * k) % 256) * (k + 1)) % 1000000007L
           }
+        } else if (id % 3 == 1) {
+          // audio: the byte fingerprint over the ACTUAL synthesized
+          // RIFF/WAV payload — rebuilt here through WavCodec.encode,
+          // which doubles as a check that the SQL-side synthesis and
+          // the canonical writer emit identical bytes
+          val n = (id % 800 + 160).toInt
+          val samples = Array.tabulate(n)(k =>
+            ((id * 31 + 7L * k) % 4096 - 2048).toShort)
+          graft.operators.WavCodec.encode(16000, samples)
+            .take(64).map(_ & 0xFF).map(_.toLong).sum % 997
         } else
           text.getBytes("UTF-8").take(64).map(_ & 0xFF).map(_.toLong).sum % 997
       assert(feats(id) === expected, s"doc $id")
@@ -372,5 +382,45 @@ class IoStreamingSpec extends SparkSpec {
         // raster with bogus huge dims (40000*40000*3 = 0x1_1E1A_3000)
         "P6\n40000 40000\n255\n".getBytes("US-ASCII") ++ raster))
       intercept[IllegalArgumentException](PpmCodec.decode(bad))
+  }
+
+  test("WAV codec: full container grammar round-trip and malformed-input rejection") {
+    import graft.operators.WavCodec
+    // a non-trivial signal through encode -> decode
+    val sig = Array.tabulate(300)(k => ((k * 131 - 7000) % 4096).toShort)
+    val wav = WavCodec.decode(WavCodec.encode(16000, sig))
+    assert(wav.sampleRate === 16000 && wav.channels === 1)
+    assert(wav.samples.toSeq === sig.toSeq)
+    // hand-built container exercising the chunk grammar: an unknown
+    // LIST chunk before fmt, an odd-sized unknown chunk (pad byte),
+    // fmt/data in canonical order afterwards
+    def le16(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = le16(v & 0xFFFF) ++ le16(v >>> 16)
+    def tag(s: String) = s.getBytes("US-ASCII")
+    val samples = Array[Short](100, -200, 32767, -32768)
+    val fmtChunk = tag("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16)
+    val dataChunk = tag("data") ++ le32(8) ++
+      samples.flatMap(v => le16(v & 0xFFFF))
+    val listChunk = tag("LIST") ++ le32(4) ++ tag("INFO")
+    val oddChunk = tag("junk") ++ le32(3) ++ Array[Byte](1, 2, 3, 0) // padded
+    val body = tag("WAVE") ++ listChunk ++ oddChunk ++ fmtChunk ++ dataChunk
+    val wild = WavCodec.decode(tag("RIFF") ++ le32(body.length) ++ body)
+    assert(wild.sampleRate === 8000)
+    assert(wild.samples.toSeq === samples.toSeq)
+    // malformed containers are rejected, not guessed at
+    val good = WavCodec.encode(16000, sig)
+    def patched(off: Int, bs: Byte*): Array[Byte] = {
+      val c = good.clone(); bs.zipWithIndex.foreach { case (b, i) => c(off + i) = b }; c
+    }
+    for (bad <- Seq(
+        patched(0, 'R', 'I', 'F', 'X'), // bad magic
+        patched(8, 'W', 'A', 'V', 'X'), // bad form type
+        patched(20, 3, 0), // IEEE-float format, not PCM
+        patched(34, 8, 0), // 8-bit samples
+        patched(22, 2, 0), // stereo
+        good.dropRight(5), // truncated data (RIFF size now lies)
+        tag("RIFF") ++ le32(4) ++ tag("WAVE"))) // no fmt/data at all
+      intercept[IllegalArgumentException](WavCodec.decode(bad))
   }
 }
