@@ -62,11 +62,12 @@ object ExtCheck {
         .where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
       val litSql = q0.map(f => s"CAST($f AS FLOAT)").mkString("array(", ", ", ")")
-      val topkSql =
+      def topkSqlAt(limit: Int) =
         s"""SELECT vec_id, graft_cosine(embedding, $litSql) AS cos
            |FROM parquet.`$sfDir/embeddings.parquet`
            |WHERE vec_id <> 0
-           |ORDER BY cos DESC LIMIT 10""".stripMargin
+           |ORDER BY cos DESC LIMIT $limit""".stripMargin
+      val topkSql = topkSqlAt(10)
       // the assignment relation is recognizable by its cid partition
       // column (the original embeddings table has none; the optimized
       // plan's Relation line truncates file paths)
@@ -108,7 +109,10 @@ object ExtCheck {
           s"appended twin of $origId landed in a different cell: ${cids.toSeq}")
       }
       spark.conf.set("spark.graft.ivfTopK", "true")
-      val twinHits = spark.sql(topkSql.replace("LIMIT 10", "LIMIT 13"))
+      // LIMIT 13 > the exact top-10: with three identical twins
+      // appended, a probed scan that serves the appended partitions
+      // must surface at least one twin id in the widened top-k
+      val twinHits = spark.sql(topkSqlAt(13))
         .collect().map(_.getLong(0)).filter(_ >= IdOff)
       spark.conf.set("spark.graft.ivfTopK", "false")
       assert(twinHits.nonEmpty,

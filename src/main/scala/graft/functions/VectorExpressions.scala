@@ -221,6 +221,152 @@ object HyperplaneBucket {
   }
 }
 
+/** Map-side IVF probe assignment: the `nprobe` nearest coarse-quantizer
+  * cells of vector `left` against the BROADCAST centroid array `right`
+  * (one row of `array<struct<cid: long, cv: array<double>>>`), returned
+  * as `array<struct<cid: long, dist: double>>` sorted ascending by
+  * (dist, cid).
+  *
+  * This is the scale fix for the k-NN similarity join's probe stage
+  * (`graft.operators.Similarity` q86) and for every k-means assignment
+  * pass: the declarative form — cross join each of n vectors with k
+  * centroid rows, then `row_number() OVER (PARTITION BY vec_id)` —
+  * materializes and SHUFFLES n×k rows just to keep nprobe of them,
+  * which with corpus-derived k = n/TargetPerCell is n²/1000 shuffled
+  * rows. Here the selection happens per row under the broadcast:
+  * nothing wider than the nprobe winners ever leaves the map side.
+  *
+  * Distance arithmetic is the identical left-to-right double fold as
+  * [[SquaredL2Distance]] and the DuckDB oracle's
+  * `list_sum(list_transform(...))`, and the (dist, cid) tie-break
+  * matches the window formulation's ORDER BY, so the selected cells —
+  * and every downstream join and top-k — are bit-equal to the shuffle
+  * form. Selection is a partial selection scan (O(k·nprobe), nprobe
+  * small), independent of centroid array order since (dist, cid) is a
+  * strict total order (cids are distinct). */
+case class TopCells(left: Expression, right: Expression, nprobe: Int)
+  extends BinaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _),
+          ArrayType(StructType(Array(f0, f1)), _))
+          if f0.dataType == LongType &&
+            f1.dataType.isInstanceOf[ArrayType] &&
+            f1.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_top_cells expects (array<double>, " +
+          s"array<struct<cid: long, cv: array<double>>>), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("dist", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_top_cells"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val v = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    val ds = new Array[Double](k)
+    val cs = new Array[Long](k)
+    var c = 0
+    while (c < k) {
+      val row = cents.getStruct(c, 2)
+      cs(c) = row.getLong(0)
+      val cv = row.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = v.getDouble(i) - cv.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      ds(c) = acc
+      c += 1
+    }
+    val m = math.min(nprobe, k)
+    val used = new Array[Boolean](k)
+    val out = new Array[Any](m)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var c2 = 0
+      while (c2 < k) {
+        if (!used(c2) && (best < 0 || ds(c2) < ds(best) ||
+          (ds(c2) == ds(best) && cs(c2) < cs(best)))) best = c2
+        c2 += 1
+      }
+      used(best) = true
+      out(r) = new GenericInternalRow(
+        Array[Any](cs(best), ds(best)))
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val k = ctx.freshName("k")
+      val ds = ctx.freshName("ds")
+      val cs = ctx.freshName("cs")
+      val c = ctx.freshName("c")
+      val row = ctx.freshName("row")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val di = ctx.freshName("di")
+      val m = ctx.freshName("m")
+      val used = ctx.freshName("used")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val best = ctx.freshName("best")
+      val c2 = ctx.freshName("c2")
+      s"""
+         |int $k = $b.numElements();
+         |double[] $ds = new double[$k];
+         |long[] $cs = new long[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $row = $b.getStruct($c, 2);
+         |  $cs[$c] = $row.getLong(0);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $row.getArray(1);
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $di = $a.getDouble($i) - $cv.getDouble($i);
+         |    $acc += $di * $di;
+         |  }
+         |  $ds[$c] = $acc;
+         |}
+         |int $m = java.lang.Math.min($nprobe, $k);
+         |boolean[] $used = new boolean[$k];
+         |Object[] $out = new Object[$m];
+         |for (int $r = 0; $r < $m; $r++) {
+         |  int $best = -1;
+         |  for (int $c2 = 0; $c2 < $k; $c2++) {
+         |    if (!$used[$c2] && ($best < 0 || $ds[$c2] < $ds[$best] ||
+         |        ($ds[$c2] == $ds[$best] && $cs[$c2] < $cs[$best]))) $best = $c2;
+         |  }
+         |  $used[$best] = true;
+         |  $out[$r] = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |    new Object[]{ $cs[$best], $ds[$best] });
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
 
   /** Column-level entry point: cosine(a, b) over array<float> columns. */
@@ -260,6 +406,12 @@ object VectorFunctions {
   /** 8-plane LSH bucket over an array<float> embedding column. */
   def hyperplaneBucket(v: Column): Column =
     GraftSqlBridge.column(HyperplaneBucket(GraftSqlBridge.expression(v)))
+
+  /** nprobe nearest IVF cells of `v` (array<double>) against a
+    * broadcast centroid array column — see [[TopCells]]. */
+  def topCells(v: Column, cents: Column, nprobe: Int): Column =
+    GraftSqlBridge.column(TopCells(
+      GraftSqlBridge.expression(v), GraftSqlBridge.expression(cents), nprobe))
 
   /** Idempotent SQL registration so `graft_cosine(a, b)` /
     * `graft_l2sq(a, b)` work in `spark.sql` / `expr` strings on an

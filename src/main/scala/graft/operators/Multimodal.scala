@@ -205,6 +205,12 @@ object Multimodal {
         .mapPartitions(_.map { r =>
           val w = WavCodec.decode(r.media)
           val n = w.samples.length
+          // a structurally valid WAV with an empty data chunk would
+          // yield RMS = sqrt(0/0) = NaN, silently coerced to 0 by
+          // toLong — reject it like WavCodec rejects every other
+          // degenerate input
+          if (n == 0) throw new IllegalArgumentException(
+            s"WAV: empty PCM data chunk in doc ${r.doc_id}")
           var sumSq = 0L
           var peak = 0
           var i = 0

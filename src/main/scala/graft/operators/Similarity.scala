@@ -74,6 +74,12 @@ object Similarity {
   /** Neighbors returned per row by the k-NN similarity JOIN (q86). */
   val KnnK = 5
 
+  /** Deliberately small chunk cap baked into q86b so the k-NN join's
+    * oversized-cell code path — rank-chunking + adjacent-chunk probing,
+    * see [[knnBoundedCandidates]] — is itself oracle-gated at sf0.01,
+    * where every cell sits far under the production [[CellCap]]. */
+  val KnnCapGate = 48
+
   /** Hard per-chunk cap for the within-cell pair search (q76): a cell
     * over the cap is rank-chunked (see [[cellBoundedCandidates]]) so
     * no task's candidate volume exceeds ~1.5*cap per member, no matter
@@ -140,6 +146,107 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Map-side IVF probe assignment for the k-NN join (q86): every
+    * vector's NProbe nearest cells — (vec_id, pos, cid, qdist), pos 0
+    * = the home cell (identical tie-breaks to ivfModel's arn=1
+    * membership) — computed per row against the broadcast centroid
+    * array by the codegen'd [[graft.functions.TopCells]] kernel. The
+    * fragment is scan → project → explode: NO window, NO shuffle —
+    * the declarative crossJoin + row_number() form this replaces
+    * materialized and shuffled n×k rows (n²/1000 with corpus-derived
+    * k) just to keep NProbe of them. */
+  private[graft] def knnProbes(s: SparkSession, d: String): DataFrame = {
+    val (cents, assigned) = ivfModel(s, d)
+    val carr = cents.agg(collect_list(
+      struct(col("cid").cast("long").as("cid"), col("cv"))).as("carr"))
+    assigned.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(carr))
+      .select(col("vec_id"),
+        posexplode(VectorFunctions.topCells(col("v"), col("carr"), NProbe)))
+      .select(col("vec_id"), col("pos"),
+        col("col.cid").as("cid"), col("col.dist").as("qdist"))
+  }
+
+  /** Candidate pairs for the k-NN join with a HARD per-cell bound —
+    * the [[cellBoundedCandidates]] rank-chunk pattern applied to the
+    * probe-expanded cell relation. All probe rows of a cell (members
+    * AND foreign probes — every row carries its distance to the same
+    * centroid, so one total order covers both) are ranked by
+    * (qdist, vec_id) and chunked at `cap`; a probe meets only the
+    * MEMBER rows (pos 0 — the rows that actually hold the cell's
+    * vectors) of its own and rank-adjacent chunks. A cell at or under
+    * the cap keeps the exact all-members semantics (single chunk); an
+    * oversized — skewed — cell degrades to a bounded neighborhood
+    * search: each probe meets <= 3*cap rank-neighbors, so no task's
+    * candidate volume is quadratic in a mega-cell no matter how
+    * skewed the embedding space. Rank-adjacency in centroid distance
+    * is the same approximation q76 uses: true near neighbors have
+    * near-identical distances to the shared centroid. Only the skinny
+    * (vec_id, pos, cid, qdist) probe rows — n×NProbe of them, linear
+    * in the corpus — enter the ranking shuffle; each output pair is
+    * produced exactly once (the member side stays at its home chunk). */
+  private[graft] def knnBoundedCandidates(probes: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cw = Window.partitionBy(col("cid"))
+    // materialize once: the ranked relation feeds BOTH join legs —
+    // without the cut the probe scan + ranking shuffle run twice
+    val ranked = graft.Materialize.cut(probes
+      .withColumn("rn", row_number().over(cw.orderBy(col("qdist"), col("vec_id"))))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .withColumn("chunk", floor((col("rn") - lit(1.0)) / lit(cap))))
+    val a = ranked
+      .select(col("cid"), col("vec_id"), col("chunk"), col("cnt"))
+      .withColumn("pc", explode(when(col("cnt") > cap,
+        array(col("chunk") - 1, col("chunk"), col("chunk") + 1))
+        .otherwise(array(col("chunk")))))
+      .select(col("cid"), col("vec_id"), col("pc"))
+    val b = ranked.where(col("pos") === 0)
+      .select(col("cid"), col("vec_id").as("nn_id"), col("chunk").as("pc"))
+    a.join(b, Seq("cid", "pc"))
+      .where(col("nn_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("cid"), col("nn_id"))
+  }
+
+  /** The k-NN similarity join (q86/q86b). Shape:
+    *   (1) probe assignment is MAP-SIDE ([[knnProbes]] — the TopCells
+    *       kernel under the centroid broadcast; no n×k rows exist);
+    *   (2) candidates come from the (cid, chunk) EQUI-JOIN of probe
+    *       rows against cell members, rank-chunk-bounded at `cap`
+    *       ([[knnBoundedCandidates]]) — at 100 TB cid is the
+    *       assignment table's partition key, so each task joins
+    *       co-located cells and no mega-cell goes quadratic;
+    *   (3) embeddings are fetched back by two skinny id equi-joins
+    *       (the wide vectors never ride through the ranking shuffles);
+    *       the vec_id fetch runs LAST, so the per-(vec_id, cid) and
+    *       per-vec_id top-k windows reuse its exchange (sort only);
+    *   (4) ranking is TWO-STAGE: per-(vec_id, cid) top-k prunes to
+    *       n*NProbe*k rows before the global per-vec_id top-k.
+    * Recall matches q39 by construction below the cap (same trained
+    * quantizer, same NProbe, same tie-breaks). */
+  private def knnJoin(s: SparkSession, d: String, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, assigned) = ivfModel(s, d)
+    val cand0 = knnBoundedCandidates(knnProbes(s, d), cap)
+    val emb = assigned.select(col("vec_id"), col("embedding"))
+    val cand = cand0
+      .join(emb.select(col("vec_id").as("nn_id"),
+        col("embedding").as("nn_emb")), Seq("nn_id"))
+      .join(emb, Seq("vec_id"))
+      .withColumn("cos", cos6(col("embedding"), col("nn_emb")))
+    val cellW = Window.partitionBy(col("vec_id"), col("cid"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    val topW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nn_id"))
+    cand
+      .withColumn("crn", row_number().over(cellW))
+      .where(col("crn") <= KnnK)
+      .withColumn("rnk", row_number().over(topW))
+      .where(col("rnk") <= KnnK)
+      .select(col("vec_id"), col("rnk").cast("int").as("nn_rank"),
+        col("nn_id"), col("cos"))
+      .orderBy(col("vec_id"), col("nn_rank"))
+  }
+
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 
@@ -189,21 +296,23 @@ object Similarity {
           Window.partitionBy(pmod(col("vec_id"), lit(1)))
             .orderBy(col("h"), col("vec_id"))))
         .select((col("rn") - 1).as("cid"), col("v").as("cv"))
-      // native codegen'd kernel (same left-to-right fold as the HOF
-      // form and the oracle's list_sum — bit-identical, but no
-      // interpreted lambda per element per candidate row)
-      val distExpr = VectorFunctions.l2sq(col("v"), col("cv"))
+      // MAP-SIDE assignment: the codegen'd TopCells kernel scans the
+      // broadcast centroid array per row and emits the single nearest
+      // (cid, dist) directly — same left-to-right l2² fold and
+      // (dist, cid) tie-break as the crossJoin + row_number() window
+      // it replaces (bit-identical results), but nothing n×k is ever
+      // materialized or shuffled: with corpus-derived k = n/1000 the
+      // window form shuffles n²/1000 rows per k-means pass.
       def assign(c: DataFrame): DataFrame = {
-        val aw = Window.partitionBy(col("vec_id"))
-          .orderBy(col("dist"), col("cid"))
-        e.crossJoin(broadcast(c))
-          .withColumn("dist", distExpr)
-          .withColumn("arn", row_number().over(aw))
-          .where(col("arn") === 1)
+        val carr = c.agg(collect_list(
+          struct(col("cid").cast("long").as("cid"), col("cv"))).as("carr"))
+        e.crossJoin(broadcast(carr))
+          .withColumn("best", element_at(
+            VectorFunctions.topCells(col("v"), col("carr"), 1), 1))
           // dist (to the winning centroid) rides along: q76's bounded
           // pair search ranks cell members by it
-          .select(col("vec_id"), col("label"), col("v"),
-            col("embedding"), col("cid"), col("dist"))
+          .select(col("vec_id"), col("label"), col("v"), col("embedding"),
+            col("best.cid").cast("int").as("cid"), col("best.dist").as("dist"))
       }
       for (_ <- 1 to KmIters) {
         // cut per round: the centroid relation is k rows but its
@@ -319,58 +428,14 @@ object Similarity {
     // pipeline-scale ANN shape (dedup candidate generation, retrieval
     // augmentation): q36/q37/q39 answer one lookup vector; this
     // answers all of them in one relational pass, and NEVER
-    // corpus x corpus. Shape:
-    //   (1) probe assignment: every vector's distances to the k
-    //       centroids are computed MAP-SIDE under the centroid
-    //       broadcast; only the skinny (vec_id, cid, qdist) triple
-    //       enters the ranking shuffle, and the NProbe nearest cells
-    //       survive (the q39 probe arithmetic, vectorized over rows);
-    //   (2) the probe embedding is fetched back by a skinny
-    //       vec_id equi-join (n*NProbe rows wide, not n*k);
-    //   (3) candidates come from the cid EQUI-JOIN of probe rows
-    //       against the cell-keyed corpus — per-probe candidate
-    //       volume is bounded by NProbe cells of ~TargetPerCell
-    //       vectors, and at 100 TB cid is the assignment table's
-    //       partition key, so each task joins co-located cells;
-    //   (4) ranking is TWO-STAGE: a per-(vec_id, cid) top-k window
-    //       first — its partition keys are a superset of the join's
-    //       cid clustering, so it reuses the join exchange (sort
-    //       only, no extra shuffle) — then the global per-vec_id
-    //       top-k runs over the pruned n*NProbe*k rows.
-    // Recall matches q39 by construction (same trained quantizer,
-    // same NProbe, same tie-breaks).
-    "q86_knn_join" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val (cents, assigned) = ivfModel(s, d)
-      val pw = Window.partitionBy(col("vec_id"))
-        .orderBy(col("qdist"), col("cid"))
-      val probes = assigned.select(col("vec_id"), col("v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("qdist", VectorFunctions.l2sq(col("v"), col("cv")))
-        .select(col("vec_id"), col("cid"), col("qdist"))
-        .withColumn("prn", row_number().over(pw))
-        .where(col("prn") <= NProbe)
-        .select(col("vec_id"), col("cid"))
-      val probeEmb = probes
-        .join(assigned.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      val corpus = assigned.select(col("cid"),
-        col("vec_id").as("nn_id"), col("embedding").as("nn_emb"))
-      val cand = probeEmb.join(corpus, Seq("cid"))
-        .where(col("nn_id") =!= col("vec_id"))
-        .withColumn("cos", cos6(col("embedding"), col("nn_emb")))
-      val cellW = Window.partitionBy(col("vec_id"), col("cid"))
-        .orderBy(col("cos").desc, col("nn_id"))
-      val topW = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("nn_id"))
-      cand
-        .withColumn("crn", row_number().over(cellW))
-        .where(col("crn") <= KnnK)
-        .withColumn("rnk", row_number().over(topW))
-        .where(col("rnk") <= KnnK)
-        .select(col("vec_id"), col("rnk").cast("int").as("nn_rank"),
-          col("nn_id"), col("cos"))
-        .orderBy(col("vec_id"), col("nn_rank"))
-    },
+    // corpus x corpus. See [[knnJoin]] for the shape.
+    "q86_knn_join" -> { (s, d) => knnJoin(s, d, CellCap) },
+
+    // The same join with the chunk cap forced small (KnnCapGate) so
+    // the oversized-cell code path — rank-chunking + adjacent-chunk
+    // probing — is what the sf0.01 oracle gate actually executes and
+    // hash-checks, rather than a branch that only fires on skew.
+    "q86b_knn_join_capped" -> { (s, d) => knnJoin(s, d, KnnCapGate) },
 
     // Embedding-cosine near-dup pairs, blocked by label.
     "q38_embed_neardup" -> { (s, d) =>
@@ -513,6 +578,47 @@ object Similarity {
          |       d.vec_id IS NULL AS kept
          |FROM fin f LEFT JOIN dropped d ON f.vec_id = d.vec_id
          |ORDER BY f.vec_id""".stripMargin
+    // mirrors knnProbes + knnBoundedCandidates + knnJoin: every
+    // vector's NProbe nearest cells, all probe rows of a cell ranked
+    // by (qdist, vec_id) and chunked at `cap`, probes meet member
+    // rows (prn = 1 — the Spark side's pos 0) of their own + adjacent
+    // chunks only when the cell is over the cap, then the global
+    // per-vector top-KnnK by (cos desc, nn_id)
+    def knnSql(cap: Int) =
+      s"""$base,
+         |$kmeansCtes,
+         |pr AS (
+         |  SELECT vec_id, cid, qdist, prn FROM (
+         |    SELECT f.vec_id, c.cid, ${distSql("f.v", "c.cv")} AS qdist,
+         |      row_number() OVER (PARTITION BY f.vec_id
+         |        ORDER BY ${distSql("f.v", "c.cv")}, c.cid) AS prn
+         |    FROM fin f CROSS JOIN cents$KmIters c) WHERE prn <= $NProbe),
+         |prk AS (
+         |  SELECT vec_id, cid, prn,
+         |    row_number() OVER (PARTITION BY cid ORDER BY qdist, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cid) AS cnt
+         |  FROM pr),
+         |pck AS (
+         |  SELECT *, CAST(floor((rn - 1.0) / $cap) AS BIGINT) AS chunk FROM prk),
+         |pa AS (
+         |  SELECT p.vec_id, p.cid, p.chunk + o.off AS pc
+         |  FROM pck p CROSS JOIN (VALUES (-1), (0), (1)) AS o(off)
+         |  WHERE p.cnt > $cap OR o.off = 0),
+         |cand AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |    ${cosSql("av.v", "bv.v", "av.nrm", "bv.nrm")} AS cos
+         |  FROM pa a
+         |  JOIN pck b ON b.cid = a.cid AND b.chunk = a.pc AND b.prn = 1
+         |    AND b.vec_id <> a.vec_id
+         |  JOIN fin av ON av.vec_id = a.vec_id
+         |  JOIN fin bv ON bv.vec_id = b.vec_id)
+         |SELECT vec_id, CAST(rnk AS INTEGER) AS nn_rank, nn_id, cos FROM (
+         |  SELECT vec_id, nn_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, nn_id) AS rnk
+         |  FROM cand)
+         |WHERE rnk <= $KnnK
+         |ORDER BY vec_id, nn_rank""".stripMargin
     Map(
       "q36_knn_brute" ->
         s"""$base
@@ -567,27 +673,8 @@ object Similarity {
            |  md5(array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',')) AS q_digest,
            |  len(list_filter(q, x -> x > 127 OR x < -127)) AS n_clipped
            |FROM qz ORDER BY vec_id""".stripMargin,
-      "q86_knn_join" ->
-        s"""$base,
-           |$kmeansCtes,
-           |pr AS (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT f.vec_id, c.cid, row_number() OVER (PARTITION BY f.vec_id
-           |      ORDER BY ${distSql("f.v", "c.cv")}, c.cid) AS prn
-           |    FROM fin f CROSS JOIN cents$KmIters c) WHERE prn <= $NProbe),
-           |cand AS (
-           |  SELECT p.vec_id, b.vec_id AS nn_id,
-           |    ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
-           |  FROM pr p
-           |  JOIN fin a ON a.vec_id = p.vec_id
-           |  JOIN fin b ON b.cid = p.cid AND b.vec_id <> p.vec_id)
-           |SELECT vec_id, CAST(rnk AS INTEGER) AS nn_rank, nn_id, cos FROM (
-           |  SELECT vec_id, nn_id, cos,
-           |    row_number() OVER (PARTITION BY vec_id
-           |      ORDER BY cos DESC, nn_id) AS rnk
-           |  FROM cand)
-           |WHERE rnk <= $KnnK
-           |ORDER BY vec_id, nn_rank""".stripMargin,
+      "q86_knn_join" -> knnSql(CellCap),
+      "q86b_knn_join_capped" -> knnSql(KnnCapGate),
       "q76_semantic_dedup" -> semdedupSql(CellCap),
       "q76b_semantic_dedup_capped" -> semdedupSql(CellCapGate),
       "q38_embed_neardup" ->

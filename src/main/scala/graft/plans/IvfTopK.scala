@@ -138,31 +138,35 @@ object IvfTopK {
     * table). Returns the number of appended rows. */
   def append(s: SparkSession, sfDir: String, newRows:
       org.apache.spark.sql.DataFrame): Long = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{broadcast, expr, row_number}
+    import org.apache.spark.sql.functions.{broadcast, collect_list, element_at, expr, struct}
     val embPath = qualify(s, s"$sfDir/embeddings.parquet")
     val idx = Option(registry.get(embPath)).getOrElse(throw
       new IllegalStateException(s"no IVF index registered for $embPath — " +
         "registerIndex or load first"))
     import s.implicits._
-    val cents = idx.centroids.toSeq.toDF("cid", "cv")
+    val carr = idx.centroids.toSeq.toDF("cid", "cv")
+      .agg(collect_list(
+        struct(col("cid").cast("long").as("cid"), col("cv"))).as("carr"))
     val cols = s.read.parquet(embPath).schema.fieldNames.toSeq
-    val aw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
-    val assigned = newRows
+    // materialize the batch ONCE: the returned count and the written
+    // rows come from the same evaluation, so a non-deterministic
+    // source can't make them diverge
+    val staged = graft.Materialize.cut(newRows)
+    // MAP-SIDE assignment under the centroid broadcast (the TopCells
+    // kernel — exact ivfModel arithmetic and tie-breaks); every input
+    // row gets its own assignment, so duplicate vec_ids in a batch
+    // are appended as-is rather than silently collapsed (id
+    // uniqueness is the caller's contract, as with any append-only
+    // table)
+    val assigned = staged
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist",
-        graft.functions.VectorFunctions.l2sq(col("v"), col("cv")))
-      .withColumn("arn", row_number().over(aw))
-      .where(col("arn") === 1)
+      .crossJoin(broadcast(carr))
+      .withColumn("cid", element_at(
+        graft.functions.VectorFunctions.topCells(col("v"), col("carr"), 1), 1)
+        .getField("cid").cast("int"))
       .select(cols.map(col) :+ col("cid"): _*)
-    // count the input, not `assigned` — the arn=1 filter keeps exactly
-    // one row per vector, and counting the input avoids computing the
-    // centroid cross join twice
-    val n = newRows.count()
     assigned.write.mode("append").partitionBy("cid").parquet(idx.assignPath)
-    n
+    staged.count()
   }
 
   def lookup(path: String): Option[IvfIndex] = Option(registry.get(path))

@@ -338,6 +338,58 @@ class ScaleShapeSpec extends SparkSpec {
       s"q86's candidate join is not keyed on cid:\n${plan.take(1500)}")
   }
 
+  test("q86 probe assignment is map-side: no window, no shuffle in the fragment") {
+    val s = spark
+    val pr = operators.Similarity.knnProbes(s, sf)
+    val plan = pr.queryExecution.executedPlan.toString
+    // the scale contract: the NProbe-cells-per-row selection happens
+    // per row under the centroid broadcast (the TopCells kernel) —
+    // the n×k crossJoin + row_number() form it replaced shuffled
+    // n²/1000 rows with corpus-derived k
+    assert(!plan.contains("Window"),
+      s"q86 probe assignment ranks via a window (n×k shuffle):\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q86 probe assignment shuffles before the cell join:\n${plan.take(1500)}")
+    assert(plan.contains("graft_top_cells"),
+      s"q86 probe assignment does not use the TopCells kernel:\n${plan.take(1500)}")
+  }
+
+  test("q86 chunk contract: probes meet members of same-or-adjacent rank chunks, once each") {
+    val s = spark
+    import s.implicits._
+    // mega-cell fixture: one cell holds 4/5 of all probe rows (the
+    // skew q86 must survive), plus foreign probes (pos > 0) that rank
+    // into the cell without serving as neighbors; sweep under-cap
+    // (exact all-members semantics) and tiny-chunk shapes
+    for ((n, cap) <- Seq((40, 64), (200, 16), (120, 7))) {
+      val probes = s.range(n.toLong).select(
+        col("id").as("vec_id"),
+        when(col("id") % 4 === 0, 1).otherwise(0).as("pos"),
+        when(col("id") % 5 === 0, 1).otherwise(0).cast("int").as("cid"),
+        pmod(col("id") * 37 + 11, lit(97)).cast("double").as("qdist"))
+      val got = operators.Similarity.knnBoundedCandidates(probes, cap)
+        .select($"vec_id", $"cid", $"nn_id").as[(Long, Int, Long)].collect()
+      assert(got.length === got.toSet.size,
+        s"duplicate candidate pairs at n=$n cap=$cap")
+      val rows = probes.select($"cid", $"vec_id", $"qdist", $"pos")
+        .as[(Int, Long, Double, Int)].collect()
+      val expected = rows.groupBy(_._1).flatMap { case (cid, cell) =>
+        val ranked = cell.toSeq.sortBy(r => (r._3, r._2)).zipWithIndex
+          .map { case ((_, id, _, pos), i) =>
+            (id, pos, if (cell.length > cap) i / cap else 0) }
+        for {
+          (p, _, cp) <- ranked; (m, mpos, cm) <- ranked
+          if mpos == 0 && m != p && math.abs(cp - cm) <= 1
+        } yield (p, cid, m)
+      }.toSet
+      assert(got.toSet === expected, s"candidate set mismatch at n=$n cap=$cap")
+      // the hard bound: no probe row meets more than 3*cap members
+      val worst = got.groupBy(p => (p._1, p._2)).values.map(_.size).max
+      assert(worst <= 3 * cap,
+        s"per-probe candidate volume $worst exceeds 3*cap at n=$n cap=$cap")
+    }
+  }
+
   test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
     val s = spark
     import s.implicits._
