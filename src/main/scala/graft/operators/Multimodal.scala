@@ -32,8 +32,41 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** Max 64-bit hamming distance for a q87 dHash near-dup pair. */
+  val DHashMaxHamming = 10
+
   /** Typed row for the decode stage. */
   final case class MediaRow(doc_id: Long, media_type: String, media: Array[Byte])
+  /** q87 signature row: the 64-bit dHash split into 4×16-bit bands
+    * (band values double as the LSH bucket keys, and 4 ints sidestep
+    * cross-engine 64-bit sign-bit pitfalls). */
+  final case class ImageSig(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** 64-bit difference hash (dHash) over a DECODED raster: sample a
+    * 9×8 luma grid by nearest-neighbor (sx = gx·W/9, sy = gy·H/8,
+    * integer division), set bit (8·gy + gx) when the luma sum
+    * (r + g + b — monotone in mean luma, no division) of grid cell gx
+    * exceeds its right neighbor. Gradient-sign structure survives
+    * resizing/re-encoding, which is what makes dHash a perceptual
+    * near-dup key rather than a byte fingerprint. */
+  private[operators] def dhashSig(doc_id: Long, img: PpmCodec.Image): ImageSig = {
+    def luma(sx: Int, sy: Int): Int = {
+      val k = (sy * img.width + sx) * 3
+      (img.pixels(k) & 0xFF) + (img.pixels(k + 1) & 0xFF) +
+        (img.pixels(k + 2) & 0xFF)
+    }
+    val bands = new Array[Int](4)
+    var b = 0
+    while (b < 64) {
+      val gx = b % 8
+      val gy = b / 8
+      val sy = gy * img.height / 8
+      if (luma(gx * img.width / 9, sy) > luma((gx + 1) * img.width / 9, sy))
+        bands(b / 16) |= 1 << (b % 16)
+      b += 1
+    }
+    ImageSig(doc_id, bands(0), bands(1), bands(2), bands(3))
+  }
   final case class MediaFeatures(doc_id: Long, media_type: String,
       byte_len: Int, img_width: Int, img_height: Int,
       mean_px_milli: Long, checksum: Long)
@@ -232,6 +265,47 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // Perceptual image near-dup: dHash over DECODED pixels (the PPM
+    // codec as a dedup INPUT, not just a feature extractor), then
+    // hamming-banded pair generation — candidates share one of the 4
+    // 16-bit hash bands (the q33 SimHash bucket shape), NEVER
+    // all-pairs. Scale: the decode + hash is map-only on the scan
+    // partitioning (bytes never shuffle — only the 4-int signature
+    // does); the band equi-join bounds candidates to bucket
+    // cardinality; hamming is 4 codegen'd bit_count(xor) terms.
+    "q87_image_neardup_dhash" -> { (s, d) =>
+      val session = s
+      import session.implicits._
+      // materialize once: the signature relation feeds the band
+      // explode AND both hash-fetch joins
+      val sig = graft.Materialize.cut(
+        withMedia(Tables.documents(s, d))
+          .where(col("media_type") === "image")
+          .select(col("doc_id"), col("media_type"), col("media"))
+          .as[MediaRow]
+          .mapPartitions(_.map(r => dhashSig(r.doc_id, PpmCodec.decode(r.media))))
+          .toDF())
+      val ex = sig.select(col("doc_id"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .select(col("doc_id"), col("pos").as("j"), col("col").as("bv"))
+      val cp = ex.select(col("doc_id").as("doc_a"), col("j"), col("bv"))
+        .join(ex.select(col("doc_id").as("doc_b"), col("j"), col("bv")),
+          Seq("j", "bv"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val xa = sig.select(col("doc_id").as("doc_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+      val xb = sig.select(col("doc_id").as("doc_b"), col("b0").as("c0"),
+        col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+      cp.join(xa, Seq("doc_a")).join(xb, Seq("doc_b"))
+        .withColumn("hamming", expr(
+          "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("int"))
+        .where(col("hamming") <= DHashMaxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Resize stub: pure metadata transform (halved dims, aspect kept).
     "q73_media_resize" -> { (s, d) =>
       withMedia(Tables.documents(s, d))
@@ -339,5 +413,47 @@ object Multimodal {
         |  greatest(CAST(floor((doc_id % 480 + 16) / 2) AS INTEGER), 1) AS out_height
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY doc_id""".stripMargin,
+    // mirrors dhashSig + the banded pair join: the oracle recomputes
+    // each luma sample from the synthesis formula (pixel byte k =
+    // (doc_id + 7k) mod 256) with the grid positions UNROLLED at
+    // SQL-generation time (gx, gy literal per bit), then the same
+    // DISTINCT band-bucket pairs and 4-band bit_count hamming
+    "q87_image_neardup_dhash" -> {
+      // luma sum at sampled pixel (sx, sy) — sx/sy are SQL expressions
+      // over the per-doc w/h columns
+      def luma(sx: String, sy: String): String = {
+        val k = s"(3*(($sy)*w+($sx)))"
+        (0 until 3).map(c => s"(doc_id + 7*($k+$c)) % 256").mkString("(", " + ", ")")
+      }
+      def band(j: Int): String = (0 until 16).map { t =>
+        val b = 16 * j + t
+        val (gx, gy) = (b % 8, b / 8)
+        val sy = s"(($gy*h)//8)"
+        s"CASE WHEN ${luma(s"(($gx*w)//9)", sy)} > " +
+          s"${luma(s"((${gx + 1}*w)//9)", sy)} THEN (1::INT << $t) ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      val bandCols = (0 until 4)
+        .map(j => s"CAST(${band(j)} AS INT) AS b$j").mkString(",\n    ")
+      val hamSql = (1 to 4)
+        .map(i => s"bit_count(xor(x.bands[$i], y.bands[$i]))").mkString(" + ")
+      s"""WITH img AS (
+         |  SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |bd AS (SELECT doc_id,
+         |    $bandCols
+         |  FROM img),
+         |sig AS (SELECT doc_id, [b0, b1, b2, b3] AS bands FROM bd),
+         |ex AS (SELECT doc_id, j, bands[j+1] AS bv FROM sig, range(0,4) AS t(j)),
+         |cp AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ex a JOIN ex b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |hm AS (
+         |  SELECT cp.doc_a, cp.doc_b, CAST($hamSql AS INTEGER) AS hamming
+         |  FROM cp JOIN sig x ON x.doc_id = cp.doc_a
+         |  JOIN sig y ON y.doc_id = cp.doc_b)
+         |SELECT doc_a, doc_b, hamming FROM hm
+         |WHERE hamming <= $DHashMaxHamming
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
   )
 }

@@ -390,6 +390,20 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("q87 image near-dup: candidates come from the band-bucket equi-join, never all-pairs") {
+    val s = spark
+    val df = SparkEntry.queries("q87_image_neardup_dhash")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q87 plans an all-pairs join:\n${plan.take(1500)}")
+    // pair generation must be keyed on the (band index, band value)
+    // bucket — the decoded-pixel dHash signature's LSH shape
+    assert(Seq("SortMergeJoin [j", "ShuffledHashJoin [j",
+        "BroadcastHashJoin [j").exists(plan.contains),
+      s"q87's candidate join is not keyed on the hash band:\n${plan.take(1500)}")
+  }
+
   test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
     val s = spark
     import s.implicits._
