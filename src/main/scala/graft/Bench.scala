@@ -92,6 +92,7 @@ object Bench {
     for (sweep <- 1 to runs) {
       graft.operators.Dedup.clearMemos()
       graft.operators.Similarity.clearMemos()
+      graft.operators.TextAnalysis.clearMemos()
       for ((name, fn) <- names if !failedSet(name)) {
         val t0 = System.nanoTime()
         // Time what Verify's gate does — materialize to parquet — so Catalyst

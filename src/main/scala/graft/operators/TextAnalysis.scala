@@ -69,7 +69,119 @@ object TextAnalysis {
     s"CASE ${arms.mkString(" ")} ELSE '??' END"
   }
 
+  /** Merge-table size for the real BPE tokenizer (q42b/q42c). Small
+    * because the oracle unrolls one CTE block per merge; the trainer
+    * itself is O(merges) passes over the VOCABULARY (not the corpus)
+    * at any table size. */
+  val BpeMerges = 10
+
+  private val M1 = "\u0001"
+  private val M2 = "\u0002"
+
+  /** One trained BPE merge: rank (1-based), the marked pair string
+    * searched in sequences, and its marked merged replacement. */
+  final case class BpeMerge(rank: Int, pair: String, merged: String) {
+    /** Human form of the pair, e.g. "e r". */
+    def pairText: String =
+      pair.replace(M2 + M1, " ").replace(M1, "").replace(M2, "")
+    /** Human form of the merged symbol, e.g. "er". */
+    def mergedText: String = merged.replace(M1, "").replace(M2, "")
+  }
+
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[BpeMerge], DataFrame)]()
+
+  /** Evict memoized BPE models (bench sweeps / long-lived sessions). */
+  def clearMemos(): Unit = bpeMemo.clear()
+
+  /** REAL byte-pair-encoding training, deterministic and distributed:
+    * the corpus is pre-tokenized into words (the q42 regex), the
+    * distinct-word table carries corpus frequencies, and each word's
+    * symbol sequence is stored as a MARKER-DELIMITED string
+    * (<M1>sym<M2> per symbol — markers sit outside the symbol
+    * alphabet, which has no whitespace). That representation makes a
+    * BPE merge a plain `replace(seq, marked(x,y), marked(xy))`:
+    * left-to-right, non-overlapping, and incapable of matching across
+    * symbol boundaries — exactly the reference greedy merge
+    * semantics — with the identical builtin in Spark and DuckDB.
+    *
+    * Each of [[BpeMerges]] rounds: count adjacent symbol pairs
+    * weighted by word frequency (one explode + groupBy over the
+    * vocabulary-sized table, never the corpus), pick the most
+    * frequent pair with a LEXICAL tie-break on the marked pair
+    * string (binary collation in both engines), apply the merge,
+    * and cut lineage. Only the single argmax row comes to the driver
+    * per round (the bounded-driver-read pattern of the k-means
+    * centroids); the merge table accumulates there — which is where
+    * a tokenizer ships from in a real pipeline.
+    *
+    * Returns (merge table, final per-word sequence table). */
+  private[graft] def bpeModel(s: SparkSession, d: String): (Seq[BpeMerge], DataFrame) =
+    bpeMemo.computeIfAbsent((s, d), _ => {
+      val words = Tables.documents(s, d)
+        .select(explode(expr(
+          s"regexp_extract_all(lower(text), '$bpePatternSpark', 0)")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      var seqs = graft.Materialize.cut(words.withColumn("seq", expr(
+        "array_join(transform(sequence(1, length(word)), " +
+          "i -> concat(char(1), substring(word, i, 1), char(2))), '')")))
+      val merges = Seq.newBuilder[BpeMerge]
+      for (r <- 1 to BpeMerges) {
+        val withSyms = seqs.withColumn("syms",
+          split(expr("substring(seq, 2, length(seq) - 2)"), M2 + M1))
+        // sequence(1, 0) counts DOWN in Spark — guard the 1-symbol case
+        val best = withSyms
+          .select(col("freq"), explode(when(size(col("syms")) >= 2, expr(
+            "transform(sequence(1, size(syms) - 1), j -> concat(" +
+              "char(1), element_at(syms, j), char(2), " +
+              "char(1), element_at(syms, j + 1), char(2)))"))
+            .otherwise(expr("CAST(array() AS array<string>)"))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(1).head()
+        val pair = best.getString(0)
+        val m = BpeMerge(r, pair, pair.replace(M2 + M1, ""))
+        merges += m
+        seqs = graft.Materialize.cut(seqs.withColumn("seq",
+          replace(col("seq"), lit(m.pair), lit(m.merged))))
+      }
+      (merges.result(), seqs)
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The trained BPE merge table itself — rank-ordered (pair, merged)
+    // rows, the artifact a tokenizer ships. The oracle retrains from
+    // scratch in SQL (one unrolled CTE block per merge), so a
+    // divergence in pair counts, tie-breaks, or merge application
+    // anywhere in training flips this gate.
+    "q42b_bpe_merges" -> { (s, d) =>
+      val session = s
+      import session.implicits._
+      bpeModel(s, d)._1
+        .map(m => (m.rank, m.pairText, m.mergedText))
+        .toDF("merge_rank", "pair", "merged")
+        .orderBy(col("merge_rank"))
+    },
+
+    // BPE application: per-doc token count under the trained merges.
+    // The final per-word sequence table IS the applied tokenizer over
+    // the vocabulary; each doc's count is one broadcast join of its
+    // word occurrences against that table (vocabulary-sized build
+    // side) plus a groupBy — counts feed q79's sequence packing.
+    "q42c_bpe_tokenize" -> { (s, d) =>
+      val (_, seqs) = bpeModel(s, d)
+      val tk = seqs.select(col("word"),
+        (length(col("seq")) -
+          length(replace(col("seq"), lit(M1), lit("")))).cast("bigint").as("n"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          s"regexp_extract_all(lower(text), '$bpePatternSpark', 0)")).as("word"))
+        .join(broadcast(tk), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).cast("bigint").as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Language ID: per-language evidence scores + argmax.
     "q40_lang_id" -> { (s, d) =>
       val base = Tables.documents(s, d).withColumn("toks", expr(toksExpr))
@@ -292,6 +404,43 @@ object TextAnalysis {
   def oracle: Map[String, String] = {
     val hitCols = profiles.map { case (l, ws) =>
       s"${hitsSql(ws)} AS hits_$l" }.mkString(",\n         ")
+    // mirrors bpeModel CTE-for-stage: wd (corpus words) -> wf (vocab
+    // freq) -> s0 (marked char sequences, chr(1)/chr(2) markers) ->
+    // BpeMerges unrolled rounds of pair-count / lexical-tie argmax /
+    // replace-merge. MATERIALIZED is required: s_i is referenced by
+    // three relations per round, and DuckDB's default CTE inlining
+    // re-expands the whole chain exponentially.
+    val bpeIters = (1 to BpeMerges).map { i =>
+      val p = i - 1
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pr AS pair, sum(freq) AS cnt FROM (
+         |    SELECT freq, unnest(CASE WHEN len(syms) >= 2
+         |      THEN list_transform(range(1, len(syms)),
+         |        j -> chr(1) || syms[j] || chr(2) || chr(1) || syms[j+1] || chr(2))
+         |      ELSE [] END) AS pr
+         |    FROM (SELECT freq, string_split(substr(seq, 2, length(seq) - 2),
+         |      chr(2) || chr(1)) AS syms FROM s$p)
+         |  ) GROUP BY pr),
+         |b$i AS MATERIALIZED (SELECT pair, replace(pair, chr(2) || chr(1), '') AS merged
+         |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT word, freq,
+         |  replace(seq, (SELECT pair FROM b$i), (SELECT merged FROM b$i)) AS seq
+         |  FROM s$p)""".stripMargin
+    }.mkString(",\n")
+    val bpeSqlPrefix =
+      s"""WITH wd AS MATERIALIZED (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '$bpePattern')) AS word
+         |  FROM documents),
+         |wf AS MATERIALIZED (SELECT word, count(*) AS freq FROM wd GROUP BY word),
+         |s0 AS MATERIALIZED (SELECT word, freq, array_to_string(list_transform(
+         |  range(1, length(word) + 1), i -> chr(1) || substr(word, i, 1) || chr(2)), '') AS seq
+         |  FROM wf),
+         |$bpeIters""".stripMargin
+    val bpeMergesSelect = (1 to BpeMerges).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS merge_rank,
+         |  replace(replace(replace(pair, chr(2) || chr(1), ' '), chr(1), ''), chr(2), '') AS pair,
+         |  replace(replace(merged, chr(1), ''), chr(2), '') AS merged FROM b$i""".stripMargin
+    }.mkString("\nUNION ALL ")
     Map(
       "q40_lang_id" ->
         s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
@@ -324,6 +473,17 @@ object TextAnalysis {
            |  len(regexp_extract_all(lower(text), '$bpePattern')) AS n_bpe_pieces,
            |  length(text) AS n_chars_calc, n_chars
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "q42b_bpe_merges" ->
+        s"""$bpeSqlPrefix
+           |SELECT * FROM (${bpeMergesSelect}) ORDER BY merge_rank""".stripMargin,
+      "q42c_bpe_tokenize" ->
+        s"""$bpeSqlPrefix,
+           |tk AS (SELECT word, CAST(length(seq) -
+           |    length(replace(seq, chr(1), '')) AS BIGINT) AS n
+           |  FROM s$BpeMerges)
+           |SELECT wd.doc_id, CAST(sum(tk.n) AS BIGINT) AS n_bpe_tokens
+           |FROM wd JOIN tk ON wd.word = tk.word
+           |GROUP BY wd.doc_id ORDER BY doc_id""".stripMargin,
       "q45_normalize" ->
         """WITH t AS (
           |  SELECT doc_id, trim(regexp_replace(
