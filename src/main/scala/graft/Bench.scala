@@ -9,7 +9,7 @@ object Bench {
     * source — a new replay
     * query that forgets to land here would silently re-absorb its
     * staging cost into sweep 1. */
-  val replayStagers = Set("q27s", "q75", "q77", "q78", "q84")
+  val replayStagers = Set("q27s", "q75", "q77", "q78", "q84", "q84b")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -57,6 +57,16 @@ object Curation {
     * benchmark/eval set for decontamination. */
   val BenchmarkMod = 97
 
+  /** q84b's at-least-once feed model: originals land in micro-batches
+    * 1..3 (doc_id mod 3), and the doc_id % RedeliverMod = RedeliverRem
+    * slice of the train set is re-delivered in batch 4. TtlSeconds is
+    * the FIXED dedup-state TTL (vs q84's corpus-derived delay):
+    * smaller than the 1000 s batch spacing so state expires across
+    * batches, larger than 0 so in-flight duplicates still dedup. */
+  val RedeliverMod = 7
+  val RedeliverRem = 3
+  val TtlSeconds = 300
+
   /** Vocabulary cap for the broadcast-vocab surprisal filter (q82b):
     * the top-K terms by corpus frequency form the vocabulary, the tail
     * pools into one OOV bucket. Sized below this corpus's 31 distinct
@@ -345,6 +355,55 @@ object Curation {
         .distinct().orderBy(col("digest"))
     },
 
+    // BOUNDED-TTL streaming curation — the form a real firehose runs:
+    // q84 derives its watermark delay from max(doc_id) so nothing
+    // expires during the replay (exact batch equality, corpus-sized
+    // state); here the delay is a FIXED constant independent of the
+    // corpus, so dedup state is bounded and the exactness trade
+    // becomes observable. The stream models an AT-LEAST-ONCE source:
+    // originals land in micro-batches 1..3 (doc_id mod 3), and a
+    // deterministic slice (doc_id mod RedeliverMod = RedeliverRem) is
+    // RE-DELIVERED in batch 4. Event time is the batch landing slot
+    // (base + 1000·batch), so with a 300 s TTL a digest admitted in
+    // batch p expires at watermark time and is evicted during the
+    // SECOND batch executed with the advanced watermark (eviction is
+    // lazy — end-of-batch cleanup): state lives through batches
+    // p..p+2. A batch-1 original's re-delivery in batch 4 is
+    // therefore RE-ADMITTED (n_emits = 2 — the bounded-state trade),
+    // while batch-2/3 originals' re-deliveries still dedup (their
+    // state is live or evicted only after batch 4's own cleanup) —
+    // which is exactly the lazy-eviction timing the oracle predicts.
+    "q84b_stream_curation_ttl" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val benchGrams = graft.Materialize.cut(docs
+        .withColumn("toks", expr(toksExpr))
+        .where(col("doc_id") % BenchmarkMod === 0)
+        .select(explode(grams5(col("toks"))).as("gram")).distinct())
+      val train = docs.where(col("doc_id") % BenchmarkMod =!= 0)
+        .select(col("doc_id"), col("text"))
+      val feed = train
+        .withColumn("batch", (col("doc_id") % 3 + 1).cast("int"))
+        .unionByName(train
+          .where(col("doc_id") % RedeliverMod === RedeliverRem)
+          .withColumn("batch", lit(4).cast("int")))
+      graft.streaming.Replay.runBatched(s, feed, "batch", batches = 4,
+        stateParts = Some(4), stageKey = Some(s"q84b:$d")) { stream =>
+        curationGates(stream, benchGrams)
+          .withColumn("ts",
+            timestamp_seconds(lit(1700000000L) + col("batch") * 1000))
+          .withWatermark("ts", s"$TtlSeconds seconds")
+          .dropDuplicatesWithinWatermark("digest")
+          .select(col("digest"), col("n_toks"), col("quality"),
+            col("frac_dup_3grams"))
+      }
+        // emission MULTIPLICITY is the contract here: a re-admitted
+        // digest appears twice in the append output
+        .groupBy(col("digest"), col("n_toks"), col("quality"),
+          col("frac_dup_3grams"))
+        .agg(count(lit(1)).cast("bigint").as("n_emits"))
+        .orderBy(col("digest"))
+    },
+
     // CORPUS-FREQUENCY SURPRISAL FILTER (the CCNet/perplexity-filter
     // shape with the corpus's own unigram model standing in for the
     // external LM): per-token negative logprob from corpus-wide term
@@ -502,7 +561,47 @@ object Curation {
     },
   )
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = {
+    // shared by q84/q84b: the gate chain through the kept train set
+    val curationKeptSql =
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sig AS (
+         |  SELECT doc_id, text, toks,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    ${TextAnalysis.hitsSql(TextAnalysis.stopwords)} AS stop_hits,
+         |    length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct,
+         |    $grams3Sql AS g3,
+         |    $grams5Sql AS grams,
+         |    md5(text) AS digest
+         |  FROM t),
+         |scored AS (
+         |  SELECT doc_id, n_toks, grams, digest,
+         |    round(0.4 * least(1.0, CAST(n_toks AS DOUBLE) / 50.0)
+         |      + 0.4 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE))
+         |      + 0.2 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(length(text) AS DOUBLE)),
+         |      6) AS quality,
+         |    CASE WHEN len(g3) > 0 THEN round(1.0 -
+         |      CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE), 6)
+         |      ELSE 0.0 END AS frac_dup_3grams,
+         |    CASE WHEN len(toks) > 0 THEN round(1.0 -
+         |      CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)
+         |      ELSE 0.0 END AS frac_dup_tokens
+         |  FROM sig),
+         |train AS (SELECT * FROM scored WHERE doc_id % $BenchmarkMod <> 0),
+         |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM scored
+         |          WHERE doc_id % $BenchmarkMod = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT g.doc_id FROM
+         |    (SELECT doc_id, unnest(grams) AS gram FROM train) g
+         |  JOIN bench USING (gram)),
+         |kept AS (
+         |  SELECT tr.* FROM train tr
+         |  LEFT JOIN contaminated x ON tr.doc_id = x.doc_id
+         |  WHERE x.doc_id IS NULL
+         |    AND tr.quality >= 0.5
+         |    AND NOT (tr.frac_dup_3grams > 0.1 OR tr.frac_dup_tokens > 0.6))""".stripMargin
+    Map(
     "q84_stream_curation" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, $toksSql AS toks FROM documents),
@@ -542,6 +641,34 @@ object Curation {
          |  AND tr.quality >= 0.5
          |  AND NOT (tr.frac_dup_3grams > 0.1 OR tr.frac_dup_tokens > 0.6)
          |ORDER BY tr.digest""".stripMargin,
+    // q84b's analytic model of dropDuplicatesWithinWatermark under the
+    // fixed TTL: event time = 1000·batch, TTL = 300 s < spacing, and
+    // eviction is lazy (end-of-batch cleanup under the batch's own
+    // watermark), so state admitted in batch p is live through batches
+    // p..p+2 and a re-delivery is re-admitted only at batch >= p+3.
+    // Per digest: o_b = "occurs in batch b" (originals by doc_id mod 3,
+    // the re-delivered slice in batch 4); greedy admission chain
+    // a_b = o_b AND lastAdmitted <= b-3; n_emits = sum(a_b).
+    "q84b_stream_curation_ttl" ->
+      s"""$curationKeptSql,
+         |ob AS (
+         |  SELECT digest, max(n_toks) AS n_toks, max(quality) AS quality,
+         |    max(frac_dup_3grams) AS frac_dup_3grams,
+         |    bool_or(doc_id % 3 = 0) AS o1,
+         |    bool_or(doc_id % 3 = 1) AS o2,
+         |    bool_or(doc_id % 3 = 2) AS o3,
+         |    bool_or(doc_id % $RedeliverMod = $RedeliverRem) AS o4
+         |  FROM kept GROUP BY digest),
+         |adm AS (
+         |  SELECT *, o1 AS a1, (o2 AND NOT o1) AS a2,
+         |    (o3 AND NOT o1 AND NOT o2) AS a3 FROM ob)
+         |SELECT digest, n_toks, quality, frac_dup_3grams,
+         |  CAST((CASE WHEN a1 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN a2 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN a3 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN o4 AND NOT a2 AND NOT a3 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_emits
+         |FROM adm ORDER BY digest""".stripMargin,
     "q82_surprisal_filter" ->
       s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |terms AS (SELECT doc_id, unnest(toks) AS term FROM tk),
@@ -739,4 +866,5 @@ object Curation {
          |FROM weights w LEFT JOIN kept k ON w.source = k.source
          |ORDER BY w.source""".stripMargin,
   )
+  }
 }

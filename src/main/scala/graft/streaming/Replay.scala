@@ -108,26 +108,89 @@ object Replay {
         frame.repartition(files).write.mode("overwrite").parquet(dir)
         afterStage(dir)
       }
-      val stream = s.readStream.schema(frame.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir)
-      val name = s"replay_${seq.incrementAndGet()}"
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      stateParts.foreach(p =>
-        s.conf.set("spark.sql.shuffle.partitions", p.toString))
-      try {
-        val q = build(stream).writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        try require(q.awaitTermination(300000), s"replay $name timed out")
-        finally q.stop()
-      } finally stateParts.foreach(_ =>
-        s.conf.set("spark.sql.shuffle.partitions", prevParts))
-      // materialize the sink rows, then release the sink itself
-      val out = graft.Materialize.cut(s.table(name))
-      s.catalog.dropTempView(name)
-      out
+      replayStream(s, dir, frame.schema, stateParts)(build)
     } finally if (stageKey.isEmpty) graft.Fs.deleteRecursively(dir,
       s.sparkContext.hadoopConfiguration)
+  }
+
+  /** Like [[run]], but stages ONE file per value of `batchCol`
+    * (1..batches) with strictly increasing modification times, so the
+    * replay's micro-batch ORDER equals the batch column:
+    * FileStreamSource orders files by mtime and maxFilesPerTrigger=1
+    * serializes one file per trigger. This is the harness for
+    * TTL-sensitive queries (q84b), where WHICH micro-batch a row
+    * arrives in is part of the modeled semantics. The one-file-per-
+    * batch coalesce is the replay's determinism device, not a
+    * production shape — a firehose lands many files per interval and
+    * batch membership comes from landing time. */
+  def runBatched(s: SparkSession, frame: DataFrame, batchCol: String,
+      batches: Int, stateParts: Option[Int] = None,
+      stageKey: Option[String] = None)(
+      build: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def stageInto(dir: String): Unit = {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis()
+      for (b <- 1 to batches) {
+        val tmp = graft.Fs.createStagingDir(s, "graft-replay-batch")
+        try {
+          frame.where(col(batchCol) === b)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+          val dest = new org.apache.hadoop.fs.Path(s"$dir/b$b.parquet")
+          fs.rename(part, dest)
+          fs.setTimes(dest, base + b * 2000L, -1)
+        } finally graft.Fs.deleteRecursively(tmp,
+          s.sparkContext.hadoopConfiguration)
+      }
+    }
+    val dir = stageKey match {
+      case Some(k) => staged.computeIfAbsent((s, k), _ => {
+        exitHook
+        val d = graft.Fs.createStagingDir(s, "graft-replay")
+        try stageInto(d)
+        catch { case t: Throwable =>
+          graft.Fs.deleteRecursively(d, s.sparkContext.hadoopConfiguration)
+          throw t
+        }
+        d
+      })
+      case None => graft.Fs.createStagingDir(s, "graft-replay")
+    }
+    try {
+      if (stageKey.isEmpty) stageInto(dir)
+      replayStream(s, dir, frame.schema, stateParts)(build)
+    } finally if (stageKey.isEmpty) graft.Fs.deleteRecursively(dir,
+      s.sparkContext.hadoopConfiguration)
+  }
+
+  /** The shared replay body: stream the staged dir one file per
+    * micro-batch, apply `build`, drain into a memory sink, return the
+    * materialized appended rows. */
+  private def replayStream(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      stateParts: Option[Int])(
+      build: DataFrame => DataFrame): DataFrame = {
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val name = s"replay_${seq.incrementAndGet()}"
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    stateParts.foreach(p =>
+      s.conf.set("spark.sql.shuffle.partitions", p.toString))
+    try {
+      val q = build(stream).writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(300000), s"replay $name timed out")
+      finally q.stop()
+    } finally stateParts.foreach(_ =>
+      s.conf.set("spark.sql.shuffle.partitions", prevParts))
+    // materialize the sink rows, then release the sink itself
+    val out = graft.Materialize.cut(s.table(name))
+    s.catalog.dropTempView(name)
+    out
   }
 }
