@@ -82,12 +82,17 @@ object Multimodal {
   private val pxHSql = "CAST(doc_id % 12 + 4 AS INT)"
 
   /** Pixel byte k of doc `doc_id`: (doc_id + 7k) mod 256 — integer
-    * arithmetic both engines reproduce exactly. */
+    * arithmetic both engines reproduce exactly. Synthesized by the
+    * codegen'd [[graft.functions.PayloadSynthesis]] kernel; the
+    * declarative hex form below is kept as the parity reference
+    * (IoStreamingSpec asserts byte equality) — the interpreted
+    * per-byte lambda it runs cost q70/q71 ~3× at sf0.1. */
   private def ppmPayload: org.apache.spark.sql.Column =
-    // built as hex text then unhex'd to binary: header || raster.
-    // The transform lambda is interpreted, but it generates <= 960
-    // SYNTHETIC bytes per image row — data synthesis, not a corpus
-    // hot path (a real deployment reads these bytes from storage).
+    graft.functions.MediaFunctions.ppmPayload(col("doc_id"))
+
+  /** The declarative (hex-text) form of [[ppmPayload]] — parity
+    * reference only. */
+  private[graft] def ppmPayloadDeclarative: org.apache.spark.sql.Column =
     unhex(concat(
       hex(concat(lit("P6\n"), expr(pxWSql).cast("string"), lit(" "),
         expr(pxHSql).cast("string"), lit("\n255\n"))),
@@ -118,7 +123,12 @@ object Multimodal {
     * size) followed by the little-endian samples. [[WavCodec]] parses
     * this through the genuine container grammar — the same
     * synthesis-stands-in-for-storage trade as [[ppmPayload]]. */
-  private def wavPayload: org.apache.spark.sql.Column = {
+  private def wavPayload: org.apache.spark.sql.Column =
+    graft.functions.MediaFunctions.wavPayload(col("doc_id"))
+
+  /** The declarative (hex-text) form of [[wavPayload]] — parity
+    * reference only (see [[ppmPayloadDeclarative]]). */
+  private[graft] def wavPayloadDeclarative: org.apache.spark.sql.Column = {
     val n = nSampSql
     // u16 two's-complement image of the signed 16-bit sample
     val u16 = "pmod(pmod(doc_id * 31 + 7 * k, 4096) - 2048, 65536)"

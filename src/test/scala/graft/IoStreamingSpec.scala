@@ -316,6 +316,21 @@ class IoStreamingSpec extends SparkSpec {
     assert(out.select($"tweet_id").as[Long].head() === 5L)
   }
 
+  test("native payload synthesis is byte-identical to the declarative hex form") {
+    val s = spark
+    import s.implicits._
+    val ids = Tables.documents(s, sf).select($"doc_id").limit(64)
+    def bytesOf(c: org.apache.spark.sql.Column): Map[Long, Seq[Byte]] =
+      ids.select($"doc_id", c.as("b")).as[(Long, Array[Byte])]
+        .collect().map { case (id, b) => id -> b.toSeq }.toMap
+    assert(bytesOf(graft.functions.MediaFunctions.ppmPayload($"doc_id")) ===
+      bytesOf(Multimodal.ppmPayloadDeclarative),
+      "PPM kernel diverges from the declarative synthesis")
+    assert(bytesOf(graft.functions.MediaFunctions.wavPayload($"doc_id")) ===
+      bytesOf(Multimodal.wavPayloadDeclarative),
+      "WAV kernel diverges from the declarative synthesis")
+  }
+
   test("media payloads never shuffle in the multimodal feature plan") {
     val plan = Multimodal.queries("q71_media_features")(spark, sf)
       .queryExecution.executedPlan.toString
