@@ -148,6 +148,58 @@ object TextAnalysis {
       (merges.result(), seqs)
     })
 
+  /** Per-doc token counts under the trained BPE merges (q42c/q79b):
+    * the final per-word sequence table IS the applied tokenizer over
+    * the vocabulary; each doc's count is one broadcast join of its
+    * word occurrences against it (vocabulary-sized build side). */
+  private def bpeDocCounts(s: SparkSession, d: String): DataFrame = {
+    val (_, seqs) = bpeModel(s, d)
+    val tk = seqs.select(col("word"),
+      (length(col("seq")) -
+        length(replace(col("seq"), lit(M1), lit("")))).cast("bigint").as("n"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(
+        s"regexp_extract_all(lower(text), '$bpePatternSpark', 0)")).as("word"))
+      .join(broadcast(tk), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("bigint").as("n_bpe_tokens"))
+  }
+
+  /** Fixed-budget sequence packing over any (doc_id, n_toks) frame:
+    * assign docs (doc_id order) to training sequences by the global
+    * running token count. The running sum uses the zipWithIndex shape
+    * (range partition → per-partition sums → broadcast offsets →
+    * within-partition cumsum) — global-order semantics with NO
+    * single-partition window; the offsets pass collects one sum per
+    * partition. At 100 TB this is exactly how a packing job lays out
+    * trillions of tokens without funneling them through one task. */
+  private def packByBudget(s: SparkSession, toks: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // materialized once so the sums pass and the packing pass read
+    // the same partition layout (see q60's numbering note)
+    val parts = graft.Materialize.cut(
+      toks.repartitionByRange(col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
+    val sums = parts.groupBy(col("pid")).agg(sum(col("n_toks")).as("psum"))
+      .orderBy(col("pid")).as[(Int, Long)].collect()
+    var acc = 0L
+    val offsets = sums.map { case (pid, ps) =>
+      val o = (pid, acc); acc += ps; o
+    }.toSeq
+    val cumW = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.join(broadcast(offsets.toDF("pid", "offset")), Seq("pid"))
+      .withColumn("tok_start",
+        col("offset") + coalesce(sum(col("n_toks")).over(cumW), lit(0L)))
+      .withColumn("seq_id",
+        floor(col("tok_start") / lit(SeqBudget.toDouble)))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("seq_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The trained BPE merge table itself — rank-ordered (pair, merged)
     // rows, the artifact a tokenizer ships. The oracle retrains from
@@ -169,17 +221,7 @@ object TextAnalysis {
     // word occurrences against that table (vocabulary-sized build
     // side) plus a groupBy — counts feed q79's sequence packing.
     "q42c_bpe_tokenize" -> { (s, d) =>
-      val (_, seqs) = bpeModel(s, d)
-      val tk = seqs.select(col("word"),
-        (length(col("seq")) -
-          length(replace(col("seq"), lit(M1), lit("")))).cast("bigint").as("n"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(expr(
-          s"regexp_extract_all(lower(text), '$bpePatternSpark', 0)")).as("word"))
-        .join(broadcast(tk), Seq("word"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("n")).cast("bigint").as("n_bpe_tokens"))
-        .orderBy(col("doc_id"))
+      bpeDocCounts(s, d).orderBy(col("doc_id"))
     },
 
     // Language ID: per-language evidence scores + argmax.
@@ -356,33 +398,18 @@ object TextAnalysis {
     // 100 TB this is exactly how a packing job lays out trillions of
     // tokens without funneling them through one task.
     "q79_sequence_pack" -> { (s, d) =>
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val toks = Tables.documents(s, d)
+      packByBudget(s, Tables.documents(s, d)
         .withColumn("n_toks", size(expr(toksExpr)).cast("long"))
-        .select(col("doc_id"), col("n_toks"))
-      // materialized once so the sums pass and the packing pass read
-      // the same partition layout (see q60's numbering note)
-      val parts = graft.Materialize.cut(
-        toks.repartitionByRange(col("doc_id"))
-          .withColumn("pid", spark_partition_id()))
-      val sums = parts.groupBy(col("pid")).agg(sum(col("n_toks")).as("psum"))
-        .orderBy(col("pid")).as[(Int, Long)].collect()
-      var acc = 0L
-      val offsets = sums.map { case (pid, ps) =>
-        val o = (pid, acc); acc += ps; o
-      }.toSeq
-      val cumW = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      parts.join(broadcast(offsets.toDF("pid", "offset")), Seq("pid"))
-        .withColumn("tok_start",
-          col("offset") + coalesce(sum(col("n_toks")).over(cumW), lit(0L)))
-        .withColumn("seq_id",
-          floor(col("tok_start") / lit(SeqBudget.toDouble)))
-        .groupBy(col("seq_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
-        .orderBy(col("seq_id"))
+        .select(col("doc_id"), col("n_toks")))
+    },
+
+    // The same packing driven by the TRAINED tokenizer: sequence
+    // budgets are a property of the model's tokens, not whitespace
+    // words, so the production packing job consumes q42c's counts —
+    // this is the "counts feed packing" composition end-to-end.
+    "q79b_bpe_pack" -> { (s, d) =>
+      packByBudget(s, bpeDocCounts(s, d)
+        .withColumnRenamed("n_bpe_tokens", "n_toks"))
     },
 
     // Fingerprinting: whole-content digest + winnowed min-hash over
@@ -484,6 +511,22 @@ object TextAnalysis {
            |SELECT wd.doc_id, CAST(sum(tk.n) AS BIGINT) AS n_bpe_tokens
            |FROM wd JOIN tk ON wd.word = tk.word
            |GROUP BY wd.doc_id ORDER BY doc_id""".stripMargin,
+      "q79b_bpe_pack" ->
+        s"""$bpeSqlPrefix,
+           |tk AS (SELECT word, CAST(length(seq) -
+           |    length(replace(seq, chr(1), '')) AS BIGINT) AS n
+           |  FROM s$BpeMerges),
+           |t AS (SELECT wd.doc_id, CAST(sum(tk.n) AS BIGINT) AS n_toks
+           |  FROM wd JOIN tk ON wd.word = tk.word GROUP BY wd.doc_id),
+           |c AS (
+           |  SELECT doc_id, n_toks,
+           |    coalesce(sum(n_toks) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+           |  FROM t)
+           |SELECT CAST(floor(tok_start / ${SeqBudget.toDouble}) AS BIGINT) AS seq_id,
+           |  count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin,
       "q45_normalize" ->
         """WITH t AS (
           |  SELECT doc_id, trim(regexp_replace(

@@ -433,6 +433,29 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("IVF append: duplicate vec_ids append as-is and the count equals rows written") {
+    val s = spark
+    // private copy of the embeddings table — the shared index built on
+    // the real sf dir must stay untouched by this append
+    val tmp = Files.createTempDirectory("ivf-append").toString
+    s.read.parquet(s"$sf/embeddings.parquet")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val idx = graft.plans.IvfTopK.registerIndex(s, tmp)
+    val twin = s.read.parquet(s"$tmp/embeddings.parquet")
+      .where(col("vec_id") === 1)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    // a batch with the same vec_id twice: both rows are appended (id
+    // uniqueness is the caller's contract) and the returned count is
+    // the rows actually written — not a silently-collapsed estimate
+    val n = graft.plans.IvfTopK.append(s, tmp, twin.unionByName(twin))
+    assert(n === 2, s"append reported $n rows, want 2")
+    val appended = s.read.parquet(idx.assignPath)
+      .where(col("vec_id") === 1000001L)
+    assert(appended.count() === 2, "duplicate-id rows were collapsed")
+    assert(appended.select(col("cid")).distinct().count() === 1,
+      "identical vectors landed in different cells")
+  }
+
   test("IVF top-k pushdown: flag-gated rewrite swaps the scan for probed cells") {
     val s = spark
     graft.functions.VectorFunctions.register(s)
