@@ -80,6 +80,21 @@ object Similarity {
     * where every cell sits far under the production [[CellCap]]. */
   val KnnCapGate = 48
 
+  /** Two-level (hierarchical) IVF quantizer parameters (q88) — the
+    * fix for flat IVF's documented 100 TB ceiling: with corpus-derived
+    * k = n/Target, flat assignment computes k distances per vector
+    * (n²/Target FLOPs corpus-wide). The hierarchy trains
+    * k1 ≈ √(n/Target) SUPER-cells globally, then k2_s ≈ n_s/Target
+    * sub-cells inside each super-cell, so assignment is k1 + k2_s ≈
+    * 2√(n/Target) distances per vector. Ivf2Target is kept small so
+    * the two-level structure is non-degenerate — and therefore
+    * actually oracle-gated — at sf0.01 (500 vectors → 4 super-cells
+    * × ~2 sub-cells); production would use TargetPerCell. */
+  val Ivf2Target = 64
+  val Ivf2SuperMin = 4
+  val NProbeSuper = 3
+  val NProbeSub = 5
+
   /** Hard per-chunk cap for the within-cell pair search (q76): a cell
     * over the cap is rank-chunked (see [[cellBoundedCandidates]]) so
     * no task's candidate volume exceeds ~1.5*cap per member, no matter
@@ -324,6 +339,91 @@ object Similarity {
       (cents, graft.Materialize.cut(assign(cents)))
     })
 
+  private val hierMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
+
+  /** The TWO-LEVEL deterministic quantizer (q88): Lloyd k-means over
+    * k1 = max(Ivf2SuperMin, ceil(√(n/Ivf2Target))) super-cells (same
+    * md5 seeding and KmIters as [[ivfModel]]), then an independent
+    * Lloyd run INSIDE each super-cell over k2_s = max(1,
+    * ceil(n_s/Ivf2Target)) sub-cells (seeds = the k2_s vectors ranked
+    * first by md5("seed2:"||vec_id) within their super-cell).
+    *
+    * Scale shape: every assignment pass is map-side — super
+    * assignment scans the broadcast k1-row centroid array
+    * ([[graft.functions.TopCells]]); sub assignment reaches its
+    * super-cell's sub-centroid array through a BROADCAST equi-join on
+    * scid (the whole sub-centroid table is k1·k2 rows) and scans only
+    * that array. Per-vector training cost is k1 + k2_s ≈ 2√(n/Target)
+    * distances vs flat IVF's n/Target — the documented 100 TB fix.
+    * The only corpus-wide shuffles are the per-(scid) seed ranking
+    * (one window over skinny rows) and the centroid-update partial
+    * aggregations.
+    *
+    * Returns (superCents (scid, cv), subCents (scid, cid2, cv),
+    * assigned (vec_id, label, v, embedding, scid, cid2, dist2)). */
+  private[graft] def hierModel(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) =
+    hierMemo.computeIfAbsent((s, d), _ => {
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.Materialize.cut(Tables.embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+      val n = e.count()
+      val k1 = math.max(Ivf2SuperMin,
+        math.ceil(math.sqrt(n.toDouble / Ivf2Target)).toInt)
+      val seeds1 = e
+        .withColumn("h", md5(concat(lit("seed:"), col("vec_id").cast("string"))))
+        .orderBy(col("h"), col("vec_id"))
+        .limit(k1)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(pmod(col("vec_id"), lit(1)))
+            .orderBy(col("h"), col("vec_id"))))
+        .select((col("rn") - 1).as("scid"), col("v").as("cv"))
+      def assignSuper(c: DataFrame): DataFrame = {
+        val carr = c.agg(collect_list(
+          struct(col("scid").cast("long").as("cid"), col("cv"))).as("carr"))
+        e.crossJoin(broadcast(carr))
+          .withColumn("best", element_at(
+            VectorFunctions.topCells(col("v"), col("carr"), 1), 1))
+          .select(col("vec_id"), col("label"), col("v"), col("embedding"),
+            col("best.cid").cast("int").as("scid"), col("best.dist").as("dist1"))
+      }
+      var cents1 = seeds1
+      for (_ <- 1 to KmIters) {
+        cents1 = graft.Materialize.cut(assignSuper(cents1).groupBy(col("scid")).agg(
+          array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("cv")))
+      }
+      val a1 = graft.Materialize.cut(assignSuper(cents1))
+      // per-super sub-cell counts, then per-super seed ranking — one
+      // window over the skinny (scid, hash, vec_id) relation
+      val k2t = a1.groupBy(col("scid")).agg(greatest(lit(1L),
+        ceil(count(lit(1)) / lit(Ivf2Target.toDouble))).as("k2"))
+      val seeds2 = a1
+        .withColumn("h", md5(concat(lit("seed2:"), col("vec_id").cast("string"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("scid")).orderBy(col("h"), col("vec_id"))))
+        .join(broadcast(k2t), Seq("scid"))
+        .where(col("rn") <= col("k2"))
+        .select(col("scid"), (col("rn") - 1).as("cid2"), col("v").as("cv"))
+      def assignSub(c2: DataFrame): DataFrame = {
+        val bySc = c2.groupBy(col("scid")).agg(collect_list(
+          struct(col("cid2").cast("long").as("cid"), col("cv"))).as("carr"))
+        a1.join(broadcast(bySc), Seq("scid"))
+          .withColumn("best", element_at(
+            VectorFunctions.topCells(col("v"), col("carr"), 1), 1))
+          .select(col("vec_id"), col("label"), col("v"), col("embedding"),
+            col("scid"), col("best.cid").cast("int").as("cid2"),
+            col("best.dist").as("dist2"))
+      }
+      var cents2 = seeds2
+      for (_ <- 1 to KmIters) {
+        cents2 = graft.Materialize.cut(assignSub(cents2)
+          .groupBy(col("scid"), col("cid2")).agg(
+            array((0 until 64).map(i => round(avg(expr(s"v[$i]")), 6)): _*).as("cv")))
+      }
+      (graft.Materialize.cut(cents1), cents2,
+        graft.Materialize.cut(assignSub(cents2)))
+    })
+
   /** Seeded random hyperplanes — (j, i) from the first four md5 bytes
     * of "plane:j:dim:i", mapped to [-1, 1). Public data only (md5),
     * reproducible everywhere; the single source of truth lives in the
@@ -416,6 +516,45 @@ object Similarity {
         .select(col("cid"))
       assigned
         .join(broadcast(probed), Seq("cid"))
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qrow.select(col("q_embedding"))))
+        .select(col("vec_id"), col("label"),
+          cos6(col("embedding"), col("q_embedding")).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    },
+
+    // Hierarchical (two-level) IVF ANN — the 100 TB form of q39:
+    // probe the NProbeSuper nearest super-cells, then the NProbeSub
+    // nearest sub-cells among theirs, and take the exact top-k inside
+    // them. Training and assignment cost 2·√(n/Target) distances per
+    // vector instead of flat IVF's n/Target (see hierModel); at scale
+    // (scid, cid2) is the assignment table's partition key and the
+    // probe prunes the scan to ~NProbeSub sub-cells.
+    "q88_ann_ivf_hier" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val (cents1, cents2, assigned) = hierModel(s, d)
+      val qrow = assigned.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("embedding").as("q_embedding"))
+      // constant-key windows: both centroid relations are <= k1·k2
+      // rows (see the seed-numbering note in ivfModel)
+      val pw1 = Window.partitionBy(pmod(col("scid"), lit(1)))
+        .orderBy(col("qdist"), col("scid"))
+      val probedSuper = cents1.crossJoin(broadcast(qrow.select(col("qv"))))
+        .withColumn("qdist", VectorFunctions.l2sq(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(pw1))
+        .where(col("prn") <= NProbeSuper)
+        .select(col("scid"))
+      val pw2 = Window.partitionBy(pmod(col("cid2"), lit(1)))
+        .orderBy(col("qdist"), col("scid"), col("cid2"))
+      val probedSub = cents2.join(broadcast(probedSuper), Seq("scid"))
+        .crossJoin(broadcast(qrow.select(col("qv"))))
+        .withColumn("qdist", VectorFunctions.l2sq(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(pw2))
+        .where(col("prn") <= NProbeSub)
+        .select(col("scid"), col("cid2"))
+      assigned
+        .join(broadcast(probedSub), Seq("scid", "cid2"))
         .where(col("vec_id") =!= 0)
         .crossJoin(broadcast(qrow.select(col("q_embedding"))))
         .select(col("vec_id"), col("label"),
@@ -578,6 +717,58 @@ object Similarity {
          |       d.vec_id IS NULL AS kept
          |FROM fin f LEFT JOIN dropped d ON f.vec_id = d.vec_id
          |ORDER BY f.vec_id""".stripMargin
+    // mirrors hierModel stage for stage: global k1-cell k-means
+    // (seed:, KmIters rounds), per-super sub-cell counts, per-super
+    // seed2: ranking, per-super k-means (the sub chain joins on scid
+    // so every window/update stays inside its super-cell), then the
+    // two-level probe
+    val hierK1Sql = s"(SELECT GREATEST($Ivf2SuperMin, " +
+      s"CAST(ceil(sqrt(COUNT(*) / $Ivf2Target.0)) AS BIGINT)) FROM n)"
+    def assignSuperCte(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, label, v, nrm, scid FROM (
+         |    SELECT e.vec_id, e.label, e.v, e.nrm, c.scid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql("e.v", "c.cv")}, c.scid) AS arn
+         |    FROM n e CROSS JOIN $cents c) WHERE arn = 1)""".stripMargin
+    def assignSubCte(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, label, v, nrm, scid, cid2 FROM (
+         |    SELECT f.vec_id, f.label, f.v, f.nrm, f.scid, c.cid2,
+         |      row_number() OVER (PARTITION BY f.vec_id
+         |        ORDER BY ${distSql("f.v", "c.cv")}, c.cid2) AS arn
+         |    FROM hfin1 f JOIN $cents c ON f.scid = c.scid) WHERE arn = 1)""".stripMargin
+    val superIterCtes = (1 to KmIters).map { it =>
+      s"""${assignSuperCte(s"hc${it - 1}", s"ha$it")},
+         |hc$it AS (SELECT scid, [$centDims] AS cv FROM ha$it GROUP BY scid)""".stripMargin
+    }.mkString(",\n")
+    val subIterCtes = (1 to KmIters).map { it =>
+      s"""${assignSubCte(s"cc${it - 1}", s"ca$it")},
+         |cc$it AS (SELECT scid, cid2, [$centDims] AS cv
+         |  FROM ca$it GROUP BY scid, cid2)""".stripMargin
+    }.mkString(",\n")
+    val hierCtes =
+      s"""sd1 AS (
+         |  SELECT v, rn - 1 AS scid FROM (
+         |    SELECT v, row_number() OVER (
+         |      ORDER BY md5('seed:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM n)
+         |  WHERE rn <= $hierK1Sql),
+         |hc0 AS (SELECT scid, v AS cv FROM sd1),
+         |$superIterCtes,
+         |${assignSuperCte(s"hc$KmIters", "hfin1")},
+         |k2t AS (SELECT scid, GREATEST(1,
+         |    CAST(ceil(COUNT(*) / $Ivf2Target.0) AS BIGINT)) AS k2
+         |  FROM hfin1 GROUP BY scid),
+         |sd2 AS (
+         |  SELECT r.scid, r.rn - 1 AS cid2, r.v AS cv FROM (
+         |    SELECT scid, v, row_number() OVER (PARTITION BY scid
+         |      ORDER BY md5('seed2:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM hfin1) r JOIN k2t ON r.scid = k2t.scid
+         |  WHERE r.rn <= k2t.k2),
+         |cc0 AS (SELECT scid, cid2, cv FROM sd2),
+         |$subIterCtes,
+         |${assignSubCte(s"cc$KmIters", "hfin2")}""".stripMargin
     // mirrors knnProbes + knnBoundedCandidates + knnJoin: every
     // vector's NProbe nearest cells, all probe rows of a cell ranked
     // by (qdist, vec_id) and chunked at `cap`, probes meet member
@@ -675,6 +866,28 @@ object Similarity {
            |FROM qz ORDER BY vec_id""".stripMargin,
       "q86_knn_join" -> knnSql(CellCap),
       "q86b_knn_join_capped" -> knnSql(KnnCapGate),
+      "q88_ann_ivf_hier" ->
+        s"""$base,
+           |$hierCtes,
+           |q AS (SELECT v AS qv FROM n WHERE vec_id = 0),
+           |ps AS (
+           |  SELECT scid FROM (
+           |    SELECT c.scid, row_number() OVER (
+           |      ORDER BY ${distSql("q.qv", "c.cv")}, c.scid) AS prn
+           |    FROM hc$KmIters c CROSS JOIN q) WHERE prn <= $NProbeSuper),
+           |pc AS (
+           |  SELECT scid, cid2 FROM (
+           |    SELECT c.scid, c.cid2, row_number() OVER (
+           |      ORDER BY ${distSql("q.qv", "c.cv")}, c.scid, c.cid2) AS prn
+           |    FROM cc$KmIters c JOIN ps USING (scid) CROSS JOIN q)
+           |  WHERE prn <= $NProbeSub)
+           |SELECT a.vec_id, a.label,
+           |  ${cosSql("a.v", "q2.v", "a.nrm", "q2.nrm")} AS cos
+           |FROM hfin2 a
+           |JOIN pc ON a.scid = pc.scid AND a.cid2 = pc.cid2
+           |CROSS JOIN (SELECT v, nrm FROM n WHERE vec_id = 0) q2
+           |WHERE a.vec_id <> 0
+           |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
       "q76_semantic_dedup" -> semdedupSql(CellCap),
       "q76b_semantic_dedup_capped" -> semdedupSql(CellCapGate),
       "q38_embed_neardup" ->

@@ -69,7 +69,7 @@ class OperatorsSpec extends SparkSpec {
     import s.implicits._
     val brute = Similarity.queries("q36_knn_brute")(s, sf)
       .select($"vec_id").as[Long].collect().toSet
-    for (q <- Seq("q37_ann_lsh", "q39_ann_ivf")) {
+    for (q <- Seq("q37_ann_lsh", "q39_ann_ivf", "q88_ann_ivf_hier")) {
       val ann = Similarity.queries(q)(s, sf)
         .select($"vec_id").as[Long].collect().toSet
       val recall = (ann & brute).size.toDouble / brute.size
