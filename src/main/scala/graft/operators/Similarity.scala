@@ -95,6 +95,17 @@ object Similarity {
   val NProbeSuper = 3
   val NProbeSub = 5
 
+  /** Product-quantization parameters (q89): the 64-dim vector splits
+    * into [[PqM]] subspaces of 8 dims, each quantized against its own
+    * [[PqK]]-codeword codebook (8 bits/subspace (the canonical PQ config) → a 64-bit code per
+    * vector vs the 256-byte float payload). ADC (asymmetric
+    * distance computation) then approximates query distances from a
+    * PqM×PqK lookup table without touching the original vectors —
+    * the memory-bound ANN path of a 100 TB vector lake. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqK = 256
+
   /** Hard per-chunk cap for the within-cell pair search (q76): a cell
     * over the cap is rank-chunked (see [[cellBoundedCandidates]]) so
     * no task's candidate volume exceeds ~1.5*cap per member, no matter
@@ -424,6 +435,61 @@ object Similarity {
         graft.Materialize.cut(assignSub(cents2)))
     })
 
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** Deterministic product-quantizer training (q89): the corpus
+    * explodes into (vec_id, j, sv) subvector rows — PqM per vector —
+    * and ALL PqM codebooks train in the same jobs with the subspace
+    * index j as the group key: seeds = the PqK subvectors ranked
+    * first by md5("pqseed:"||j||":"||vec_id) within their subspace,
+    * then KmIters assign/update rounds where assignment reaches its
+    * subspace's codeword array through a broadcast equi-join on j
+    * (the whole codebook table is PqM·PqK rows) and the TopCells
+    * kernel scans only that array. One corpus-wide explode, map-side
+    * assignment, centroid updates keyed (j, cid) — no shuffle wider
+    * than the skinny subvector rows.
+    *
+    * Returns (codebooks (j, cid, cv), encoded (vec_id, j, cid, dist)
+    * — dist = the subvector's distance to its codeword, rounded to 6
+    * for order-independent reconstruction-error sums). */
+  private[graft] def pqModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    pqMemo.computeIfAbsent((s, d), _ => {
+      import org.apache.spark.sql.expressions.Window
+      val sv = graft.Materialize.cut(Tables.embeddings(s, d)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(col("vec_id"),
+          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"j -> slice(v, j * $PqSubDim + 1, $PqSubDim))")))
+        .select(col("vec_id"), col("pos").as("j"), col("col").as("sv")))
+      val seeds = sv
+        .withColumn("h", md5(concat(lit("pqseed:"), col("j").cast("string"),
+          lit(":"), col("vec_id").cast("string"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("j")).orderBy(col("h"), col("vec_id"))))
+        .where(col("rn") <= PqK)
+        .select(col("j"), (col("rn") - 1).as("cid"), col("sv").as("cv"))
+      def assign(c: DataFrame): DataFrame = {
+        val byJ = c.groupBy(col("j")).agg(collect_list(
+          struct(col("cid").cast("long").as("cid"), col("cv"))).as("carr"))
+        sv.join(broadcast(byJ), Seq("j"))
+          .withColumn("best", element_at(
+            VectorFunctions.topCells(col("sv"), col("carr"), 1), 1))
+          .select(col("vec_id"), col("j"), col("sv"),
+            col("best.cid").cast("int").as("cid"), col("best.dist").as("dist"))
+      }
+      var cents = seeds
+      for (_ <- 1 to KmIters) {
+        cents = graft.Materialize.cut(assign(cents)
+          .groupBy(col("j"), col("cid")).agg(
+            array((0 until PqSubDim).map(i =>
+              round(avg(expr(s"sv[$i]")), 6)): _*).as("cv")))
+      }
+      (cents, graft.Materialize.cut(assign(cents)
+        .withColumn("dist", round(col("dist"), 6))
+        .select(col("vec_id"), col("j"), col("cid"), col("dist"))))
+    })
+
   /** Seeded random hyperplanes — (j, i) from the first four md5 bytes
     * of "plane:j:dim:i", mapped to [-1, 1). Public data only (md5),
     * reproducible everywhere; the single source of truth lives in the
@@ -560,6 +626,51 @@ object Similarity {
         .select(col("vec_id"), col("label"),
           cos6(col("embedding"), col("q_embedding")).as("cos"))
         .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(10)
+    },
+
+    // Product-quantization ENCODE — the storage side of a compressed
+    // vector lake: each vector becomes a 64-bit code (8 subspaces ×
+    // 8-bit codeword ids vs the 256-byte float payload) plus
+    // its reconstruction error. Map-side assignment per subspace (see
+    // pqModel); the code packs as an integer sum so the gate is
+    // value-exact with no string juggling.
+    "q89_pq_encode" -> { (s, d) =>
+      val (_, encoded) = pqModel(s, d)
+      // the 64-bit code ships as two 32-bit halves: a single 8×8-bit
+      // pack overflows a SIGNED 64-bit shift for codeword ids >= 128
+      // at j = 7 (DuckDB's << errors on it), and integer sums need no
+      // cross-engine ordered aggregation
+      encoded.groupBy(col("vec_id")).agg(
+        expr("sum(CASE WHEN j < 4 THEN " +
+          "shiftleft(CAST(cid AS BIGINT), 8 * j) ELSE 0 END)").as("pq_code_lo"),
+        expr("sum(CASE WHEN j >= 4 THEN " +
+          "shiftleft(CAST(cid AS BIGINT), 8 * (j - 4)) ELSE 0 END)").as("pq_code_hi"),
+        sum(col("dist").cast("decimal(18,6)")).cast("double").as("recon_err"))
+        .orderBy(col("vec_id"))
+    },
+
+    // PQ ADC top-k — the query side: distances to the query are
+    // approximated from a PqM×PqK lookup table (query subvector ↔
+    // codeword distances, rounded once for order-independent sums)
+    // joined against the ENCODED corpus — the original floats are
+    // never touched at query time. At 100 TB the encoded table is the
+    // only thing scanned: 8 bytes/vector instead of 256.
+    "q89b_pq_adc_topk" -> { (s, d) =>
+      val (cents, encoded) = pqModel(s, d)
+      val q8 = Tables.embeddings(s, d).where(col("vec_id") === 0)
+        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .select(posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+          s"j -> slice(v, j * $PqSubDim + 1, $PqSubDim))")))
+        .select(col("pos").as("j"), col("col").as("qsv"))
+      val dtab = cents.join(broadcast(q8), Seq("j"))
+        .withColumn("qd", round(VectorFunctions.l2sq(col("qsv"), col("cv")), 6))
+        .select(col("j"), col("cid"), col("qd"))
+      encoded.where(col("vec_id") =!= 0)
+        .join(broadcast(dtab), Seq("j", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("qd").cast("decimal(18,6)")).cast("double").as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
         .limit(10)
     },
 
@@ -769,6 +880,41 @@ object Similarity {
          |cc0 AS (SELECT scid, cid2, cv FROM sd2),
          |$subIterCtes,
          |${assignSubCte(s"cc$KmIters", "hfin2")}""".stripMargin
+    // mirrors pqModel stage for stage: subvector explode, per-subspace
+    // md5 seeds, KmIters assign/update rounds keyed (j, cid), final
+    // encode with the per-subspace distance rounded once
+    val pqDims = (1 to PqSubDim).map(i => s"round(avg(sv[$i]), 6)").mkString(", ")
+    def pqDistSql(a: String, c: String) =
+      s"list_sum(list_transform(range(1, ${PqSubDim + 1}), " +
+        s"i -> ($a[i] - $c[i]) * ($a[i] - $c[i])))"
+    def pqAssignCte(cents: String, out: String, fin: Boolean) = {
+      val sel = if (fin) "vec_id, j, cid, round(dist, 6) AS dist"
+        else "vec_id, j, sv, cid"
+      s"""$out AS (
+         |  SELECT $sel FROM (
+         |    SELECT a.vec_id, a.j, a.sv, c.cid, ${pqDistSql("a.sv", "c.cv")} AS dist,
+         |      row_number() OVER (PARTITION BY a.vec_id, a.j
+         |        ORDER BY ${pqDistSql("a.sv", "c.cv")}, c.cid) AS arn
+         |    FROM sv8 a JOIN $cents c ON a.j = c.j) WHERE arn = 1)""".stripMargin
+    }
+    val pqIterCtes = (1 to KmIters).map { it =>
+      s"""${pqAssignCte(s"pc${it - 1}", s"pa$it", fin = false)},
+         |pc$it AS (SELECT j, cid, [$pqDims] AS cv FROM pa$it GROUP BY j, cid)""".stripMargin
+    }.mkString(",\n")
+    val pqCtes =
+      s"""sv8 AS (
+         |  SELECT vec_id, j, list_slice(v, j * $PqSubDim + 1,
+         |    j * $PqSubDim + $PqSubDim) AS sv
+         |  FROM n, range(0, $PqM) t(j)),
+         |pqs AS (
+         |  SELECT j, rn - 1 AS cid, sv AS cv FROM (
+         |    SELECT j, sv, row_number() OVER (PARTITION BY j
+         |      ORDER BY md5('pqseed:' || CAST(j AS VARCHAR) || ':' ||
+         |        CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM sv8) WHERE rn <= $PqK),
+         |pc0 AS (SELECT j, cid, cv FROM pqs),
+         |$pqIterCtes,
+         |${pqAssignCte(s"pc$KmIters", "pfin", fin = true)}""".stripMargin
     // mirrors knnProbes + knnBoundedCandidates + knnJoin: every
     // vector's NProbe nearest cells, all probe rows of a cell ranked
     // by (qdist, vec_id) and chunked at `cap`, probes meet member
@@ -866,6 +1012,33 @@ object Similarity {
            |FROM qz ORDER BY vec_id""".stripMargin,
       "q86_knn_join" -> knnSql(CellCap),
       "q86b_knn_join_capped" -> knnSql(KnnCapGate),
+      "q89_pq_encode" ->
+        s"""$base,
+           |$pqCtes
+           |SELECT vec_id,
+           |  CAST(sum(CASE WHEN j < 4
+           |    THEN CAST(cid AS BIGINT) << (8 * j) ELSE 0 END) AS BIGINT)
+           |    AS pq_code_lo,
+           |  CAST(sum(CASE WHEN j >= 4
+           |    THEN CAST(cid AS BIGINT) << (8 * (j - 4)) ELSE 0 END) AS BIGINT)
+           |    AS pq_code_hi,
+           |  CAST(sum(CAST(dist AS DECIMAL(18,6))) AS DOUBLE) AS recon_err
+           |FROM pfin GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+      "q89b_pq_adc_topk" ->
+        s"""$base,
+           |$pqCtes,
+           |q8 AS (
+           |  SELECT j, list_slice(q.qv, j * $PqSubDim + 1,
+           |    j * $PqSubDim + $PqSubDim) AS qsv
+           |  FROM (SELECT v AS qv FROM n WHERE vec_id = 0) q, range(0, $PqM) t(j)),
+           |dt AS (
+           |  SELECT c.j, c.cid, round(${pqDistSql("q8.qsv", "c.cv")}, 6) AS qd
+           |  FROM pc$KmIters c JOIN q8 ON c.j = q8.j)
+           |SELECT e.vec_id,
+           |  CAST(sum(CAST(dt.qd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+           |FROM pfin e JOIN dt ON e.j = dt.j AND e.cid = dt.cid
+           |WHERE e.vec_id <> 0
+           |GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10""".stripMargin,
       "q88_ann_ivf_hier" ->
         s"""$base,
            |$hierCtes,

@@ -78,6 +78,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q89 PQ: ADC top-10 overlaps exact L2 top-10; reconstruction error sane") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(s, sf)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val q = e.where($"vec_id" === 0).select($"v".as("qv"))
+    val exact = e.where($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id",
+        graft.functions.VectorFunctions.l2sq($"v", $"qv").as("d"))
+      .orderBy($"d", $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    val adc = Similarity.queries("q89b_pq_adc_topk")(s, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (adc & exact).size / 10.0
+    info(s"PQ ADC recall@10 vs exact L2 = $recall")
+    // 8-bit PQ with no residual refinement on near-random synthetic
+    // vectors — the coarsest ANN tier; IVF-PQ/OPQ raise this in a
+    // real lake, the gate here is "the approximation is real, not
+    // noise" (random top-10 overlap would be ~0.02)
+    assert(recall >= 0.4, s"PQ ADC recall@10 $recall < 0.4")
+    val enc = Similarity.queries("q89_pq_encode")(s, sf)
+    assert(enc.where($"recon_err" < 0).count() === 0)
+    // 8-bit codes: both halves fit in 32 bits
+    assert(enc.where($"pq_code_lo" < 0 || $"pq_code_lo" > 4294967295L ||
+      $"pq_code_hi" < 0 || $"pq_code_hi" > 4294967295L).count() === 0)
+  }
+
   test("as-of join only matches at-or-before timestamps, same user") {
     val s = spark
     import s.implicits._
