@@ -404,6 +404,27 @@ class ScaleShapeSpec extends SparkSpec {
       s"q87's candidate join is not keyed on the hash band:\n${plan.take(1500)}")
   }
 
+  test("q88/q89b: hierarchical probe and ADC plans stay broadcast-keyed, never corpus-scale loops") {
+    val s = spark
+    for (q <- Seq("q88_ann_ivf_hier", "q89b_pq_adc_topk")) {
+      val plan = SparkEntry.queries(q)(s, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plans a cartesian product:\n${plan.take(1200)}")
+      // the only nested-loop joins allowed are the broadcast of the
+      // 1-row query vector / tiny probe relations
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q shuffles the corpus for a lookup that should ride " +
+          s"broadcasts:\n${plan.take(1200)}")
+    }
+    // q89b's candidate fetch is the (j, cid) equi-join against the
+    // broadcast lookup table — assert it stayed a hash join on j
+    val adc = SparkEntry.queries("q89b_pq_adc_topk")(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(adc.contains("BroadcastHashJoin [j"),
+      s"q89b's table lookup is not the broadcast hash join:\n${adc.take(1200)}")
+  }
+
   test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
     val s = spark
     import s.implicits._
