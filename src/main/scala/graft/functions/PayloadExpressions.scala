@@ -72,6 +72,35 @@ object PayloadSynthesis {
     }
     out
   }
+
+  /** YUV4MPEG2 mono stream: "YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1
+    * Cmono\n" + nf = id%6+2 frames, each "FRAME\n" + a w*h luma
+    * plane (w = id%8+4, h = id%6+4); luma byte k of frame f =
+    * (id + 11f + 7k) mod 256. */
+  def y4mBytes(id: Long): Array[Byte] = {
+    val w = (id % 8 + 4).toInt
+    val h = (id % 6 + 4).toInt
+    val nf = (id % 6 + 2).toInt
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n".getBytes("US-ASCII")
+    val fh = "FRAME\n".getBytes("US-ASCII")
+    val wh = w * h
+    val out = new Array[Byte](header.length + nf * (6 + wh))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var pos = header.length
+    var f = 0
+    while (f < nf) {
+      System.arraycopy(fh, 0, out, pos, 6)
+      pos += 6
+      var k = 0
+      while (k < wh) {
+        out(pos + k) = ((id + 11L * f + 7L * k) % 256).toByte
+        k += 1
+      }
+      pos += wh
+      f += 1
+    }
+    out
+  }
 }
 
 /** Codegen'd wrapper over [[PayloadSynthesis]]: one fused byte-array
@@ -90,11 +119,16 @@ case class SynthPayload(child: Expression, kind: String)
 
   override def nullSafeEval(a: Any): Any = kind match {
     case "ppm" => PayloadSynthesis.ppmBytes(a.asInstanceOf[Long])
+    case "y4m" => PayloadSynthesis.y4mBytes(a.asInstanceOf[Long])
     case _ => PayloadSynthesis.wavBytes(a.asInstanceOf[Long])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = if (kind == "ppm") "ppmBytes" else "wavBytes"
+    val fn = kind match {
+      case "ppm" => "ppmBytes"
+      case "y4m" => "y4mBytes"
+      case _ => "wavBytes"
+    }
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.PayloadSynthesis.$fn($a);")
   }
@@ -110,4 +144,7 @@ object MediaFunctions {
   /** Synthesized RIFF/WAV payload column from a bigint doc_id column. */
   def wavPayload(id: Column): Column =
     GraftSqlBridge.column(SynthPayload(GraftSqlBridge.expression(id), "wav"))
+  /** Synthesized YUV4MPEG2 payload column from a bigint doc_id column. */
+  def y4mPayload(id: Column): Column =
+    GraftSqlBridge.column(SynthPayload(GraftSqlBridge.expression(id), "y4m"))
 }

@@ -19,11 +19,14 @@ import graft.Tables
   * "trust but verify" check a real pipeline runs). The AUDIO leg is
   * likewise real: audio rows carry an actual RIFF/WAV 16-bit PCM
   * binary and [[WavCodec]] parses the genuine container grammar, so
-  * q74's sample rate/count/RMS/peak come from DECODED SAMPLES. Video
-  * decode remains the one clearly-marked byte-level stub (no video
-  * codec fits this library); its plumbing — binary column, typed
-  * features, `mapPartitions` batch shape — is identical and a
-  * production deployment swaps only the codec call.
+  * q74's sample rate/count/RMS/peak come from DECODED SAMPLES. The
+  * VIDEO leg completes the set: video rows carry an actual YUV4MPEG2
+  * stream and [[Y4mCodec]] parses the genuine container grammar —
+  * stream-header parameters, per-frame FRAME markers, raw planes —
+  * so q90's dims/frame count/luma/motion come from DECODED FRAMES.
+  * Compressed formats (JPEG/MP3/H.264) would need library codecs; the
+  * Spark-side plumbing is identical and a production deployment swaps
+  * only the codec call.
   *
   * Scale notes: media bytes never shuffle — every stage is map-only on
   * the scan partitioning; features/metadata (small columns) are what
@@ -73,6 +76,10 @@ object Multimodal {
   final case class AudioRow(doc_id: Long, media: Array[Byte])
   final case class AudioFeatures(doc_id: Long, sample_rate: Int,
       n_samples: Int, byte_len: Int, rms_milli: Long, peak: Int)
+  final case class VideoRow(doc_id: Long, media: Array[Byte])
+  final case class VideoFeatures(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, byte_len: Int, mean_luma_milli: Long, motion: Long,
+      duration_ms: Int)
 
   /** Real image dimensions for the synthesized PPM payloads — small
     * (4..19 x 4..15) so the oracle can recompute pixel features via
@@ -126,6 +133,33 @@ object Multimodal {
   private def wavPayload: org.apache.spark.sql.Column =
     graft.functions.MediaFunctions.wavPayload(col("doc_id"))
 
+  /** Real video dimensions for the synthesized YUV4MPEG2 payloads:
+    * nf = doc_id % 6 + 2 mono frames of (doc_id%8+4) x (doc_id%6+4)
+    * luma at 25 fps; luma byte k of frame f = (doc_id + 11f + 7k)
+    * mod 256 — integer arithmetic both engines reproduce exactly. */
+  private[operators] val vidWSql = "CAST(doc_id % 8 + 4 AS INT)"
+  private[operators] val vidHSql = "CAST(doc_id % 6 + 4 AS INT)"
+  private[operators] val vidNfSql = "CAST(doc_id % 6 + 2 AS INT)"
+
+  /** A COMPLETE YUV4MPEG2 binary per video row (see [[Y4mCodec]]) —
+    * the same synthesis-stands-in-for-storage trade as
+    * [[ppmPayload]]/[[wavPayload]]. */
+  private def y4mPayload: org.apache.spark.sql.Column =
+    graft.functions.MediaFunctions.y4mPayload(col("doc_id"))
+
+  /** The declarative (hex-text) form of [[y4mPayload]] — parity
+    * reference only (see [[ppmPayloadDeclarative]]). 4652414D450A is
+    * hex("FRAME\n"). */
+  private[graft] def y4mPayloadDeclarative: org.apache.spark.sql.Column =
+    unhex(concat(
+      hex(concat(lit("YUV4MPEG2 W"), expr(vidWSql).cast("string"),
+        lit(" H"), expr(vidHSql).cast("string"),
+        lit(" F25:1 Ip A1:1 Cmono\n"))),
+      expr(s"array_join(transform(sequence(0, $vidNfSql - 1), " +
+        s"f -> concat('4652414D450A', " +
+        s"array_join(transform(sequence(0, $vidWSql * $vidHSql - 1), " +
+        "k -> lpad(hex(pmod(doc_id + 11*f + 7*k, 256)), 2, '0')), ''))), '')")))
+
   /** The declarative (hex-text) form of [[wavPayload]] — parity
     * reference only (see [[ppmPayloadDeclarative]]). */
   private[graft] def wavPayloadDeclarative: org.apache.spark.sql.Column = {
@@ -143,9 +177,9 @@ object Multimodal {
   }
 
   /** Attach payload + typed metadata to each doc: image rows get a
-    * real P6 PPM binary, audio rows a real RIFF/WAV PCM binary, video
-    * rows opaque utf-8 text bytes (the one remaining stand-in — no
-    * video codec fits this library). */
+    * real P6 PPM binary, audio rows a real RIFF/WAV PCM binary,
+    * video rows a real YUV4MPEG2 binary — every media type carries a
+    * genuine container its codec grammar-parses. */
   def withMedia(docs: DataFrame): DataFrame =
     docs
       .withColumn("media_type",
@@ -154,7 +188,7 @@ object Multimodal {
       .withColumn("media",
         when(col("media_type") === "image", ppmPayload)
           .when(col("media_type") === "audio", wavPayload)
-          .otherwise(col("text").cast("binary")))
+          .otherwise(y4mPayload))
       .withColumn("meta", struct(
         (col("doc_id") % 640 + 16).cast("int").as("width"),
         (col("doc_id") % 480 + 16).cast("int").as("height"),
@@ -166,8 +200,8 @@ object Multimodal {
     * position-weighted raster checksum mod 1e9+7); audio/video
     * through the generic byte-level leg (length + additive checksum
     * of the first 64 bytes mod 997, dims/mean = -1 — the
-    * container-agnostic fingerprint; q74 is the real audio decode).
-    * Zero shuffle. */
+    * container-agnostic fingerprint; q74/q90 are the real audio and
+    * video decodes). Zero shuffle. */
   def decodeMedia(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
       if (r.media_type == "image") {
@@ -214,8 +248,9 @@ object Multimodal {
     },
 
     // The mapPartitions decode stage: REAL PPM codec for images
-    // (dims/mean/checksum from parsed pixels), byte-level stub for
-    // audio/video.
+    // (dims/mean/checksum from parsed pixels), container-agnostic
+    // byte fingerprint for audio/video (their full decodes are
+    // q74/q90).
     "q71_media_features" -> { (s, d) =>
       decodeFeatures(withMedia(Tables.documents(s, d)))
         .toDF()
@@ -275,6 +310,51 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // Video features through the REAL [[Y4mCodec]]: the container
+    // grammar is parsed (stream-header parameters, per-frame FRAME
+    // markers) and dims, frame count, mean luma and the inter-frame
+    // motion metric (total |luma delta| between consecutive frames)
+    // come from the DECODED planes; duration derives from the PARSED
+    // frame rate. Partition-local, zero shuffle — the video twin of
+    // q71's image leg and q74's audio leg.
+    "q90_video_features" -> { (s, d) =>
+      val session = s
+      import session.implicits._
+      withMedia(Tables.documents(s, d))
+        .where(col("media_type") === "video")
+        .select(col("doc_id"), col("media"))
+        .as[VideoRow]
+        .mapPartitions(_.map { r =>
+          val v = Y4mCodec.decode(r.media)
+          val nf = v.frames.length
+          // a structurally valid stream with zero frames has no luma
+          // to average — reject like the q74 empty-data-chunk guard
+          if (nf == 0) throw new IllegalArgumentException(
+            s"Y4M: empty stream (no frames) in doc ${r.doc_id}")
+          val wh = v.width * v.height
+          var sum = 0L
+          var motion = 0L
+          var f = 0
+          while (f < nf) {
+            val cur = v.frames(f)
+            val prev = if (f > 0) v.frames(f - 1) else null
+            var k = 0
+            while (k < wh) {
+              sum += cur(k) & 0xFF
+              if (prev != null)
+                motion += math.abs((cur(k) & 0xFF) - (prev(k) & 0xFF))
+              k += 1
+            }
+            f += 1
+          }
+          VideoFeatures(r.doc_id, v.width, v.height, nf, r.media.length,
+            sum * 1000 / (nf.toLong * wh), motion,
+            (nf.toLong * 1000 * v.fpsDen / v.fpsNum).toInt)
+        })
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // Perceptual image near-dup: dHash over DECODED pixels (the PPM
     // codec as a dedup INPUT, not just a feature extractor), then
     // hamming-banded pair generation — candidates share one of the 4
@@ -328,12 +408,10 @@ object Multimodal {
     },
   )
 
-  // Audio/video payload bytes are the utf-8 text bytes (ASCII corpus),
-  // so the oracle recomputes byte arithmetic via
-  // ascii(substring(text,i,1)); image payloads are the synthesized P6
-  // PPMs, whose header length and pixel bytes ((doc_id + 7k) mod 256)
-  // the oracle recomputes with the same integer arithmetic the codec
-  // sees after parsing.
+  // Every media payload is a synthesized real container (P6 PPM,
+  // RIFF/WAV, YUV4MPEG2), so the oracles recompute byte layouts and
+  // features with the same integer arithmetic the codecs see after
+  // parsing — never from the bytes themselves.
   private val ppmLenSql =
     "length('P6' || chr(10) || CAST(doc_id % 16 + 4 AS VARCHAR) || ' ' || " +
       "CAST(doc_id % 12 + 4 AS VARCHAR) || chr(10) || '255' || chr(10)) + " +
@@ -348,13 +426,24 @@ object Multimodal {
   private val u16Or =
     "(((doc_id * 31 + 7 * k) % 4096 - 2048) + 65536) % 65536"
 
+  // The Y4M byte model the oracle recomputes: variable-length ASCII
+  // stream header, then nf frames of "FRAME\n" (6 bytes) + w*h luma.
+  private val vwOr = "(doc_id % 8 + 4)"
+  private val vhOr = "(doc_id % 6 + 4)"
+  private val vnfOr = "(doc_id % 6 + 2)"
+  private val y4mHdrSql =
+    s"('YUV4MPEG2 W' || $vwOr || ' H' || $vhOr || " +
+      "' F25:1 Ip A1:1 Cmono' || chr(10))"
+  private val y4mLenSql =
+    s"length($y4mHdrSql) + $vnfOr * (6 + $vwOr * $vhOr)"
+
   def oracle: Map[String, String] = Map(
     "q70_media_meta" ->
       s"""SELECT doc_id,
         |  ['image','audio','video'][CAST(doc_id % 3 + 1 AS INTEGER)] AS media_type,
         |  CASE WHEN doc_id % 3 = 0 THEN CAST($ppmLenSql AS INTEGER)
         |       WHEN doc_id % 3 = 1 THEN CAST($wavLenSql AS INTEGER)
-        |       ELSE length(text) END AS n_bytes,
+        |       ELSE CAST($y4mLenSql AS INTEGER) END AS n_bytes,
         |  CAST(doc_id % 640 + 16 AS INTEGER) AS width,
         |  CAST(doc_id % 480 + 16 AS INTEGER) AS height,
         |  CAST(n_chars % 240 + 1 AS INTEGER) AS n_frames
@@ -368,7 +457,7 @@ object Multimodal {
         |SELECT doc_id, media_type,
         |  CASE WHEN media_type = 'image' THEN CAST($ppmLenSql AS INTEGER)
         |       WHEN media_type = 'audio' THEN CAST($wavLenSql AS INTEGER)
-        |       ELSE CAST(length(text) AS INTEGER) END AS byte_len,
+        |       ELSE CAST($y4mLenSql AS INTEGER) END AS byte_len,
         |  CASE WHEN media_type = 'image' THEN w ELSE -1 END AS img_width,
         |  CASE WHEN media_type = 'image' THEN h ELSE -1 END AS img_height,
         |  CASE WHEN media_type = 'image' THEN
@@ -386,8 +475,17 @@ object Multimodal {
         |      + (2 * $nSampOr) % 256 + (2 * $nSampOr) // 256
         |      + list_sum(list_transform(range(0, 10),
         |          k -> $u16Or % 256 + $u16Or // 256))) % 997 AS BIGINT)
-        |    ELSE CAST(list_sum(list_transform(range(1, least(64, length(text)) + 1),
-        |      i -> ascii(substring(text, i, 1)))) % 997 AS BIGINT) END AS checksum
+        |  ELSE
+        |    -- first 64 bytes of the Y4M stream: header ASCII codes,
+        |    -- then "FRAME\\n" (70,82,65,77,69,10) + luma per frame
+        |    CAST(list_sum((
+        |      list_transform(range(1, length($y4mHdrSql) + 1),
+        |        i -> CAST(ascii(substring($y4mHdrSql, i, 1)) AS BIGINT))
+        |      || flatten(list_transform(range(0, $vnfOr), f ->
+        |           list_transform([70,82,65,77,69,10], x -> CAST(x AS BIGINT))
+        |           || list_transform(range(0, $vwOr * $vhOr),
+        |                k -> (doc_id + 11*f + 7*k) % 256)))
+        |      )[1:64]) % 997 AS BIGINT) END AS checksum
         |FROM m ORDER BY doc_id""".stripMargin,
     "q72_frame_sample" ->
       """WITH m AS (
@@ -415,6 +513,30 @@ object Multimodal {
         |  CAST(ceil(round(CAST(n AS DOUBLE) / 16000, 6) / 0.025) AS INTEGER)
         |    AS n_windows_25ms
         |FROM s ORDER BY doc_id""".stripMargin,
+    // mirrors the q90 decode: luma byte at global index g of the
+    // frame stream is (doc_id + 11*(g // wh) + 7*(g % wh)) mod 256;
+    // mean over all frames, motion = total |luma delta| between
+    // consecutive frames, duration from the 25:1 frame rate
+    "q90_video_features" ->
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CAST($vwOr AS INTEGER) AS w,
+        |    CAST($vhOr AS INTEGER) AS h,
+        |    CAST($vnfOr AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, w AS width, h AS height, nf AS n_frames,
+        |  CAST(length('YUV4MPEG2 W' || w || ' H' || h ||
+        |    ' F25:1 Ip A1:1 Cmono' || chr(10)) + nf * (6 + w * h)
+        |    AS INTEGER) AS byte_len,
+        |  CAST(list_sum(list_transform(range(0, nf * w * h),
+        |    g -> (doc_id + 11 * (g // (w * h)) + 7 * (g % (w * h))) % 256))
+        |    * 1000 // (nf * w * h) AS BIGINT) AS mean_luma_milli,
+        |  CAST(list_sum(list_transform(range(0, (nf - 1) * w * h),
+        |    g -> abs((doc_id + 11 * (g // (w * h) + 1) + 7 * (g % (w * h))) % 256
+        |           - (doc_id + 11 * (g // (w * h)) + 7 * (g % (w * h))) % 256)))
+        |    AS BIGINT) AS motion,
+        |  CAST(nf * 40 AS INTEGER) AS duration_ms
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q73_media_resize" ->
       """SELECT doc_id,
         |  CAST(doc_id % 640 + 16 AS INTEGER) AS width,

@@ -329,23 +329,28 @@ class IoStreamingSpec extends SparkSpec {
     assert(bytesOf(graft.functions.MediaFunctions.wavPayload($"doc_id")) ===
       bytesOf(Multimodal.wavPayloadDeclarative),
       "WAV kernel diverges from the declarative synthesis")
+    assert(bytesOf(graft.functions.MediaFunctions.y4mPayload($"doc_id")) ===
+      bytesOf(Multimodal.y4mPayloadDeclarative),
+      "Y4M kernel diverges from the declarative synthesis")
   }
 
-  test("media payloads never shuffle in the multimodal feature plan") {
-    val plan = Multimodal.queries("q71_media_features")(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      "decode stage must stay map-only (sort for presentation only)")
+  test("media payloads never shuffle in the multimodal feature plans") {
+    for (q <- Seq("q71_media_features", "q74_audio_meta", "q90_video_features")) {
+      val plan = Multimodal.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q decode stage must stay map-only (sort for presentation only)")
+    }
   }
 
-  test("decode features: real PPM pixels for images, byte stub for audio/video") {
+  test("decode features: real PPM pixels for images, byte fingerprint of the real containers for audio/video") {
     val s = spark
     import s.implicits._
     val feats = Multimodal.queries("q71_media_features")(s, sf)
       .select($"doc_id", $"checksum").as[(Long, Long)].collect().toMap
-    val texts = Tables.documents(s, sf)
-      .select($"doc_id", $"text").as[(Long, String)].collect()
-    texts.foreach { case (id, text) =>
+    val ids = Tables.documents(s, sf)
+      .select($"doc_id").as[Long].collect()
+    ids.foreach { id =>
       val expected =
         if (id % 3 == 0) {
           // image: the position-weighted checksum over the ACTUAL
@@ -364,8 +369,18 @@ class IoStreamingSpec extends SparkSpec {
             ((id * 31 + 7L * k) % 4096 - 2048).toShort)
           graft.operators.WavCodec.encode(16000, samples)
             .take(64).map(_ & 0xFF).map(_.toLong).sum % 997
-        } else
-          text.getBytes("UTF-8").take(64).map(_ & 0xFF).map(_.toLong).sum % 997
+        } else {
+          // video: the byte fingerprint over the ACTUAL synthesized
+          // YUV4MPEG2 payload — rebuilt here through Y4mCodec.encode
+          // (same canonical-writer cross-check as the audio leg)
+          val w = (id % 8 + 4).toInt
+          val h = (id % 6 + 4).toInt
+          val nf = (id % 6 + 2).toInt
+          val frames = Array.tabulate(nf)(f => Array.tabulate(w * h)(k =>
+            ((id + 11L * f + 7L * k) % 256).toByte))
+          graft.operators.Y4mCodec.encode(w, h, 25, 1, "mono", frames)
+            .take(64).map(_ & 0xFF).map(_.toLong).sum % 997
+        }
       assert(feats(id) === expected, s"doc $id")
     }
   }
@@ -437,5 +452,54 @@ class IoStreamingSpec extends SparkSpec {
         good.dropRight(5), // truncated data (RIFF size now lies)
         tag("RIFF") ++ le32(4) ++ tag("WAVE"))) // no fmt/data at all
       intercept[IllegalArgumentException](WavCodec.decode(bad))
+  }
+
+  test("Y4M codec: full container grammar round-trip and malformed-input rejection") {
+    import graft.operators.Y4mCodec
+    // a non-trivial mono stream through encode -> decode
+    val frames = Array.tabulate(3)(f =>
+      Array.tabulate(6 * 4)(k => ((f * 37 + k * 11) % 256).toByte))
+    val v = Y4mCodec.decode(Y4mCodec.encode(6, 4, 25, 1, "mono", frames))
+    assert(v.width === 6 && v.height === 4)
+    assert(v.fpsNum === 25 && v.fpsDen === 1 && v.colorspace === "mono")
+    assert(v.frames.length === 3)
+    assert(v.frames.map(_.toSeq).toSeq === frames.map(_.toSeq).toSeq)
+    // hand-built stream exercising the wider grammar: a 4:2:0
+    // colorspace (Y + U + V planes), an X extension parameter
+    // (ignored per spec), a defaulted C (-> 420), and FRAME headers
+    // carrying their own parameters
+    val yuv = Array.tabulate(4 * 2 + 2 * (2 * 1))(k => (k * 29 % 256).toByte)
+    val wild = Y4mCodec.decode(
+      "YUV4MPEG2 W4 H2 F30000:1001 It A4:3 C420jpeg Xmeta=1\n"
+        .getBytes("US-ASCII") ++
+        "FRAME Ixyz\n".getBytes("US-ASCII") ++ yuv)
+    assert(wild.width === 4 && wild.height === 2)
+    assert(wild.fpsNum === 30000 && wild.fpsDen === 1001)
+    assert(wild.colorspace === "420jpeg")
+    assert(wild.frames.length === 1 && wild.frames(0).toSeq === yuv.toSeq)
+    val defaulted = Y4mCodec.decode(
+      "YUV4MPEG2 W4 H2 F25:1\n".getBytes("US-ASCII") ++
+        "FRAME\n".getBytes("US-ASCII") ++ yuv)
+    assert(defaulted.colorspace === "420" && defaulted.frames.length === 1)
+    // a zero-frame stream is structurally legal (header only)
+    assert(Y4mCodec.decode("YUV4MPEG2 W4 H2 F25:1 Cmono\n"
+      .getBytes("US-ASCII")).frames.isEmpty)
+    // malformed streams are rejected, not guessed at
+    val good = Y4mCodec.encode(6, 4, 25, 1, "mono", frames)
+    for (bad <- Seq(
+        "YUV4MPEG3 W4 H2 F25:1 Cmono\n".getBytes("US-ASCII"), // bad magic
+        "YUV4MPEG2 H2 F25:1 Cmono\n".getBytes("US-ASCII"), // missing W
+        "YUV4MPEG2 W4 H2 Cmono\n".getBytes("US-ASCII"), // missing F
+        "YUV4MPEG2 W4x H2 F25:1 Cmono\n".getBytes("US-ASCII"), // bad int
+        "YUV4MPEG2 W4 H2 F25:1 C444\n".getBytes("US-ASCII"), // unsupported C
+        "YUV4MPEG2 W5 H3 F25:1\n".getBytes("US-ASCII"), // odd dims for 420
+        "YUV4MPEG2 W4 H2 F25:1 Q9\n".getBytes("US-ASCII"), // unknown param
+        "YUV4MPEG2 W4 H4 W4 F25:1 Cmono\n".getBytes("US-ASCII"), // duplicate W
+        "YUV4MPEG2 W4 H2 F25:1 Cmono".getBytes("US-ASCII"), // no newline
+        good.dropRight(5), // truncated last frame
+        good ++ Array[Byte](1, 2, 3), // trailing bytes (bad FRAME marker)
+        good.patch(good.length - 6 * 4 - 6,
+          "FRAMX\n".getBytes("US-ASCII"), 6))) // corrupt frame magic
+      intercept[IllegalArgumentException](Y4mCodec.decode(bad))
   }
 }
