@@ -276,8 +276,16 @@ object Similarity {
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
 
-  /** Evict memoized relations (for long-lived sessions / bench sweeps). */
-  def clearMemos(): Unit = ivfMemo.clear()
+  /** Evict memoized relations (for long-lived sessions / bench
+    * sweeps). Clears EVERY trained-model memo — a sweep that reused
+    * a prior sweep's hierarchical/PQ model would under-report those
+    * queries' training cost. */
+  def clearMemos(): Unit = {
+    ivfMemo.clear()
+    hierMemo.clear()
+    pqMemo.clear()
+    ivfPqMemo.clear()
+  }
 
   /** The deterministic Lloyd k-means coarse quantizer, memoized per
     * (session, dir): (centroids (cid, cv), assignment (vec_id, label,
@@ -455,39 +463,81 @@ object Similarity {
     * for order-independent reconstruction-error sums). */
   private[graft] def pqModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
     pqMemo.computeIfAbsent((s, d), _ => {
-      import org.apache.spark.sql.expressions.Window
       val sv = graft.Materialize.cut(Tables.embeddings(s, d)
         .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .select(col("vec_id"),
           posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
             s"j -> slice(v, j * $PqSubDim + 1, $PqSubDim))")))
         .select(col("vec_id"), col("pos").as("j"), col("col").as("sv")))
-      val seeds = sv
-        .withColumn("h", md5(concat(lit("pqseed:"), col("j").cast("string"),
-          lit(":"), col("vec_id").cast("string"))))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("j")).orderBy(col("h"), col("vec_id"))))
-        .where(col("rn") <= PqK)
-        .select(col("j"), (col("rn") - 1).as("cid"), col("sv").as("cv"))
-      def assign(c: DataFrame): DataFrame = {
-        val byJ = c.groupBy(col("j")).agg(collect_list(
-          struct(col("cid").cast("long").as("cid"), col("cv"))).as("carr"))
-        sv.join(broadcast(byJ), Seq("j"))
-          .withColumn("best", element_at(
-            VectorFunctions.topCells(col("sv"), col("carr"), 1), 1))
-          .select(col("vec_id"), col("j"), col("sv"),
-            col("best.cid").cast("int").as("cid"), col("best.dist").as("dist"))
-      }
-      var cents = seeds
-      for (_ <- 1 to KmIters) {
-        cents = graft.Materialize.cut(assign(cents)
-          .groupBy(col("j"), col("cid")).agg(
-            array((0 until PqSubDim).map(i =>
-              round(avg(expr(s"sv[$i]")), 6)): _*).as("cv")))
-      }
-      (cents, graft.Materialize.cut(assign(cents)
-        .withColumn("dist", round(col("dist"), 6))
-        .select(col("vec_id"), col("j"), col("cid"), col("dist"))))
+      pqTrain(sv, "pqseed:")
+    })
+
+  /** The generic PQ trainer shared by q89 (raw subvectors) and q91
+    * (coarse-residual subvectors): `sv` must carry (vec_id, j, sv);
+    * any extra columns (q91's coarse ccid) ride through to the
+    * encoded output untouched. Seeds, iteration count and assignment
+    * tie-breaks are exactly [[pqModel]]'s, parameterized only by the
+    * seed-hash prefix so the two codebook families are independent. */
+  private def pqTrain(sv: DataFrame, seedPrefix: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val seeds = sv
+      .withColumn("h", md5(concat(lit(seedPrefix), col("j").cast("string"),
+        lit(":"), col("vec_id").cast("string"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("j")).orderBy(col("h"), col("vec_id"))))
+      .where(col("rn") <= PqK)
+      .select(col("j"), (col("rn") - 1).as("cid"), col("sv").as("cv"))
+    def assign(c: DataFrame): DataFrame = {
+      val byJ = c.groupBy(col("j")).agg(collect_list(
+        struct(col("cid").cast("long").as("cid"), col("cv"))).as("carr"))
+      sv.join(broadcast(byJ), Seq("j"))
+        .withColumn("best", element_at(
+          VectorFunctions.topCells(col("sv"), col("carr"), 1), 1))
+        .withColumn("cid", col("best.cid").cast("int"))
+        .withColumn("dist", col("best.dist"))
+        .drop("best", "carr")
+    }
+    var cents = seeds
+    for (_ <- 1 to KmIters) {
+      cents = graft.Materialize.cut(assign(cents)
+        .groupBy(col("j"), col("cid")).agg(
+          array((0 until PqSubDim).map(i =>
+            round(avg(expr(s"sv[$i]")), 6)): _*).as("cv")))
+    }
+    (cents, graft.Materialize.cut(assign(cents)
+      .withColumn("dist", round(col("dist"), 6))
+      .drop("sv")))
+  }
+
+  private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** IVF-PQ training (q91) — the composition a 100 TB vector lake
+    * actually runs (FAISS's IVFADC layout): vectors are coarsely
+    * quantized by the shared [[ivfModel]], and PQ codebooks train on
+    * the RESIDUALS v - centroid(cell) rather than the raw vectors.
+    * Residuals concentrate near the origin, so the same PqM×PqK
+    * codebook budget spends its resolution on the within-cell
+    * displacement — reconstruction error drops vs raw-vector PQ
+    * (OperatorsSpec asserts exactly that), and the query side prunes
+    * to NProbe cells BEFORE touching codes. Returns
+    * (codebooks (j, cid, cv), encoded (vec_id, ccid, j, cid, dist)) —
+    * ccid = the coarse cell, the table's partition key at scale. */
+  private[graft] def ivfPqModel(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ivfPqMemo.computeIfAbsent((s, d), _ => {
+      val (cents, assigned) = ivfModel(s, d)
+      // residuals: one broadcast join against the k-row centroid
+      // table; exact double subtraction (no rounding — both engines
+      // subtract the same IEEE doubles)
+      val rsv = graft.Materialize.cut(assigned
+        .join(broadcast(cents), Seq("cid"))
+        .withColumn("r", expr("zip_with(v, cv, (x, c) -> x - c)"))
+        .select(col("vec_id"), col("cid").as("ccid"),
+          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"j -> slice(r, j * $PqSubDim + 1, $PqSubDim))")))
+        .select(col("vec_id"), col("ccid"), col("pos").as("j"),
+          col("col").as("sv")))
+      pqTrain(rsv, "ipqseed:")
     })
 
   /** Seeded random hyperplanes — (j, i) from the first four md5 bytes
@@ -668,6 +718,46 @@ object Similarity {
         .select(col("j"), col("cid"), col("qd"))
       encoded.where(col("vec_id") =!= 0)
         .join(broadcast(dtab), Seq("j", "cid"))
+        .groupBy(col("vec_id"))
+        .agg(sum(col("qd").cast("decimal(18,6)")).cast("double").as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(10)
+    },
+
+    // IVF-PQ ADC top-k — the full 100 TB retrieval architecture in
+    // one query (FAISS IVFADC): coarse-probe the NProbe nearest
+    // cells, compute one ADC lookup table PER PROBED CELL from the
+    // query's residual against that cell's centroid, and approximate
+    // distances over the ENCODED corpus pruned to the probed cells.
+    // The (ccid, j, cid) broadcast join does both the cell prune and
+    // the table lookup; at scale ccid is the encoded table's
+    // partition key, so the probe prunes the scan to ~NProbe/k of
+    // the corpus AND each scanned vector costs 8 code bytes + PqM
+    // table lookups — never a float vector at query time.
+    "q91_ivfpq_adc_topk" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val (cents, assigned) = ivfModel(s, d)
+      val (cbooks, encoded) = ivfPqModel(s, d)
+      val qrow = assigned.where(col("vec_id") === 0).select(col("v").as("qv"))
+      // <= k rows under this window — see the q39 seed-numbering note
+      val pw = Window.partitionBy(pmod(col("cid"), lit(1)))
+        .orderBy(col("qdist"), col("cid"))
+      val probed = cents.crossJoin(broadcast(qrow))
+        .withColumn("qdist", VectorFunctions.l2sq(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(pw))
+        .where(col("prn") <= NProbe)
+        .select(col("cid").as("ccid"),
+          expr("zip_with(qv, cv, (x, c) -> x - c)").as("rq"))
+      val rq8 = probed.select(col("ccid"),
+          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"j -> slice(rq, j * $PqSubDim + 1, $PqSubDim))")))
+        .select(col("ccid"), col("pos").as("j"), col("col").as("qsv"))
+      // NProbe × PqM × PqK rows — broadcast-sized by construction
+      val dtab = cbooks.join(broadcast(rq8), Seq("j"))
+        .withColumn("qd", round(VectorFunctions.l2sq(col("qsv"), col("cv")), 6))
+        .select(col("ccid"), col("j"), col("cid"), col("qd"))
+      encoded.where(col("vec_id") =!= 0)
+        .join(broadcast(dtab), Seq("ccid", "j", "cid"))
         .groupBy(col("vec_id"))
         .agg(sum(col("qd").cast("decimal(18,6)")).cast("double").as("adc_dist"))
         .orderBy(col("adc_dist").asc, col("vec_id").asc)
@@ -915,6 +1005,42 @@ object Similarity {
          |pc0 AS (SELECT j, cid, cv FROM pqs),
          |$pqIterCtes,
          |${pqAssignCte(s"pc$KmIters", "pfin", fin = true)}""".stripMargin
+    // mirrors ivfPqModel stage for stage: residuals against the final
+    // coarse centroids, subvector explode, the same PQ chain under
+    // the 'ipqseed:' hash family with the coarse ccid riding through
+    def ipqAssignCte(cents: String, out: String, fin: Boolean) = {
+      val sel = if (fin) "vec_id, ccid, j, cid, round(dist, 6) AS dist"
+        else "vec_id, ccid, j, sv, cid"
+      s"""$out AS (
+         |  SELECT $sel FROM (
+         |    SELECT a.vec_id, a.ccid, a.j, a.sv, c.cid,
+         |      ${pqDistSql("a.sv", "c.cv")} AS dist,
+         |      row_number() OVER (PARTITION BY a.vec_id, a.j
+         |        ORDER BY ${pqDistSql("a.sv", "c.cv")}, c.cid) AS arn
+         |    FROM rsv8 a JOIN $cents c ON a.j = c.j) WHERE arn = 1)""".stripMargin
+    }
+    val ipqIterCtes = (1 to KmIters).map { it =>
+      s"""${ipqAssignCte(s"ic${it - 1}", s"ia$it", fin = false)},
+         |ic$it AS (SELECT j, cid, [$pqDims] AS cv FROM ia$it GROUP BY j, cid)""".stripMargin
+    }.mkString(",\n")
+    val ivfPqCtes =
+      s"""rs AS (
+         |  SELECT f.vec_id, f.cid AS ccid,
+         |    list_transform(range(1, 65), i -> f.v[i] - c.cv[i]) AS r
+         |  FROM fin f JOIN cents$KmIters c ON f.cid = c.cid),
+         |rsv8 AS (
+         |  SELECT vec_id, ccid, j, list_slice(r, j * $PqSubDim + 1,
+         |    j * $PqSubDim + $PqSubDim) AS sv
+         |  FROM rs, range(0, $PqM) t(j)),
+         |ipqs AS (
+         |  SELECT j, rn - 1 AS cid, sv AS cv FROM (
+         |    SELECT j, sv, row_number() OVER (PARTITION BY j
+         |      ORDER BY md5('ipqseed:' || CAST(j AS VARCHAR) || ':' ||
+         |        CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |    FROM rsv8) WHERE rn <= $PqK),
+         |ic0 AS (SELECT j, cid, cv FROM ipqs),
+         |$ipqIterCtes,
+         |${ipqAssignCte(s"ic$KmIters", "ifin", fin = true)}""".stripMargin
     // mirrors knnProbes + knnBoundedCandidates + knnJoin: every
     // vector's NProbe nearest cells, all probe rows of a cell ranked
     // by (qdist, vec_id) and chunked at `cap`, probes meet member
@@ -1037,6 +1163,31 @@ object Similarity {
            |SELECT e.vec_id,
            |  CAST(sum(CAST(dt.qd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
            |FROM pfin e JOIN dt ON e.j = dt.j AND e.cid = dt.cid
+           |WHERE e.vec_id <> 0
+           |GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10""".stripMargin,
+      "q91_ivfpq_adc_topk" ->
+        s"""$base,
+           |$kmeansCtes,
+           |$ivfPqCtes,
+           |q AS (SELECT v AS qv FROM n WHERE vec_id = 0),
+           |probed AS (
+           |  SELECT cid AS ccid, cv FROM (
+           |    SELECT c.cid, c.cv, row_number() OVER (
+           |      ORDER BY ${distSql("q.qv", "c.cv")}, c.cid) AS prn
+           |    FROM cents$KmIters c CROSS JOIN q) WHERE prn <= $NProbe),
+           |rq8 AS (
+           |  SELECT p.ccid, j, list_slice(
+           |    list_transform(range(1, 65), i -> q.qv[i] - p.cv[i]),
+           |    j * $PqSubDim + 1, j * $PqSubDim + $PqSubDim) AS qsv
+           |  FROM probed p CROSS JOIN q, range(0, $PqM) t(j)),
+           |dt AS (
+           |  SELECT r8.ccid, c.j, c.cid,
+           |    round(${pqDistSql("r8.qsv", "c.cv")}, 6) AS qd
+           |  FROM ic$KmIters c JOIN rq8 r8 ON c.j = r8.j)
+           |SELECT e.vec_id,
+           |  CAST(sum(CAST(dt.qd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+           |FROM ifin e
+           |JOIN dt ON e.ccid = dt.ccid AND e.j = dt.j AND e.cid = dt.cid
            |WHERE e.vec_id <> 0
            |GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10""".stripMargin,
       "q88_ann_ivf_hier" ->

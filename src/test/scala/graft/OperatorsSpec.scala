@@ -105,6 +105,36 @@ class OperatorsSpec extends SparkSpec {
       $"pq_code_hi" < 0 || $"pq_code_hi" > 4294967295L).count() === 0)
   }
 
+  test("q91 IVF-PQ: residual encoding beats raw PQ; ADC recall at least matches") {
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(s, sf)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val q = e.where($"vec_id" === 0).select($"v".as("qv"))
+    val exact = e.where($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id",
+        graft.functions.VectorFunctions.l2sq($"v", $"qv").as("d"))
+      .orderBy($"d", $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    val ivfpq = Similarity.queries("q91_ivfpq_adc_topk")(s, sf)
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = (ivfpq & exact).size / 10.0
+    info(s"IVF-PQ ADC recall@10 vs exact L2 = $recall")
+    assert(recall >= 0.4, s"IVF-PQ ADC recall@10 $recall < 0.4")
+    // the reason residual PQ exists: the same codebook budget spent
+    // on residuals (concentrated near the origin) reconstructs
+    // strictly better than on raw vectors, corpus-wide
+    val rawErr = Similarity.queries("q89_pq_encode")(s, sf)
+      .agg(sum($"recon_err")).as[Double].head()
+    val (_, encoded) = Similarity.ivfPqModel(s, sf)
+    val residErr = encoded
+      .agg(sum($"dist".cast("decimal(18,6)")).cast("double")).as[Double].head()
+    info(s"total recon err: raw PQ $rawErr, IVF-PQ residual $residErr")
+    assert(residErr >= 0, "negative residual reconstruction error")
+    assert(residErr < rawErr,
+      s"residual PQ ($residErr) should beat raw PQ ($rawErr)")
+  }
+
   test("as-of join only matches at-or-before timestamps, same user") {
     val s = spark
     import s.implicits._

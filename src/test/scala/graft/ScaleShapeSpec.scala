@@ -404,9 +404,9 @@ class ScaleShapeSpec extends SparkSpec {
       s"q87's candidate join is not keyed on the hash band:\n${plan.take(1500)}")
   }
 
-  test("q88/q89b: hierarchical probe and ADC plans stay broadcast-keyed, never corpus-scale loops") {
+  test("q88/q89b/q91: hierarchical probe and ADC plans stay broadcast-keyed, never corpus-scale loops") {
     val s = spark
-    for (q <- Seq("q88_ann_ivf_hier", "q89b_pq_adc_topk")) {
+    for (q <- Seq("q88_ann_ivf_hier", "q89b_pq_adc_topk", "q91_ivfpq_adc_topk")) {
       val plan = SparkEntry.queries(q)(s, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
