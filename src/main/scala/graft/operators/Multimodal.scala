@@ -80,6 +80,16 @@ object Multimodal {
   final case class VideoFeatures(doc_id: Long, width: Int, height: Int,
       n_frames: Int, byte_len: Int, mean_luma_milli: Long, motion: Long,
       duration_ms: Int)
+  final case class FrameRow(doc_id: Long, frame_idx: Int,
+      mean_luma_milli: Long, delta_milli: Long, is_key: Boolean)
+
+  /** q90b keyframe gate: a frame opens a new scene when its mean
+    * luma moved >= this much (milli-units) from the previous frame;
+    * frame 0 is always a key. 8.0 luma units sits in a plateau of
+    * the synthesized corpus's delta distribution (the same key set
+    * from 8.0 to 10.0), so the gate exercises both branches without
+    * knife-edging on float-free integer means. */
+  val KeyframeDeltaMilli = 8000L
 
   /** Real image dimensions for the synthesized PPM payloads — small
     * (4..19 x 4..15) so the oracle can recompute pixel features via
@@ -355,6 +365,39 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // Keyframe (scene-change) selection over DECODED frames — the
+    // form of frame sampling a video training-data pipeline actually
+    // runs (q72 samples by metadata index; this samples by content):
+    // a frame is a key when its mean luma moved >= KeyframeDeltaMilli
+    // from the previous frame (frame 0 always is). One decode per
+    // video, one output row per frame — partition-local flatMap,
+    // payload bytes never shuffle.
+    "q90b_keyframes" -> { (s, d) =>
+      val session = s
+      import session.implicits._
+      withMedia(Tables.documents(s, d))
+        .where(col("media_type") === "video")
+        .select(col("doc_id"), col("media"))
+        .as[VideoRow]
+        .mapPartitions(_.flatMap { r =>
+          val v = Y4mCodec.decode(r.media)
+          val wh = v.width * v.height
+          val means = v.frames.map { fr =>
+            var sum = 0L
+            var k = 0
+            while (k < wh) { sum += fr(k) & 0xFF; k += 1 }
+            sum * 1000 / wh
+          }
+          means.iterator.zipWithIndex.map { case (m, f) =>
+            val delta = if (f == 0) -1L else math.abs(m - means(f - 1))
+            FrameRow(r.doc_id, f, m, delta,
+              f == 0 || delta >= KeyframeDeltaMilli)
+          }
+        })
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
     // Perceptual image near-dup: dHash over DECODED pixels (the PPM
     // codec as a dedup INPUT, not just a feature extractor), then
     // hamming-banded pair generation — candidates share one of the 4
@@ -537,6 +580,32 @@ object Multimodal {
         |    AS BIGINT) AS motion,
         |  CAST(nf * 40 AS INTEGER) AS duration_ms
         |FROM m ORDER BY doc_id""".stripMargin,
+    // per-frame means on the TRUNCATED milli values (both engines
+    // floor-divide before differencing), delta via lag, frame 0
+    // always a key
+    "q90b_keyframes" ->
+      s"""WITH m AS (
+        |  SELECT doc_id,
+        |    CAST($vwOr AS INTEGER) AS w,
+        |    CAST($vhOr AS INTEGER) AS h,
+        |    CAST($vnfOr AS INTEGER) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id, CAST(f.range AS INTEGER) AS frame_idx,
+        |    CAST(list_sum(list_transform(range(0, w * h),
+        |      k -> (doc_id + 11 * f.range + 7 * k) % 256)) * 1000 // (w * h)
+        |      AS BIGINT) AS mean_luma_milli
+        |  FROM m CROSS JOIN range(0, 8) f
+        |  WHERE f.range < nf),
+        |dl AS (
+        |  SELECT doc_id, frame_idx, mean_luma_milli,
+        |    CAST(coalesce(abs(mean_luma_milli - lag(mean_luma_milli)
+        |      OVER (PARTITION BY doc_id ORDER BY frame_idx)), -1)
+        |      AS BIGINT) AS delta_milli
+        |  FROM fr)
+        |SELECT doc_id, frame_idx, mean_luma_milli, delta_milli,
+        |  (frame_idx = 0 OR delta_milli >= $KeyframeDeltaMilli) AS is_key
+        |FROM dl ORDER BY doc_id, frame_idx""".stripMargin,
     "q73_media_resize" ->
       """SELECT doc_id,
         |  CAST(doc_id % 640 + 16 AS INTEGER) AS width,

@@ -335,7 +335,8 @@ class IoStreamingSpec extends SparkSpec {
   }
 
   test("media payloads never shuffle in the multimodal feature plans") {
-    for (q <- Seq("q71_media_features", "q74_audio_meta", "q90_video_features")) {
+    for (q <- Seq("q71_media_features", "q74_audio_meta", "q90_video_features",
+        "q90b_keyframes")) {
       val plan = Multimodal.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange hashpartitioning"),
@@ -383,6 +384,17 @@ class IoStreamingSpec extends SparkSpec {
         }
       assert(feats(id) === expected, s"doc $id")
     }
+  }
+
+  test("q90b keyframes: the gate exercises both branches and frame 0 always keys") {
+    val s = spark
+    import s.implicits._
+    val rows = Multimodal.queries("q90b_keyframes")(s, sf)
+      .select($"frame_idx", $"is_key").as[(Int, Boolean)].collect()
+    assert(rows.filter(_._1 == 0).forall(_._2), "a frame 0 is not a key")
+    val later = rows.filter(_._1 > 0)
+    assert(later.exists(_._2), "no scene change detected anywhere — gate too high")
+    assert(later.exists(!_._2), "every frame is a key — gate too low")
   }
 
   test("PPM codec: full grammar round-trip and malformed-input rejection") {
