@@ -425,6 +425,49 @@ class ScaleShapeSpec extends SparkSpec {
       s"q89b's table lookup is not the broadcast hash join:\n${adc.take(1200)}")
   }
 
+  test("q91 persisted layout: ccid partition pruning serves the probe from NProbe partitions") {
+    // the claim in q91's plan comment, executed: write the encoded
+    // table PARTITIONED BY the coarse cell, and a probe-shaped filter
+    // must be served by file-level partition pruning — only the
+    // probed cells' files are ever opened
+    val s = spark
+    val (_, encoded) = operators.Similarity.ivfPqModel(s, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    try {
+      encoded.write.mode("overwrite").partitionBy("ccid").parquet(dir)
+      val cells = s.read.parquet(dir).select("ccid").distinct().count()
+      assert(cells > operators.Similarity.NProbe,
+        s"fixture degenerate: only $cells cells trained")
+      val probed = s.read.parquet(dir)
+        .where(col("ccid").isin(0, 1, 2))
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters"),
+        s"ccid filter did not reach the scan as a partition filter:\n${plan.take(1200)}")
+      // inputFiles ignores filters — read the executed scan's actual
+      // file-count metric instead (unwrapping AQE)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        def scan(p: org.apache.spark.sql.execution.SparkPlan): Long =
+          (p match {
+            case a: AdaptiveSparkPlanExec => a.executedPlan
+            case other => other
+          }).collectLeaves()
+            .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }
+            .sum
+        scan(df.queryExecution.executedPlan)
+      }
+      val allFiles = filesRead(s.read.parquet(dir))
+      val probedFiles = filesRead(probed)
+      assert(probedFiles > 0 && probedFiles < allFiles,
+        s"probe read every file ($probedFiles of $allFiles) — no pruning")
+      info(s"probe opens $probedFiles of $allFiles files across $cells cells")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
     val s = spark
     import s.implicits._
