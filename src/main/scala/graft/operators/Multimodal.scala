@@ -91,6 +91,35 @@ object Multimodal {
     * knife-edging on float-free integer means. */
   val KeyframeDeltaMilli = 8000L
 
+  /** q92: two frames of the same video are "the same scene" when
+    * their mono dHashes differ in <= this many of 64 gradient bits.
+    * Any value < 4 keeps the 4-band candidate join lossless by
+    * pigeonhole (<= 3 flipped bits can touch at most 3 of the 4
+    * 16-bit bands, so one band always matches); at 2 the synthesized
+    * corpus exercises both branches (hammings run 0..7). */
+  val FrameDHashMaxHamming = 2
+
+  final case class FrameSig(doc_id: Long, frame_idx: Int,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Mono (single-plane) dHash — [[dhashSig]]'s luma grid over a
+    * decoded Y4M frame instead of a PPM RGB raster. */
+  private[operators] def dhashMono(doc_id: Long, frame_idx: Int,
+      plane: Array[Byte], w: Int, h: Int): FrameSig = {
+    val bands = new Array[Int](4)
+    var b = 0
+    while (b < 64) {
+      val gx = b % 8
+      val gy = b / 8
+      val sy = gy * h / 8
+      if ((plane(sy * w + gx * w / 9) & 0xFF) >
+          (plane(sy * w + (gx + 1) * w / 9) & 0xFF))
+        bands(b / 16) |= 1 << (b % 16)
+      b += 1
+    }
+    FrameSig(doc_id, frame_idx, bands(0), bands(1), bands(2), bands(3))
+  }
+
   /** Real image dimensions for the synthesized PPM payloads — small
     * (4..19 x 4..15) so the oracle can recompute pixel features via
     * bounded list arithmetic; the metadata struct's width/height stay
@@ -398,6 +427,53 @@ object Multimodal {
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // Repeated-scene (static-segment) detection WITHIN each video:
+    // per-frame mono dHash over DECODED planes, candidates from the
+    // (doc_id, band index, band value) equi-join — q87's bucket shape
+    // with the video as an extra blocking key, NEVER nf² all-pairs
+    // (a real video has thousands of frames) — then the exact 4-band
+    // hamming filter. The dedup consumer for the video codec, as q87
+    // is for the image codec.
+    "q92_frame_neardup" -> { (s, d) =>
+      val session = s
+      import session.implicits._
+      val sig = graft.Materialize.cut(
+        withMedia(Tables.documents(s, d))
+          .where(col("media_type") === "video")
+          .select(col("doc_id"), col("media"))
+          .as[VideoRow]
+          .mapPartitions(_.flatMap { r =>
+            val v = Y4mCodec.decode(r.media)
+            v.frames.iterator.zipWithIndex.map { case (fr, f) =>
+              dhashMono(r.doc_id, f, fr, v.width, v.height)
+            }
+          })
+          .toDF())
+      val ex = sig.select(col("doc_id"), col("frame_idx"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+        .select(col("doc_id"), col("frame_idx"), col("pos").as("j"),
+          col("col").as("bv"))
+      val cp = ex.select(col("doc_id"), col("frame_idx").as("frame_a"),
+          col("j"), col("bv"))
+        .join(ex.select(col("doc_id"), col("frame_idx").as("frame_b"),
+          col("j"), col("bv")), Seq("doc_id", "j", "bv"))
+        .where(col("frame_a") < col("frame_b"))
+        .select(col("doc_id"), col("frame_a"), col("frame_b")).distinct()
+      val xa = sig.select(col("doc_id"), col("frame_idx").as("frame_a"),
+        col("b0").as("a0"), col("b1").as("a1"),
+        col("b2").as("a2"), col("b3").as("a3"))
+      val xb = sig.select(col("doc_id"), col("frame_idx").as("frame_b"),
+        col("b0").as("c0"), col("b1").as("c1"),
+        col("b2").as("c2"), col("b3").as("c3"))
+      cp.join(xa, Seq("doc_id", "frame_a")).join(xb, Seq("doc_id", "frame_b"))
+        .withColumn("hamming", expr(
+          "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("int"))
+        .where(col("hamming") <= FrameDHashMaxHamming)
+        .select(col("doc_id"), col("frame_a"), col("frame_b"), col("hamming"))
+        .orderBy(col("doc_id"), col("frame_a"), col("frame_b"))
+    },
+
     // Perceptual image near-dup: dHash over DECODED pixels (the PPM
     // codec as a dedup INPUT, not just a feature extractor), then
     // hamming-banded pair generation — candidates share one of the 4
@@ -614,6 +690,50 @@ object Multimodal {
         |  greatest(CAST(floor((doc_id % 480 + 16) / 2) AS INTEGER), 1) AS out_height
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY doc_id""".stripMargin,
+    // mirrors dhashMono + the (doc, band)-blocked pair join: luma at
+    // plane offset p of frame f is (doc_id + 11*f + 7*p) mod 256,
+    // grid positions unrolled at SQL-generation time as in q87
+    "q92_frame_neardup" -> {
+      def luma(sx: String, sy: String): String =
+        s"((doc_id + 11*f + 7*(($sy)*w+($sx))) % 256)"
+      def band(j: Int): String = (0 until 16).map { t =>
+        val b = 16 * j + t
+        val (gx, gy) = (b % 8, b / 8)
+        val sy = s"(($gy*h)//8)"
+        s"CASE WHEN ${luma(s"(($gx*w)//9)", sy)} > " +
+          s"${luma(s"((${gx + 1}*w)//9)", sy)} THEN (1::INT << $t) ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      val bandCols = (0 until 4)
+        .map(j => s"CAST(${band(j)} AS INT) AS b$j").mkString(",\n    ")
+      val hamSql = (1 to 4)
+        .map(i => s"bit_count(xor(x.bands[$i], y.bands[$i]))").mkString(" + ")
+      s"""WITH m AS (
+         |  SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h,
+         |    doc_id % 6 + 2 AS nf
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |fr AS (
+         |  SELECT doc_id, w, h, CAST(t.range AS INTEGER) AS f
+         |  FROM m CROSS JOIN range(0, 8) t WHERE t.range < nf),
+         |bd AS (SELECT doc_id, f,
+         |    $bandCols
+         |  FROM fr),
+         |sig AS (SELECT doc_id, f, [b0, b1, b2, b3] AS bands FROM bd),
+         |ex AS (SELECT doc_id, f, j, bands[j+1] AS bv
+         |  FROM sig, range(0,4) AS t(j)),
+         |cp AS (
+         |  SELECT DISTINCT a.doc_id, a.f AS frame_a, b.f AS frame_b
+         |  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.j = b.j
+         |    AND a.bv = b.bv AND a.f < b.f),
+         |hm AS (
+         |  SELECT cp.doc_id, cp.frame_a, cp.frame_b,
+         |    CAST($hamSql AS INTEGER) AS hamming
+         |  FROM cp
+         |  JOIN sig x ON x.doc_id = cp.doc_id AND x.f = cp.frame_a
+         |  JOIN sig y ON y.doc_id = cp.doc_id AND y.f = cp.frame_b)
+         |SELECT doc_id, frame_a, frame_b, hamming FROM hm
+         |WHERE hamming <= $FrameDHashMaxHamming
+         |ORDER BY doc_id, frame_a, frame_b""".stripMargin
+    },
     // mirrors dhashSig + the banded pair join: the oracle recomputes
     // each luma sample from the synthesis formula (pixel byte k =
     // (doc_id + 7k) mod 256) with the grid positions UNROLLED at

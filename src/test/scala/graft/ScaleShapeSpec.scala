@@ -404,6 +404,21 @@ class ScaleShapeSpec extends SparkSpec {
       s"q87's candidate join is not keyed on the hash band:\n${plan.take(1500)}")
   }
 
+  test("q92 frame near-dup: candidates blocked by (video, band), never nf^2 all-pairs") {
+    val s = spark
+    val df = SparkEntry.queries("q92_frame_neardup")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q92 plans an all-pairs join:\n${plan.take(1500)}")
+    // pair generation must be keyed on (doc_id, band index, band
+    // value) — the within-video LSH blocking; a real video has
+    // thousands of frames, so a per-video quadratic is a scale bug
+    assert(Seq("SortMergeJoin [doc_id", "ShuffledHashJoin [doc_id",
+        "BroadcastHashJoin [doc_id").exists(plan.contains),
+      s"q92's candidate join is not keyed on (doc_id, band):\n${plan.take(1500)}")
+  }
+
   test("q88/q89b/q91: hierarchical probe and ADC plans stay broadcast-keyed, never corpus-scale loops") {
     val s = spark
     for (q <- Seq("q88_ann_ivf_hier", "q89b_pq_adc_topk", "q91_ivfpq_adc_topk")) {
