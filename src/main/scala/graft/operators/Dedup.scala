@@ -410,14 +410,37 @@ object Dedup {
       .join(docRep.select(col("doc_id").as("doc_b"), col("rep").as("rep_b")), Seq("doc_b"))
       .where(col("rep_a") =!= col("rep_b"))
       .select(col("rep_a"), col("rep_b")).distinct()
-    // materialize the rep-level edge list once — every propagation
-    // round joins it, and without this the whole minhash pipeline
-    // would re-run per round
-    val edges = Materialize(repPairs
-      .union(repPairs.select(col("rep_b"), col("rep_a")))
+    val labels = minLabelComponents(
+      repPairs, docRep.select(col("rep").as("node")))
+    // the memoized result must not depend on per-loop frames that a
+    // "persist" strategy may later release — cut the joined doc-level
+    // labels themselves (memo outlives every per-round frame)
+    val out = Materialize.cut(docRep.join(labels, docRep("rep") === labels("node"))
+      .select(col("doc_id"), col("label").as("cluster_id")))
+    Materialize.release(labels)
+    Materialize.release(docRep)
+    out
+  }
+
+  /** Iterative min-label propagation over an undirected pair graph —
+    * the connected-components kernel shared by q35 (near-dup doc
+    * clusters) and q92b (within-video scene groups). `pairs` is one
+    * row per undirected edge (two numeric columns); `nodes` is the
+    * node universe (column `node`, deduplicated here). Returns a
+    * MATERIALIZED (node, label = component min) frame the caller must
+    * `Materialize.release` after use. No driver-side graph — every
+    * round is one join + min-aggregate, frames cut per round so
+    * lineage stays flat. */
+  private[operators] def minLabelComponents(pairs: DataFrame,
+      nodes: DataFrame): DataFrame = {
+    val p = pairs.toDF("pa", "pb")
+    // materialize the edge list once — every propagation round joins
+    // it, and without this the upstream pipeline would re-run per round
+    val edges = Materialize(p
+      .union(p.select(col("pb"), col("pa")))
       .toDF("src", "dst"))
-    var labels = Materialize(docRep.select(col("rep")).distinct()
-      .select(col("rep").as("node"), col("rep").as("label")))
+    var labels = Materialize(nodes.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -435,20 +458,13 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    Materialize.release(edges)
     // a chain-shaped component with diameter > the round cap would
     // exit unconverged; silent wrong labels are worse than failure
     require(converged,
       s"label propagation did not converge after $rounds rounds — " +
         "component diameter exceeds the cap; raise the bound")
-    // the memoized result must not depend on per-loop frames that a
-    // "persist" strategy may later release — cut the joined doc-level
-    // labels themselves (memo outlives every per-round frame)
-    val out = Materialize.cut(docRep.join(labels, docRep("rep") === labels("node"))
-      .select(col("doc_id"), col("label").as("cluster_id")))
-    Materialize.release(labels)
-    Materialize.release(docRep)
-    Materialize.release(edges)
-    out
+    labels
   }
 
   /** q83's distinct (doc_id, 48-bit window-hash) relation, materialized

@@ -102,6 +102,97 @@ object Multimodal {
   final case class FrameSig(doc_id: Long, frame_idx: Int,
       b0: Int, b1: Int, b2: Int, b3: Int)
 
+  /** The per-frame mono dHash signature relation shared by q92 and
+    * q92b: one decode per video, one (doc_id, frame_idx, 4×16-bit
+    * band) row per frame — bytes never leave the decode partition. */
+  private def frameSigs(s: SparkSession, d: String): DataFrame = {
+    val session = s
+    import session.implicits._
+    graft.Materialize.cut(
+      withMedia(Tables.documents(s, d))
+        .where(col("media_type") === "video")
+        .select(col("doc_id"), col("media"))
+        .as[VideoRow]
+        .mapPartitions(_.flatMap { r =>
+          val v = Y4mCodec.decode(r.media)
+          v.frames.iterator.zipWithIndex.map { case (fr, f) =>
+            dhashMono(r.doc_id, f, fr, v.width, v.height)
+          }
+        })
+        .toDF())
+  }
+
+  /** Banded within-video near-dup pairs over a frame-signature
+    * relation (doc_id, frame_idx, b0..b3): candidates share a
+    * (doc_id, band index, band value) bucket — never nf² all-pairs —
+    * then the exact 4-band hamming filter at
+    * [[FrameDHashMaxHamming]]. */
+  private[graft] def framePairs(sig: DataFrame): DataFrame = {
+    val ex = sig.select(col("doc_id"), col("frame_idx"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .select(col("doc_id"), col("frame_idx"), col("pos").as("j"),
+        col("col").as("bv"))
+    val cp = ex.select(col("doc_id"), col("frame_idx").as("frame_a"),
+        col("j"), col("bv"))
+      .join(ex.select(col("doc_id"), col("frame_idx").as("frame_b"),
+        col("j"), col("bv")), Seq("doc_id", "j", "bv"))
+      .where(col("frame_a") < col("frame_b"))
+      .select(col("doc_id"), col("frame_a"), col("frame_b")).distinct()
+    val xa = sig.select(col("doc_id"), col("frame_idx").as("frame_a"),
+      col("b0").as("a0"), col("b1").as("a1"),
+      col("b2").as("a2"), col("b3").as("a3"))
+    val xb = sig.select(col("doc_id"), col("frame_idx").as("frame_b"),
+      col("b0").as("c0"), col("b1").as("c1"),
+      col("b2").as("c2"), col("b3").as("c3"))
+    cp.join(xa, Seq("doc_id", "frame_a")).join(xb, Seq("doc_id", "frame_b"))
+      .withColumn("hamming", expr(
+        "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+          "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("int"))
+      .where(col("hamming") <= FrameDHashMaxHamming)
+      .select(col("doc_id"), col("frame_a"), col("frame_b"), col("hamming"))
+  }
+
+  /** Identical-signature contraction for [[sceneGroups]]: one
+    * representative (min frame_idx) per distinct (doc_id, b0..b3)
+    * signature. A 10k-frame static shot contracts to ONE rep here —
+    * this is what keeps the scene-group pipeline sub-quadratic on
+    * the video shape that makes q92's pair list explode. */
+  private[graft] def sceneReps(sig: DataFrame): DataFrame =
+    sig.groupBy(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"))
+      .agg(min(col("frame_idx")).as("rep"))
+
+  /** Within-video scene groups over a frame-signature relation
+    * (doc_id, frame_idx, b0..b3): contract identical signatures to
+    * reps ([[sceneReps]] — the q35 dedup contraction; the signature
+    * fully determines adjacency, so rep-level edges are the
+    * frame-level edges modulo contraction), run the shared min-label
+    * propagation ([[Dedup.minLabelComponents]]) over the rep pair
+    * graph, and label every frame with its component's min frame
+    * index. Returns a MATERIALIZED (doc_id, frame_idx, scene_id)
+    * frame. */
+  private[graft] def sceneGroups(sig: DataFrame): DataFrame = {
+    val keys = Seq("doc_id", "b0", "b1", "b2", "b3")
+    val reps = sceneReps(sig)
+    val frameRep = sig.join(reps, keys)
+      .select(col("doc_id"), col("frame_idx"), col("rep"))
+    val repSig = reps.select(col("doc_id"), col("rep").as("frame_idx"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+    // composite node id: frames are < 2^32 in any real container
+    val nodeF = 4294967296L
+    val edges = framePairs(repSig)
+      .select((col("doc_id") * nodeF + col("frame_a")).as("pa"),
+        (col("doc_id") * nodeF + col("frame_b")).as("pb"))
+    val labels = Dedup.minLabelComponents(edges,
+      reps.select((col("doc_id") * nodeF + col("rep")).as("node")))
+    val out = graft.Materialize.cut(frameRep
+      .join(labels,
+        frameRep("doc_id") * nodeF + frameRep("rep") === labels("node"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("label") - col("doc_id") * nodeF).cast("int").as("scene_id")))
+    graft.Materialize.release(labels)
+    out
+  }
+
   /** Mono (single-plane) dHash — [[dhashSig]]'s luma grid over a
     * decoded Y4M frame instead of a PPM RGB raster. */
   private[operators] def dhashMono(doc_id: Long, frame_idx: Int,
@@ -435,43 +526,21 @@ object Multimodal {
     // hamming filter. The dedup consumer for the video codec, as q87
     // is for the image codec.
     "q92_frame_neardup" -> { (s, d) =>
-      val session = s
-      import session.implicits._
-      val sig = graft.Materialize.cut(
-        withMedia(Tables.documents(s, d))
-          .where(col("media_type") === "video")
-          .select(col("doc_id"), col("media"))
-          .as[VideoRow]
-          .mapPartitions(_.flatMap { r =>
-            val v = Y4mCodec.decode(r.media)
-            v.frames.iterator.zipWithIndex.map { case (fr, f) =>
-              dhashMono(r.doc_id, f, fr, v.width, v.height)
-            }
-          })
-          .toDF())
-      val ex = sig.select(col("doc_id"), col("frame_idx"),
-        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
-        .select(col("doc_id"), col("frame_idx"), col("pos").as("j"),
-          col("col").as("bv"))
-      val cp = ex.select(col("doc_id"), col("frame_idx").as("frame_a"),
-          col("j"), col("bv"))
-        .join(ex.select(col("doc_id"), col("frame_idx").as("frame_b"),
-          col("j"), col("bv")), Seq("doc_id", "j", "bv"))
-        .where(col("frame_a") < col("frame_b"))
-        .select(col("doc_id"), col("frame_a"), col("frame_b")).distinct()
-      val xa = sig.select(col("doc_id"), col("frame_idx").as("frame_a"),
-        col("b0").as("a0"), col("b1").as("a1"),
-        col("b2").as("a2"), col("b3").as("a3"))
-      val xb = sig.select(col("doc_id"), col("frame_idx").as("frame_b"),
-        col("b0").as("c0"), col("b1").as("c1"),
-        col("b2").as("c2"), col("b3").as("c3"))
-      cp.join(xa, Seq("doc_id", "frame_a")).join(xb, Seq("doc_id", "frame_b"))
-        .withColumn("hamming", expr(
-          "bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
-            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)").cast("int"))
-        .where(col("hamming") <= FrameDHashMaxHamming)
-        .select(col("doc_id"), col("frame_a"), col("frame_b"), col("hamming"))
+      framePairs(frameSigs(s, d))
         .orderBy(col("doc_id"), col("frame_a"), col("frame_b"))
+    },
+
+    // Scene GROUPS — the output shape a production pipeline emits
+    // instead of q92's exhaustive pair list (which is inherently
+    // quadratic for a static-camera video): contract identical
+    // signatures to one representative per video (the q35 dedup
+    // contraction — est depends only on the signature, so rep-level
+    // edges are the doc-level edges modulo contraction), run the
+    // shared min-label propagation over the rep pair graph, and
+    // label every frame with its component's min frame index. A
+    // 10k-frame static shot costs ONE rep and zero pair rows here.
+    "q92b_scene_groups" -> { (s, d) =>
+      sceneGroups(frameSigs(s, d)).orderBy(col("doc_id"), col("frame_idx"))
     },
 
     // Perceptual image near-dup: dHash over DECODED pixels (the PPM
@@ -544,6 +613,50 @@ object Multimodal {
   private val wavLenSql = s"44 + 2 * $nSampOr"
   private val u16Or =
     "(((doc_id * 31 + 7 * k) % 4096 - 2048) + 65536) % 65536"
+
+  // The shared q92/q92b oracle CTE chain (mirrors dhashMono + the
+  // (doc, band)-blocked pair join): luma at plane offset p of frame f
+  // is (doc_id + 11*f + 7*p) mod 256, grid positions unrolled at
+  // SQL-generation time as in q87; ends at `hm` = candidate pairs
+  // with their exact 4-band hamming.
+  private lazy val q92Chain: String = {
+    def luma(sx: String, sy: String): String =
+      s"((doc_id + 11*f + 7*(($sy)*w+($sx))) % 256)"
+    def band(j: Int): String = (0 until 16).map { t =>
+      val b = 16 * j + t
+      val (gx, gy) = (b % 8, b / 8)
+      val sy = s"(($gy*h)//8)"
+      s"CASE WHEN ${luma(s"(($gx*w)//9)", sy)} > " +
+        s"${luma(s"((${gx + 1}*w)//9)", sy)} THEN (1::INT << $t) ELSE 0 END"
+    }.mkString("(", " + ", ")")
+    val bandCols = (0 until 4)
+      .map(j => s"CAST(${band(j)} AS INT) AS b$j").mkString(",\n    ")
+    val hamSql = (1 to 4)
+      .map(i => s"bit_count(xor(x.bands[$i], y.bands[$i]))").mkString(" + ")
+    s"""m AS (
+       |  SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h,
+       |    doc_id % 6 + 2 AS nf
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |fr AS (
+       |  SELECT doc_id, w, h, CAST(t.range AS INTEGER) AS f
+       |  FROM m CROSS JOIN range(0, 8) t WHERE t.range < nf),
+       |bd AS (SELECT doc_id, f,
+       |    $bandCols
+       |  FROM fr),
+       |sig AS (SELECT doc_id, f, [b0, b1, b2, b3] AS bands FROM bd),
+       |ex AS (SELECT doc_id, f, j, bands[j+1] AS bv
+       |  FROM sig, range(0,4) AS t(j)),
+       |cp AS (
+       |  SELECT DISTINCT a.doc_id, a.f AS frame_a, b.f AS frame_b
+       |  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.j = b.j
+       |    AND a.bv = b.bv AND a.f < b.f),
+       |hm AS (
+       |  SELECT cp.doc_id, cp.frame_a, cp.frame_b,
+       |    CAST($hamSql AS INTEGER) AS hamming
+       |  FROM cp
+       |  JOIN sig x ON x.doc_id = cp.doc_id AND x.f = cp.frame_a
+       |  JOIN sig y ON y.doc_id = cp.doc_id AND y.f = cp.frame_b)""".stripMargin
+  }
 
   // The Y4M byte model the oracle recomputes: variable-length ASCII
   // stream header, then nf frames of "FRAME\n" (6 bytes) + w*h luma.
@@ -690,50 +803,33 @@ object Multimodal {
         |  greatest(CAST(floor((doc_id % 480 + 16) / 2) AS INTEGER), 1) AS out_height
         |FROM documents WHERE doc_id % 3 = 0
         |ORDER BY doc_id""".stripMargin,
-    // mirrors dhashMono + the (doc, band)-blocked pair join: luma at
-    // plane offset p of frame f is (doc_id + 11*f + 7*p) mod 256,
-    // grid positions unrolled at SQL-generation time as in q87
-    "q92_frame_neardup" -> {
-      def luma(sx: String, sy: String): String =
-        s"((doc_id + 11*f + 7*(($sy)*w+($sx))) % 256)"
-      def band(j: Int): String = (0 until 16).map { t =>
-        val b = 16 * j + t
-        val (gx, gy) = (b % 8, b / 8)
-        val sy = s"(($gy*h)//8)"
-        s"CASE WHEN ${luma(s"(($gx*w)//9)", sy)} > " +
-          s"${luma(s"((${gx + 1}*w)//9)", sy)} THEN (1::INT << $t) ELSE 0 END"
-      }.mkString("(", " + ", ")")
-      val bandCols = (0 until 4)
-        .map(j => s"CAST(${band(j)} AS INT) AS b$j").mkString(",\n    ")
-      val hamSql = (1 to 4)
-        .map(i => s"bit_count(xor(x.bands[$i], y.bands[$i]))").mkString(" + ")
-      s"""WITH m AS (
-         |  SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h,
-         |    doc_id % 6 + 2 AS nf
-         |  FROM documents WHERE doc_id % 3 = 2),
-         |fr AS (
-         |  SELECT doc_id, w, h, CAST(t.range AS INTEGER) AS f
-         |  FROM m CROSS JOIN range(0, 8) t WHERE t.range < nf),
-         |bd AS (SELECT doc_id, f,
-         |    $bandCols
-         |  FROM fr),
-         |sig AS (SELECT doc_id, f, [b0, b1, b2, b3] AS bands FROM bd),
-         |ex AS (SELECT doc_id, f, j, bands[j+1] AS bv
-         |  FROM sig, range(0,4) AS t(j)),
-         |cp AS (
-         |  SELECT DISTINCT a.doc_id, a.f AS frame_a, b.f AS frame_b
-         |  FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.j = b.j
-         |    AND a.bv = b.bv AND a.f < b.f),
-         |hm AS (
-         |  SELECT cp.doc_id, cp.frame_a, cp.frame_b,
-         |    CAST($hamSql AS INTEGER) AS hamming
-         |  FROM cp
-         |  JOIN sig x ON x.doc_id = cp.doc_id AND x.f = cp.frame_a
-         |  JOIN sig y ON y.doc_id = cp.doc_id AND y.f = cp.frame_b)
+    // mirrors dhashMono + the (doc, band)-blocked pair join (chain
+    // shared with q92b — see [[q92Chain]])
+    "q92_frame_neardup" ->
+      s"""WITH $q92Chain
          |SELECT doc_id, frame_a, frame_b, hamming FROM hm
          |WHERE hamming <= $FrameDHashMaxHamming
-         |ORDER BY doc_id, frame_a, frame_b""".stripMargin
-    },
+         |ORDER BY doc_id, frame_a, frame_b""".stripMargin,
+    // mirrors the q92b contraction + propagation: transitive closure
+    // of the (hamming <= cap) frame-pair graph per video, component
+    // label = min frame index (contraction is invisible to the
+    // closure — identical sigs are hamming-0 edges)
+    "q92b_scene_groups" ->
+      s"""WITH RECURSIVE $q92Chain,
+         |edges AS (
+         |  SELECT doc_id, frame_a AS src, frame_b AS dst FROM hm
+         |  WHERE hamming <= $FrameDHashMaxHamming
+         |  UNION ALL
+         |  SELECT doc_id, frame_b, frame_a FROM hm
+         |  WHERE hamming <= $FrameDHashMaxHamming),
+         |reach(doc_id, a, b) AS (
+         |  SELECT doc_id, f, f FROM fr
+         |  UNION
+         |  SELECT r.doc_id, r.a, e.dst FROM reach r
+         |  JOIN edges e ON r.doc_id = e.doc_id AND r.b = e.src)
+         |SELECT doc_id, a AS frame_idx, CAST(min(b) AS INTEGER) AS scene_id
+         |FROM reach GROUP BY doc_id, a
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     // mirrors dhashSig + the banded pair join: the oracle recomputes
     // each luma sample from the synthesis formula (pixel byte k =
     // (doc_id + 7k) mod 256) with the grid positions UNROLLED at

@@ -419,6 +419,32 @@ class ScaleShapeSpec extends SparkSpec {
       s"q92's candidate join is not keyed on (doc_id, band):\n${plan.take(1500)}")
   }
 
+  test("q92b scene groups: a static video contracts to one rep and zero pair rows") {
+    val s = spark
+    import s.implicits._
+    // the q92 killer shape: one long static shot — every frame has the
+    // identical dHash signature, so the exhaustive pair list is
+    // nf*(nf-1)/2 while the contracted scene-group path must see ONE
+    // rep and ZERO edges (q92b's output plan is lineage-cut, so the
+    // scale property is asserted on the pre-cut fragments directly)
+    val nf = 400
+    val sig = (0 until nf).map(f => (7L, f, 11, 22, 33, 44))
+      .toDF("doc_id", "frame_idx", "b0", "b1", "b2", "b3")
+    val reps = operators.Multimodal.sceneReps(sig)
+    assert(reps.count() == 1L,
+      "identical signatures did not contract to a single rep")
+    val repSig = reps.select(col("doc_id"), col("rep").as("frame_idx"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+    assert(operators.Multimodal.framePairs(repSig).count() == 0L,
+      "a single-rep video must generate no candidate pairs")
+    // and the full kernel still labels every frame into the one scene
+    val out = operators.Multimodal.sceneGroups(sig)
+    val scenes = out.select("scene_id").distinct().as[Int].collect().toSeq
+    assert(out.count() == nf.toLong && scenes == Seq(0),
+      s"static video must be one scene labeled 0, got $scenes")
+    Materialize.release(out)
+  }
+
   test("q88/q89b/q91: hierarchical probe and ADC plans stay broadcast-keyed, never corpus-scale loops") {
     val s = spark
     for (q <- Seq("q88_ann_ivf_hier", "q89b_pq_adc_topk", "q91_ivfpq_adc_topk")) {
