@@ -57,6 +57,16 @@ object Curation {
     * benchmark/eval set for decontamination. */
   val BenchmarkMod = 97
 
+  /** q63b bloom geometry: m = [[BloomBitsPerGram]] bits per distinct
+    * benchmark gram (floored at 64) with [[BloomK]] double-hash
+    * probes — m/n = 8, k = 5 is the classic ~2% false-positive
+    * point. Sizing m to the SET (not a fixed constant) keeps the FP
+    * rate stable across corpus scales, and makes FPs — the part of
+    * the bloom contract worth oracle-checking — actually occur at
+    * test scale. */
+  val BloomBitsPerGram = 8
+  val BloomK = 5
+
   /** q84b's at-least-once feed model: originals land in micro-batches
     * 1..3 (doc_id mod 3), and the doc_id % RedeliverMod = RedeliverRem
     * slice of the train set is re-delivered in batch 4. TtlSeconds is
@@ -179,6 +189,62 @@ object Curation {
       val hits = train
         .select(col("doc_id"), explode(col("grams")).as("gram"))
         .join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      train.select(col("doc_id"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Bloom-filter decontamination — the form q63 takes when the
+    // benchmark gram set is too large to broadcast as strings (a
+    // 10^10-gram suite is ~TBs of text but m bits of bloom). The
+    // filter is DETERMINISTIC (k positions from the two md5 halves,
+    // double hashing h1 + i*h2 mod m; m sized to the benchmark set),
+    // so the oracle replicates it bit-for-bit — false positives
+    // included; they are part of the operator's contract, not noise.
+    // Scale: the benchmark side is eval-suite sized (its distinct +
+    // count are KB-scale jobs, as in q63); the bitmap build shuffles
+    // only distinct POSITIONS (key space = m bits; the ≤ m/64-row
+    // word collect is bounded the same way), and the probe side is
+    // pure map work under the one-row bitmap broadcast — NO shuffle
+    // by gram anywhere, strictly less data motion than q63's
+    // broadcast-string join.
+    "q63b_bloom_decontaminate" -> { (s, d) =>
+      val session = s
+      import session.implicits._
+      val g = Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("grams", grams5(col("toks")))
+      def hashed(df: DataFrame): DataFrame = df
+        .withColumn("h1", expr(Tokens.hexFold("md5(gram)", 8)))
+        .withColumn("h2", expr(Tokens.hexFold("substr(md5(gram), 9, 8)", 8)))
+      val bench = g.where(col("doc_id") % BenchmarkMod === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      val m = math.max(64L, BloomBitsPerGram * bench.count())
+      val words = hashed(bench)
+        .select(explode(expr(s"transform(sequence(0, ${BloomK - 1}), " +
+          s"i -> (h1 + i * h2) % $m)")).as("p"))
+        .distinct()
+        .groupBy((col("p") / 64).cast("int").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(p % 64 AS INT)))").as("word"))
+        .collect()
+      val bm = Array.fill[Long](((m + 63) / 64).toInt)(0L)
+      words.foreach(r => bm(r.getInt(0)) = r.getLong(1))
+      val bmDf = Seq(Tuple1(bm.toSeq)).toDF("bm")
+      val train = g.where(col("doc_id") % BenchmarkMod =!= 0)
+      val hit = (0 until BloomK).map { i =>
+        expr(s"(element_at(bm, CAST(((h1 + $i * h2) % $m) / 64 AS INT)" +
+          s" + 1) & shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(((h1 + $i * h2) % $m) % 64 AS INT))) != 0")
+      }.reduce(_ && _)
+      val hits = hashed(train
+          .select(col("doc_id"), explode(col("grams")).as("gram")))
+        .crossJoin(broadcast(bmDf))
+        .where(hit)
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       train.select(col("doc_id"))
         .join(hits, Seq("doc_id"), "left")
@@ -743,6 +809,48 @@ object Curation {
          |    (SELECT doc_id, unnest(grams) AS gram FROM g
          |     WHERE doc_id % $BenchmarkMod <> 0) t
          |  JOIN bench USING (gram) GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  coalesce(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN train_hits h USING (doc_id)
+         |WHERE d.doc_id % $BenchmarkMod <> 0
+         |ORDER BY d.doc_id""".stripMargin,
+    // mirrors q63b bit-for-bit: same md5-half double hashing, same
+    // m/k, and hit = ALL k positions in the benchmark position set —
+    // the hit decision depends only on the gram, so the oracle
+    // decides per DISTINCT train gram (unpivot its k probes, join
+    // the position set, HAVING count = k) and joins occurrences back
+    "q63b_bloom_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT doc_id, $grams5Sql AS grams FROM toks),
+         |bench AS (
+         |  SELECT DISTINCT unnest(grams) AS gram FROM g
+         |  WHERE doc_id % $BenchmarkMod = 0),
+         |msel AS (
+         |  SELECT greatest(64, $BloomBitsPerGram * count(*)) AS m FROM bench),
+         |bh AS (
+         |  SELECT gram,
+         |    ${Tokens.hexFold("md5(gram)", 8)} AS h1,
+         |    ${Tokens.hexFold("substr(md5(gram), 9, 8)", 8)} AS h2
+         |  FROM bench),
+         |pos AS (
+         |  SELECT DISTINCT (h1 + t.i * h2) % (SELECT m FROM msel) AS p
+         |  FROM bh CROSS JOIN range(0, $BloomK) t(i)),
+         |tg AS (SELECT doc_id, unnest(grams) AS gram FROM g
+         |       WHERE doc_id % $BenchmarkMod <> 0),
+         |th AS (
+         |  SELECT gram,
+         |    ${Tokens.hexFold("md5(gram)", 8)} AS h1,
+         |    ${Tokens.hexFold("substr(md5(gram), 9, 8)", 8)} AS h2
+         |  FROM (SELECT DISTINCT gram FROM tg)),
+         |ghit AS (
+         |  SELECT gram FROM (
+         |    SELECT gram, (h1 + t.i * h2) % (SELECT m FROM msel) AS p
+         |    FROM th CROSS JOIN range(0, $BloomK) t(i)) tp
+         |  JOIN pos USING (p) GROUP BY gram HAVING count(*) = $BloomK),
+         |train_hits AS (
+         |  SELECT tg.doc_id, count(*) AS n_hits
+         |  FROM tg JOIN ghit USING (gram) GROUP BY tg.doc_id)
          |SELECT d.doc_id,
          |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
          |  coalesce(h.n_hits, 0) > 0 AS contaminated

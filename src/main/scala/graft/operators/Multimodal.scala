@@ -543,6 +543,30 @@ object Multimodal {
       sceneGroups(frameSigs(s, d)).orderBy(col("doc_id"), col("frame_idx"))
     },
 
+    // CROSS-video perceptual dedup — the video-modality twin of q30's
+    // exact digest dedup, keyed on decoded CONTENT instead of file
+    // bytes (re-encoded/re-containered copies share it): per-frame
+    // dHash folded to 16 bytes, the ordered frame sequence folded to
+    // one 16-byte video fingerprint, group by fingerprint, canonical
+    // = min doc_id. Scale: decode and both folds are map-side; only
+    // (doc_id, fingerprint) rows ever shuffle (per-video agg, then
+    // per-fingerprint group) — never frames, never media bytes.
+    "q93_video_dedup" -> { (s, d) =>
+      val fsig = frameSigs(s, d).select(col("doc_id"),
+        col("frame_idx"),
+        md5(concat_ws(",", col("b0"), col("b1"), col("b2"), col("b3")))
+          .as("fsig"))
+      val vfp = fsig.groupBy(col("doc_id"))
+        .agg(md5(concat_ws("|", transform(
+          sort_array(collect_list(struct(col("frame_idx"), col("fsig")))),
+          x => x.getField("fsig")))).as("fp"))
+      val rep = vfp.groupBy(col("fp")).agg(min(col("doc_id")).as("video_rep"))
+      vfp.join(rep, Seq("fp"))
+        .select(col("doc_id"), col("video_rep"),
+          (col("doc_id") === col("video_rep")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+
     // Perceptual image near-dup: dHash over DECODED pixels (the PPM
     // codec as a dedup INPUT, not just a feature extractor), then
     // hamming-banded pair generation — candidates share one of the 4
@@ -830,6 +854,21 @@ object Multimodal {
          |SELECT doc_id, a AS frame_idx, CAST(min(b) AS INTEGER) AS scene_id
          |FROM reach GROUP BY doc_id, a
          |ORDER BY doc_id, frame_idx""".stripMargin,
+    // mirrors the q93 fold chain: per-frame md5 over the b0..b3
+    // signature, ordered per-video fold, group by fingerprint
+    "q93_video_dedup" ->
+      s"""WITH $q92Chain,
+         |fs AS (
+         |  SELECT doc_id, f,
+         |    md5(b0 || ',' || b1 || ',' || b2 || ',' || b3) AS fsig
+         |  FROM bd),
+         |vfp AS (
+         |  SELECT doc_id, md5(string_agg(fsig, '|' ORDER BY f)) AS fp
+         |  FROM fs GROUP BY doc_id),
+         |rep AS (SELECT fp, min(doc_id) AS video_rep FROM vfp GROUP BY fp)
+         |SELECT v.doc_id, r.video_rep, v.doc_id = r.video_rep AS is_canonical
+         |FROM vfp v JOIN rep r USING (fp)
+         |ORDER BY v.doc_id""".stripMargin,
     // mirrors dhashSig + the banded pair join: the oracle recomputes
     // each luma sample from the synthesis formula (pixel byte k =
     // (doc_id + 7k) mod 256) with the grid positions UNROLLED at

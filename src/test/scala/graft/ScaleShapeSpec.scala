@@ -419,6 +419,23 @@ class ScaleShapeSpec extends SparkSpec {
       s"q92's candidate join is not keyed on (doc_id, band):\n${plan.take(1500)}")
   }
 
+  test("q63b bloom probe: map-only gate under the bitmap broadcast, no shuffle by gram") {
+    val s = spark
+    val df = SparkEntry.queries("q63b_bloom_decontaminate")(s, sf)
+    // the bitmap is built eagerly before this plan exists, so the
+    // plan here IS the probe side: the only join on gram would be a
+    // regression back to q63's broadcast-string form, and any
+    // exchange keyed on gram is a corpus shuffle the bloom exists to
+    // avoid (the one-row bitmap arrives via BroadcastNestedLoopJoin)
+    val plan = df.queryExecution.executedPlan.toString
+    for (j <- Seq("SortMergeJoin [gram", "ShuffledHashJoin [gram",
+        "BroadcastHashJoin [gram"))
+      assert(!plan.contains(j),
+        s"q63b probe joins on gram:\n${plan.take(1500)}")
+    assert(!plan.contains("hashpartitioning(gram"),
+      s"q63b probe shuffles by gram:\n${plan.take(1500)}")
+  }
+
   test("q92b scene groups: a static video contracts to one rep and zero pair rows") {
     val s = spark
     import s.implicits._
