@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -252,6 +253,70 @@ object Curation {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
         .orderBy(col("doc_id"))
+    },
+
+    // Token-budget data mixing: per source, keep the highest-quality
+    // documents (q41's score, doc_id tie-break) until half the
+    // source's tokens are spent — the budgeted-mixture curation step
+    // a pretraining pipeline runs after dedup/filtering. The naive
+    // form is a doc-level window per source (a handful of sources at
+    // 100 TB = a handful of tasks each sorting terabytes), so this is
+    // two-phase: corpus-wide work STOPS at a (source, quality-bucket)
+    // token aggregate; the running total, budget, and keep/boundary
+    // verdicts are computed on that small materialized relation and
+    // broadcast back, deciding every non-boundary doc map-side. Only
+    // the single boundary bucket per source — the one the budget
+    // crosses inside — gets a doc-level window, over a bucket-sized
+    // input. Greedy-prefix equivalence: a doc's prefix sum in
+    // (quality DESC, doc_id) order = its bucket's cum_before + its
+    // within-bucket prefix, so the verdicts match the direct window
+    // form row-for-row (which is exactly what the oracle runs).
+    "q94_token_budget_mix" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("stop_hits",
+          expr(TextAnalysis.hitsSpark(TextAnalysis.stopwords)))
+        .withColumn("n_punct",
+          expr("length(regexp_replace(text, '[a-z0-9\\\\s]', ''))"))
+        .withColumn("quality",
+          when(col("n_toks") === 0 || length(col("text")) === 0, lit(0.0))
+            .otherwise(round(
+              lit(0.4) * least(lit(1.0),
+                col("n_toks").cast("double") / lit(50.0)) +
+                lit(0.4) * (col("stop_hits").cast("double") /
+                  col("n_toks").cast("double")) +
+                lit(0.2) * (lit(1.0) - col("n_punct").cast("double") /
+                  length(col("text")).cast("double")), 6)))
+        .select(col("doc_id"), col("source"), col("n_toks"), col("quality"))
+      val buckets = graft.Materialize.cut(
+        docs.groupBy(col("source"), col("quality"))
+          .agg(sum(col("n_toks")).as("b_toks")))
+      val w = Window.partitionBy(col("source")).orderBy(col("quality").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val budgets = buckets.groupBy(col("source"))
+        .agg(expr("sum(b_toks) div 2").as("budget"))
+      val binfo = buckets
+        .withColumn("cum_after", sum(col("b_toks")).over(w))
+        .withColumn("cum_before", col("cum_after") - col("b_toks"))
+        .join(budgets, Seq("source"))
+        .withColumn("full_keep", col("cum_after") <= col("budget"))
+        .withColumn("boundary",
+          col("cum_before") < col("budget") && col("cum_after") > col("budget"))
+        .select(col("source"), col("quality"), col("cum_before"),
+          col("budget"), col("full_keep"), col("boundary"))
+      val joined = docs.join(broadcast(binfo), Seq("source", "quality"))
+      val plain = joined.where(!col("boundary"))
+        .select(col("doc_id"), col("source"), col("n_toks"), col("quality"),
+          col("full_keep").as("kept"))
+      val bw = Window.partitionBy(col("source"), col("quality"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val borderline = joined.where(col("boundary"))
+        .withColumn("dcum", sum(col("n_toks")).over(bw))
+        .select(col("doc_id"), col("source"), col("n_toks"), col("quality"),
+          (col("cum_before") + col("dcum") <= col("budget")).as("kept"))
+      plain.union(borderline).orderBy(col("doc_id"))
     },
 
     // PII scrubbing: deterministic synthetic PII is injected into
@@ -857,6 +922,34 @@ object Curation {
          |FROM documents d LEFT JOIN train_hits h USING (doc_id)
          |WHERE d.doc_id % $BenchmarkMod <> 0
          |ORDER BY d.doc_id""".stripMargin,
+    // the direct greedy-prefix window form — the two-phase bucket
+    // threshold in the query must match it row-for-row
+    "q94_token_budget_mix" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks
+         |           FROM documents),
+         |m AS (SELECT doc_id, source,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CASE WHEN len(toks) = 0 OR length(text) = 0 THEN 0.0
+         |         ELSE round(
+         |           0.4 * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0)
+         |           + 0.4 * (CAST(${TextAnalysis.hitsSql(
+                      TextAnalysis.stopwords)} AS DOUBLE)
+         |               / CAST(len(toks) AS DOUBLE))
+         |           + 0.2 * (1.0 - CAST(length(regexp_replace(text,
+         |               '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |               / CAST(length(text) AS DOUBLE)), 6)
+         |    END AS quality
+         |  FROM t),
+         |w AS (SELECT doc_id, source, n_toks, quality,
+         |    sum(n_toks) OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM m),
+         |b AS (SELECT source, sum(n_toks) // 2 AS budget
+         |      FROM m GROUP BY source)
+         |SELECT doc_id, source, n_toks, quality, cum <= budget AS kept
+         |FROM w JOIN b USING (source)
+         |ORDER BY doc_id""".stripMargin,
     "q64_pii_scrub" ->
       s"""WITH aug AS (SELECT doc_id,
          |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||

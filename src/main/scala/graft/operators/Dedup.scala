@@ -439,9 +439,17 @@ object Dedup {
     val edges = Materialize(p
       .union(p.select(col("pb"), col("pa")))
       .toDF("src", "dst"))
-    var labels = Materialize(nodes.select(col("node")).distinct()
+    val nodesD = Materialize(nodes.select(col("node")).distinct())
+    // only nodes that touch an edge can ever change label — iterate
+    // over THEM alone and self-label the isolated rest at the end.
+    // On a near-dup graph the touched set is a small fraction of the
+    // node universe (most docs/frames have no duplicate), so every
+    // per-round join, aggregate, and convergence count shrinks by
+    // that factor: the loop iterates over the duplicates, not the
+    // corpus
+    var labels = Materialize(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
-    var converged = false
+    var converged = labels.head(1).isEmpty // no edges → nothing to propagate
     var rounds = 0
     while (!converged && rounds < 50) {
       val nbrMin = edges
@@ -464,7 +472,11 @@ object Dedup {
     require(converged,
       s"label propagation did not converge after $rounds rounds — " +
         "component diameter exceeds the cap; raise the bound")
-    labels
+    val out = Materialize.cut(nodesD.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label")))
+    Materialize.release(labels)
+    Materialize.release(nodesD)
+    out
   }
 
   /** q83's distinct (doc_id, 48-bit window-hash) relation, materialized

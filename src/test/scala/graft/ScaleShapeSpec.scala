@@ -436,6 +436,26 @@ class ScaleShapeSpec extends SparkSpec {
       s"q63b probe shuffles by gram:\n${plan.take(1500)}")
   }
 
+  test("q94 token-budget mix: verdicts decided under a broadcast; kept tokens respect every budget") {
+    val s = spark
+    val df = SparkEntry.queries("q94_token_budget_mix")(s, sf)
+    // the corpus-side decision join must be the broadcast of the
+    // small bucket-verdict relation — a shuffle of the corpus by
+    // (source, quality) here would mean the two-phase threshold
+    // regressed to sorting documents
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [source"),
+      s"q94's decision join is not a broadcast:\n${plan.take(1500)}")
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getString(1))
+    for ((src, rs) <- bySource) {
+      val budget = rs.map(_.getLong(2)).sum / 2
+      val kept = rs.filter(_.getBoolean(4)).map(_.getLong(2)).sum
+      assert(kept <= budget && kept > 0,
+        s"source $src: kept $kept tokens vs budget $budget")
+    }
+  }
+
   test("q92b scene groups: a static video contracts to one rep and zero pair rows") {
     val s = spark
     import s.implicits._
