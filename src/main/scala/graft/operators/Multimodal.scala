@@ -99,6 +99,28 @@ object Multimodal {
     * corpus exercises both branches (hammings run 0..7). */
   val FrameDHashMaxHamming = 2
 
+  /** q95: two audio docs are perceptual near-dups when every one of
+    * their 16 leading window energies agrees within this bound (L∞
+    * over the energy vectors — an "every moment sounds this close"
+    * verdict, robust where a single aggregate would wash out a loud
+    * transient). 48 sits mid-plateau on the synthesized corpus: the
+    * pair L∞ distribution has populations at ≤40 and ≥61 with
+    * nothing between, so any bound in [41,60] picks the identical
+    * pair set — no knife-edge. The double-offset candidate grids use
+    * step 2·48: two energies within 48 always share a cell in one of
+    * the two grids (an interval of length ≤48 has at most one grid
+    * boundary of the combined lattice in its interior, and that
+    * boundary belongs to exactly one grid), so candidate generation
+    * is pigeonhole-lossless for the verdict. */
+  val AudioLinfMax = 48L
+
+  /** q95 windowing: 16 windows of 10 samples = the 160-sample prefix
+    * every audio doc is guaranteed to have (n = doc_id%800 + 160). */
+  val AudioWindows = 16
+  val AudioWindowLen = 10
+
+  final case class AudioSig(doc_id: Long, es: Array[Long])
+
   final case class FrameSig(doc_id: Long, frame_idx: Int,
       b0: Int, b1: Int, b2: Int, b3: Int)
 
@@ -608,6 +630,65 @@ object Multimodal {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // Perceptual audio near-dup over DECODED PCM — the audio twin of
+    // q87 (images) and q92/q93 (video), closing the last
+    // codec-without-a-dedup-consumer gap. Signature = the 16
+    // leading 10-sample window energies (sum |sample|) from the
+    // WavCodec-decoded stream; verdict = L∞ over the two energy
+    // vectors ≤ [[AudioLinfMax]]. Candidates come from a
+    // double-offset magnitude grid per window (keys (w, grid,
+    // energy div 2T) and (w, grid', (energy+T) div 2T)) — provably
+    // lossless for the L∞ verdict (see [[AudioLinfMax]]), never
+    // all-pairs. Scale shape: decode and energies are map-side on
+    // the scan partitioning; only (doc_id, w, g, c) int rows — 32
+    // per doc — enter the candidate shuffle; media bytes never move.
+    "q95_audio_neardup" -> { (s, d) =>
+      val session = s
+      import session.implicits._
+      val T = AudioLinfMax
+      // materialize once: the signature relation feeds the grid-key
+      // explode AND both energy-vector fetch joins
+      val sig = graft.Materialize.cut(
+        withMedia(Tables.documents(s, d))
+          .where(col("media_type") === "audio")
+          .select(col("doc_id"), col("media"))
+          .as[AudioRow]
+          .mapPartitions(_.map { r =>
+            val wav = WavCodec.decode(r.media)
+            val es = new Array[Long](AudioWindows)
+            var i = 0
+            while (i < AudioWindows * AudioWindowLen) {
+              es(i / AudioWindowLen) += math.abs(wav.samples(i).toInt).toLong
+              i += 1
+            }
+            AudioSig(r.doc_id, es)
+          })
+          .toDF())
+      val ex = sig.select(col("doc_id"), posexplode(col("es")))
+        .select(col("doc_id"), col("pos").as("w"), col("col").as("e"))
+      val keys = ex.select(col("doc_id"), col("w"), explode(array(
+          struct(lit(0).as("g"), expr(s"e div ${2 * T}").as("c")),
+          struct(lit(1).as("g"), expr(s"(e + $T) div ${2 * T}").as("c"))))
+          .as("k"))
+        .select(col("doc_id"), col("w"), col("k.g").as("g"), col("k.c").as("c"))
+      val cp = keys.select(col("doc_id").as("doc_a"), col("w"), col("g"),
+          col("c"))
+        .join(keys.select(col("doc_id").as("doc_b"), col("w"), col("g"),
+          col("c")), Seq("w", "g", "c"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cp.join(sig.select(col("doc_id").as("doc_a"), col("es").as("ea")),
+          Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("es").as("eb")),
+          Seq("doc_b"))
+        .withColumn("linf", expr(
+          "aggregate(zip_with(ea, eb, (x, y) -> abs(x - y)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> greatest(acc, v))"))
+        .where(col("linf") <= T)
+        .select(col("doc_a"), col("doc_b"), col("linf"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // Resize stub: pure metadata transform (halved dims, aspect kept).
     "q73_media_resize" -> { (s, d) =>
       withMedia(Tables.documents(s, d))
@@ -911,5 +992,27 @@ object Multimodal {
          |WHERE hamming <= $DHashMaxHamming
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // the direct all-pairs form of the L∞ verdict — the grid
+    // candidate generation in the query is lossless for it, so the
+    // sets match row-for-row; window energies recomputed from the
+    // synthesized sample arithmetic (sample k = (31·doc_id + 7k) mod
+    // 4096 − 2048)
+    "q95_audio_neardup" ->
+      s"""WITH m AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+         |w AS (
+         |  SELECT doc_id, CAST(wi.range AS INT) AS w,
+         |    list_sum(list_transform(range(0, $AudioWindowLen),
+         |      k -> abs((doc_id*31 + 7*(wi.range*$AudioWindowLen + k))
+         |             % 4096 - 2048))) AS e
+         |  FROM m CROSS JOIN range(0, $AudioWindows) wi),
+         |ev AS (SELECT doc_id, list(e ORDER BY w) AS es
+         |       FROM w GROUP BY doc_id),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(list_max(list_transform(range(1, ${AudioWindows + 1}),
+         |      i -> abs(a.es[i] - b.es[i]))) AS BIGINT) AS linf
+         |  FROM ev a JOIN ev b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, linf FROM p WHERE linf <= $AudioLinfMax
+         |ORDER BY doc_a, doc_b""".stripMargin,
   )
 }

@@ -404,6 +404,24 @@ class ScaleShapeSpec extends SparkSpec {
       s"q87's candidate join is not keyed on the hash band:\n${plan.take(1500)}")
   }
 
+  test("q95 audio near-dup: candidates from the double-offset grid equi-join, never all-pairs") {
+    val s = spark
+    val df = SparkEntry.queries("q95_audio_neardup")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q95 plans an all-pairs join:\n${plan.take(1500)}")
+    // pair generation must be keyed on the (window, grid, code)
+    // magnitude-grid bucket
+    assert(Seq("SortMergeJoin [w", "ShuffledHashJoin [w",
+        "BroadcastHashJoin [w").exists(plan.contains),
+      s"q95's candidate join is not keyed on the energy grid:\n${plan.take(1500)}")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "q95 found no near-dup pairs at this SF")
+    assert(rows.forall(r => r.getLong(2) <= operators.Multimodal.AudioLinfMax),
+      "q95 emitted a pair beyond the L-inf bound")
+  }
+
   test("q92 frame near-dup: candidates blocked by (video, band), never nf^2 all-pairs") {
     val s = spark
     val df = SparkEntry.queries("q92_frame_neardup")(s, sf)
