@@ -25,17 +25,43 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a raw long (ns since epoch) and expose
-    * both `ts_ns` (exact) and `ts` (microsecond timestamp) columns.
-    * Oracle side: DuckDB reads nanos natively; `epoch_ns(ts)` matches
-    * `ts_ns` and `CAST(ts AS TIMESTAMP)` matches `ts`. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Canonical loader-visible layout of the events table. Downstream
+    * operators always see `ts` (TimestampType, µs precision) plus
+    * `ts_ns` (exact ns-since-epoch long), whatever the physical file
+    * stored. Oracle side: DuckDB's `epoch_ns(ts)` matches `ts_ns` and
+    * `CAST(ts AS TIMESTAMP)` matches `ts` (session tz is UTC). */
+  private val eventCols =
+    Seq("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+
+  /** Schema-adaptive normalization of a raw events DataFrame. The
+    * driver has shipped two physical layouts so far — parquet
+    * TIMESTAMP(NANOS) (arrives as LongType under `nanosAsLong`) and
+    * TIMESTAMP(MICROS)/isAdjustedToUTC=false (arrives as
+    * TIMESTAMP_NTZ) — so dispatch on the observed type of `ts`
+    * instead of hard-coding one layout. */
+  def normalizeEvents(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val shaped = df.schema("ts").dataType match {
+      case LongType => // nanos-as-long: ts holds exact ns since epoch
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns DIV 1000")))
+      case TimestampNTZType => // micros NTZ: interpret in session tz (UTC)
+        df.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case TimestampType =>
+        df.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other — extend Tables.normalizeEvents")
+    }
+    shaped.select(eventCols.map(col): _*)
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    // harmless when the file stores micros; required for a nanos file
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEvents(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

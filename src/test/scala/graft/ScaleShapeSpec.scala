@@ -17,24 +17,19 @@ class ScaleShapeSpec extends SparkSpec {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
       .toSet
     // replay the same events through readStream (AvailableNow) with the
-    // SAME transform body — the batch/stream duality of SURVEY §7.1
-    // raw file schema: ts is TIMESTAMP(NANOS) -> long via nanosAsLong
+    // SAME transform body — the batch/stream duality of SURVEY §7.1.
+    // Take the raw file schema from a batch read so the stream sees
+    // whatever physical layout the driver generated, then normalize
+    // through the same Tables.normalizeEvents the batch loader uses.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val rawSchema = s.read.parquet(s"$sf/events.parquet").schema
     // FileStreamSource needs a directory, not a bare file — stage a copy
     val stagedDir = Files.createTempDirectory("events_stream")
     Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"),
       stagedDir.resolve("events.parquet"))
     val streamed = s.readStream.schema(rawSchema)
       .parquet(stagedDir.toString)
-      .withColumnRenamed("ts", "ts_ns_raw")
-    // rebuild the µs timestamp exactly as Tables.events does
-    val withTs = streamed
-      .withColumn("ts", timestamp_micros(expr("ts_ns_raw DIV 1000")))
+    val withTs = Tables.normalizeEvents(streamed)
       .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"),
         sum($"value".cast(DecimalType(18, 6))).cast("double").as("sum_value"))
