@@ -144,8 +144,15 @@ object Bench {
         BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // "sf" is the NUMERIC scale factor (the driver's own encoding in
+    // BENCH_r*.json), parsed from the conventional .../sfN.NN dir name;
+    // a non-conforming dir falls back to the quoted path so the field
+    // is never silently wrong
+    val sfJson = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r
+      .findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse("\"" + sfDir + "\"")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","best_total":$bestTotal,"queries":$qs,"best":$bestFull,"runs":$runs,"detail":$detail,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","best_total":$bestTotal,"queries":$qs,"best":$bestFull,"runs":$runs,"detail":$detail,"failed":$failedJson,"sf":$sfJson,"sf_dir":"$sfDir"}"""
     // The driver parses the final stdout line from a bounded (2000-char)
     // capture window, so the printed line must stay well under that. Use the
     // qNN prefix as the key (the contract's own example format: {"q1":sec})
@@ -179,7 +186,7 @@ object Bench {
     val bestShort = best.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     val bestTop = bestShort.sortBy(-_._2).take(15).sortBy(_._1)
     val jsonLine =
-      s"""{"metric":"total","value":$totalShort,"unit":"sec","best_total":$bestTotalShort,"queries":$qsShort,"best_slowest":${round3(bestTop)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalShort,"unit":"sec","best_total":$bestTotalShort,"queries":$qsShort,"best_slowest":${round3(bestTop)},"failed":$failedJson,"sf":$sfJson}"""
     // sbt appends its own "[success] ..." epilogue to stdout, so the printed
     // line may not be last. Persist the JSON to known files the driver (or a
     // human) can always read: an env-given path and the working directory

@@ -68,14 +68,20 @@ object Materialize {
     df.checkpoint(eager = true)
   }
 
-  /** Drop a frame previously materialized in `"persist"` mode (no-op
-    * for the checkpoint strategies: localCheckpoint storage dies with
-    * the session's executors, and checkpoint files under a temp dir
-    * this object minted are deleted by its JVM shutdown hook —
-    * user-configured checkpoint dirs are the user's to manage). */
+  /** Drop a frame previously materialized here, freeing its storage
+    * NOW instead of at session end. The caller contracts the frame is
+    * dead — a truncated-lineage checkpoint cannot recompute freed
+    * blocks. `"local"` mode reaches through the plan's LogicalRDD
+    * (`Dataset.unpersist` cannot see checkpoint blocks; leaking them
+    * across bench sweeps until a full GC measured as 2x sweep-to-sweep
+    * variance on the dedup suite). `"reliable"` checkpoint files are
+    * reclaimed by the shutdown hook when under a temp dir this object
+    * minted; user-configured checkpoint dirs are the user's to
+    * manage. */
   def release(df: DataFrame): Unit =
     df.sparkSession.conf.get("spark.graft.materialize", "local") match {
       case "persist" => df.unpersist(blocking = false)
-      case _ => ()
+      case "reliable" => ()
+      case _ => org.apache.spark.sql.GraftSqlBridge.unpersistLocalCheckpoint(df)
     }
 }

@@ -17,4 +17,21 @@ object GraftSqlBridge {
       info: ExpressionInfo, builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
+
+  /** Drop the storage blocks behind a `localCheckpoint`ed frame.
+    * `Dataset.unpersist` cannot reach them (the checkpoint lives in
+    * the RDD wrapped by the plan's `LogicalRDD`, not in the cache
+    * manager), so without this an iterative/memoized workload leaks
+    * executor block storage until a full GC lets the ContextCleaner
+    * notice — measured as 2x sweep-to-sweep bench variance. No-op for
+    * frames that are not local checkpoints. The caller must be done
+    * with the frame: a truncated-lineage RDD cannot recompute freed
+    * blocks. */
+  def unpersistLocalCheckpoint(df: Dataset[Row]): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.{Materialize, Tables}
 
 /** Large-scale deduplication operators over the `documents` table —
@@ -156,9 +157,16 @@ object Dedup {
   private val sigMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  /** Evict memoized relations (for long-lived sessions / tests). */
+  /** Evict memoized relations (for long-lived sessions / tests),
+    * RELEASING their materialized storage — without the release a
+    * bench sweep inherits the previous sweep's checkpoint blocks
+    * until a full GC (measured: 2x sweep variance on q31/q35). */
   def clearMemos(): Unit = {
-    pairsMemo.clear(); clustersMemo.clear(); sigMemo.clear()
+    import scala.jdk.CollectionConverters._
+    Seq(pairsMemo, clustersMemo, sigMemo).foreach { m =>
+      m.values.asScala.foreach(graft.Materialize.release)
+      m.clear()
+    }
   }
 
   /** The materialized MinHash signature relation
@@ -451,6 +459,13 @@ object Dedup {
       .select(col("node"), col("node").as("label")))
     var converged = labels.head(1).isEmpty // no edges → nothing to propagate
     var rounds = 0
+    // Convergence detection from the round's OWN output, no extra join:
+    // least() only ever lowers a label, so sum(label) is strictly
+    // decreasing until the fixpoint and equal exactly at it. Decimal
+    // sum so a 100 TB node-id range cannot overflow the comparison.
+    // prevSum == null covers round 1 (an edge-touched graph always
+    // changes in round 1: for edge (a,b), max(a,b) adopts min(a,b)).
+    var prevSum: java.math.BigDecimal = null
     while (!converged && rounds < 50) {
       val nbrMin = edges
         .join(labels, edges("dst") === labels("node"))
@@ -459,11 +474,13 @@ object Dedup {
         .join(nbrMin, labels("node") === nbrMin("src"), "left")
         .select(col("node"), least(col("label"),
           coalesce(col("nbr_min"), col("label"))).as("label")))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old")).count()
+      val nextSum = next
+        .agg(sum(col("label").cast(DecimalType(38, 0))).as("s"))
+        .head().getDecimal(0)
       Materialize.release(labels)
       labels = next
-      converged = changed == 0
+      converged = prevSum != null && nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       rounds += 1
     }
     Materialize.release(edges)

@@ -279,8 +279,16 @@ object Similarity {
   /** Evict memoized relations (for long-lived sessions / bench
     * sweeps). Clears EVERY trained-model memo — a sweep that reused
     * a prior sweep's hierarchical/PQ model would under-report those
-    * queries' training cost. */
+    * queries' training cost — and RELEASES each model frame's
+    * materialized storage (leaked checkpoint blocks otherwise survive
+    * to pressure the next sweep until a full GC). */
   def clearMemos(): Unit = {
+    import scala.jdk.CollectionConverters._
+    def rel(df: DataFrame): Unit = graft.Materialize.release(df)
+    ivfMemo.values.asScala.foreach { case (a, b) => rel(a); rel(b) }
+    hierMemo.values.asScala.foreach { case (a, b, c) => rel(a); rel(b); rel(c) }
+    pqMemo.values.asScala.foreach { case (a, b) => rel(a); rel(b) }
+    ivfPqMemo.values.asScala.foreach { case (a, b) => rel(a); rel(b) }
     ivfMemo.clear()
     hierMemo.clear()
     pqMemo.clear()

@@ -91,8 +91,15 @@ object TextAnalysis {
   private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (Seq[BpeMerge], DataFrame)]()
 
-  /** Evict memoized BPE models (bench sweeps / long-lived sessions). */
-  def clearMemos(): Unit = bpeMemo.clear()
+  /** Evict memoized BPE models (bench sweeps / long-lived sessions),
+    * releasing each model's materialized word table. */
+  def clearMemos(): Unit = {
+    import scala.jdk.CollectionConverters._
+    bpeMemo.values.asScala.foreach { case (_, df) =>
+      graft.Materialize.release(df)
+    }
+    bpeMemo.clear()
+  }
 
   /** REAL byte-pair-encoding training, deterministic and distributed:
     * the corpus is pre-tokenized into words (the q42 regex), the
