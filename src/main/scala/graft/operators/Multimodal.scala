@@ -130,11 +130,21 @@ object Multimodal {
   private def frameSigs(s: SparkSession, d: String): DataFrame = {
     val session = s
     import session.implicits._
-    graft.Materialize.cut(
+    videoFrameSigs(
       withMedia(Tables.documents(s, d))
         .where(col("media_type") === "video")
         .select(col("doc_id"), col("media"))
-        .as[VideoRow]
+        .as[VideoRow])
+  }
+
+  /** Decode → per-frame dHash over an arbitrary video relation —
+    * the content-level kernel behind [[frameSigs]], factored so tests
+    * can feed synthesized videos through the REAL decode path. */
+  private[graft] def videoFrameSigs(videos: Dataset[VideoRow]): DataFrame = {
+    val session = videos.sparkSession
+    import session.implicits._
+    graft.Materialize.cut(
+      videos
         .mapPartitions(_.flatMap { r =>
           val v = Y4mCodec.decode(r.media)
           v.frames.iterator.zipWithIndex.map { case (fr, f) =>
@@ -142,6 +152,35 @@ object Multimodal {
           }
         })
         .toDF())
+  }
+
+  /** Keyframe (scene-change) selection over DECODED frames of an
+    * arbitrary video relation — the content-level kernel behind
+    * q90b, factored so tests can feed synthesized videos through the
+    * REAL decode path: a frame is a key when its mean luma moved
+    * >= [[KeyframeDeltaMilli]] from the previous frame (frame 0
+    * always is). One decode per video, one output row per frame —
+    * partition-local flatMap, payload bytes never shuffle. */
+  private[graft] def keyframes(videos: Dataset[VideoRow]): DataFrame = {
+    val session = videos.sparkSession
+    import session.implicits._
+    videos
+      .mapPartitions(_.flatMap { r =>
+        val v = Y4mCodec.decode(r.media)
+        val wh = v.width * v.height
+        val means = v.frames.map { fr =>
+          var sum = 0L
+          var k = 0
+          while (k < wh) { sum += fr(k) & 0xFF; k += 1 }
+          sum * 1000 / wh
+        }
+        means.iterator.zipWithIndex.map { case (m, f) =>
+          val delta = if (f == 0) -1L else math.abs(m - means(f - 1))
+          FrameRow(r.doc_id, f, m, delta,
+            f == 0 || delta >= KeyframeDeltaMilli)
+        }
+      })
+      .toDF()
   }
 
   /** Banded within-video near-dup pairs over a frame-signature
@@ -517,26 +556,11 @@ object Multimodal {
     "q90b_keyframes" -> { (s, d) =>
       val session = s
       import session.implicits._
-      withMedia(Tables.documents(s, d))
-        .where(col("media_type") === "video")
-        .select(col("doc_id"), col("media"))
-        .as[VideoRow]
-        .mapPartitions(_.flatMap { r =>
-          val v = Y4mCodec.decode(r.media)
-          val wh = v.width * v.height
-          val means = v.frames.map { fr =>
-            var sum = 0L
-            var k = 0
-            while (k < wh) { sum += fr(k) & 0xFF; k += 1 }
-            sum * 1000 / wh
-          }
-          means.iterator.zipWithIndex.map { case (m, f) =>
-            val delta = if (f == 0) -1L else math.abs(m - means(f - 1))
-            FrameRow(r.doc_id, f, m, delta,
-              f == 0 || delta >= KeyframeDeltaMilli)
-          }
-        })
-        .toDF()
+      keyframes(
+        withMedia(Tables.documents(s, d))
+          .where(col("media_type") === "video")
+          .select(col("doc_id"), col("media"))
+          .as[VideoRow])
         .orderBy(col("doc_id"), col("frame_idx"))
     },
 

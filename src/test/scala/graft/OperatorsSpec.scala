@@ -367,4 +367,44 @@ class OperatorsSpec extends SparkSpec {
     assert(fp1.sameElements(fp2))
     assert(fp1.forall(r => r.getString(1).length == 32 && r.getString(2).length == 32))
   }
+
+  test("events loader is physical-layout invariant (nanos long / µs NTZ / µs UTC)") {
+    // The driver has shipped two physical encodings of events.ts so
+    // far (TIMESTAMP(NANOS) → long under nanosAsLong; TIMESTAMP(MICROS)
+    // NTZ); normalizeEvents must make them — and the plain UTC micros
+    // layout — indistinguishable downstream. Write the SAME logical
+    // rows in all three layouts and require q50's windowed aggregation
+    // to be row-identical across them.
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("events_layouts")
+    val base = Tables.events(s, sf).limit(500)
+      .select($"event_id", $"ts_ns", $"user_id", $"event_type", $"value", $"props")
+    // (a) nanos-as-long: what the legacy nanosAsLong read path yields
+    base.withColumnRenamed("ts_ns", "ts")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$tmp/nanos/events.parquet")
+    // (b) µs NTZ: the current driver layout (isAdjustedToUTC=false)
+    base.withColumn("ts",
+        expr("CAST(timestamp_micros(ts_ns DIV 1000) AS TIMESTAMP_NTZ)"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$tmp/ntz/events.parquet")
+    // (c) µs UTC-adjusted: the third plausible future layout
+    base.withColumn("ts", expr("timestamp_micros(ts_ns DIV 1000)"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .write.mode("overwrite").parquet(s"$tmp/utc/events.parquet")
+    def agg(dir: String): Seq[(java.sql.Timestamp, String, Long, String)] =
+      Tables.events(s, s"$tmp/$dir")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        // decimal sum: 500 ns-epoch longs overflow a LongType sum
+        .agg(count(lit(1)).as("n"),
+          sum($"ts_ns".cast("decimal(38,0)")).cast("string").as("sum_ns"))
+        .select($"w.start", $"event_type", $"n", $"sum_ns")
+        .as[(java.sql.Timestamp, String, Long, String)]
+        .collect().sortBy(r => (r._1.getTime, r._2)).toSeq
+    val (a, b, c) = (agg("nanos"), agg("ntz"), agg("utc"))
+    assert(a.nonEmpty && a == b && b == c,
+      s"layout-dependent results: nanos=${a.take(2)} ntz=${b.take(2)} utc=${c.take(2)}")
+    Fs.deleteRecursively(tmp.toString)
+  }
 }

@@ -495,6 +495,35 @@ class ScaleShapeSpec extends SparkSpec {
     Materialize.release(out)
   }
 
+  test("q90b/q92b negative control: a cut-free video is one keyframe and one scene") {
+    val s = spark
+    import s.implicits._
+    // semantic twin of the static-video contraction test (VERDICT r9
+    // #7): content-level this time — synthesize a genuinely cut-free
+    // video through the REAL Y4M encode→decode path and require the
+    // keyframe and scene kernels to find nothing to cut on. The
+    // frames drift +2 luma levels per frame: 2000 milli-luma is under
+    // the 8000 keyframe gate, and a constant per-frame shift cancels
+    // in dHash's neighbor differences, so it is also signature-static.
+    val (w, h, nf) = (16, 12, 30)
+    val frames = Array.tabulate(nf)(f => Array.tabulate(w * h)(k =>
+      (((k * 37) % 180) + 2 * f).toByte))
+    val media = operators.Y4mCodec.encode(w, h, 25, 1, "mono", frames)
+    val videos = Seq(operators.Multimodal.VideoRow(42L, media)).toDS()
+    val kf = operators.Multimodal.keyframes(videos)
+      .select($"frame_idx", $"is_key").as[(Int, Boolean)].collect()
+    assert(kf.length == nf, s"expected $nf frame rows, got ${kf.length}")
+    val keys = kf.filter(_._2).map(_._1).toSeq
+    assert(keys == Seq(0),
+      s"cut-free video must key exactly frame 0, got keyframes $keys")
+    val out = operators.Multimodal.sceneGroups(
+      operators.Multimodal.videoFrameSigs(videos))
+    val scenes = out.select("scene_id").distinct().as[Int].collect().toSeq
+    assert(out.count() == nf.toLong && scenes == Seq(0),
+      s"cut-free video must be one scene labeled 0, got $scenes")
+    Materialize.release(out)
+  }
+
   test("q88/q89b/q91: hierarchical probe and ADC plans stay broadcast-keyed, never corpus-scale loops") {
     val s = spark
     for (q <- Seq("q88_ann_ivf_hier", "q89b_pq_adc_topk", "q91_ivfpq_adc_topk")) {
