@@ -41,6 +41,7 @@ object Explain {
     "q93_video_dedup" -> "cross-video perceptual dedup: decode + both fingerprint folds map-side; only (doc_id, fingerprint) rows shuffle — never frames or media bytes",
     "q94_token_budget_mix" -> "token-budget mix: corpus work stops at the (source, quality-bucket) aggregate; verdicts broadcast back, non-boundary docs decided map-side, doc-level window confined to the one boundary bucket",
     "q95_audio_neardup" -> "audio near-dup: decode + window energies map-side; candidates from the double-offset magnitude-grid equi-join (lossless for the L-inf verdict) — only 32 int key rows per doc shuffle, never samples or media bytes",
+    "q96_hard_negatives" -> "hard-negative mining: q86's cell-bounded k-NN join with the same-label exclusion BEFORE both top-k stages — labels ride the skinny id joins, the predicate is map-side on the candidate stream",
   )
 
   def main(args: Array[String]): Unit = {

@@ -249,15 +249,35 @@ object Similarity {
     *       n*NProbe*k rows before the global per-vec_id top-k.
     * Recall matches q39 by construction below the cap (same trained
     * quantizer, same NProbe, same tie-breaks). */
-  private def knnJoin(s: SparkSession, d: String, cap: Int): DataFrame = {
+  private def knnJoin(s: SparkSession, d: String, cap: Int): DataFrame =
+    knnJoinFiltered(s, d, cap, excludeSameLabel = false)
+      .select(col("vec_id"), col("nn_rank"), col("nn_id"), col("cos"))
+      .orderBy(col("vec_id"), col("nn_rank"))
+
+  /** The k-NN join kernel with an optional same-label exclusion —
+    * `excludeSameLabel = true` is HARD-NEGATIVE MINING (q96): for
+    * every anchor, the top-k most-similar vectors of a DIFFERENT
+    * label, the per-anchor negatives a contrastive embedding trainer
+    * consumes. The label predicate runs BEFORE both top-k stages (a
+    * post-filtered plain k-NN list would under-fill anchors whose
+    * neighborhoods are same-label — exactly the anchors hard-negative
+    * mining exists for). Same scale shape as q86: map-side probe
+    * assignment, (cid, chunk)-bounded candidates, label filter
+    * map-side on the candidate stream, two-stage top-k. */
+  private def knnJoinFiltered(s: SparkSession, d: String, cap: Int,
+      excludeSameLabel: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (_, assigned) = ivfModel(s, d)
     val cand0 = knnBoundedCandidates(knnProbes(s, d), cap)
-    val emb = assigned.select(col("vec_id"), col("embedding"))
-    val cand = cand0
+    val emb = assigned.select(col("vec_id"), col("embedding"), col("label"))
+    val joined = cand0
       .join(emb.select(col("vec_id").as("nn_id"),
-        col("embedding").as("nn_emb")), Seq("nn_id"))
+        col("embedding").as("nn_emb"), col("label").as("nn_label")),
+        Seq("nn_id"))
       .join(emb, Seq("vec_id"))
+    val cand = (if (excludeSameLabel)
+        joined.where(col("nn_label") =!= col("label"))
+      else joined)
       .withColumn("cos", cos6(col("embedding"), col("nn_emb")))
     val cellW = Window.partitionBy(col("vec_id"), col("cid"))
       .orderBy(col("cos").desc, col("nn_id"))
@@ -268,9 +288,9 @@ object Similarity {
       .where(col("crn") <= KnnK)
       .withColumn("rnk", row_number().over(topW))
       .where(col("rnk") <= KnnK)
-      .select(col("vec_id"), col("rnk").cast("int").as("nn_rank"),
-        col("nn_id"), col("cos"))
-      .orderBy(col("vec_id"), col("nn_rank"))
+      .select(col("vec_id"), col("label"),
+        col("rnk").cast("int").as("nn_rank"),
+        col("nn_id"), col("nn_label"), col("cos"))
   }
 
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -785,6 +805,20 @@ object Similarity {
     // hash-checks, rather than a branch that only fires on skew.
     "q86b_knn_join_capped" -> { (s, d) => knnJoin(s, d, KnnCapGate) },
 
+    // HARD-NEGATIVE MINING for contrastive embedding training: for
+    // every anchor vector, the top-k most-similar vectors whose label
+    // DIFFERS from the anchor's — q86's cell-bounded join with the
+    // label exclusion applied before the top-k stages (a post-filtered
+    // k-NN list would under-fill exactly the anchors whose
+    // neighborhoods are same-label, the ones the miner exists for).
+    "q96_hard_negatives" -> { (s, d) =>
+      knnJoinFiltered(s, d, CellCap, excludeSameLabel = true)
+        .withColumnRenamed("nn_rank", "hn_rank")
+        .withColumnRenamed("nn_id", "neg_id")
+        .withColumnRenamed("nn_label", "neg_label")
+        .orderBy(col("vec_id"), col("hn_rank"))
+    },
+
     // Embedding-cosine near-dup pairs, blocked by label.
     "q38_embed_neardup" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
@@ -1090,7 +1124,48 @@ object Similarity {
          |  FROM cand)
          |WHERE rnk <= $KnnK
          |ORDER BY vec_id, nn_rank""".stripMargin
+    // knnSql with the same-label exclusion inside cand — the filter
+    // precedes the rank, mirroring the Spark side's pre-top-k gate
+    def hnSql(cap: Int) =
+      s"""$base,
+         |$kmeansCtes,
+         |pr AS (
+         |  SELECT vec_id, cid, qdist, prn FROM (
+         |    SELECT f.vec_id, c.cid, ${distSql("f.v", "c.cv")} AS qdist,
+         |      row_number() OVER (PARTITION BY f.vec_id
+         |        ORDER BY ${distSql("f.v", "c.cv")}, c.cid) AS prn
+         |    FROM fin f CROSS JOIN cents$KmIters c) WHERE prn <= $NProbe),
+         |prk AS (
+         |  SELECT vec_id, cid, prn,
+         |    row_number() OVER (PARTITION BY cid ORDER BY qdist, vec_id) AS rn,
+         |    count(*) OVER (PARTITION BY cid) AS cnt
+         |  FROM pr),
+         |pck AS (
+         |  SELECT *, CAST(floor((rn - 1.0) / $cap) AS BIGINT) AS chunk FROM prk),
+         |pa AS (
+         |  SELECT p.vec_id, p.cid, p.chunk + o.off AS pc
+         |  FROM pck p CROSS JOIN (VALUES (-1), (0), (1)) AS o(off)
+         |  WHERE p.cnt > $cap OR o.off = 0),
+         |cand AS (
+         |  SELECT a.vec_id, av.label, b.vec_id AS neg_id,
+         |    bv.label AS neg_label,
+         |    ${cosSql("av.v", "bv.v", "av.nrm", "bv.nrm")} AS cos
+         |  FROM pa a
+         |  JOIN pck b ON b.cid = a.cid AND b.chunk = a.pc AND b.prn = 1
+         |    AND b.vec_id <> a.vec_id
+         |  JOIN fin av ON av.vec_id = a.vec_id
+         |  JOIN fin bv ON bv.vec_id = b.vec_id
+         |  WHERE av.label <> bv.label)
+         |SELECT vec_id, label, CAST(rnk AS INTEGER) AS hn_rank, neg_id,
+         |  neg_label, cos FROM (
+         |  SELECT vec_id, label, neg_id, neg_label, cos,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, neg_id) AS rnk
+         |  FROM cand)
+         |WHERE rnk <= $KnnK
+         |ORDER BY vec_id, hn_rank""".stripMargin
     Map(
+      "q96_hard_negatives" -> hnSql(CellCap),
       "q36_knn_brute" ->
         s"""$base
            |SELECT a.vec_id, a.label,

@@ -368,6 +368,27 @@ class OperatorsSpec extends SparkSpec {
     assert(fp1.forall(r => r.getString(1).length == 32 && r.getString(2).length == 32))
   }
 
+  test("q96 hard negatives: labels always differ, ranks contiguous, no same-label leak-through") {
+    val s = spark
+    import s.implicits._
+    val rows = Similarity.queries("q96_hard_negatives")(s, sf)
+      .select($"vec_id", $"label", $"hn_rank", $"neg_id", $"neg_label", $"cos")
+      .as[(Long, Int, Int, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, l, _, _, nl, _) => l != nl },
+      "a hard negative shares its anchor's label")
+    // per anchor: ranks are 1..n with cos non-increasing
+    rows.groupBy(_._1).foreach { case (anchor, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to rs.length),
+        s"anchor $anchor ranks not contiguous")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._6 >= b._6
+        case _ => true
+      }, s"anchor $anchor cos not non-increasing by rank")
+    }
+  }
+
   test("events loader is physical-layout invariant (nanos long / µs NTZ / µs UTC)") {
     // The driver has shipped two physical encodings of events.ts so
     // far (TIMESTAMP(NANOS) → long under nanosAsLong; TIMESTAMP(MICROS)
