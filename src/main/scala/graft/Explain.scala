@@ -42,6 +42,7 @@ object Explain {
     "q94_token_budget_mix" -> "token-budget mix: corpus work stops at the (source, quality-bucket) aggregate; verdicts broadcast back, non-boundary docs decided map-side, doc-level window confined to the one boundary bucket",
     "q95_audio_neardup" -> "audio near-dup: decode + window energies map-side; candidates from the double-offset magnitude-grid equi-join (lossless for the L-inf verdict) — only 32 int key rows per doc shuffle, never samples or media bytes",
     "q96_hard_negatives" -> "hard-negative mining: q86's cell-bounded k-NN join with the same-label exclusion BEFORE both top-k stages — labels ride the skinny id joins, the predicate is map-side on the candidate stream",
+    "q97_hybrid_search" -> "hybrid retrieval: BM25 and cosine legs each end in TakeOrderedAndProject (no global sort); rank windows and the RRF fusion join run over constant-size top-M lists",
   )
 
   def main(args: Array[String]): Unit = {

@@ -116,6 +116,12 @@ object Similarity {
   val CellCap = 4096
   val CellCapGate = 48
 
+  /** Hybrid retrieval (q97): per-leg candidate depth, fused list
+    * size, and the standard RRF dampening constant. */
+  val HybridM = 50
+  val HybridK = 20
+  val RrfC = 60
+
   private def cos6(a: Column, b: Column): Column =
     round(VectorFunctions.cosine(a, b), 6)
 
@@ -805,6 +811,43 @@ object Similarity {
     // hash-checks, rather than a branch that only fires on skew.
     "q86b_knn_join_capped" -> { (s, d) => knnJoin(s, d, KnnCapGate) },
 
+    // HYBRID RETRIEVAL (the RAG candidate-generation shape): BM25 of
+    // the fixed text query (q48's scorer) and cosine-to-query-vector
+    // (q36's form, same id space) each produce a top-M list, fused by
+    // reciprocal-rank fusion rrf = Σ 1/(C + rank). Scale: each leg
+    // ends in TakeOrderedAndProject (per-partition top-M, no global
+    // sort); the rank windows and the full-outer fusion join run over
+    // two ≤M-row lists — constant-size, independent of the corpus.
+    // Doc 0 is the query document and is excluded from both legs.
+    "q97_hybrid_search" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // windows below are global but their input is the limit(M)
+      // output — a constant-size relation at any corpus scale
+      val bmr = TextAnalysis.bm25Agg(s, d)
+        .where(col("doc_id") =!= 0)
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(HybridM)
+        .withColumn("bm25_rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("bm25_rank"))
+      val e = Tables.embeddings(s, d)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      val crk = e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          cos6(col("embedding"), col("q_embedding")).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(HybridM)
+        .withColumn("cos_rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("cos_rank"))
+      bmr.join(crk, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(RrfC) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfC) + col("cos_rank")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(HybridK)
+        .select(col("doc_id"), col("bm25_rank"), col("cos_rank"), col("rrf"))
+    },
+
     // HARD-NEGATIVE MINING for contrastive embedding training: for
     // every anchor vector, the top-k most-similar vectors whose label
     // DIFFERS from the anchor's — q86's cell-bounded join with the
@@ -1164,8 +1207,51 @@ object Similarity {
          |  FROM cand)
          |WHERE rnk <= $KnnK
          |ORDER BY vec_id, hn_rank""".stripMargin
+    // the BM25 CTE chain is q48's oracle verbatim (same terms, same
+    // Okapi constants), restricted to doc_id <> 0; the cosine leg is
+    // q36's scorer. Both legs rank to HybridM, then RRF-fuse.
+    val termsSql = graft.operators.TextAnalysis.Bm25QueryTerms
+      .map(t => s"'$t'").mkString(", ")
+    val hybridSql =
+      s"""$base,
+         |t AS (
+         |  SELECT doc_id, len(toks) AS dl, u.term FROM (
+         |    SELECT doc_id, ${Tokens.toksSql} AS toks FROM documents),
+         |    unnest(toks) AS u(term)),
+         |dls AS (SELECT doc_id, max(dl) AS dl FROM t GROUP BY 1),
+         |stats AS (
+         |  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |         (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM dls) AS avgdl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+         |  FROM t WHERE term IN ($termsSql) GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df
+         |  FROM t WHERE term IN ($termsSql) GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * (tf * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score_t
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats),
+         |bm AS (SELECT doc_id, round(sum(score_t), 6) AS bm25 FROM scored
+         |  WHERE doc_id <> 0 GROUP BY doc_id),
+         |bmr AS (SELECT doc_id, r AS bm25_rank FROM (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+         |  FROM bm) WHERE r <= $HybridM),
+         |cr AS (SELECT doc_id, r AS cos_rank FROM (
+         |  SELECT a.vec_id AS doc_id, row_number() OVER (
+         |    ORDER BY ${cosSql("a.v", "q.v", "a.nrm", "q.nrm")} DESC, a.vec_id) AS r
+         |  FROM n a CROSS JOIN (SELECT v, nrm FROM n WHERE vec_id = 0) q
+         |  WHERE a.vec_id <> 0) WHERE r <= $HybridM)
+         |SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         |  CAST(b.bm25_rank AS INTEGER) AS bm25_rank,
+         |  CAST(c.cos_rank AS INTEGER) AS cos_rank,
+         |  round(COALESCE(1.0 / ($RrfC + b.bm25_rank), 0) +
+         |        COALESCE(1.0 / ($RrfC + c.cos_rank), 0), 6) AS rrf
+         |FROM bmr b FULL OUTER JOIN cr c ON b.doc_id = c.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT $HybridK""".stripMargin
     Map(
       "q96_hard_negatives" -> hnSql(CellCap),
+      "q97_hybrid_search" -> hybridSql,
       "q36_knn_brute" ->
         s"""$base
            |SELECT a.vec_id, a.label,

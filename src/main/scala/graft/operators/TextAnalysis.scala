@@ -207,6 +207,43 @@ object TextAnalysis {
       .orderBy(col("seq_id"))
   }
 
+  /** The fixed BM25 query of q48 (and the text leg of q97's hybrid
+    * fusion). */
+  val Bm25QueryTerms = Seq("spark", "stream", "join")
+
+  /** Okapi BM25 (k1=1.2, b=0.75) of [[Bm25QueryTerms]] against every
+    * matching document: (doc_id, bm25, n_matched), unordered — q48
+    * adds the presentation top-20; q97's hybrid-retrieval fusion
+    * ranks its own top-M. Every factor is a join/aggregate over the
+    * token explode — one scan of the corpus; corpus-level stats ride
+    * a broadcast. */
+  private[operators] def bm25Agg(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg((sum(col("dl")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl")))
+    val tf = toks.where(col("term").isin(Bm25QueryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = toks.where(col("term").isin(Bm25QueryTerms: _*))
+      .select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n_docs").cast("double") - col("df") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0))
+      .withColumn("score_t",
+        col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+    scored.groupBy(col("doc_id"))
+      .agg(round(sum(col("score_t")), 6).as("bm25"),
+        count(lit(1)).as("n_matched"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The trained BPE merge table itself — rank-ordered (pair, merged)
     // rows, the artifact a tokenizer ships. The oracle retrains from
@@ -346,31 +383,7 @@ object TextAnalysis {
     // Standard Okapi parameters (k1=1.2, b=0.75); every factor is a
     // join/aggregate over the token explode — one scan of the corpus.
     "q48_bm25_search" -> { (s, d) =>
-      val queryTerms = Seq("spark", "stream", "join")
-      val docs = Tables.documents(s, d)
-      val toks = docs.withColumn("toks", expr(toksExpr))
-        .select(col("doc_id"), size(col("toks")).as("dl"),
-          explode(col("toks")).as("term"))
-      val stats = docs.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(toks.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-          .agg((sum(col("dl")).cast("double") /
-            count(lit(1)).cast("double")).as("avgdl")))
-      val tf = toks.where(col("term").isin(queryTerms: _*))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-      val df = toks.where(col("term").isin(queryTerms: _*))
-        .select(col("term"), col("doc_id")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(df, Seq("term")).crossJoin(broadcast(stats))
-        .withColumn("idf", log(
-          (col("n_docs").cast("double") - col("df") + 0.5) /
-            (col("df").cast("double") + 0.5) + 1.0))
-        .withColumn("score_t",
-          col("idf") * (col("tf") * 2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-      scored.groupBy(col("doc_id"))
-        .agg(round(sum(col("score_t")), 6).as("bm25"),
-          count(lit(1)).as("n_matched"))
+      bm25Agg(s, d)
         .orderBy(col("bm25").desc, col("doc_id").asc)
         .limit(20)
     },

@@ -389,6 +389,27 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q97 hybrid search: rrf recomputes from ranks, at least one leg per row, sorted") {
+    val s = spark
+    import s.implicits._
+    val rows = Similarity.queries("q97_hybrid_search")(s, sf)
+      .select($"doc_id", $"bm25_rank", $"cos_rank", $"rrf")
+      .as[(Long, Option[Int], Option[Int], Double)].collect()
+    assert(rows.nonEmpty && rows.length <= Similarity.HybridK)
+    rows.foreach { case (id, bm, cs, rrf) =>
+      assert(bm.isDefined || cs.isDefined, s"doc $id matched neither leg")
+      val expect = BigDecimal(
+        bm.map(r => 1.0 / (Similarity.RrfC + r)).getOrElse(0.0) +
+          cs.map(r => 1.0 / (Similarity.RrfC + r)).getOrElse(0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rrf - expect) < 1e-9, s"doc $id rrf $rrf != $expect")
+      bm.foreach(r => assert(r >= 1 && r <= Similarity.HybridM))
+      cs.foreach(r => assert(r >= 1 && r <= Similarity.HybridM))
+    }
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq,
+      "fused list not sorted by rrf desc")
+  }
+
   test("events loader is physical-layout invariant (nanos long / µs NTZ / µs UTC)") {
     // The driver has shipped two physical encodings of events.ts so
     // far (TIMESTAMP(NANOS) → long under nanosAsLong; TIMESTAMP(MICROS)
