@@ -333,6 +333,35 @@ class ScaleShapeSpec extends SparkSpec {
       s"q86's candidate join is not keyed on cid:\n${plan.take(1500)}")
   }
 
+  test("q96 hard negatives: same cartesian-free cell-equi-join shape as q86") {
+    val s = spark
+    val plan = SparkEntry.queries("q96_hard_negatives")(s, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"q96 plans a cartesian product:\n${plan.take(1500)}")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllMatchIn(plan).size
+    assert(bnlj <= 1,
+      s"q96 plans $bnlj nested-loop joins (only the centroid broadcast " +
+        s"is allowed):\n${plan.take(1500)}")
+    assert(Seq("SortMergeJoin [cid", "ShuffledHashJoin [cid",
+        "BroadcastHashJoin [cid").exists(plan.contains),
+      s"q96's candidate join is not keyed on cid:\n${plan.take(1500)}")
+  }
+
+  test("q97 hybrid search: both legs end in TakeOrderedAndProject, fusion is constant-size") {
+    val s = spark
+    val plan = SparkEntry.queries("q97_hybrid_search")(s, sf)
+      .queryExecution.executedPlan.toString
+    // each leg's top-M must be per-partition top-k + merge, not a
+    // global sort of the corpus
+    val topk = "TakeOrderedAndProject".r.findAllMatchIn(plan).size
+    assert(topk >= 2,
+      s"q97 plans $topk TakeOrderedAndProject nodes, expected both legs " +
+        s"+ the fused top-k:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"q97 plans a cartesian product:\n${plan.take(1500)}")
+  }
+
   test("q86 probe assignment is map-side: no window, no shuffle in the fragment") {
     val s = spark
     val pr = operators.Similarity.knnProbes(s, sf)
