@@ -196,12 +196,34 @@ object Dedup {
     * user-specified count is exempt from AQE coalescing, which is
     * exactly the intent. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    sigMemo.computeIfAbsent((s, d),
-      _ => Materialize.cut(withMinhash(Tables.documents(s, d))
-        .select((col("doc_id") +: col("sig") +:
-          (0 until K).map(i => col(s"sig$i"))): _*)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-          col("doc_id"))))
+    sigMemo.computeIfAbsent((s, d), _ => {
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = Tables.documents(s, d)
+      // The doc_id exchange is required either way (downstream band
+      // joins consume a doc_id-distributed signature table). WHERE it
+      // sits decides what parallelizes and what shuffles:
+      //   - scan already wide (the cluster case — thousands of file
+      //     splits): hash map-side on the scan partitioning, shuffle
+      //     only the skinny (doc_id, 16x8-byte sig) rows. Raw text
+      //     never moves.
+      //   - scan narrower than the target (a genuinely single-split
+      //     corpus — e.g. the sf0.01 verify input, where open-cost
+      //     packing yields one split): pre-shuffle the raw docs so
+      //     the K-md5 sketch work spreads across n cores instead of
+      //     one; the output is then already doc_id-partitioned, so it
+      //     is still ONE exchange, just moved below the hash work
+      //     (text bytes are trivial exactly when this branch fires).
+      //     At sf0.1 the scan already splits ~n ways, so the bench
+      //     plan is byte-identical to the fixed form it replaces.
+      val scanParts = docs.rdd.getNumPartitions
+      def skinny(df: DataFrame) = df.select((col("doc_id") +: col("sig") +:
+        (0 until K).map(i => col(s"sig$i"))): _*)
+      Materialize.cut(
+        if (scanParts < n)
+          skinny(withMinhash(docs.repartition(n, col("doc_id"))))
+        else
+          skinny(withMinhash(docs)).repartition(n, col("doc_id")))
+    })
 
   /** MinHash+LSH near-dup pairs (unsorted — q31 adds the presentation
     * sort; the graph queries consume this directly). Materialized once
