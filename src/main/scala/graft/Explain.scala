@@ -43,6 +43,7 @@ object Explain {
     "q95_audio_neardup" -> "audio near-dup: decode + window energies map-side; candidates from the double-offset magnitude-grid equi-join (lossless for the L-inf verdict) — only 32 int key rows per doc shuffle, never samples or media bytes",
     "q96_hard_negatives" -> "hard-negative mining: q86's cell-bounded k-NN join with the same-label exclusion BEFORE both top-k stages — labels ride the skinny id joins, the predicate is map-side on the candidate stream",
     "q97_hybrid_search" -> "hybrid retrieval: BM25 and cosine legs each end in TakeOrderedAndProject (no global sort); rank windows and the RRF fusion join run over constant-size top-M lists",
+    "q98_chunk_neardup" -> "chunk-grain near-dup: map-side chunk explode + sketch; band equi-joins carry only ids + packed keys; cross-band dedup is the first-collision-band filter, not a distinct",
   )
 
   def main(args: Array[String]): Unit = {

@@ -47,6 +47,11 @@ object Dedup {
     * down to this corpus's shorter documents. */
   val SubstrWindow = 40
 
+  /** Chunk width (= stride: non-overlapping) in tokens for the
+    * chunk-grain near-dup (q98) — q49's chunk width, so the dedup
+    * grain matches the training-context grid. */
+  val ChunkGrain = 20
+
   /** Skew guard for the band self-join: a band key whose bucket
     * exceeds [[HotBandThreshold]] members would put an O(bucket²)
     * candidate quadratic in ONE task (md5-derived keys are uniform,
@@ -224,6 +229,41 @@ object Dedup {
         else
           skinny(withMinhash(docs)).repartition(n, col("doc_id")))
     })
+
+  /** Chunk-grain signature relation for q98: documents split into
+    * non-overlapping [[ChunkGrain]]-token chunks (q49's grid at
+    * stride = width), each chunk carrying the same K=16 MinHash
+    * sketch and packed 48-bit band keys the doc-level pipeline uses.
+    * The sketch runs after the same adaptive exchange placement as
+    * [[minhashSignatures]] (pre-shuffle raw docs only when the scan
+    * is narrower than the target); text never moves past this
+    * projection. */
+  private def chunkSigs(s: SparkSession, d: String): DataFrame = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val docs0 = Tables.documents(s, d)
+    val docs = if (docs0.rdd.getNumPartitions < n)
+      docs0.repartition(n, col("doc_id")) else docs0
+    val sigged = docs
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("start",
+        explode(expr(s"sequence(1, greatest(size(toks), 1), $ChunkGrain)")))
+      .select(col("doc_id"),
+        floor((col("start") - 1) / ChunkGrain).cast("int").as("chunk_idx"),
+        array_distinct(expr(s"slice(toks, start, $ChunkGrain)")).as("tokset"))
+      .withColumn("sig",
+        graft.functions.VectorFunctions.minhash16(col("tokset")))
+    val wide = (0 until K).foldLeft(sigged) { (df, i) =>
+      df.withColumn(s"sig$i", col("sig").getItem(i))
+    }
+    val hexed = wide.select(col("doc_id") +: col("chunk_idx") +: col("sig") +:
+      (0 until Bands).map { b =>
+        md5(concat_ws(":", (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => col(s"sig$i").cast("string")): _*)).as(s"hx$b")
+      }: _*)
+    Materialize.cut(hexed.select(
+      col("doc_id") +: col("chunk_idx") +: col("sig") +:
+        (0 until Bands).map(b => expr(Tokens.hex48(s"hx$b")).as(s"bk$b")): _*))
+  }
 
   /** MinHash+LSH near-dup pairs (unsorted — q31 adds the presentation
     * sort; the graph queries consume this directly). Materialized once
@@ -593,6 +633,42 @@ object Dedup {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // CHUNK-grain cross-document near-dup — the paragraph-level
+    // middle grain between doc-level MinHash (q31: misses a doc that
+    // merely CONTAINS a copied paragraph) and 40-char window hashing
+    // (q83: exact matches only). Documents split into non-overlapping
+    // 20-token chunks (q49's grid at stride = width); each chunk gets
+    // the SAME K=16 MinHash sketch and packed 48-bit band keys as
+    // q31; candidates come from cross-document band equi-joins, with
+    // the band-1 leg gated on band-0 keys differing (the
+    // first-collision-band rule — a FILTER, not a distinct shuffle);
+    // est >= the q31 threshold. Scale: ~n_toks/20 chunk rows per doc,
+    // and only (ids, 16x8-byte sig) rows ride the band joins — text
+    // never shuffles past the sketch stage.
+    "q98_chunk_neardup" -> { (s, d) =>
+      // materialized once; both join legs and the union read it
+      val ch = chunkSigs(s, d)
+      def side(p: String) = ch.select(
+        col("doc_id").as(s"doc_$p"), col("chunk_idx").as(s"chunk_$p"),
+        col("sig").as(s"sig_$p"),
+        col("bk0").as(s"${p}k0"), col("bk1").as(s"${p}k1"))
+      val a = side("a")
+      val b = side("b")
+      val crossDoc = col("doc_a") < col("doc_b")
+      val cand = a.join(b, col("ak0") === col("bk0") && crossDoc)
+        .unionByName(a.join(b, col("ak1") === col("bk1") && crossDoc &&
+          col("ak0") =!= col("bk0")))
+      val est = (0 until K).map(i =>
+        when(element_at(col("sig_a"), i + 1) ===
+          element_at(col("sig_b"), i + 1), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / lit(K.toDouble)
+      cand.withColumn("est_jaccard", est)
+        .where(col("est_jaccard") >= EstThreshold)
+        .select(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"),
+          col("est_jaccard"))
+        .orderBy(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"))
+    },
+
     // Duplicate CLUSTERING: connected components over the MinHash
     // near-dup pair graph (est >= 15/16), cluster id = min doc_id in
     // the component. Iterative min-label propagation — per round one
@@ -852,6 +928,44 @@ object Dedup {
          |SELECT doc_a, doc_b, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q98_chunk_neardup" -> {
+      val bandKey = (b: Int) => Tokens.hex48("md5(concat_ws(':', " +
+        (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => s"CAST(sig$i AS VARCHAR)").mkString(", ") + "))")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks, u.s AS start
+         |  FROM t, unnest(range(1, greatest(len(toks), 1) + 1, $ChunkGrain)) AS u(s)),
+         |ck AS (
+         |  SELECT doc_id,
+         |    CAST(floor((start - 1) / $ChunkGrain.0) AS INTEGER) AS chunk_idx,
+         |    list_distinct(toks[start:start+${ChunkGrain - 1}]) AS tokset
+         |  FROM st),
+         |sigp AS (
+         |  SELECT doc_id, chunk_idx,
+         |         $sigPrefixSqlCols
+         |  FROM ck),
+         |sig0 AS (
+         |  SELECT doc_id, chunk_idx,
+         |         $sigFoldSqlCols
+         |  FROM sigp),
+         |sig AS (SELECT *,
+         |  [${(0 until K).map(i => s"sig$i").mkString(", ")}] AS sig,
+         |  ${bandKey(0)} AS bk0, ${bandKey(1)} AS bk1 FROM sig0),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, a.chunk_idx AS chunk_a,
+         |         b.doc_id AS doc_b, b.chunk_idx AS chunk_b,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM sig a JOIN sig b ON a.bk0 = b.bk0 AND a.doc_id < b.doc_id
+         |  UNION ALL
+         |  SELECT a.doc_id, a.chunk_idx, b.doc_id, b.chunk_idx,
+         |         a.sig, b.sig
+         |  FROM sig a JOIN sig b ON a.bk1 = b.bk1 AND a.doc_id < b.doc_id
+         |    AND a.bk0 <> b.bk0)
+         |SELECT doc_a, chunk_a, doc_b, chunk_b, $estSql AS est_jaccard
+         |FROM cand WHERE $estSql >= $EstThreshold
+         |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin
+    },
     "q37g_pagerank" -> {
       def iter(prev: String, cur: String) =
         s"""$cur AS (

@@ -389,6 +389,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q98 chunk near-dup: pairs are cross-doc canonical, est at-or-above threshold") {
+    val s = spark
+    import s.implicits._
+    val rows = Dedup.queries("q98_chunk_neardup")(s, sf)
+      .select($"doc_a", $"chunk_a", $"doc_b", $"chunk_b", $"est_jaccard")
+      .as[(Long, Int, Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (a, _, b, _, _) => a < b },
+      "pair not canonical or not cross-document")
+    assert(rows.forall { case (_, ca, _, cb, e) =>
+      ca >= 0 && cb >= 0 && e >= Dedup.EstThreshold && e <= 1.0 })
+    // no pair is reported twice (the first-collision-band rule, not
+    // a distinct, is what dedups the band legs)
+    val keys = rows.map(r => (r._1, r._2, r._3, r._4))
+    assert(keys.distinct.length == keys.length, "band legs double-report a pair")
+  }
+
   test("q97 hybrid search: rrf recomputes from ranks, at least one leg per row, sorted") {
     val s = spark
     import s.implicits._
