@@ -39,6 +39,36 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("release frees local-checkpoint blocks (clearMemos does not leak storage)") {
+    val s = spark
+    import s.implicits._
+    val conf = s.conf
+    val prev = conf.getOption("spark.graft.materialize")
+    try {
+      conf.set("spark.graft.materialize", "local")
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val frame = Materialize((1 to 1000).toDF("x"))
+      val added = s.sparkContext.getPersistentRDDs.keySet -- before
+      assert(added.nonEmpty, "localCheckpoint registered no persistent RDD")
+      Materialize.release(frame)
+      // unpersist is non-blocking; the registry update is synchronous
+      // on the driver, the block drop is not — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var gone = false
+      while (!gone && System.nanoTime() < deadline) {
+        gone = (s.sparkContext.getPersistentRDDs.keySet & added).isEmpty
+        if (!gone) Thread.sleep(100)
+      }
+      assert(gone, "released local-checkpoint RDD still registered as " +
+        "persistent — Materialize.release leaks block storage")
+    } finally {
+      prev match {
+        case Some(v) => conf.set("spark.graft.materialize", v)
+        case None => conf.unset("spark.graft.materialize")
+      }
+    }
+  }
+
   test("q35b reuses memoized cluster labels (no second convergence loop)") {
     Dedup.clearMemos()
     Dedup.queries("q35_dup_clusters")(spark, sf).collect()
