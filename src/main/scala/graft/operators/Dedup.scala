@@ -161,6 +161,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val sigMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val chunkSigMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Evict memoized relations (for long-lived sessions / tests),
     * RELEASING their materialized storage — without the release a
@@ -168,7 +170,7 @@ object Dedup {
     * until a full GC (measured: 2x sweep variance on q31/q35). */
   def clearMemos(): Unit = {
     import scala.jdk.CollectionConverters._
-    Seq(pairsMemo, clustersMemo, sigMemo).foreach { m =>
+    Seq(pairsMemo, clustersMemo, sigMemo, chunkSigMemo).foreach { m =>
       m.values.asScala.foreach(graft.Materialize.release)
       m.clear()
     }
@@ -237,8 +239,13 @@ object Dedup {
     * The sketch runs after the same adaptive exchange placement as
     * [[minhashSignatures]] (pre-shuffle raw docs only when the scan
     * is narrower than the target); text never moves past this
-    * projection. */
-  private def chunkSigs(s: SparkSession, d: String): DataFrame = {
+    * projection. Memoized per (session, dir) like the doc-level
+    * signature relation, so bench sweeps release it via
+    * [[clearMemos]] instead of leaking one checkpoint per run. */
+  private def chunkSigs(s: SparkSession, d: String): DataFrame =
+    chunkSigMemo.computeIfAbsent((s, d), _ => chunkSigsUncached(s, d))
+
+  private def chunkSigsUncached(s: SparkSession, d: String): DataFrame = {
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
     val docs0 = Tables.documents(s, d)
     val docs = if (docs0.rdd.getNumPartitions < n)
