@@ -93,6 +93,16 @@ object Bench {
       graft.operators.Dedup.clearMemos()
       graft.operators.Similarity.clearMemos()
       graft.operators.TextAnalysis.clearMemos()
+      // With the memos cleared, every persistent RDD still registered
+      // is a dead intra-query materialization (a Materialize.cut
+      // inside some query's plan — e.g. the knn ranked relation) from
+      // the previous sweep: its outputs are written, nothing can
+      // reference it again, and localCheckpoint storage is invisible
+      // to Dataset.unpersist. Drop them so sweep N doesn't run under
+      // sweep N-1's block-storage pressure. (Replay's staged corpora
+      // are FILES, not RDDs — untouched by design.)
+      for ((_, rdd) <- spark.sparkContext.getPersistentRDDs)
+        rdd.unpersist(blocking = false)
       for ((name, fn) <- names if !failedSet(name)) {
         val t0 = System.nanoTime()
         // Time what Verify's gate does — materialize to parquet — so Catalyst
