@@ -260,6 +260,31 @@ object Similarity {
       .select(col("vec_id"), col("nn_rank"), col("nn_id"), col("cos"))
       .orderBy(col("vec_id"), col("nn_rank"))
 
+  /** The ADC top-k query path over a PQ model — parameterized on the
+    * model frames so it serves BOTH the memoized trainer (q89b) and
+    * artifacts reloaded from disk ([[graft.plans.PqIndex]]): the
+    * query explodes into PqM subvectors, one broadcast lookup table
+    * of PqM×PqK rounded l2² entries is built against the codebooks,
+    * and distances sum over the ENCODED corpus only (8 code bytes per
+    * vector at query time — the floats never load). */
+  private[graft] def pqAdcTopK(emb: DataFrame, cents: DataFrame,
+      encoded: DataFrame): DataFrame = {
+    val q8 = emb.where(col("vec_id") === 0)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+        s"j -> slice(v, j * $PqSubDim + 1, $PqSubDim))")))
+      .select(col("pos").as("j"), col("col").as("qsv"))
+    val dtab = cents.join(broadcast(q8), Seq("j"))
+      .withColumn("qd", round(VectorFunctions.l2sq(col("qsv"), col("cv")), 6))
+      .select(col("j"), col("cid"), col("qd"))
+    encoded.where(col("vec_id") =!= 0)
+      .join(broadcast(dtab), Seq("j", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qd").cast("decimal(18,6)")).cast("double").as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   /** The k-NN join kernel with an optional same-label exclusion —
     * `excludeSameLabel = true` is HARD-NEGATIVE MINING (q96): for
     * every anchor, the top-k most-similar vectors of a DIFFERENT
@@ -742,20 +767,7 @@ object Similarity {
     // only thing scanned: 8 bytes/vector instead of 256.
     "q89b_pq_adc_topk" -> { (s, d) =>
       val (cents, encoded) = pqModel(s, d)
-      val q8 = Tables.embeddings(s, d).where(col("vec_id") === 0)
-        .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .select(posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
-          s"j -> slice(v, j * $PqSubDim + 1, $PqSubDim))")))
-        .select(col("pos").as("j"), col("col").as("qsv"))
-      val dtab = cents.join(broadcast(q8), Seq("j"))
-        .withColumn("qd", round(VectorFunctions.l2sq(col("qsv"), col("cv")), 6))
-        .select(col("j"), col("cid"), col("qd"))
-      encoded.where(col("vec_id") =!= 0)
-        .join(broadcast(dtab), Seq("j", "cid"))
-        .groupBy(col("vec_id"))
-        .agg(sum(col("qd").cast("decimal(18,6)")).cast("double").as("adc_dist"))
-        .orderBy(col("adc_dist").asc, col("vec_id").asc)
-        .limit(10)
+      pqAdcTopK(Tables.embeddings(s, d), cents, encoded)
     },
 
     // IVF-PQ ADC top-k — the full 100 TB retrieval architecture in

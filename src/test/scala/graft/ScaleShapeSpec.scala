@@ -333,6 +333,23 @@ class ScaleShapeSpec extends SparkSpec {
       s"q86's candidate join is not keyed on cid:\n${plan.take(1500)}")
   }
 
+  test("PQ index lifecycle: saved artifacts reproduce ADC top-k, memo cleared") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    val expected = SparkEntry.queries("q89b_pq_adc_topk")(s, sf)
+      .collect().map(_.toString).toSeq
+    graft.plans.PqIndex.save(s, sf, dir)
+    // the served path must work from the artifacts alone — drop the
+    // session-memoized model before loading
+    operators.Similarity.clearMemos()
+    val h = graft.plans.PqIndex.load(s, dir)
+    val served = graft.plans.PqIndex.serve(s, h)
+      .collect().map(_.toString).toSeq
+    assert(served == expected,
+      "reloaded PQ artifacts diverge from the freshly-trained ADC result")
+    Fs.deleteRecursively(dir)
+  }
+
   test("q96 hard negatives: same cartesian-free cell-equi-join shape as q86") {
     val s = spark
     val plan = SparkEntry.queries("q96_hard_negatives")(s, sf)
