@@ -122,7 +122,7 @@ object Similarity {
   val HybridK = 20
   val RrfC = 60
 
-  private def cos6(a: Column, b: Column): Column =
+  private[graft] def cos6(a: Column, b: Column): Column =
     round(VectorFunctions.cosine(a, b), 6)
 
   /** Within-cell near-dup candidate pairs with a HARD bound on the
@@ -322,6 +322,36 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         col("rnk").cast("int").as("nn_rank"),
         col("nn_id"), col("nn_label"), col("cos"))
+  }
+
+  private val indexDirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), String]()
+
+  /** Session-scoped artifact directory for the persisted-index serve
+    * queries (q39c/q89c), one per (session, sfDir, kind): minted under
+    * the staging root, written once ([[graft.plans.PqIndex
+    * .ensureSaved]] / [[graft.plans.IvfTopK.ensureSaved]]), reclaimed
+    * at JVM exit. Bounded hooks: at most #kinds × #sfDirs per JVM. */
+  private def indexDir(s: SparkSession, d: String, kind: String): String =
+    indexDirMemo.computeIfAbsent((s, d, kind), _ => {
+      val dir = graft.Fs.createStagingDir(s, s"graft-$kind-index")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      dir
+    })
+
+  /** Force-train every memoized ANN model for (session, dir) — the
+    * bench's untimed per-sweep pre-stage ([[graft.Bench.modelStagers]]).
+    * Training is eager ([[graft.Materialize.cut]] materializes on
+    * call), so after this returns the model queries hit warm memos and
+    * time only the query path — the "train once per corpus version,
+    * query many times" production contract. Idempotent (memo hits). */
+  def stageModels(s: SparkSession, d: String): Unit = {
+    ivfModel(s, d)
+    hierModel(s, d)
+    pqModel(s, d)
+    ivfPqModel(s, d)
+    ()
   }
 
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -770,6 +800,31 @@ object Similarity {
       pqAdcTopK(Tables.embeddings(s, d), cents, encoded)
     },
 
+    // PERSISTED-INDEX SERVE, PQ: save the trained PQ artifacts once
+    // per session (codebooks + PACKED codes + meta), then answer the
+    // ADC top-k from the on-disk artifacts alone — load reads the
+    // one-row meta, the codes scan unpacks the 8-byte codes map-side,
+    // the floats are never touched. The oracle is q89b's SQL verbatim:
+    // driver-gated proof that the "train once per corpus version"
+    // lifecycle serves the same answers as the in-session model.
+    "q89c_pq_serve" -> { (s, d) =>
+      val dir = indexDir(s, d, "pq")
+      graft.plans.PqIndex.ensureSaved(s, d, dir)
+      graft.plans.PqIndex.serve(s, graft.plans.PqIndex.load(s, dir))
+    },
+
+    // PERSISTED-INDEX SERVE, IVF: the q39 twin — artifacts saved once
+    // (cid-partitioned assignment + centroids + meta), then the probe
+    // runs driver-side over the reloaded k-row centroid table and the
+    // scan reads ONLY the probed cid partitions (static partition
+    // filter — at 100 TB the unprobed cells' files are never opened).
+    // Oracle = q39's SQL verbatim.
+    "q39c_ivf_serve" -> { (s, d) =>
+      val dir = indexDir(s, d, "ivf")
+      graft.plans.IvfTopK.ensureSaved(s, d, dir)
+      graft.plans.IvfTopK.serveTopK(s, dir)
+    },
+
     // IVF-PQ ADC top-k — the full 100 TB retrieval architecture in
     // one query (FAISS IVFADC): coarse-probe the NProbe nearest
     // cells, compute one ADC lookup table PER PROBED CELL from the
@@ -834,12 +889,17 @@ object Similarity {
     "q97_hybrid_search" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       // windows below are global but their input is the limit(M)
-      // output — a constant-size relation at any corpus scale
+      // output — a constant-size relation at any corpus scale. The
+      // pmod(doc_id, 1) constant partition key (the ivfModel
+      // seed-window move) keeps WindowExec's "no partition defined"
+      // WARN out of every bench log; it must survive the optimizer,
+      // which strips lit(0) (EliminateWindowPartitions).
       val bmr = TextAnalysis.bm25Agg(s, d)
         .where(col("doc_id") =!= 0)
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(HybridM)
         .withColumn("bm25_rank", row_number().over(
-          Window.orderBy(col("bm25").desc, col("doc_id").asc)))
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("bm25").desc, col("doc_id").asc)))
         .select(col("doc_id"), col("bm25_rank"))
       val e = Tables.embeddings(s, d)
       val q = e.where(col("vec_id") === 0)
@@ -850,7 +910,8 @@ object Similarity {
           cos6(col("embedding"), col("q_embedding")).as("cos"))
         .orderBy(col("cos").desc, col("doc_id").asc).limit(HybridM)
         .withColumn("cos_rank", row_number().over(
-          Window.orderBy(col("cos").desc, col("doc_id").asc)))
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("cos").desc, col("doc_id").asc)))
         .select(col("doc_id"), col("cos_rank"))
       bmr.join(crk, Seq("doc_id"), "full_outer")
         .withColumn("rrf", round(
@@ -1261,7 +1322,7 @@ object Similarity {
          |        COALESCE(1.0 / ($RrfC + c.cos_rank), 0), 6) AS rrf
          |FROM bmr b FULL OUTER JOIN cr c ON b.doc_id = c.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT $HybridK""".stripMargin
-    Map(
+    val m = Map(
       "q96_hard_negatives" -> hnSql(CellCap),
       "q97_hybrid_search" -> hybridSql,
       "q36_knn_brute" ->
@@ -1410,6 +1471,14 @@ object Similarity {
            |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.4
            |ORDER BY vec_a, vec_b""".stripMargin,
+    )
+    // The persisted-index SERVE queries must equal their in-session
+    // twins EXACTLY — same deterministic trained model, same query
+    // arithmetic, only the model inputs are disk-sourced — so their
+    // oracle is the original SQL verbatim.
+    m ++ Map(
+      "q39c_ivf_serve" -> m("q39_ann_ivf"),
+      "q89c_pq_serve" -> m("q89b_pq_adc_topk"),
     )
   }
 }

@@ -91,24 +91,77 @@ object IvfTopK {
       indexDir: Option[String] = None): IvfIndex = {
     val embPath = qualify(s, s"$sfDir/embeddings.parquet")
     registry.computeIfAbsent(embPath, _ => {
-      val (cents, assigned) = Similarity.ivfModel(s, sfDir)
-      val cols = s.read.parquet(embPath).schema.fieldNames.toSeq
       val base = indexDir.map(qualify(s, _))
         .getOrElse(graft.Fs.createStagingDir(s, "graft-ivf-index"))
-      val assignPath = s"$base/assignment"
-      assigned.select(cols.map(col) :+ col("cid"): _*)
-        .write.mode("overwrite").partitionBy("cid").parquet(assignPath)
-      val cArr = cents.collect().map { r =>
-        (r.getAs[Number]("cid").intValue(),
-          r.getSeq[Double](r.fieldIndex("cv")).toArray)
-      }.sortBy(_._1)
-      import s.implicits._
-      cents.select(col("cid").cast("int").as("cid"), col("cv"))
-        .write.mode("overwrite").parquet(s"$base/centroids")
-      Seq(embPath).toDF("emb_path")
-        .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
-      IvfIndex(embPath, assignPath, cArr)
+      writeArtifacts(s, sfDir, base)
     })
+  }
+
+  /** The save half of the lifecycle, unconditionally: train-or-reuse
+    * the quantizer and write assignment/centroids/meta under `base`.
+    * Shared by [[registerIndex]] (via the registry) and
+    * [[ensureSaved]] (via the per-dir memo). */
+  private def writeArtifacts(s: SparkSession, sfDir: String,
+      base: String): IvfIndex = {
+    val embPath = qualify(s, s"$sfDir/embeddings.parquet")
+    val (cents, assigned) = Similarity.ivfModel(s, sfDir)
+    val cols = s.read.parquet(embPath).schema.fieldNames.toSeq
+    val assignPath = s"$base/assignment"
+    assigned.select(cols.map(col) :+ col("cid"): _*)
+      .write.mode("overwrite").partitionBy("cid").parquet(assignPath)
+    val cArr = cents.collect().map { r =>
+      (r.getAs[Number]("cid").intValue(),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray)
+    }.sortBy(_._1)
+    import s.implicits._
+    cents.select(col("cid").cast("int").as("cid"), col("cv"))
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    Seq(embPath).toDF("emb_path")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+    IvfIndex(embPath, assignPath, cArr)
+  }
+
+  private val savedDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Unit]()
+
+  /** Persist the index artifacts under `indexDir` exactly once per
+    * (session, dir) — independent of the [[registry]], whose entries
+    * are keyed by embeddings path and may already point at a DIFFERENT
+    * artifact dir (e.g. a session temp dir from an earlier
+    * registerIndex). The oracle-gated serve query (q39c) saves through
+    * this and then reads ONLY the on-disk artifacts. */
+  def ensureSaved(s: SparkSession, sfDir: String, indexDir: String): Unit =
+    savedDirs.computeIfAbsent((s, qualify(s, indexDir)),
+      k => { writeArtifacts(s, sfDir, k._2); () })
+
+  /** Exact top-k served from the SAVED artifacts alone — q39's probed
+    * query with every model input disk-sourced: the k-row centroid
+    * table and one-row meta are read on the driver, the probe runs
+    * q39's arithmetic ([[IvfIndex.probe]]), and the scan is the
+    * cid-partitioned assignment table with a static `cid IN (...)`
+    * partition filter — at 100 TB the unprobed cells' files are never
+    * opened. The embeddings table is touched only for the query row. */
+  def serveTopK(s: SparkSession, indexDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val base = qualify(s, indexDir)
+    val embPath = s.read.parquet(s"$base/meta").head().getString(0)
+    val cArr = s.read.parquet(s"$base/centroids").collect().map { r =>
+      (r.getAs[Number]("cid").intValue(),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray)
+    }.sortBy(_._1)
+    val idx = IvfIndex(embPath, s"$base/assignment", cArr)
+    val q = s.read.parquet(embPath).where(col("vec_id") === 0)
+    val qvec = q.select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+      .as("qv")).head().getSeq[Double](0).toArray
+    val probed = idx.probe(qvec)
+    s.read.parquet(idx.assignPath)
+      .where(col("cid").isin(probed.map(Int.box): _*))
+      .where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q.select(col("embedding").as("q_embedding"))))
+      .select(col("vec_id"), col("label"),
+        Similarity.cos6(col("embedding"), col("q_embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
   }
 
   /** Re-register a saved index from disk — no retraining, no scan of

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
 /** Product-quantization index lifecycle — the PQ twin of
@@ -11,10 +12,13 @@ import graft.operators.Similarity
   * Artifact layout under `indexDir`:
   *   - `codebooks/` — the PqM×PqK trained codewords (j, cid, cv);
   *     k-rows-scale, the only thing the query side broadcasts;
-  *   - `codes/`     — the encoded corpus as (vec_id, j, cid): the
-  *     FAISS codes table in exploded layout (8 rows × 3 ints per
-  *     vector ≈ the packed 8-byte code, trades packing for
-  *     join-ability; q89's packed form shows the bit layout);
+  *   - `codes/`     — the encoded corpus PACKED to one row per vector
+  *     (vec_id, pq_code_lo, pq_code_hi): the FAISS 8-byte codes table
+  *     as two 32-bit halves (q89's exact bit layout — a single 8×8-bit
+  *     pack overflows a SIGNED 64-bit shift at j = 7). The exploded
+  *     (vec_id, j, cid) form this replaces was 8× the rows — the one
+  *     corpus-sized artifact must not pay that at 100 TB; `serve`
+  *     unpacks codes back to join layout with a map-side shift/mask.
   *   - `meta/`      — the source embeddings path, so `load` can
   *     sanity-name what the artifacts were built from.
   *
@@ -36,12 +40,30 @@ object PqIndex {
     val embPath = IvfTopK.qualify(s, s"$sfDir/embeddings.parquet")
     val (cents, encoded) = Similarity.pqModel(s, sfDir)
     cents.write.mode("overwrite").parquet(s"$base/codebooks")
-    encoded.write.mode("overwrite").parquet(s"$base/codes")
+    // pack per vector — q89's two-halves expressions verbatim, so the
+    // persisted bytes are the same code layout the oracle hash-checks
+    encoded.groupBy(col("vec_id")).agg(
+      expr("sum(CASE WHEN j < 4 THEN " +
+        "shiftleft(CAST(cid AS BIGINT), 8 * j) ELSE 0 END)").as("pq_code_lo"),
+      expr("sum(CASE WHEN j >= 4 THEN " +
+        "shiftleft(CAST(cid AS BIGINT), 8 * (j - 4)) ELSE 0 END)").as("pq_code_hi"))
+      .write.mode("overwrite").parquet(s"$base/codes")
     import s.implicits._
     Seq(embPath).toDF("emb_path")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
     Handle(embPath, s"$base/codebooks", s"$base/codes")
   }
+
+  private val savedDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Handle]()
+
+  /** [[save]] exactly once per (session, indexDir) — the oracle-gated
+    * serve query (q89c) goes through this so bench sweeps and repeated
+    * verify runs re-serve from the artifacts instead of re-writing
+    * them per invocation. */
+  def ensureSaved(s: SparkSession, sfDir: String, indexDir: String): Handle =
+    savedDirs.computeIfAbsent((s, IvfTopK.qualify(s, indexDir)),
+      _ => save(s, sfDir, indexDir))
 
   /** Reconstruct a handle from saved artifacts — no retraining, no
     * corpus scan; the driver reads back only the one-row meta. */
@@ -53,11 +75,21 @@ object PqIndex {
 
   /** ADC top-k against the SAVED artifacts (the q89b query path with
     * disk-sourced model frames): broadcast lookup table from the
-    * reloaded codebooks, distance sum over the persisted codes. The
+    * reloaded codebooks, distance sum over the persisted codes —
+    * unpacked from the two 32-bit halves to (vec_id, j, cid) join
+    * layout by a map-side shift/mask projection (8 skinny rows per
+    * vector exist only inside the scan stage, never on disk). The
     * embeddings table is touched only for the one query row. */
-  def serve(s: SparkSession, h: Handle): DataFrame =
+  def serve(s: SparkSession, h: Handle): DataFrame = {
+    val unpacked = s.read.parquet(h.codesPath)
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${Similarity.PqM - 1}), j -> " +
+          "CAST((CASE WHEN j < 4 THEN shiftright(pq_code_lo, 8 * j) " +
+          "ELSE shiftright(pq_code_hi, 8 * (j - 4)) END) & 255 AS INT))")))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("cid"))
     Similarity.pqAdcTopK(
       s.read.parquet(h.embPath),
       s.read.parquet(h.codebookPath),
-      s.read.parquet(h.codesPath))
+      unpacked)
+  }
 }

@@ -34,4 +34,28 @@ class BenchConfigSpec extends AnyFunSuite {
       s"Bench.replayStagers=${Bench.replayStagers.toSeq.sorted} but source " +
         s"call sites use ${found.toSeq.sorted} — update Bench.replayStagers")
   }
+
+  test("Bench sweep loop clears every module that defines clearMemos") {
+    // The sweep loop's blanket unpersist of ALL persistent RDDs is
+    // only safe because every cross-query memo was released by a
+    // clearMemos call just before it — a module that adds a memo
+    // registry without being wired into the sweep loop would have its
+    // LIVE localCheckpoint blocks freed mid-sweep and fail its next
+    // use. Couple the two by construction: any `def clearMemos` in
+    // main source must be invoked as `<Module>.clearMemos()` in
+    // Bench.scala.
+    val root = Paths.get("src", "main", "scala")
+    val definers = Files.walk(root).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filter(p => Files.readString(p).contains("def clearMemos"))
+      .map(_.getFileName.toString.stripSuffix(".scala"))
+      .toSet
+    assert(definers.nonEmpty, "no clearMemos definers found — pattern rot?")
+    val bench = Files.readString(
+      Paths.get("src", "main", "scala", "graft", "Bench.scala"))
+    val uncleared = definers.filterNot(m => bench.contains(s"$m.clearMemos()"))
+    assert(uncleared.isEmpty,
+      s"modules define clearMemos but Bench's sweep loop never calls them: " +
+        s"${uncleared.toSeq.sorted} — wire them in before the blanket unpersist")
+  }
 }

@@ -339,6 +339,14 @@ class ScaleShapeSpec extends SparkSpec {
     val expected = SparkEntry.queries("q89b_pq_adc_topk")(s, sf)
       .collect().map(_.toString).toSeq
     graft.plans.PqIndex.save(s, sf, dir)
+    // the corpus-sized artifact must be PACKED: one row per vector
+    // (two 32-bit halves), not the 8-rows-per-vector exploded join
+    // layout — at 100 TB that factor is the index's footprint
+    val nVecs = Tables.embeddings(s, sf).count()
+    val nCodes = s.read.parquet(s"$dir/codes").count()
+    assert(nCodes == nVecs,
+      s"codes/ has $nCodes rows for $nVecs vectors — exploded layout leaked " +
+        "back into the persisted artifact")
     // the served path must work from the artifacts alone — drop the
     // session-memoized model before loading
     operators.Similarity.clearMemos()
