@@ -131,6 +131,61 @@ object Temporal {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // q51's sessionization through the REAL streaming `session_window`
+    // operator — the stateful temporal op most sensitive to watermark
+    // semantics (sessions MERGE in state as late rows bridge gaps, and
+    // only close when the watermark passes the gap past their end).
+    // Same harness as q77: staged-file replay in APPEND mode, a
+    // sentinel event (user_id = -1) 400 days out arriving in the last
+    // micro-batch advances the final watermark so the state store
+    // flushes every real session; the 365-day delay exceeds the
+    // corpus's span so cross-file arrival order cannot drop a late
+    // row. Oracle = q51's batch SQL verbatim — driver-visible proof
+    // that streaming ≡ batch for gap-based sessionization.
+    "q51s_stream_sessionize" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id"), col("value"))
+      val maxRow = ev.agg(max(col("ts"))).head()
+      if (maxRow.isNullAt(0)) {
+        queries("q51_sessionize")(s, d).limit(0)
+      } else {
+        val maxTs = maxRow.getTimestamp(0)
+        def appendSentinel(dir: String): Unit = {
+          val hconf = s.sparkContext.hadoopConfiguration
+          def parquetFiles: Set[String] = graft.Fs
+            .listDataFiles(dir, hconf).map(_.getPath.toString).toSet
+          val dataFiles = parquetFiles
+          val sentinelTs = new java.sql.Timestamp(
+            maxTs.getTime + 400L * 24 * 3600 * 1000)
+          s.createDataFrame(
+              java.util.List.of(org.apache.spark.sql.Row(
+                sentinelTs, -1L, 0.0)), ev.schema)
+            .coalesce(1).write.mode("append").parquet(dir)
+          val bumped = System.currentTimeMillis() + 60000
+          (parquetFiles -- dataFiles).foreach(
+            graft.Fs.setMTime(_, hconf, bumped))
+        }
+        graft.streaming.Replay.run(s, ev, files = 3,
+          stateParts = Some(4), afterStage = appendSentinel,
+          stageKey = Some(s"q51s:$d")) { stream =>
+          stream
+            .withWatermark("ts", "365 days")
+            .groupBy(col("user_id"),
+              session_window(col("ts"), "30 minutes").as("w"))
+            .agg(count(lit(1)).as("n_events"), decSum("value").as("sum_value"),
+              min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+            .select(col("user_id"), col("session_start"), col("n_events"),
+              col("sum_value"),
+              ((unix_micros(col("session_end")) - unix_micros(col("session_start")))
+                .cast("double") / lit(1e6)).as("duration_sec"))
+        }
+          // null-safe: a NULL user_id group is real data and must
+          // survive the sentinel filter
+          .where(!col("user_id").eqNullSafe(lit(-1L)))
+          .orderBy(col("user_id"), col("session_start"))
+      }
+    },
+
     // Sliding windows (2 h window, 1 h slide): each event lands in two
     // overlapping windows — Spark's window() generates both
     // assignments; the oracle unions the two shifted bucketings.
@@ -352,7 +407,12 @@ object Temporal {
     },
   )
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = oracleBase ++ Map(
+    // the streaming sessionization must equal the batch form exactly
+    "q51s_stream_sessionize" -> oracleBase("q51_sessionize"),
+  )
+
+  private def oracleBase: Map[String, String] = Map(
     "q50_window_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
         |  event_type, count(*) AS n,

@@ -19,6 +19,14 @@ class StreamBatchParitySpec extends SparkSpec {
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
 
+  test("q51s: streaming session_window equals batch q51 exactly") {
+    val s = spark
+    val batch = Temporal.queries("q51_sessionize")(s, sf)
+    val stream = Temporal.queries("q51s_stream_sessionize")(s, sf)
+    assert(stream.count() === batch.count())
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
   test("q75: stream dup flags equal the batch band-collision predicate") {
     val s = spark
     val out = Dedup.queries("q75_stream_dup_filter")(s, sf)
