@@ -324,6 +324,51 @@ object Similarity {
         col("nn_id"), col("nn_label"), col("cos"))
   }
 
+  /** HYBRID RETRIEVAL (q97/q97b, the RAG candidate-generation shape):
+    * BM25 of the fixed text query and cosine-to-query-vector (q36's
+    * form, same id space) each produce a top-M list, fused by
+    * reciprocal-rank fusion rrf = Σ 1/(C + rank). Scale: each leg
+    * ends in TakeOrderedAndProject (per-partition top-M, no global
+    * sort); the rank windows and the full-outer fusion join run over
+    * two ≤M-row lists — constant-size, independent of the corpus.
+    * Doc 0 is the query document and is excluded from both legs.
+    * `bm` supplies the lexical leg — the fresh scorer (q97) or the
+    * persisted-index serve (q97b). */
+  private def hybridSearch(s: SparkSession, d: String, bm: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // windows below are global but their input is the limit(M)
+    // output — a constant-size relation at any corpus scale. The
+    // pmod(doc_id, 1) constant partition key (the ivfModel
+    // seed-window move) keeps WindowExec's "no partition defined"
+    // WARN out of every bench log; it must survive the optimizer,
+    // which strips lit(0) (EliminateWindowPartitions).
+    val bmr = bm
+      .where(col("doc_id") =!= 0)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(HybridM)
+      .withColumn("bm25_rank", row_number().over(
+        Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("bm25").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("bm25_rank"))
+    val e = Tables.embeddings(s, d)
+    val q = e.where(col("vec_id") === 0)
+      .select(col("embedding").as("q_embedding"))
+    val crk = e.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        cos6(col("embedding"), col("q_embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(HybridM)
+      .withColumn("cos_rank", row_number().over(
+        Window.partitionBy(pmod(col("doc_id"), lit(1)))
+          .orderBy(col("cos").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("cos_rank"))
+    bmr.join(crk, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfC) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfC) + col("cos_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(HybridK)
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"), col("rrf"))
+  }
+
   private val indexDirMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), String]()
 
@@ -878,47 +923,23 @@ object Similarity {
     // hash-checks, rather than a branch that only fires on skew.
     "q86b_knn_join_capped" -> { (s, d) => knnJoin(s, d, KnnCapGate) },
 
-    // HYBRID RETRIEVAL (the RAG candidate-generation shape): BM25 of
-    // the fixed text query (q48's scorer) and cosine-to-query-vector
-    // (q36's form, same id space) each produce a top-M list, fused by
-    // reciprocal-rank fusion rrf = Σ 1/(C + rank). Scale: each leg
-    // ends in TakeOrderedAndProject (per-partition top-M, no global
-    // sort); the rank windows and the full-outer fusion join run over
-    // two ≤M-row lists — constant-size, independent of the corpus.
-    // Doc 0 is the query document and is excluded from both legs.
+    // HYBRID RETRIEVAL with the fresh BM25 leg — see [[hybridSearch]].
     "q97_hybrid_search" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      // windows below are global but their input is the limit(M)
-      // output — a constant-size relation at any corpus scale. The
-      // pmod(doc_id, 1) constant partition key (the ivfModel
-      // seed-window move) keeps WindowExec's "no partition defined"
-      // WARN out of every bench log; it must survive the optimizer,
-      // which strips lit(0) (EliminateWindowPartitions).
-      val bmr = TextAnalysis.bm25Agg(s, d)
-        .where(col("doc_id") =!= 0)
-        .orderBy(col("bm25").desc, col("doc_id").asc).limit(HybridM)
-        .withColumn("bm25_rank", row_number().over(
-          Window.partitionBy(pmod(col("doc_id"), lit(1)))
-            .orderBy(col("bm25").desc, col("doc_id").asc)))
-        .select(col("doc_id"), col("bm25_rank"))
-      val e = Tables.embeddings(s, d)
-      val q = e.where(col("vec_id") === 0)
-        .select(col("embedding").as("q_embedding"))
-      val crk = e.where(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id").as("doc_id"),
-          cos6(col("embedding"), col("q_embedding")).as("cos"))
-        .orderBy(col("cos").desc, col("doc_id").asc).limit(HybridM)
-        .withColumn("cos_rank", row_number().over(
-          Window.partitionBy(pmod(col("doc_id"), lit(1)))
-            .orderBy(col("cos").desc, col("doc_id").asc)))
-        .select(col("doc_id"), col("cos_rank"))
-      bmr.join(crk, Seq("doc_id"), "full_outer")
-        .withColumn("rrf", round(
-          coalesce(lit(1.0) / (lit(RrfC) + col("bm25_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(RrfC) + col("cos_rank")), lit(0.0)), 6))
-        .orderBy(col("rrf").desc, col("doc_id").asc).limit(HybridK)
-        .select(col("doc_id"), col("bm25_rank"), col("cos_rank"), col("rrf"))
+      hybridSearch(s, d, TextAnalysis.bm25Agg(s, d))
+    },
+
+    // The same fusion with the LEXICAL leg served from the persisted
+    // BM25 index ([[graft.plans.Bm25Index]]): the corpus is tokenized
+    // and aggregated once into term-bucketed postings, and the query
+    // touches only its terms' buckets — the production RAG shape,
+    // where the lexical index is built per corpus version like the
+    // PQ/IVF ones. Oracle = q97's SQL verbatim (shared scorer ⇒
+    // bit-identical scores).
+    "q97b_hybrid_served" -> { (s, d) =>
+      val dir = indexDir(s, d, "bm25")
+      graft.plans.Bm25Index.ensureSaved(s, d, dir)
+      hybridSearch(s, d, graft.plans.Bm25Index.serve(
+        s, graft.plans.Bm25Index.load(s, dir), TextAnalysis.Bm25QueryTerms))
     },
 
     // HARD-NEGATIVE MINING for contrastive embedding training: for
@@ -1479,6 +1500,7 @@ object Similarity {
     m ++ Map(
       "q39c_ivf_serve" -> m("q39_ann_ivf"),
       "q89c_pq_serve" -> m("q89b_pq_adc_topk"),
+      "q97b_hybrid_served" -> m("q97_hybrid_search"),
     )
   }
 }

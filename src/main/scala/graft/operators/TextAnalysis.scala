@@ -217,7 +217,7 @@ object TextAnalysis {
     * ranks its own top-M. Every factor is a join/aggregate over the
     * token explode — one scan of the corpus; corpus-level stats ride
     * a broadcast. */
-  private[operators] def bm25Agg(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bm25Agg(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = docs.withColumn("toks", expr(toksExpr))
       .select(col("doc_id"), size(col("toks")).as("dl"),
@@ -232,6 +232,19 @@ object TextAnalysis {
     val df = toks.where(col("term").isin(Bm25QueryTerms: _*))
       .select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    bm25ScoreFrom(tf, df, stats)
+  }
+
+  /** The Okapi scorer over already-built index relations — shared by
+    * the fresh path ([[bm25Agg]], which filters the token stream to
+    * the query terms BEFORE aggregating) and the persisted-index path
+    * ([[graft.plans.Bm25Index.serve]], which reads the full postings
+    * table pruned to the query terms at the scan). Identical
+    * expressions → identical doubles, so the served scores equal the
+    * fresh ones bit for bit. `tf` = (doc_id, term, tf, dl); `df` =
+    * (term, df); `stats` = one row (n_docs, avgdl). */
+  private[graft] def bm25ScoreFrom(tf: DataFrame, df: DataFrame,
+      stats: DataFrame): DataFrame = {
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(stats))
       .withColumn("idf", log(
         (col("n_docs").cast("double") - col("df") + 0.5) /
@@ -242,6 +255,27 @@ object TextAnalysis {
     scored.groupBy(col("doc_id"))
       .agg(round(sum(col("score_t")), 6).as("bm25"),
         count(lit(1)).as("n_matched"))
+  }
+
+  /** The FULL lexical-index relations a persisted BM25 index stores —
+    * unfiltered by query: postings (doc_id, term, tf, dl), terms
+    * (term, df), stats (n_docs, avgdl). Building them is the one-off
+    * index job ([[graft.plans.Bm25Index.save]]); a query then touches
+    * only the postings rows of its own terms. */
+  private[graft] def bm25Relations(s: SparkSession, d: String):
+      (DataFrame, DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.withColumn("toks", expr(toksExpr))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val terms = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(toks.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg((sum(col("dl")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl")))
+    (postings, terms, stats)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

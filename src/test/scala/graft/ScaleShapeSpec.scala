@@ -642,6 +642,65 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("no registered query plans a global Window over an unbounded input") {
+    // A Window with no partition key executes on ONE task over its
+    // whole input — acceptable only when that input is already
+    // limit-bounded (a top-M list), never when it is corpus-sized.
+    // Today every such window carries a pmod constant key or sits
+    // above a limit; this guard keeps a future query from shipping a
+    // genuine single-partition corpus sort. Replay-backed queries are
+    // skipped: their result is a materialized memory-sink frame whose
+    // plan is a post-replay projection (and executing them here would
+    // re-run every stream).
+    val s = spark
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    def limitBounded(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case _: GlobalLimit => (); case _: LocalLimit => ()
+      }.isDefined
+    val skip = Bench.replayStagers
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+        if !skip.exists(p => name.startsWith(p + "_"))) {
+      val plan = fn(s, sf).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          assert(limitBounded(w.child),
+            s"$name plans a global Window with no partition key over an " +
+              s"input that is not limit-bounded:\n${w.treeString.take(1200)}")
+        case _ => ()
+      }
+    }
+  }
+
+  test("BM25 index lifecycle: served scores equal fresh, postings scan prunes to query-term buckets") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("bm25_index").toString
+    try {
+      val expected = operators.TextAnalysis.bm25Agg(s, sf)
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+      graft.plans.Bm25Index.save(s, sf, dir)
+      val h = graft.plans.Bm25Index.load(s, dir)
+      val served = graft.plans.Bm25Index.serve(s, h,
+        operators.TextAnalysis.Bm25QueryTerms)
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+      assert(served == expected,
+        "served BM25 scores diverge from the fresh computation")
+      // the postings read must be pruned at the FILE level by the
+      // query terms' tbucket partitions — the scan contract that makes
+      // a 3-term query open ~3/64 of a 100 TB index
+      val plan = graft.plans.Bm25Index.serve(s, h,
+        operators.TextAnalysis.Bm25QueryTerms)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+        plan.contains("tbucket"),
+        s"tbucket filter did not reach the postings scan as a partition " +
+          s"filter:\n${plan.take(1200)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
     val s = spark
     import s.implicits._
