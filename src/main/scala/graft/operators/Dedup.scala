@@ -428,38 +428,54 @@ object Dedup {
     * where BOTH sides are the big side and the "other side" is the
     * group-pair space. */
   private[graft] def saltedBandPairs(left: DataFrame, right: DataFrame,
-      b: Int, earlierDiffer: Column, threshold: Int, groups: Int): DataFrame = {
-    val hotK = broadcast(
-      left.where(col(s"a$b").isNotNull)
-        .groupBy(col(s"a$b")).agg(count(lit(1)).as("n"))
-        .where(col("n") > threshold)
-        .select(col(s"a$b").as("hot_k")))
-    val coldL = left.join(hotK, col(s"a$b") === col("hot_k"), "left_anti")
-    val coldR = right.join(hotK, col(s"b$b") === col("hot_k"), "left_anti")
-    val cold = coldL.join(coldR,
-        col(s"a$b") === col(s"b$b") &&
-          col("doc_a") < col("doc_b") && earlierDiffer)
+      b: Int, earlierDiffer: Column, threshold: Int, groups: Int): DataFrame =
+    saltedKeyedPairs(left, right, s"a$b", s"b$b",
+      pmod(crc32(col("doc_a").cast("string")), lit(groups)),
+      pmod(crc32(col("doc_b").cast("string")), lit(groups)),
+      col("doc_a") < col("doc_b") && earlierDiffer, threshold, groups)
       .select(col("doc_a"), col("doc_b"))
+
+  /** The generic form of the skew-guarded self-pair join (see
+    * [[saltedBandPairs]] for the triangle-decomposition semantics):
+    * `keyA`/`keyB` are the two sides' join-key column names, `saltA`/
+    * `saltB` the per-row salt-group expressions (must hash the SAME
+    * row identity on both sides), `pred` the pair predicate applied in
+    * BOTH the cold and hot legs. All columns of both sides ride
+    * through, so callers whose pair rows carry payload (q98's chunk
+    * ids + signatures) use this directly. */
+  private[graft] def saltedKeyedPairs(left: DataFrame, right: DataFrame,
+      keyA: String, keyB: String, saltA: Column, saltB: Column,
+      pred: Column, threshold: Int, groups: Int): DataFrame = {
+    val outCols = (left.columns ++ right.columns).toSeq.map(col)
+    val hotK = broadcast(
+      left.where(col(keyA).isNotNull)
+        .groupBy(col(keyA)).agg(count(lit(1)).as("n"))
+        .where(col("n") > threshold)
+        .select(col(keyA).as("hot_k")))
+    val coldL = left.join(hotK, col(keyA) === col("hot_k"), "left_anti")
+    val coldR = right.join(hotK, col(keyB) === col("hot_k"), "left_anti")
+    val cold = coldL.join(coldR, col(keyA) === col(keyB) && pred)
+      .select(outCols: _*)
     val gxs = array((0 until groups).map(lit): _*)
-    val hotL = left.join(hotK, col(s"a$b") === col("hot_k"), "left_semi")
-      .withColumn("ga", pmod(crc32(col("doc_a").cast("string")), lit(groups)))
+    val hotL = left.join(hotK, col(keyA) === col("hot_k"), "left_semi")
+      .withColumn("ga", saltA)
       .withColumn("gx", explode(gxs))
       .withColumn("aglo", least(col("ga"), col("gx")))
       .withColumn("aghi", greatest(col("ga"), col("gx")))
       .drop("gx")
-    val hotR = right.join(hotK, col(s"b$b") === col("hot_k"), "left_semi")
-      .withColumn("gb", pmod(crc32(col("doc_b").cast("string")), lit(groups)))
+    val hotR = right.join(hotK, col(keyB) === col("hot_k"), "left_semi")
+      .withColumn("gb", saltB)
       .withColumn("gx", explode(gxs))
       .withColumn("bglo", least(col("gb"), col("gx")))
       .withColumn("bghi", greatest(col("gb"), col("gx")))
       .drop("gx")
     val hot = hotL.join(hotR,
-        col(s"a$b") === col(s"b$b") &&
+        col(keyA) === col(keyB) &&
           col("aglo") === col("bglo") && col("aghi") === col("bghi") &&
-          col("doc_a") < col("doc_b") && earlierDiffer &&
+          pred &&
           (col("ga") =!= col("gb") ||
             (col("aglo") === col("ga") && col("aghi") === col("ga"))))
-      .select(col("doc_a"), col("doc_b"))
+      .select(outCols: _*)
     cold.unionByName(hot)
   }
 
@@ -662,9 +678,36 @@ object Dedup {
       val a = side("a")
       val b = side("b")
       val crossDoc = col("doc_a") < col("doc_b")
-      val cand = a.join(b, col("ak0") === col("bk0") && crossDoc)
-        .unionByName(a.join(b, col("ak1") === col("bk1") && crossDoc &&
-          col("ak0") =!= col("bk0")))
+      // the q31 adaptive skew guard at chunk grain: chunk band keys
+      // CAN go hot (boilerplate paragraphs repeated across a crawl —
+      // and every empty-token doc's single chunk shares one sig), so
+      // probe the worst bucket and switch both band legs to the
+      // salted triangle join when it exceeds the threshold; the
+      // md5-uniform normal case keeps the plain plan at zero overhead
+      val maxBucket = ch
+        .select(posexplode(array(col("bk0"), col("bk1"))))
+        .toDF("band_id", "band_key")
+        .where(col("band_key").isNotNull)
+        .groupBy(col("band_id"), col("band_key"))
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      val leg1Pred = crossDoc && col("ak0") =!= col("bk0")
+      val cand = if (maxBucket <= HotBandThreshold)
+        a.join(b, col("ak0") === col("bk0") && crossDoc)
+          .unionByName(a.join(b, col("ak1") === col("bk1") && leg1Pred))
+      else {
+        // salt on the full (doc, chunk) row identity — doc_id alone
+        // would put all of a boilerplate doc's chunks in one group
+        def salt(p: String) = pmod(crc32(concat_ws(":",
+          col(s"doc_$p"), col(s"chunk_$p"))), lit(BandSaltGroups))
+        saltedKeyedPairs(a, b, "ak0", "bk0", salt("a"), salt("b"),
+            crossDoc, HotBandThreshold, BandSaltGroups)
+          .unionByName(saltedKeyedPairs(a, b, "ak1", "bk1",
+            salt("a"), salt("b"), leg1Pred, HotBandThreshold, BandSaltGroups))
+      }
       val est = (0 until K).map(i =>
         when(element_at(col("sig_a"), i + 1) ===
           element_at(col("sig_b"), i + 1), 1).otherwise(0))

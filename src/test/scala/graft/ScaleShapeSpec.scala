@@ -855,6 +855,38 @@ class ScaleShapeSpec extends SparkSpec {
       "salting gave no meaningful reduction vs the single-task quadratic")
   }
 
+  test("q98 chunk skew guard: salted chunk-band pairs equal the plain join, payload intact") {
+    // the generic saltedKeyedPairs carries ALL side columns (q98's
+    // chunk ids + signatures) — assert exact pair-set identity
+    // against the plain join INCLUDING the payload, on a hot-band
+    // fixture salted by the (doc, chunk) row identity
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 60L).map(i => (i / 4, i % 4, s"sig$i", 7L)) ++
+      (1000L until 1010L).map(i => (i, 0L, s"sig$i", 9L))
+    val ch = rows.toDF("doc_id", "chunk_idx", "sig", "bk0")
+    def side(p: String) = ch.select(
+      col("doc_id").as(s"doc_$p"), col("chunk_idx").as(s"chunk_$p"),
+      col("sig").as(s"sig_$p"), col("bk0").as(s"${p}k0"))
+    val a = side("a")
+    val b = side("b")
+    val crossDoc = col("doc_a") < col("doc_b")
+    def salt(p: String) = pmod(crc32(concat_ws(":",
+      col(s"doc_$p"), col(s"chunk_$p"))), lit(4))
+    val plain = a.join(b, col("ak0") === col("bk0") && crossDoc)
+      .select($"doc_a", $"chunk_a", $"sig_a", $"doc_b", $"chunk_b", $"sig_b")
+      .as[(Long, Long, String, Long, Long, String)].collect().toSet
+    val salted = operators.Dedup
+      .saltedKeyedPairs(a, b, "ak0", "bk0", salt("a"), salt("b"),
+        crossDoc, threshold = 10, groups = 4)
+      .select($"doc_a", $"chunk_a", $"sig_a", $"doc_b", $"chunk_b", $"sig_b")
+      .as[(Long, Long, String, Long, Long, String)].collect()
+    assert(salted.length === salted.toSet.size,
+      "duplicate chunk pairs from the salting")
+    assert(salted.toSet === plain,
+      "salted chunk pair set differs from the plain join's")
+  }
+
   test("q31 skew guard shape sweep: salted pairs equal the plain join on every bucket profile") {
     val s = spark
     import s.implicits._
