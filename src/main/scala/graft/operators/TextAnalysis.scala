@@ -257,26 +257,18 @@ object TextAnalysis {
         count(lit(1)).as("n_matched"))
   }
 
-  /** The FULL lexical-index relations a persisted BM25 index stores —
-    * unfiltered by query: postings (doc_id, term, tf, dl), terms
-    * (term, df), stats (n_docs, avgdl). Building them is the one-off
-    * index job ([[graft.plans.Bm25Index.save]]); a query then touches
-    * only the postings rows of its own terms. */
-  private[graft] def bm25Relations(s: SparkSession, d: String):
-      (DataFrame, DataFrame, DataFrame) = {
-    val docs = Tables.documents(s, d)
-    val toks = docs.withColumn("toks", expr(toksExpr))
+  /** The FULL postings relation a persisted BM25 index stores —
+    * unfiltered by query: (doc_id, term, tf, dl), one row per distinct
+    * doc×term. Works on ANY documents-shaped frame (doc_id, text), so
+    * [[graft.plans.Bm25Index]] uses it for both the one-off index
+    * build and incremental appends; df and the corpus stats derive
+    * from it. */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(toksExpr))
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
-    val postings = toks.groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val terms = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(toks.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg((sum(col("dl")).cast("double") /
-          count(lit(1)).cast("double")).as("avgdl")))
-    (postings, terms, stats)
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The trained BPE merge table itself — rank-ordered (pair, merged)

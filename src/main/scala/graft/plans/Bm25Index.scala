@@ -6,8 +6,9 @@ import graft.operators.TextAnalysis
 
 /** Persisted BM25 lexical index — the text twin of [[PqIndex]]/
   * [[IvfTopK]]'s vector lifecycles: tokenize and aggregate the corpus
-  * ONCE per version, persist the index relations, and serve any query
-  * from the artifacts without re-reading a single document.
+  * ONCE per version, persist the index relations, serve any query from
+  * the artifacts without re-reading a single document, and APPEND new
+  * documents without re-indexing the resident corpus.
   *
   * Artifact layout under `indexDir`:
   *   - `postings/` — (doc_id, term, tf, dl), the corpus-sized relation
@@ -19,7 +20,11 @@ import graft.operators.TextAnalysis
   *     entry — millions of tiny files — so terms hash into a bounded
   *     bucket space instead);
   *   - `terms/`    — (term, df), vocabulary-sized;
-  *   - `stats/`    — one row (n_docs, avgdl);
+  *   - `stats/`    — one MERGEABLE row (n_docs, n_tok_docs, sum_dl):
+  *     sums, not the derived avgdl, so an append updates them in O(1)
+  *     instead of recomputing over the resident corpus; `serve`
+  *     derives avgdl = sum_dl / n_tok_docs with the fresh path's exact
+  *     long-sum-then-double-divide arithmetic;
   *   - `meta/`     — the source documents path.
   *
   * `serve` computes exactly [[TextAnalysis.bm25ScoreFrom]] over the
@@ -43,16 +48,37 @@ object Bm25Index {
   def save(s: SparkSession, sfDir: String, indexDir: String): Handle = {
     val base = IvfTopK.qualify(s, indexDir)
     val docsPath = IvfTopK.qualify(s, s"$sfDir/documents.parquet")
-    val (postings, terms, stats) = TextAnalysis.bm25Relations(s, sfDir)
-    postings.withColumn("tbucket", tbucket(col("term")))
-      .write.mode("overwrite").partitionBy("tbucket")
+    val docs = graft.Tables.documents(s, sfDir)
+    // materialized once — the write, the df aggregation and the stats
+    // all read it
+    val postings = graft.Materialize.cut(
+      TextAnalysis.postingsOf(docs)
+        .withColumn("tbucket", tbucket(col("term"))))
+    postings.write.mode("overwrite").partitionBy("tbucket")
       .parquet(s"$base/postings")
-    terms.write.mode("overwrite").parquet(s"$base/terms")
-    stats.coalesce(1).write.mode("overwrite").parquet(s"$base/stats")
+    postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$base/terms")
+    writeStats(s, s"$base/stats", docs.count(), postings)
     import s.implicits._
     Seq(docsPath).toDF("docs_path")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
     Handle(docsPath, s"$base/postings", s"$base/terms", s"$base/stats")
+  }
+
+  /** Persist the mergeable stats row: `nDocs` total documents (token-
+    * less included, matching the fresh scorer's n_docs), plus the
+    * tokenized-doc count and total token length derived from the
+    * postings batch, added to `addTo` (the resident stats on append). */
+  private def writeStats(s: SparkSession, path: String, nDocs: Long,
+      postings: DataFrame, addTo: (Long, Long, Long) = (0L, 0L, 0L)): Unit = {
+    val inc = postings.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("t"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .head()
+    import s.implicits._
+    Seq((addTo._1 + nDocs, addTo._2 + inc.getLong(0),
+        addTo._3 + inc.getLong(1)))
+      .toDF("n_docs", "n_tok_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
   private val savedDirs = new java.util.concurrent.ConcurrentHashMap[
@@ -64,6 +90,42 @@ object Bm25Index {
   def ensureSaved(s: SparkSession, sfDir: String, indexDir: String): Handle =
     savedDirs.computeIfAbsent((s, IvfTopK.qualify(s, indexDir)),
       _ => save(s, sfDir, indexDir))
+
+  /** Incremental index maintenance — the lexical twin of
+    * [[IvfTopK.append]]: new documents' postings are computed with the
+    * shared tokenizer and APPENDED (dynamic-partition append — only
+    * the tbuckets the new terms land in gain files); the vocabulary-
+    * sized terms table is merged (df sums) and the one-row stats
+    * updated from the batch alone — the resident corpus is never
+    * rescanned. `newDocs` must carry (doc_id, text) with fresh doc_ids
+    * (id collisions are the caller's contract). Returns the number of
+    * appended documents. */
+  def append(s: SparkSession, indexDir: String, newDocs: DataFrame): Long = {
+    val base = IvfTopK.qualify(s, indexDir)
+    // materialize the batch ONCE: the returned count, the postings
+    // write and the stats update come from the same evaluation
+    val staged = graft.Materialize.cut(newDocs)
+    val newPost = graft.Materialize.cut(
+      TextAnalysis.postingsOf(staged)
+        .withColumn("tbucket", tbucket(col("term"))))
+    newPost.write.mode("append").partitionBy("tbucket")
+      .parquet(s"$base/postings")
+    // vocabulary-sized read-merge-overwrite; the merged frame is CUT
+    // (materialized off the input files) before the overwrite, so the
+    // write never reads the path it is replacing
+    val newTerms = newPost.groupBy(col("term")).agg(count(lit(1)).as("df_new"))
+    val merged = graft.Materialize.cut(
+      s.read.parquet(s"$base/terms")
+        .join(newTerms, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) +
+            coalesce(col("df_new"), lit(0L))).as("df")))
+    merged.write.mode("overwrite").parquet(s"$base/terms")
+    val old = s.read.parquet(s"$base/stats").head()
+    writeStats(s, s"$base/stats", staged.count(), newPost,
+      addTo = (old.getLong(0), old.getLong(1), old.getLong(2)))
+    staged.count()
+  }
 
   /** Reconstruct a handle from saved artifacts. */
   def load(s: SparkSession, indexDir: String): Handle = {
@@ -95,7 +157,12 @@ object Bm25Index {
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
     val df = s.read.parquet(h.termsPath)
       .where(col("term").isin(queryTerms: _*))
+    // derive avgdl with the fresh path's exact arithmetic: long sums,
+    // one double division
     val stats = s.read.parquet(h.statsPath)
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") /
+          col("n_tok_docs").cast("double")).as("avgdl"))
     TextAnalysis.bm25ScoreFrom(tf, df, stats)
   }
 }

@@ -65,6 +65,44 @@ object PqIndex {
     savedDirs.computeIfAbsent((s, IvfTopK.qualify(s, indexDir)),
       _ => save(s, sfDir, indexDir))
 
+  /** Incremental index maintenance — the PQ twin of
+    * [[IvfTopK.append]]: new vectors are encoded under the EXISTING
+    * trained codebooks (the exact pqTrain assignment arithmetic — the
+    * TopCells kernel under a broadcast j equi-join, (dist, cid)
+    * tie-break), packed to q89's two-halves layout, and APPENDED to
+    * the codes table — no retrain, no rescan of the resident corpus.
+    * `newRows` must carry (vec_id, embedding) with fresh vec_ids (id
+    * collisions are the caller's contract, as with any append-only
+    * table). Returns the number of appended rows. */
+  def append(s: SparkSession, indexDir: String,
+      newRows: DataFrame): Long = {
+    val base = IvfTopK.qualify(s, indexDir)
+    val byJ = s.read.parquet(s"$base/codebooks")
+      .groupBy(col("j")).agg(collect_list(
+        struct(col("cid").cast("long").as("cid"), col("cv"))).as("carr"))
+    // materialize the batch ONCE: the returned count and the written
+    // rows come from the same evaluation
+    val staged = graft.Materialize.cut(newRows)
+    val sv = staged
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .select(col("vec_id"),
+        posexplode(expr(s"transform(sequence(0, ${Similarity.PqM - 1}), " +
+          s"j -> slice(v, j * ${Similarity.PqSubDim} + 1, " +
+          s"${Similarity.PqSubDim}))")))
+      .select(col("vec_id"), col("pos").as("j"), col("col").as("sv"))
+    sv.join(broadcast(byJ), Seq("j"))
+      .withColumn("cid", element_at(
+        graft.functions.VectorFunctions.topCells(col("sv"), col("carr"), 1), 1)
+        .getField("cid").cast("int"))
+      .groupBy(col("vec_id")).agg(
+        expr("sum(CASE WHEN j < 4 THEN " +
+          "shiftleft(CAST(cid AS BIGINT), 8 * j) ELSE 0 END)").as("pq_code_lo"),
+        expr("sum(CASE WHEN j >= 4 THEN " +
+          "shiftleft(CAST(cid AS BIGINT), 8 * (j - 4)) ELSE 0 END)").as("pq_code_hi"))
+      .write.mode("append").parquet(s"$base/codes")
+    staged.count()
+  }
+
   /** Reconstruct a handle from saved artifacts — no retraining, no
     * corpus scan; the driver reads back only the one-row meta. */
   def load(s: SparkSession, indexDir: String): Handle = {

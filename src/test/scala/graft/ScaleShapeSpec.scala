@@ -701,6 +701,65 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("BM25 index append: half-corpus index + append equals the full-corpus index") {
+    // the incremental-maintenance contract: index(first half) then
+    // append(second half) must serve the SAME scores as the fresh
+    // full-corpus computation — df merges, stats sums, postings append
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_half").toString
+    val dir = java.nio.file.Files.createTempDirectory("bm25_appidx").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      docs.where(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      graft.plans.Bm25Index.save(s, tmp, dir)
+      val n = graft.plans.Bm25Index.append(s, dir,
+        docs.where(col("doc_id") % 2 === 1))
+      assert(n === docs.where(col("doc_id") % 2 === 1).count())
+      val served = graft.plans.Bm25Index.serve(s,
+        graft.plans.Bm25Index.load(s, dir),
+        operators.TextAnalysis.Bm25QueryTerms)
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+      val fresh = operators.TextAnalysis.bm25Agg(s, sf)
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+      assert(served == fresh,
+        "appended index diverges from the fresh full-corpus scores")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("PQ index append: twin vectors encode to the resident vectors' exact codes") {
+    // append encodes under the SAVED codebooks with pqTrain's exact
+    // assignment arithmetic — a twin of a resident vector (same
+    // embedding, fresh id) must land on the identical packed code
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("pq_appidx").toString
+    try {
+      graft.plans.PqIndex.save(s, sf, dir)
+      val twins = Tables.embeddings(s, sf)
+        .where(col("vec_id").between(1, 5))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val n = graft.plans.PqIndex.append(s, dir, twins)
+      assert(n === 5L)
+      val codes = s.read.parquet(s"$dir/codes")
+      val orig = codes.where(col("vec_id").between(1, 5))
+        .select(col("vec_id"), col("pq_code_lo"), col("pq_code_hi"))
+      val appended = codes.where(col("vec_id") > 100000L)
+        .select((col("vec_id") - 100000L).as("vec_id"),
+          col("pq_code_lo").as("lo2"), col("pq_code_hi").as("hi2"))
+      val diverged = orig.join(appended, Seq("vec_id"), "full_outer")
+        .where(col("pq_code_lo").isNull || col("lo2").isNull ||
+          col("pq_code_lo") =!= col("lo2") ||
+          col("pq_code_hi") =!= col("hi2")).count()
+      assert(diverged === 0L,
+        "appended twin codes diverge from the resident encoding")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("q76 chunk contract: exactly the same-or-adjacent-rank-chunk pairs, once each") {
     val s = spark
     import s.implicits._
