@@ -120,6 +120,7 @@ object Bench {
       graft.operators.Dedup.clearMemos()
       graft.operators.Similarity.clearMemos()
       graft.operators.TextAnalysis.clearMemos()
+      graft.operators.Curation.clearMemos()
       // With the memos cleared, every persistent RDD still registered
       // is a dead intra-query materialization (a Materialize.cut
       // inside some query's plan — e.g. the knn ranked relation) from

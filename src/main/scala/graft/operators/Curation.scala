@@ -133,6 +133,32 @@ object Curation {
     * a broadcast relation instead of O(|bench|) literal expressions
     * re-planned every micro-batch. An empty bench relation keeps every
     * row, matching the old lit(false) special case. */
+  private val gramsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  /** The benchmark 5-gram set as a standalone MATERIALIZED relation
+    * (cut once; ~KBs by definition), memoized per (session, dir):
+    * q84 and q84b each broadcast it into their streams — not as a
+    * driver-collected plan literal, which bloated the plan by
+    * O(|bench|) expressions per micro-batch and would not survive an
+    * eval suite growing past KBs. (The batch pipeline q81 instead
+    * derives the grams from its own single corpus scan.) Released per
+    * bench sweep via [[clearMemos]]. */
+  private def benchGramsRel(s: SparkSession, d: String): DataFrame =
+    gramsMemo.computeIfAbsent((s, d), _ => graft.Materialize.cut(
+      Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .where(col("doc_id") % BenchmarkMod === 0)
+        .select(explode(grams5(col("toks"))).as("gram")).distinct()))
+
+  /** Evict the memoized gram relations (bench sweeps / long-lived
+    * sessions), releasing their materialized storage. */
+  def clearMemos(): Unit = {
+    import scala.jdk.CollectionConverters._
+    gramsMemo.values.asScala.foreach(graft.Materialize.release)
+    gramsMemo.clear()
+  }
+
   private[graft] def curationGates(stream: DataFrame, benchGrams: DataFrame): DataFrame =
     stream
       .withColumn("toks", expr(toksExpr))
@@ -458,15 +484,7 @@ object Curation {
     // proven at the driver's oracle gate, not just for its pieces.
     "q84_stream_curation" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      // the benchmark gram set stays a RELATION (cut once; ~KBs by
-      // definition) and reaches the stream as a broadcast — not as a
-      // driver-collected plan literal, which bloated the plan by
-      // O(|bench|) expressions per micro-batch and would not survive
-      // an eval suite growing past KBs
-      val benchGrams = graft.Materialize.cut(docs
-        .withColumn("toks", expr(toksExpr))
-        .where(col("doc_id") % BenchmarkMod === 0)
-        .select(explode(grams5(col("toks"))).as("gram")).distinct())
+      val benchGrams = benchGramsRel(s, d)
       val train = docs.where(col("doc_id") % BenchmarkMod =!= 0)
         .select(col("doc_id"), col("text"))
       val maxRow = train.agg(max(col("doc_id"))).head()
@@ -506,10 +524,7 @@ object Curation {
     // which is exactly the lazy-eviction timing the oracle predicts.
     "q84b_stream_curation_ttl" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val benchGrams = graft.Materialize.cut(docs
-        .withColumn("toks", expr(toksExpr))
-        .where(col("doc_id") % BenchmarkMod === 0)
-        .select(explode(grams5(col("toks"))).as("gram")).distinct())
+      val benchGrams = benchGramsRel(s, d)
       val train = docs.where(col("doc_id") % BenchmarkMod =!= 0)
         .select(col("doc_id"), col("text"))
       val feed = train
