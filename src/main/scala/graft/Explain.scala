@@ -44,6 +44,9 @@ object Explain {
     "q96_hard_negatives" -> "hard-negative mining: q86's cell-bounded k-NN join with the same-label exclusion BEFORE both top-k stages — labels ride the skinny id joins, the predicate is map-side on the candidate stream",
     "q97_hybrid_search" -> "hybrid retrieval: BM25 and cosine legs each end in TakeOrderedAndProject (no global sort); rank windows and the RRF fusion join run over constant-size top-M lists",
     "q98_chunk_neardup" -> "chunk-grain near-dup: map-side chunk explode + sketch; band equi-joins carry only ids + packed keys; cross-band dedup is the first-collision-band filter, not a distinct",
+    "q39c_ivf_serve" -> "IVF serve from saved artifacts: driver-side probe over the reloaded k-row centroid table, then a static `cid IN (...)` PartitionFilters scan of the persisted assignment — the unprobed cells' files are never opened",
+    "q89c_pq_serve" -> "PQ serve from saved artifacts: packed codes unpacked by a map-side shift/mask projection at the scan, then the q89b broadcast-ADC join — one row per vector on disk, floats never load",
+    "q97b_hybrid_served" -> "hybrid retrieval with the lexical leg from the persisted BM25 index: tbucket PartitionFilters + pushed term predicate on the postings scan; scorer and fusion identical to q97",
   )
 
   def main(args: Array[String]): Unit = {
