@@ -47,6 +47,8 @@ object Explain {
     "q39c_ivf_serve" -> "IVF serve from saved artifacts: driver-side probe over the reloaded k-row centroid table, then a static `cid IN (...)` PartitionFilters scan of the persisted assignment — the unprobed cells' files are never opened",
     "q89c_pq_serve" -> "PQ serve from saved artifacts: packed codes unpacked by a map-side shift/mask projection at the scan, then the q89b broadcast-ADC join — one row per vector on disk, floats never load",
     "q97b_hybrid_served" -> "hybrid retrieval with the lexical leg from the persisted BM25 index: tbucket PartitionFilters + pushed term predicate on the postings scan; scorer and fusion identical to q97",
+    "q99_lsh_index_dedup" -> "incremental dedup against the persisted LSH index: the incoming batch is sketched map-side and broadcast; the bands scan carries (band_id, kbucket) PartitionFilters from the batch's collected bucket set — the resident corpus is never rescanned",
+    "q100_ann_recall" -> "ANN recall@10 self-evaluation: exact leg is a broadcast probe cross join with SALTED two-stage per-probe top-k (no single task sorts a probe's full candidate stream); IVF leg is cell-bounded under the broadcast centroid/cell relations",
   )
 
   def main(args: Array[String]): Unit = {

@@ -300,6 +300,28 @@ object Dedup {
       posexplode(array((0 until Bands).map(b => col(s"bk$b")): _*)))
       .toDF("doc_id", "band_id", "band_key")
 
+  /** Melted LSH index rows for an arbitrary documents frame:
+    * (doc_id, sig, bk0, band_id, band_key) — one row per (doc, band),
+    * carrying the full K-signature (so a candidate join verifies
+    * est-Jaccard without a second corpus lookup) and the band-0 key
+    * (so the band-1 join leg can apply the first-collision-band gate
+    * without a distinct shuffle). This is the row layout
+    * [[graft.plans.MinHashIndex]] persists — everything map-side, the
+    * text never survives past the sketch projection. */
+  private[graft] def indexBandRows(docs: DataFrame): DataFrame = {
+    val sig = withMinhash(docs)
+    val hexed = sig.select(col("doc_id") +: col("sig") +:
+      (0 until Bands).map { b =>
+        md5(concat_ws(":", (b * RowsPerBand until (b + 1) * RowsPerBand)
+          .map(i => col(s"sig$i").cast("string")): _*)).as(s"hx$b")
+      }: _*)
+    val keyed = hexed.select(col("doc_id") +: col("sig") +:
+      (0 until Bands).map(b => expr(Tokens.hex48(s"hx$b")).as(s"bk$b")): _*)
+    keyed.select(col("doc_id"), col("sig"), col("bk0"),
+        posexplode(array((0 until Bands).map(b => col(s"bk$b")): _*)))
+      .toDF("doc_id", "sig", "bk0", "band_id", "band_key")
+  }
+
   private def minhashPairsUncached(s: SparkSession, d: String): DataFrame = {
     // the memoized signature relation feeds both sides of the band
     // self-join and both joinbacks — without it the K-md5 sketch
@@ -931,11 +953,50 @@ object Dedup {
           col("n_bands_hit").isNotNull.as("is_dup"))
         .orderBy(col("doc_id"))
     },
+
+    // PERSISTED-INDEX INCREMENTAL DEDUP — the lifecycle q31 feeds at
+    // 100 TB: all-pairs dedup runs once per corpus version; every
+    // ARRIVING batch afterwards is a probe against the standing LSH
+    // index ([[graft.plans.MinHashIndex]]). Here the corpus split
+    // models it: residents (doc_id % 10 != 0) are indexed once per
+    // session (save → parquet artifacts, partitioned by
+    // (band_id, band_key mod 64)); the incoming batch (doc_id % 10
+    // == 0) is sketched map-side, broadcast, and joined against the
+    // FILE-PRUNED index scan. Oracle = the q31 CTE chain with the
+    // probe/resident split — driver-gated proof the persisted path
+    // answers what the fresh all-pairs computation would.
+    "q99_lsh_index_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dir = lshIndexDir(s, d)
+      val h = graft.plans.MinHashIndex.ensureSaved(s,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        s"$d/documents.parquet", dir)
+      graft.plans.MinHashIndex.serve(s, h,
+          docs.where(pmod(col("doc_id"), lit(10)) === 0))
+        .orderBy(col("probe_doc"), col("corpus_doc"))
+    },
   )
 
-  /** Shared oracle CTE chain: tokens → k signatures → bands → distinct
-    * candidate pairs (mirrors the Spark pipeline stage for stage). */
-  private def minhashCtes: String = {
+  private val lshIndexDirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Session-scoped artifact directory for the persisted LSH index
+    * (q99), one per (session, sfDir): minted under the staging root,
+    * written once, reclaimed at JVM exit — the Similarity.indexDir
+    * pattern. */
+  private def lshIndexDir(s: SparkSession, d: String): String =
+    lshIndexDirMemo.computeIfAbsent((s, d), _ => {
+      val dir = graft.Fs.createStagingDir(s, "graft-lsh-index")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      dir
+    })
+
+  /** Oracle CTE chain up to the melted band rows: tokens → k
+    * signatures → bands (mirrors the Spark pipeline stage for stage;
+    * the persisted-index oracle (q99) appends its own probe-split
+    * candidate CTE instead of the symmetric self-join below). */
+  private def sigBandCtes: String = {
     // band_key mirrors the Spark side's packed key exactly: md5 of the
     // ':'-joined (concat_ws — both engines skip NULLs identically)
     // decimal band signatures, hex48-folded to a BIGINT
@@ -957,14 +1018,19 @@ object Dedup {
        |  FROM sigp),
        |sig AS (SELECT *, [${(0 until K).map(i => s"sig$i").mkString(", ")}] AS sig FROM sig0),
        |bands AS (
-       |  $bandKeys),
+       |  $bandKeys)""".stripMargin
+  }
+
+  /** Shared oracle CTE chain: [[sigBandCtes]] + distinct candidate
+    * pairs from the symmetric band self-join. */
+  private def minhashCtes: String =
+    s"""$sigBandCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |         a.sig AS sig_a, b.sig AS sig_b
        |  FROM bands a JOIN bands b
        |    ON a.band_id = b.band_id AND a.band_key = b.band_key
        |   AND a.doc_id < b.doc_id)""".stripMargin
-  }
   private def estSql: String =
     s"len(list_filter(range(1, ${K + 1}), i -> sig_a[i] = sig_b[i])) / ${K.toDouble}"
 
@@ -978,6 +1044,17 @@ object Dedup {
          |SELECT doc_a, doc_b, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q99_lsh_index_dedup" ->
+      s"""WITH $sigBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS probe_doc, b.doc_id AS corpus_doc,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         |SELECT probe_doc, corpus_doc, $estSql AS est_jaccard
+         |FROM cand WHERE $estSql >= $EstThreshold
+         |ORDER BY probe_doc, corpus_doc""".stripMargin,
     "q98_chunk_neardup" -> {
       val bandKey = (b: Int) => Tokens.hex48("md5(concat_ws(':', " +
         (b * RowsPerBand until (b + 1) * RowsPerBand)

@@ -80,6 +80,11 @@ object Similarity {
     * where every cell sits far under the production [[CellCap]]. */
   val KnnCapGate = 48
 
+  /** ANN self-evaluation (q100): probe-sample size and cutoff for
+    * recall@k of the IVF index against the exact ground truth. */
+  val RecallProbes = 8
+  val RecallK = 10
+
   /** Two-level (hierarchical) IVF quantizer parameters (q88) — the
     * fix for flat IVF's documented 100 TB ceiling: with corpus-derived
     * k = n/Target, flat assignment computes k distances per vector
@@ -813,6 +818,66 @@ object Similarity {
         .limit(10)
     },
 
+    // ANN RECALL@k SELF-EVALUATION — "measure, don't guess" applied
+    // to the index itself: for a sample of RecallProbes query vectors,
+    // compute the EXACT cosine top-k (the ground truth every recall
+    // number needs — inherently one brute-force pass over the corpus
+    // per probe, which is why it runs on a sample) and the IVF-probed
+    // top-k, and report per-probe overlap. The exact leg's per-probe
+    // top-k is SALTED two-stage (local top-k per (probe, vec-salt)
+    // group, then top-k of the ≤ salt·k survivors) so no single task
+    // ever sorts a probe's full candidate stream; the approx leg is
+    // cell-bounded by construction. This is the query a 100 TB
+    // pipeline runs after every index rebuild to decide whether
+    // NProbe/k still meet the recall budget.
+    "q100_ann_recall" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val P = RecallProbes
+      val (cents, assigned) = ivfModel(s, d)
+      val probes = assigned.where(col("vec_id") < P)
+        .select(col("vec_id").as("probe_id"), col("v").as("qv"),
+          col("embedding").as("q_embedding"))
+      val corpus = assigned.where(col("vec_id") >= P)
+      val topW = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      // exact ground truth: broadcast the P probes, salted two-stage
+      // per-probe top-k over the corpus
+      val exCand = corpus
+        .crossJoin(broadcast(probes.select(col("probe_id"), col("q_embedding"))))
+        .select(col("probe_id"), col("vec_id"),
+          cos6(col("embedding"), col("q_embedding")).as("cos"))
+      val saltW = Window
+        .partitionBy(col("probe_id"), pmod(col("vec_id"), lit(32)))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val exact = exCand
+        .withColumn("rn1", row_number().over(saltW)).where(col("rn1") <= RecallK)
+        .withColumn("rn", row_number().over(topW)).where(col("rn") <= RecallK)
+        .select(col("probe_id"), col("vec_id"))
+      // IVF leg: per-probe NProbe nearest cells over the broadcast
+      // centroids, candidates pruned to those cells
+      val cellW = Window.partitionBy(col("probe_id"))
+        .orderBy(col("qdist"), col("cid"))
+      val probedCells = probes.select(col("probe_id"), col("qv"))
+        .crossJoin(broadcast(cents))
+        .withColumn("qdist", VectorFunctions.l2sq(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(cellW))
+        .where(col("prn") <= NProbe)
+        .select(col("probe_id"), col("cid"))
+      val approx = corpus.join(broadcast(probedCells), Seq("cid"))
+        .join(broadcast(probes.select(col("probe_id"), col("q_embedding"))),
+          Seq("probe_id"))
+        .select(col("probe_id"), col("vec_id"),
+          cos6(col("embedding"), col("q_embedding")).as("cos"))
+        .withColumn("rn", row_number().over(topW)).where(col("rn") <= RecallK)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .withColumn("recall_at_10",
+          round(col("n_overlap") / lit(RecallK.toDouble), 6))
+        .orderBy(col("probe_id"))
+    },
+
     // Product-quantization ENCODE — the storage side of a compressed
     // vector lake: each vector becomes a 64-bit code (8 subspaces ×
     // 8-bit codeword ids vs the 256-byte float payload) plus
@@ -1381,6 +1446,44 @@ object Similarity {
            |CROSS JOIN (SELECT v, nrm FROM n WHERE vec_id = 0) q2
            |WHERE a.vec_id <> 0
            |ORDER BY cos DESC, a.vec_id ASC LIMIT 10""".stripMargin,
+      "q100_ann_recall" ->
+        s"""$base,
+           |$kmeansCtes,
+           |probes AS (
+           |  SELECT vec_id AS probe_id, v AS qv, nrm AS qnrm
+           |  FROM n WHERE vec_id < $RecallProbes),
+           |exact AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT p.probe_id, a.vec_id,
+           |      row_number() OVER (PARTITION BY p.probe_id
+           |        ORDER BY ${cosSql("a.v", "p.qv", "a.nrm", "p.qnrm")} DESC,
+           |          a.vec_id ASC) AS rn
+           |    FROM n a CROSS JOIN probes p WHERE a.vec_id >= $RecallProbes)
+           |  WHERE rn <= $RecallK),
+           |cells AS (
+           |  SELECT probe_id, cid FROM (
+           |    SELECT p.probe_id, c.cid,
+           |      row_number() OVER (PARTITION BY p.probe_id
+           |        ORDER BY ${distSql("p.qv", "c.cv")}, c.cid) AS prn
+           |    FROM cents$KmIters c CROSS JOIN probes p)
+           |  WHERE prn <= $NProbe),
+           |approx AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT p.probe_id, a.vec_id,
+           |      row_number() OVER (PARTITION BY p.probe_id
+           |        ORDER BY ${cosSql("a.v", "p.qv", "a.nrm", "p.qnrm")} DESC,
+           |          a.vec_id ASC) AS rn
+           |    FROM fin a JOIN cells cl ON a.cid = cl.cid
+           |    JOIN probes p ON p.probe_id = cl.probe_id
+           |    WHERE a.vec_id >= $RecallProbes)
+           |  WHERE rn <= $RecallK)
+           |SELECT e.probe_id,
+           |  CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
+           |  round(count(a.vec_id) / $RecallK.0, 6) AS recall_at_10
+           |FROM exact e LEFT JOIN approx a
+           |  ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+           |GROUP BY e.probe_id
+           |ORDER BY e.probe_id""".stripMargin,
       "q80_quantize_int8" ->
         s"""WITH e AS (
            |  SELECT vec_id, $vecSql AS v FROM embeddings),

@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Persisted MinHash-LSH dedup index — the DEDUP lifecycle twin of
+  * [[PqIndex]]/[[IvfTopK]]/[[Bm25Index]]: sketch the resident corpus
+  * ONCE per version, persist the banded index, and dup-check every
+  * INCOMING batch against it without re-sketching (or even re-reading)
+  * a single resident document. This is the shape a 100 TB ingestion
+  * pipeline actually runs: all-pairs dedup (q31) happens once per
+  * corpus version; every arriving crawl shard afterwards is a small
+  * probe against the standing index.
+  *
+  * Artifact layout under `indexDir`:
+  *   - `bands/` — the melted index rows (doc_id, sig, bk0, band_key),
+  *     one row per (doc, band), PARTITIONED by (band_id, kbucket =
+  *     band_key mod [[KBuckets]]): a probe batch's collected
+  *     (band_id, kbucket) set — bounded by Bands × KBuckets values,
+  *     never data-sized — prunes the scan at the FILE level, so a
+  *     small batch opens a sliver of the index instead of all of it.
+  *     Each row carries the full K-long signature (est-Jaccard
+  *     verification happens inside the same join — no second
+  *     corpus-sized lookup) and the band-0 key (the
+  *     first-collision-band gate for the band-1 leg — a filter, not a
+  *     distinct shuffle). ~2×(8+8+8+K×8) bytes per document: orders
+  *     of magnitude under the text it indexes.
+  *   - `meta/`  — one row naming the resident documents path.
+  *
+  * `serve` probes a batch: the batch is sketched map-side with the
+  * exact q31 kernel, BROADCAST (the incremental contract is
+  * batch ≪ corpus), and hash-joined against the pruned scan — no
+  * shuffle of index rows at all. Hot band keys (boilerplate / empty
+  * documents sharing one signature) cost candidate VOLUME here, not a
+  * single-reducer stall: the broadcast join fans the hot bucket out
+  * across the scan's file partitions, unlike the self-join case that
+  * needs [[Dedup]]'s salted-triangle guard.
+  */
+object MinHashIndex {
+
+  /** Band-key hash-partition count for the persisted index. */
+  val KBuckets = 64
+
+  final case class Handle(docsPath: String, bandsPath: String)
+
+  private def kbucket(c: Column) = pmod(c, lit(KBuckets)).cast("int")
+
+  private def withBucket(rows: DataFrame): DataFrame =
+    rows.withColumn("kbucket", kbucket(col("band_key")))
+
+  /** Sketch `residentDocs` ((doc_id, text)) and persist the banded
+    * index under `indexDir` — the one-off indexing job. `docsPath`
+    * names the source for [[load]]'s meta. */
+  def save(s: SparkSession, residentDocs: DataFrame, docsPath: String,
+      indexDir: String): Handle = {
+    val base = IvfTopK.qualify(s, indexDir)
+    withBucket(Dedup.indexBandRows(residentDocs))
+      .write.mode("overwrite").partitionBy("band_id", "kbucket")
+      .parquet(s"$base/bands")
+    import s.implicits._
+    Seq(docsPath).toDF("docs_path")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+    Handle(docsPath, s"$base/bands")
+  }
+
+  private val savedDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Handle]()
+
+  /** [[save]] exactly once per (session, indexDir) — the oracle-gated
+    * serve query (q99) goes through this so bench sweeps and repeated
+    * verify runs probe the artifacts instead of re-indexing per
+    * invocation. */
+  def ensureSaved(s: SparkSession, residentDocs: => DataFrame,
+      docsPath: String, indexDir: String): Handle =
+    savedDirs.computeIfAbsent((s, IvfTopK.qualify(s, indexDir)),
+      _ => save(s, residentDocs, docsPath, indexDir))
+
+  /** Incremental maintenance: a batch that passed the dup-check is
+    * admitted to the corpus by appending its band rows — a
+    * dynamic-partition append touching only the (band_id, kbucket)
+    * partitions the batch's keys land in; the resident index is never
+    * rewritten. Fresh doc_ids are the caller's contract. Returns the
+    * appended document count. */
+  def append(s: SparkSession, indexDir: String, newDocs: DataFrame): Long = {
+    val base = IvfTopK.qualify(s, indexDir)
+    val staged = graft.Materialize.cut(newDocs)
+    withBucket(Dedup.indexBandRows(staged))
+      .write.mode("append").partitionBy("band_id", "kbucket")
+      .parquet(s"$base/bands")
+    staged.count()
+  }
+
+  /** Reconstruct a handle from saved artifacts — one meta row read on
+    * the driver, the index stays on disk for the probe scan. */
+  def load(s: SparkSession, indexDir: String): Handle = {
+    val base = IvfTopK.qualify(s, indexDir)
+    val docsPath = s.read.parquet(s"$base/meta").head().getString(0)
+    Handle(docsPath, s"$base/bands")
+  }
+
+  /** Near-dup pairs of `probeDocs` ((doc_id, text)) against the SAVED
+    * index: (probe_doc, corpus_doc, est_jaccard) at est ≥ the q31
+    * threshold, unordered. The probe is sketched with the exact
+    * resident kernel, its (band_id, kbucket) set is collected (≤
+    * Bands × [[KBuckets]] values) into a static partition predicate —
+    * file-level pruning — and the batch rides a broadcast hash join
+    * against the pruned scan. doc_id disjointness between batch and
+    * corpus is the caller's contract (an admitted batch has fresh
+    * ids); a probe doc already in the index would match itself at
+    * est = 1. */
+  def serve(s: SparkSession, h: Handle, probeDocs: DataFrame): DataFrame = {
+    val probe = graft.Materialize.cut(
+      Dedup.indexBandRows(probeDocs).select(
+        col("doc_id").as("probe_doc"), col("sig").as("sig_a"),
+        col("bk0").as("probe_bk0"), col("band_id"), col("band_key")))
+    // bounded driver read: the distinct (band_id, kbucket) pairs the
+    // batch can touch — at most Bands × KBuckets rows by construction
+    val touched = probe
+      .select(col("band_id"), kbucket(col("band_key")).as("kbucket"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    val pruned = touched
+      .map { case (b, kb) => col("band_id") === b && col("kbucket") === kb }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val idx = s.read.parquet(h.bandsPath).where(pruned)
+      .select(col("doc_id").as("corpus_doc"), col("sig").as("sig_b"),
+        col("bk0").as("corpus_bk0"), col("band_id"), col("band_key"))
+    val k = Dedup.K
+    val est = (0 until k).map(i =>
+      when(element_at(col("sig_a"), i + 1) ===
+        element_at(col("sig_b"), i + 1), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(k.toDouble)
+    idx.join(broadcast(probe), Seq("band_id", "band_key"))
+      // first-collision-band gate: a pair colliding on both bands is
+      // counted only at band 0 — the filter twin of the oracle's
+      // DISTINCT, with no extra shuffle
+      .where(col("band_id") === 0 || col("probe_bk0") =!= col("corpus_bk0"))
+      .withColumn("est_jaccard", est)
+      .where(col("est_jaccard") >= Dedup.EstThreshold)
+      .select(col("probe_doc"), col("corpus_doc"), col("est_jaccard"))
+  }
+}

@@ -701,6 +701,78 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("MinHash LSH index lifecycle: serve equals q31 restricted to probe×resident, scan prunes to probe buckets") {
+    // the persisted-index serve must answer exactly what the fresh
+    // all-pairs computation (q31, itself oracle-gated) says about the
+    // mixed pairs: restrict q31's full-corpus pairs to (probe,
+    // resident) and compare against serve's output, orientation
+    // normalized
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("lsh_index").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      val resident = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val probe = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val h = graft.plans.MinHashIndex.save(s, resident,
+        s"$sf/documents.parquet", dir)
+      val served = graft.plans.MinHashIndex.serve(s,
+          graft.plans.MinHashIndex.load(s, dir), probe)
+        .select(col("probe_doc"), col("corpus_doc"), col("est_jaccard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val full = SparkEntry.queries("q31_minhash_pairs")(s, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val expected = full.flatMap { case (a, b, e) =>
+        if (a % 10 == 0 && b % 10 != 0) Some((a, b, e))
+        else if (b % 10 == 0 && a % 10 != 0) Some((b, a, e))
+        else None
+      }.toSet
+      assert(served == expected,
+        s"served dup-check diverges from q31's mixed pairs: " +
+          s"${(served -- expected).take(3)} extra, " +
+          s"${(expected -- served).take(3)} missing")
+      // the probe scan must be pruned at the FILE level by the
+      // (band_id, kbucket) partitions the batch's keys land in
+      val plan = graft.plans.MinHashIndex.serve(s,
+          graft.plans.MinHashIndex.load(s, dir), probe)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("kbucket"),
+        s"probe-bucket filter did not reach the bands scan as a " +
+          s"partition filter:\n${plan.take(1200)}")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("SortMergeJoin"),
+        s"serve should be a broadcast probe over the pruned scan:\n${plan.take(1200)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("MinHash LSH index append: half-resident index + append equals the full-resident index") {
+    val s = spark
+    val dirA = java.nio.file.Files.createTempDirectory("lsh_half").toString
+    val dirB = java.nio.file.Files.createTempDirectory("lsh_full").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      val resident = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val probe = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      graft.plans.MinHashIndex.save(s,
+        resident.where(col("doc_id") % 2 === 0), s"$sf/documents.parquet", dirA)
+      val n = graft.plans.MinHashIndex.append(s, dirA,
+        resident.where(col("doc_id") % 2 === 1))
+      assert(n === resident.where(col("doc_id") % 2 === 1).count())
+      graft.plans.MinHashIndex.save(s, resident, s"$sf/documents.parquet", dirB)
+      def servedFrom(dir: String) = graft.plans.MinHashIndex.serve(s,
+          graft.plans.MinHashIndex.load(s, dir), probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(servedFrom(dirA) == servedFrom(dirB),
+        "appended index diverges from the fresh full-resident index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirA))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirB))
+    }
+  }
+
   test("BM25 index append: half-corpus index + append equals the full-corpus index") {
     // the incremental-maintenance contract: index(first half) then
     // append(second half) must serve the SAME scores as the fresh
