@@ -405,11 +405,52 @@ object Temporal {
         .select(col("event_id"), col("campaign_id"), col("user_id"))
         .orderBy(col("campaign_id"), col("event_id"))
     },
+
+    // Z-ORDER CLUSTERED RANGE QUERY — the data-layout lifecycle
+    // ([[graft.plans.ZOrderLayout]]): the events table is rewritten
+    // ONCE per version into a Morton-interleaved layout partitioned by
+    // the coarse (user_id, value) cell, and a 2-D box query is served
+    // by enumerating the intersecting cells driver-side (two ≤ 8-value
+    // ranges — no data touched) into a static partition predicate plus
+    // the exact residual filter. At 100 TB the unmatched cells' files
+    // are never opened — for boxes AND single-dimension ranges, which
+    // a plain single-column sort cannot give both of. Oracle = the
+    // plain range SQL over the original table: driver-gated proof the
+    // clustered layout answers exactly what the unclustered scan does.
+    "q101_zorder_range" -> { (s, d) =>
+      val h = graft.plans.ZOrderLayout.ensureSaved(s,
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value")),
+        zorderDir(s, d))
+      graft.plans.ZOrderLayout.serve(s, h, 3L, 7L, 50.0, 150.0)
+        .orderBy(col("event_id"))
+    },
   )
+
+  private val zorderDirMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Session-scoped layout directory for the Z-ordered events table
+    * (q101), one per (session, sfDir) — the Similarity.indexDir
+    * pattern. */
+  private def zorderDir(s: SparkSession, d: String): String =
+    zorderDirMemo.computeIfAbsent((s, d), _ => {
+      val dir = graft.Fs.createStagingDir(s, "graft-zorder")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      dir
+    })
 
   def oracle: Map[String, String] = oracleBase ++ Map(
     // the streaming sessionization must equal the batch form exactly
     "q51s_stream_sessionize" -> oracleBase("q51_sessionize"),
+    // the clustered layout must answer exactly what the unclustered
+    // scan does
+    "q101_zorder_range" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 50 AND 150
+        |ORDER BY event_id""".stripMargin,
   )
 
   private def oracleBase: Map[String, String] = Map(

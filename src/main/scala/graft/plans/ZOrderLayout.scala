@@ -1,0 +1,162 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustered layout for multi-dimensional range
+  * pruning — the DATA-LAYOUT operator of the lifecycle family: where
+  * the PQ/IVF/BM25/LSH indexes persist a derived relation, this
+  * rewrites the TABLE ITSELF so that range predicates on EITHER (or
+  * both) of two dimensions prune at the file level. A single-column
+  * sort clusters one dimension and scatters the other; interleaving
+  * the dimensions' quantized bits gives every dimension locality —
+  * the standard lakehouse clustering move (Delta/Iceberg `ZORDER BY`)
+  * re-expressed on plain parquet + partition pruning.
+  *
+  * Layout under `layoutDir`:
+  *   - `data/` — the rows, PARTITIONED by `zbucket` = the [[HiBits]]
+  *     high bits of each quantized dimension interleaved (4^HiBits
+  *     directories — a bounded partition count independent of data
+  *     size), rows within each partition sorted by the full
+  *     [[QBits]]-bit Morton code `z` so parquet row-group min/max
+  *     stats stay tight inside the files too;
+  *   - `meta/` — one row of per-dimension min/max, so a query box
+  *     quantizes driver-side with the exact save-time arithmetic.
+  *
+  * `serve` maps a 2-D box to the bucket ids whose coarse cells
+  * intersect it — a driver-side cross product of two ≤ 2^HiBits
+  * ranges, never a data scan — applies them as a static partition
+  * predicate (file-level pruning), and the exact box predicate on the
+  * pruned remainder. At 100 TB the unmatched cells' files are never
+  * opened, for single-dimension ranges as well as boxes: a predicate
+  * on either dimension alone constrains its high bits and prunes to
+  * a 2^HiBits-row stripe of the bucket grid.
+  */
+object ZOrderLayout {
+
+  /** Quantization bits per dimension (0..255 cells). */
+  val QBits = 8
+
+  /** Coarse bits per dimension for the partition bucket:
+    * 4^HiBits = 64 directories. */
+  val HiBits = 3
+
+  final case class Handle(dataPath: String, uMin: Long, uMax: Long,
+      vMin: Double, vMax: Double)
+
+  /** Interleave the low `bits` bits of `a` (even positions) and `b`
+    * (odd positions) as a column expression — a pure shift/mask sum,
+    * codegen-friendly. */
+  private def interleave(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Driver-side twin of [[interleave]]. */
+  private def interleaveInt(a: Int, b: Int, bits: Int): Int =
+    (0 until bits).map(i =>
+      (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))).sum
+
+  private def quantU(u: Column, uMin: Long, uMax: Long): Column = {
+    val range = uMax - uMin + 1
+    least(lit((1 << QBits) - 1), greatest(lit(0),
+      floor((u - lit(uMin)) * (1L << QBits) / lit(range)).cast("int")))
+  }
+
+  private def quantV(v: Column, vMin: Double, vMax: Double): Column = {
+    val range = vMax - vMin
+    val q = if (range == 0.0) lit(0)
+      else floor((v - lit(vMin)) / lit(range) * (1 << QBits)).cast("int")
+    least(lit((1 << QBits) - 1), greatest(lit(0), q))
+  }
+
+  /** Driver-side quantizers — same formulas; serve widens by one
+    * quantum either way, so an FP-edge disagreement with the column
+    * expression can only add a bucket, never lose one. */
+  private def quantU(u: Long, uMin: Long, uMax: Long): Int =
+    math.min((1 << QBits) - 1, math.max(0,
+      ((u - uMin) * (1L << QBits) / (uMax - uMin + 1)).toInt))
+
+  private def quantV(v: Double, vMin: Double, vMax: Double): Int = {
+    val range = vMax - vMin
+    val q = if (range == 0.0) 0
+      else math.floor((v - vMin) / range * (1 << QBits)).toInt
+    math.min((1 << QBits) - 1, math.max(0, q))
+  }
+
+  /** Rewrite `rows` — (event_id, user_id, event_type, value) — into
+    * the Z-clustered layout under `layoutDir`: one stats pass for the
+    * dimension ranges, then a map-side quantize + interleave, one
+    * shuffle by zbucket, and a sorted write. The one-off clustering
+    * job a table pays per version to make every later range query
+    * prune. */
+  def save(s: SparkSession, rows: DataFrame, layoutDir: String): Handle = {
+    val base = IvfTopK.qualify(s, layoutDir)
+    val st = rows.agg(
+      min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+      min(col("value")).as("v_min"), max(col("value")).as("v_max")).head()
+    val (uMin, uMax) = (st.getLong(0), st.getLong(1))
+    val (vMin, vMax) = (st.getDouble(2), st.getDouble(3))
+    val qu = quantU(col("user_id"), uMin, uMax)
+    val qv = quantV(col("value"), vMin, vMax)
+    val hi = QBits - HiBits
+    rows
+      .withColumn("z", interleave(qu, qv, QBits))
+      .withColumn("zbucket",
+        interleave(shiftright(qu, hi), shiftright(qv, hi), HiBits))
+      .repartition(col("zbucket"))
+      .sortWithinPartitions(col("zbucket"), col("z"))
+      .write.mode("overwrite").partitionBy("zbucket")
+      .parquet(s"$base/data")
+    import s.implicits._
+    Seq((uMin, uMax, vMin, vMax)).toDF("u_min", "u_max", "v_min", "v_max")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/meta")
+    Handle(s"$base/data", uMin, uMax, vMin, vMax)
+  }
+
+  private val savedDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Handle]()
+
+  /** [[save]] exactly once per (session, layoutDir) — the oracle-gated
+    * range query (q101) re-serves from the clustered layout instead of
+    * re-writing it per invocation. */
+  def ensureSaved(s: SparkSession, rows: => DataFrame,
+      layoutDir: String): Handle =
+    savedDirs.computeIfAbsent((s, IvfTopK.qualify(s, layoutDir)),
+      _ => save(s, rows, layoutDir))
+
+  /** Reconstruct a handle from the one-row stats meta. */
+  def load(s: SparkSession, layoutDir: String): Handle = {
+    val base = IvfTopK.qualify(s, layoutDir)
+    val m = s.read.parquet(s"$base/meta").head()
+    Handle(s"$base/data", m.getLong(0), m.getLong(1),
+      m.getDouble(2), m.getDouble(3))
+  }
+
+  /** The 2-D box query: enumerate the coarse cells intersecting
+    * [uLo, uHi] × [vLo, vHi] driver-side (two ranges of ≤ 2^HiBits
+    * values each — no data touched), prune the scan to their buckets,
+    * and apply the exact predicate on what remains. */
+  def serve(s: SparkSession, h: Handle,
+      uLo: Long, uHi: Long, vLo: Double, vHi: Double): DataFrame = {
+    val hi = QBits - HiBits
+    // widen by one quantum against FP edges — a superset of buckets is
+    // always correct; the exact predicate below decides membership
+    def clampQ(q: Int) = math.min((1 << QBits) - 1, math.max(0, q))
+    val (quLo, quHi) = (clampQ(quantU(uLo, h.uMin, h.uMax) - 1),
+      clampQ(quantU(uHi, h.uMin, h.uMax) + 1))
+    val (qvLo, qvHi) = (clampQ(quantV(vLo, h.vMin, h.vMax) - 1),
+      clampQ(quantV(vHi, h.vMin, h.vMax) + 1))
+    val buckets = for {
+      ha <- (quLo >> hi) to (quHi >> hi)
+      hb <- (qvLo >> hi) to (qvHi >> hi)
+    } yield interleaveInt(ha, hb, HiBits)
+    s.read.parquet(h.dataPath)
+      .where(col("zbucket").isin(buckets.distinct: _*))
+      .where(col("user_id").between(uLo, uHi) &&
+        col("value").between(vLo, vHi))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+  }
+}

@@ -747,6 +747,54 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("Z-order layout: box and single-dimension queries prune files; served rows equal the unclustered scan") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    try {
+      val rows = Tables.events(s, sf).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val h = graft.plans.ZOrderLayout.save(s, rows, dir)
+      // correctness: the clustered layout answers exactly what the
+      // unclustered scan does
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().sorted.toSeq
+      val served = key(graft.plans.ZOrderLayout.serve(s, h, 3L, 7L, 50.0, 150.0))
+      val direct = key(rows.where(col("user_id").between(3, 7) &&
+        col("value").between(50.0, 150.0)))
+      assert(served == direct && served.nonEmpty,
+        s"clustered serve diverges from the unclustered scan " +
+          s"(${served.size} vs ${direct.size} rows)")
+      // pruning: the executed scan must open strictly fewer files than
+      // the full layout — for the 2-D box AND for each dimension alone
+      // (the property a single-column sort cannot give both of)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        unwrap(df.queryExecution.executedPlan).collectLeaves()
+          .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }
+          .sum
+      }
+      val all = filesRead(s.read.parquet(h.dataPath))
+      val box = filesRead(graft.plans.ZOrderLayout.serve(s, h, 3L, 7L, 50.0, 150.0))
+      val uOnly = filesRead(graft.plans.ZOrderLayout.serve(
+        s, h, 3L, 7L, h.vMin, h.vMax))
+      val vOnly = filesRead(graft.plans.ZOrderLayout.serve(
+        s, h, h.uMin, h.uMax, 50.0, 150.0))
+      assert(box > 0 && box < all, s"box query read $box of $all files — no pruning")
+      assert(uOnly < all, s"user_id-only range read $uOnly of $all files — no pruning")
+      assert(vOnly < all, s"value-only range read $vOnly of $all files — no pruning")
+      info(s"box opens $box, user-only $uOnly, value-only $vOnly of $all files")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("MinHash LSH index append: half-resident index + append equals the full-resident index") {
     val s = spark
     val dirA = java.nio.file.Files.createTempDirectory("lsh_half").toString
