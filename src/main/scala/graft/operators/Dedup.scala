@@ -307,9 +307,26 @@ object Dedup {
     * (so the band-1 join leg can apply the first-collision-band gate
     * without a distinct shuffle). This is the row layout
     * [[graft.plans.MinHashIndex]] persists — everything map-side, the
-    * text never survives past the sketch projection. */
+    * text never survives past the sketch projection.
+    *
+    * Same adaptive exchange placement as [[minhashSignatures]]: when
+    * the source scan is narrower than the configured parallelism (a
+    * single-split corpus file — the sf0.1 bench case), pre-shuffle the
+    * raw docs by doc_id so the K-md5 sketch spreads across n cores
+    * instead of one (measured: q99 8.3 s → the sketch was the whole
+    * cost); a scan already wide keeps its partitioning and nothing
+    * moves before the skinny projection. */
   private[graft] def indexBandRows(docs: DataFrame): DataFrame = {
-    val sig = withMinhash(docs)
+    val s = docs.sparkSession
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // file count as the parallelism proxy (inputFiles reads the
+    // already-listed scan relation; .rdd would force a full plan +
+    // deserializer codegen per call — measured ~2 s per serve on the
+    // bench corpus). A multi-file corpus scans at least one split per
+    // file, so the spread only fires for genuinely narrow scans.
+    val spread = if (docs.inputFiles.length < n)
+      docs.repartition(n, col("doc_id")) else docs
+    val sig = withMinhash(spread)
     val hexed = sig.select(col("doc_id") +: col("sig") +:
       (0 until Bands).map { b =>
         md5(concat_ws(":", (b * RowsPerBand until (b + 1) * RowsPerBand)
@@ -971,8 +988,13 @@ object Dedup {
       val h = graft.plans.MinHashIndex.ensureSaved(s,
         docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
         s"$d/documents.parquet", dir)
-      graft.plans.MinHashIndex.serve(s, h,
-          docs.where(pmod(col("doc_id"), lit(10)) === 0))
+      // cut before the presentation sort: the global orderBy's range
+      // sampling would otherwise execute the whole probe-sketch +
+      // index-join pipeline a second time (and the sort a third —
+      // measured 14.5 s vs 5.5 s unsorted at sf0.1). Intra-query cut,
+      // released by the bench's between-sweep unpersist like q33's.
+      Materialize.cut(graft.plans.MinHashIndex.serve(s, h,
+          docs.where(pmod(col("doc_id"), lit(10)) === 0)))
         .orderBy(col("probe_doc"), col("corpus_doc"))
     },
   )
