@@ -50,6 +50,7 @@ object Explain {
     "q99_lsh_index_dedup" -> "incremental dedup against the persisted LSH index: the incoming batch is sketched map-side and broadcast; the bands scan carries (band_id, kbucket) PartitionFilters from the batch's collected bucket set — the resident corpus is never rescanned",
     "q100_ann_recall" -> "ANN recall@10 self-evaluation: exact leg is a broadcast probe cross join with SALTED two-stage per-probe top-k (no single task sorts a probe's full candidate stream); IVF leg is cell-bounded under the broadcast centroid/cell relations",
     "q101_zorder_range" -> "2-D range over the Z-order clustered layout: the query box maps driver-side to its coarse Morton cells, which reach the scan as a static zbucket PartitionFilters — unmatched cells' files are never opened, for boxes and single-dimension ranges alike",
+    "q99b_lsh_admission" -> "batch admission verdict: ONE probe sketch (materialized) feeds both legs — the file-pruned broadcast corpus join and the within-batch band self-join; verdict assembly is two left joins on the batch-sized id relation",
   )
 
   def main(args: Array[String]): Unit = {

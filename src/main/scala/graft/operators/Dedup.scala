@@ -997,6 +997,24 @@ object Dedup {
           docs.where(pmod(col("doc_id"), lit(10)) === 0)))
         .orderBy(col("probe_doc"), col("corpus_doc"))
     },
+
+    // The full ADMISSION VERDICT over the persisted index — per
+    // arriving document: near-dup of the resident corpus OR of a
+    // lower-id batch-mate (the id-minimal representative of a new dup
+    // cluster is admitted, its copies rejected). One probe sketch
+    // feeds both legs ([[graft.plans.MinHashIndex.admit]]); the
+    // corpus leg rides the same file-pruned broadcast join as q99,
+    // the within-batch leg is the q31 band self-join at batch size.
+    "q99b_lsh_admission" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dir = lshIndexDir(s, d)
+      val h = graft.plans.MinHashIndex.ensureSaved(s,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        s"$d/documents.parquet", dir)
+      graft.plans.MinHashIndex.admit(s, h,
+          docs.where(pmod(col("doc_id"), lit(10)) === 0))
+        .orderBy(col("doc_id"))
+    },
   )
 
   private val lshIndexDirMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -1077,6 +1095,36 @@ object Dedup {
          |SELECT probe_doc, corpus_doc, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY probe_doc, corpus_doc""".stripMargin,
+    "q99b_lsh_admission" ->
+      s"""WITH $sigBandCtes,
+         |candc AS (
+         |  SELECT DISTINCT a.doc_id AS probe_doc, b.doc_id AS corpus_doc,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         |ch AS (
+         |  SELECT probe_doc, count(*) AS n FROM candc
+         |  WHERE $estSql >= $EstThreshold GROUP BY 1),
+         |candb AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0),
+         |bh AS (
+         |  SELECT doc_b, count(*) AS n FROM candb
+         |  WHERE $estSql >= $EstThreshold GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(ch.n, 0) AS BIGINT) AS n_corpus_hits,
+         |  CAST(coalesce(bh.n, 0) AS BIGINT) AS n_batch_hits,
+         |  (ch.n IS NULL AND bh.n IS NULL) AS admitted
+         |FROM documents d
+         |LEFT JOIN ch ON d.doc_id = ch.probe_doc
+         |LEFT JOIN bh ON d.doc_id = bh.doc_b
+         |WHERE d.doc_id % 10 = 0
+         |ORDER BY d.doc_id""".stripMargin,
     "q98_chunk_neardup" -> {
       val bandKey = (b: Int) => Tokens.hex48("md5(concat_ws(':', " +
         (b * RowsPerBand until (b + 1) * RowsPerBand)

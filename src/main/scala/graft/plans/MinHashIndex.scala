@@ -109,11 +109,27 @@ object MinHashIndex {
     * corpus is the caller's contract (an admitted batch has fresh
     * ids); a probe doc already in the index would match itself at
     * est = 1. */
-  def serve(s: SparkSession, h: Handle, probeDocs: DataFrame): DataFrame = {
-    val probe = graft.Materialize.cut(
-      Dedup.indexBandRows(probeDocs).select(
-        col("doc_id").as("probe_doc"), col("sig").as("sig_a"),
-        col("bk0").as("probe_bk0"), col("band_id"), col("band_key")))
+  def serve(s: SparkSession, h: Handle, probeDocs: DataFrame): DataFrame =
+    serveFrom(s, h,
+      graft.Materialize.cut(Dedup.indexBandRows(probeDocs)))
+
+  /** est-Jaccard over two melted sig columns — the shared verification
+    * expression of the serve and admission joins. */
+  private def estOf(sigA: Column, sigB: Column): Column = {
+    val k = Dedup.K
+    (0 until k).map(i =>
+      when(element_at(sigA, i + 1) === element_at(sigB, i + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _).cast("double") / lit(k.toDouble)
+  }
+
+  /** [[serve]] body over pre-materialized probe band rows, so the
+    * admission verdict can reuse one probe sketch for both its legs. */
+  private def serveFrom(s: SparkSession, h: Handle,
+      probeRows: DataFrame): DataFrame = {
+    val probe = probeRows.select(
+      col("doc_id").as("probe_doc"), col("sig").as("sig_a"),
+      col("bk0").as("probe_bk0"), col("band_id"), col("band_key"))
     // bounded driver read: the distinct (band_id, kbucket) pairs the
     // batch can touch — at most Bands × KBuckets rows by construction
     val touched = probe
@@ -126,18 +142,47 @@ object MinHashIndex {
     val idx = s.read.parquet(h.bandsPath).where(pruned)
       .select(col("doc_id").as("corpus_doc"), col("sig").as("sig_b"),
         col("bk0").as("corpus_bk0"), col("band_id"), col("band_key"))
-    val k = Dedup.K
-    val est = (0 until k).map(i =>
-      when(element_at(col("sig_a"), i + 1) ===
-        element_at(col("sig_b"), i + 1), 1).otherwise(0))
-      .reduce(_ + _).cast("double") / lit(k.toDouble)
     idx.join(broadcast(probe), Seq("band_id", "band_key"))
       // first-collision-band gate: a pair colliding on both bands is
       // counted only at band 0 — the filter twin of the oracle's
       // DISTINCT, with no extra shuffle
       .where(col("band_id") === 0 || col("probe_bk0") =!= col("corpus_bk0"))
-      .withColumn("est_jaccard", est)
+      .withColumn("est_jaccard", estOf(col("sig_a"), col("sig_b")))
       .where(col("est_jaccard") >= Dedup.EstThreshold)
       .select(col("probe_doc"), col("corpus_doc"), col("est_jaccard"))
+  }
+
+  /** The full ADMISSION VERDICT for an incoming batch — what an
+    * ingestion pipeline actually decides per arriving document: near-
+    * dup of the resident corpus (the [[serve]] leg) OR of a LOWER-id
+    * batch-mate (the id-minimal representative of a new dup cluster is
+    * admitted, its copies are not — q30/q76's canonical-id rule).
+    * Returns (doc_id, n_corpus_hits, n_batch_hits, admitted). One
+    * probe sketch feeds both legs; the within-batch leg is the q31
+    * band self-join at batch size — batch ≪ corpus by contract, so it
+    * needs no skew guard (a hot band key costs at most batch² pairs,
+    * and only (ids, sig) rows ride the join). */
+  def admit(s: SparkSession, h: Handle, probeDocs: DataFrame): DataFrame = {
+    val probe = graft.Materialize.cut(Dedup.indexBandRows(probeDocs))
+    val corpusHits = serveFrom(s, h, probe)
+      .groupBy(col("probe_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_corpus_hits"))
+    def side(p: String) = probe.select(
+      col("doc_id").as(s"doc_$p"), col("sig").as(s"sig_$p"),
+      col("bk0").as(s"bk0_$p"), col("band_id"), col("band_key"))
+    val batchHits = side("a").join(side("b"), Seq("band_id", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(col("band_id") === 0 || col("bk0_a") =!= col("bk0_b"))
+      .where(estOf(col("sig_a"), col("sig_b")) >= Dedup.EstThreshold)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(count(lit(1)).as("n_batch_hits"))
+    probeDocs.select(col("doc_id"))
+      .join(corpusHits, Seq("doc_id"), "left")
+      .join(batchHits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_corpus_hits"), lit(0L)).as("n_corpus_hits"),
+        coalesce(col("n_batch_hits"), lit(0L)).as("n_batch_hits"),
+        (col("n_corpus_hits").isNull && col("n_batch_hits").isNull)
+          .as("admitted"))
   }
 }

@@ -58,30 +58,44 @@ object ZOrderLayout {
     (0 until bits).map(i =>
       (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))).sum
 
+  // the value is clamped into [min, max] BEFORE the product so an
+  // appended outlier (append keeps the saved grid) lands in the edge
+  // cell instead of overflowing `(u - uMin) * 2^QBits`
   private def quantU(u: Column, uMin: Long, uMax: Long): Column = {
     val range = uMax - uMin + 1
+    val c = least(lit(uMax), greatest(lit(uMin), u))
     least(lit((1 << QBits) - 1), greatest(lit(0),
-      floor((u - lit(uMin)) * (1L << QBits) / lit(range)).cast("int")))
+      floor((c - lit(uMin)) * (1L << QBits) / lit(range)).cast("int")))
   }
 
   private def quantV(v: Column, vMin: Double, vMax: Double): Column = {
     val range = vMax - vMin
+    val c = least(lit(vMax), greatest(lit(vMin), v))
     val q = if (range == 0.0) lit(0)
-      else floor((v - lit(vMin)) / lit(range) * (1 << QBits)).cast("int")
+      else floor((c - lit(vMin)) / lit(range) * (1 << QBits)).cast("int")
     least(lit((1 << QBits) - 1), greatest(lit(0), q))
   }
 
   /** Driver-side quantizers — same formulas; serve widens by one
     * quantum either way, so an FP-edge disagreement with the column
-    * expression can only add a bucket, never lose one. */
-  private def quantU(u: Long, uMin: Long, uMax: Long): Int =
+    * expression can only add a bucket, never lose one. Query bounds
+    * are CLAMPED into the saved [min, max] before quantizing: a bound
+    * past the saved range means "the edge cell" (the data can hold
+    * nothing beyond it), and an unclamped extreme like Long.MaxValue
+    * would overflow the `(u - uMin) * 2^QBits` product and silently
+    * quantize to the WRONG edge. (Data rows never overflow: save
+    * derives min/max from the data itself, so `u - uMin <= range`.) */
+  private def quantU(u: Long, uMin: Long, uMax: Long): Int = {
+    val c = math.min(uMax, math.max(uMin, u))
     math.min((1 << QBits) - 1, math.max(0,
-      ((u - uMin) * (1L << QBits) / (uMax - uMin + 1)).toInt))
+      ((c - uMin) * (1L << QBits) / (uMax - uMin + 1)).toInt))
+  }
 
   private def quantV(v: Double, vMin: Double, vMax: Double): Int = {
+    val c = math.min(vMax, math.max(vMin, v))
     val range = vMax - vMin
     val q = if (range == 0.0) 0
-      else math.floor((v - vMin) / range * (1 << QBits)).toInt
+      else math.floor((c - vMin) / range * (1 << QBits)).toInt
     math.min((1 << QBits) - 1, math.max(0, q))
   }
 
@@ -125,6 +139,33 @@ object ZOrderLayout {
       layoutDir: String): Handle =
     savedDirs.computeIfAbsent((s, IvfTopK.qualify(s, layoutDir)),
       _ => save(s, rows, layoutDir))
+
+  /** Incremental maintenance — the layout twin of the index appends:
+    * new rows are quantized under the SAVED dimension stats (an append
+    * must not shift the grid the resident files were clustered by) and
+    * appended into their zbucket partitions; out-of-range values clamp
+    * into the edge cells, which stays CORRECT (serve's exact residual
+    * predicate decides membership, and its widened box covers the edge
+    * cells whenever the query range reaches past the saved min/max) —
+    * only pruning efficiency for outliers degrades until the next
+    * re-cluster. Returns the appended row count. */
+  def append(s: SparkSession, layoutDir: String, newRows: DataFrame): Long = {
+    val base = IvfTopK.qualify(s, layoutDir)
+    val h = load(s, layoutDir)
+    val staged = graft.Materialize.cut(newRows)
+    val qu = quantU(col("user_id"), h.uMin, h.uMax)
+    val qv = quantV(col("value"), h.vMin, h.vMax)
+    val hi = QBits - HiBits
+    staged
+      .withColumn("z", interleave(qu, qv, QBits))
+      .withColumn("zbucket",
+        interleave(shiftright(qu, hi), shiftright(qv, hi), HiBits))
+      .repartition(col("zbucket"))
+      .sortWithinPartitions(col("zbucket"), col("z"))
+      .write.mode("append").partitionBy("zbucket")
+      .parquet(s"$base/data")
+    staged.count()
+  }
 
   /** Reconstruct a handle from the one-row stats meta. */
   def load(s: SparkSession, layoutDir: String): Handle = {

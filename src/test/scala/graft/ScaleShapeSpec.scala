@@ -795,6 +795,52 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("Z-order layout append: clustered half + appended half serves the full table's rows") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("zorder_app").toString
+    try {
+      val rows = Tables.events(s, sf).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      graft.plans.ZOrderLayout.save(s, rows.where(col("event_id") % 2 === 0), dir)
+      val n = graft.plans.ZOrderLayout.append(s, dir,
+        rows.where(col("event_id") % 2 === 1))
+      assert(n === rows.where(col("event_id") % 2 === 1).count())
+      val h = graft.plans.ZOrderLayout.load(s, dir)
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().sorted.toSeq
+      // note: append rows may carry values outside the saved half's
+      // min/max — the clamped-edge-cell contract under test
+      val served = key(graft.plans.ZOrderLayout.serve(s, h, 0L, Long.MaxValue,
+        Double.MinValue, Double.MaxValue))
+      assert(served == key(rows), "appended layout lost or duplicated rows")
+      val box = key(graft.plans.ZOrderLayout.serve(s, h, 3L, 7L, 50.0, 150.0))
+      assert(box == key(rows.where(col("user_id").between(3, 7) &&
+        col("value").between(50.0, 150.0))),
+        "box over the appended layout diverges from the unclustered scan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("q99b admission verdict is consistent with q99's pair relation") {
+    val s = spark
+    val verdict = SparkEntry.queries("q99b_lsh_admission")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    // admitted <=> zero hits on both legs
+    assert(verdict.forall { case (_, ch, bh, adm) => adm == (ch + bh == 0) },
+      "admitted flag disagrees with the hit counts")
+    // the corpus-leg hit counts must sum to exactly q99's pair count
+    val pairRows = SparkEntry.queries("q99_lsh_index_dedup")(s, sf).count()
+    val chSum = verdict.map(_._2).sum
+    assert(chSum == pairRows,
+      s"corpus-hit total $chSum != q99 pair count $pairRows")
+    // non-degenerate in both directions at sf0.01
+    assert(verdict.exists(_._4) && verdict.exists(!_._4),
+      "fixture degenerate: all-admitted or all-rejected batch")
+  }
+
   test("MinHash LSH index append: half-resident index + append equals the full-resident index") {
     val s = spark
     val dirA = java.nio.file.Files.createTempDirectory("lsh_half").toString
