@@ -9,7 +9,8 @@ object Bench {
     * source — a new replay
     * query that forgets to land here would silently re-absorb its
     * staging cost into sweep 1. */
-  val replayStagers = Set("q27s", "q51s", "q75", "q77", "q78", "q84", "q84b")
+  val replayStagers = Set("q27s", "q51s", "q75", "q77", "q78", "q84", "q84b",
+    "q102")
 
   /** Query-name prefixes that consume a session-memoized TRAINED
     * model (the IVF/hier/PQ/IVF-PQ quantizers). clearMemos wipes the

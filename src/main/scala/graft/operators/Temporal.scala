@@ -425,6 +425,49 @@ object Temporal {
       graft.plans.ZOrderLayout.serve(s, h, 3L, 7L, 50.0, 150.0)
         .orderBy(col("event_id"))
     },
+
+    // WATERMARKED STREAM-STREAM INTERVAL JOIN — the one core
+    // Structured Streaming join type the suite didn't yet exercise:
+    // every click joined to the same user's purchases within the next
+    // 30 minutes, both sides streaming. Inner interval joins emit
+    // eagerly as matches arrive (no sentinel needed), and the
+    // watermark + time-bound condition is what lets the engine EVICT
+    // buffered rows once they can no longer match — the state-bounding
+    // contract an unbounded firehose needs. The replay derives the
+    // delay from the corpus span (staged files arrive in arbitrary
+    // event-time order, so a production-sized delay would silently
+    // drop cross-file "late" rows — the q78 move); production uses a
+    // real delay and pays the documented late-drop trade. Oracle =
+    // the batch interval join SQL.
+    "q102_stream_stream_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      val spanRow = ev.agg(min(col("ts")), max(col("ts"))).head()
+      if (spanRow.isNullAt(0)) {
+        ev.select(col("event_id").as("click_id"),
+          col("event_id").as("purchase_id"), col("user_id")).limit(0)
+      } else {
+        val spanSec = (spanRow.getTimestamp(1).getTime -
+          spanRow.getTimestamp(0).getTime) / 1000 + 3600
+        graft.streaming.Replay.run(s, ev, files = 3, stateParts = Some(4),
+          stageKey = Some(s"q102:$d")) { stream =>
+          val clicks = stream.where(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("c_ts"))
+            .withWatermark("c_ts", s"$spanSec seconds")
+          val purchases = stream.where(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"), col("ts").as("p_ts"))
+            .withWatermark("p_ts", s"$spanSec seconds")
+          clicks.join(purchases,
+            col("user_id") === col("p_user") &&
+              col("p_ts") >= col("c_ts") &&
+              col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+            .select(col("click_id"), col("purchase_id"), col("user_id"))
+        }.orderBy(col("click_id"), col("purchase_id"))
+      }
+    },
   )
 
   private val zorderDirMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -451,6 +494,17 @@ object Temporal {
         |FROM events
         |WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 50 AND 150
         |ORDER BY event_id""".stripMargin,
+    // the streaming interval join must equal the batch interval join
+    "q102_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <=
+        |     CAST(c.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+        |ORDER BY click_id, purchase_id""".stripMargin,
   )
 
   private def oracleBase: Map[String, String] = Map(
