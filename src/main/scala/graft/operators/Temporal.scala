@@ -468,6 +468,68 @@ object Temporal {
         }.orderBy(col("click_id"), col("purchase_id"))
       }
     },
+
+    // LEFT-OUTER stream-stream interval join — the state-TIMEOUT
+    // side of q102: a click with no purchase inside its 30-minute
+    // window must still emit (with a null purchase), and streaming
+    // can only emit it once the GLOBAL watermark proves no matching
+    // purchase can still arrive. That needs both branches' watermarks
+    // pushed past the data: two far-future sentinel rows (one per
+    // event_type, disjoint synthetic users so they can't match each
+    // other), appended after the data files with bumped mtimes so
+    // they land in the LAST micro-batch (the q77 sentinel move), then
+    // filtered from the output by their negative ids. Oracle = the
+    // batch LEFT JOIN interval SQL.
+    "q102b_stream_stream_left" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+      val spanRow = ev.agg(min(col("ts")), max(col("ts"))).head()
+      if (spanRow.isNullAt(0)) {
+        ev.select(col("event_id").as("click_id"),
+          col("event_id").as("purchase_id"), col("user_id")).limit(0)
+      } else {
+        val minTs = spanRow.getTimestamp(0)
+        val maxTs = spanRow.getTimestamp(1)
+        val spanSec = (maxTs.getTime - minTs.getTime) / 1000 + 3600
+        def appendSentinels(dir: String): Unit = {
+          val hconf = s.sparkContext.hadoopConfiguration
+          def files: Set[String] = graft.Fs
+            .listDataFiles(dir, hconf).map(_.getPath.toString).toSet
+          val before = files
+          val farTs = new java.sql.Timestamp(
+            maxTs.getTime + (2 * spanSec + 172800) * 1000L)
+          s.createDataFrame(
+              java.util.List.of(
+                org.apache.spark.sql.Row(-1L, -1L, farTs, "click"),
+                org.apache.spark.sql.Row(-2L, -2L, farTs, "purchase")),
+              ev.schema)
+            .coalesce(1).write.mode("append").parquet(dir)
+          val bumped = System.currentTimeMillis() + 60000
+          (files -- before).foreach(graft.Fs.setMTime(_, hconf, bumped))
+        }
+        graft.streaming.Replay.run(s, ev, files = 3, stateParts = Some(4),
+          afterStage = appendSentinels,
+          stageKey = Some(s"q102b:$d")) { stream =>
+          val clicks = stream.where(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("user_id"),
+              col("ts").as("c_ts"))
+            .withWatermark("c_ts", s"$spanSec seconds")
+          val purchases = stream.where(col("event_type") === "purchase")
+            .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user"), col("ts").as("p_ts"))
+            .withWatermark("p_ts", s"$spanSec seconds")
+          clicks.join(purchases,
+              col("user_id") === col("p_user") &&
+                col("p_ts") >= col("c_ts") &&
+                col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+              "leftOuter")
+            .select(col("click_id"), col("purchase_id"), col("user_id"))
+        }
+          .where(col("click_id") >= 0)
+          .orderBy(col("click_id"), col("purchase_id"))
+      }
+    },
   )
 
   private val zorderDirMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -504,6 +566,18 @@ object Temporal {
         | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
         | AND CAST(p.ts AS TIMESTAMP) <=
         |     CAST(c.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // the streaming left-outer interval join must equal the batch one
+    "q102b_stream_stream_left" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.user_id
+        |FROM events c LEFT JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <=
+        |     CAST(c.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+        |WHERE c.event_type = 'click'
         |ORDER BY click_id, purchase_id""".stripMargin,
   )
 
