@@ -80,10 +80,57 @@ object Similarity {
     * where every cell sits far under the production [[CellCap]]. */
   val KnnCapGate = 48
 
-  /** ANN self-evaluation (q100): probe-sample size and cutoff for
-    * recall@k of the IVF index against the exact ground truth. */
+  /** ANN self-evaluation (q100/q100b): probe-sample size and cutoff
+    * for recall@k of the IVF indexes against the exact ground truth. */
   val RecallProbes = 8
   val RecallK = 10
+
+  /** (probes, corpus) split for the recall evaluators: the first
+    * [[RecallProbes]] vectors are the query sample, the rest the
+    * corpus. `assigned` must carry (vec_id, v, embedding) plus the
+    * index's own cell columns, which ride along into `corpus`. */
+  private def recallSplit(assigned: DataFrame): (DataFrame, DataFrame) = (
+    assigned.where(col("vec_id") < RecallProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("qv"),
+        col("embedding").as("q_embedding")),
+    assigned.where(col("vec_id") >= RecallProbes))
+
+  /** Shared recall@k evaluator: exact ground truth per probe (salted
+    * two-stage top-k — no task sorts a probe's full candidate stream)
+    * vs the index's `approxCand` candidate rows (corpus rows already
+    * pruned to the probed cells, carrying probe_id), both ranked by
+    * the identical (cos desc, vec_id) order. Returns one row per
+    * probe: (probe_id, n_overlap, recall_at_10). */
+  private def recallVsExact(probes: DataFrame, corpus: DataFrame,
+      approxCand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exCand = corpus
+      .crossJoin(broadcast(probes.select(col("probe_id"), col("q_embedding"))))
+      .select(col("probe_id"), col("vec_id"),
+        cos6(col("embedding"), col("q_embedding")).as("cos"))
+    val saltW = Window
+      .partitionBy(col("probe_id"), pmod(col("vec_id"), lit(32)))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = exCand
+      .withColumn("rn1", row_number().over(saltW)).where(col("rn1") <= RecallK)
+      .withColumn("rn", row_number().over(topW)).where(col("rn") <= RecallK)
+      .select(col("probe_id"), col("vec_id"))
+    val approx = approxCand
+      .join(broadcast(probes.select(col("probe_id"), col("q_embedding"))),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cos6(col("embedding"), col("q_embedding")).as("cos"))
+      .withColumn("rn", row_number().over(topW)).where(col("rn") <= RecallK)
+      .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("probe_id", "vec_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+      .withColumn("recall_at_10",
+        round(col("n_overlap") / lit(RecallK.toDouble), 6))
+      .orderBy(col("probe_id"))
+  }
 
   /** Two-level (hierarchical) IVF quantizer parameters (q88) — the
     * fix for flat IVF's documented 100 TB ceiling: with corpus-derived
@@ -832,27 +879,8 @@ object Similarity {
     // NProbe/k still meet the recall budget.
     "q100_ann_recall" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val P = RecallProbes
       val (cents, assigned) = ivfModel(s, d)
-      val probes = assigned.where(col("vec_id") < P)
-        .select(col("vec_id").as("probe_id"), col("v").as("qv"),
-          col("embedding").as("q_embedding"))
-      val corpus = assigned.where(col("vec_id") >= P)
-      val topW = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      // exact ground truth: broadcast the P probes, salted two-stage
-      // per-probe top-k over the corpus
-      val exCand = corpus
-        .crossJoin(broadcast(probes.select(col("probe_id"), col("q_embedding"))))
-        .select(col("probe_id"), col("vec_id"),
-          cos6(col("embedding"), col("q_embedding")).as("cos"))
-      val saltW = Window
-        .partitionBy(col("probe_id"), pmod(col("vec_id"), lit(32)))
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      val exact = exCand
-        .withColumn("rn1", row_number().over(saltW)).where(col("rn1") <= RecallK)
-        .withColumn("rn", row_number().over(topW)).where(col("rn") <= RecallK)
-        .select(col("probe_id"), col("vec_id"))
+      val (probes, corpus) = recallSplit(assigned)
       // IVF leg: per-probe NProbe nearest cells over the broadcast
       // centroids, candidates pruned to those cells
       val cellW = Window.partitionBy(col("probe_id"))
@@ -863,19 +891,39 @@ object Similarity {
         .withColumn("prn", row_number().over(cellW))
         .where(col("prn") <= NProbe)
         .select(col("probe_id"), col("cid"))
-      val approx = corpus.join(broadcast(probedCells), Seq("cid"))
-        .join(broadcast(probes.select(col("probe_id"), col("q_embedding"))),
+      val approxCand = corpus.join(broadcast(probedCells), Seq("cid"))
+      recallVsExact(probes, corpus, approxCand)
+    },
+
+    // Recall@10 of the TWO-LEVEL quantizer (q88's probe path) against
+    // the same exact ground truth — at corpus scale the hierarchy is
+    // the quantizer actually deployed, so it is the one whose recall
+    // budget matters. Same evaluator as q100; only the candidate
+    // pruning differs (super-probe → sub-probe under broadcast
+    // centroid relations).
+    "q100b_ann_recall_hier" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val (cents1, cents2, assigned) = hierModel(s, d)
+      val (probes, corpus) = recallSplit(assigned)
+      val pw1 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("qdist"), col("scid"))
+      val probedSuper = probes.select(col("probe_id"), col("qv"))
+        .crossJoin(broadcast(cents1))
+        .withColumn("qdist", VectorFunctions.l2sq(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(pw1))
+        .where(col("prn") <= NProbeSuper)
+        .select(col("probe_id"), col("scid"))
+      val pw2 = Window.partitionBy(col("probe_id"))
+        .orderBy(col("qdist"), col("scid"), col("cid2"))
+      val probedSub = cents2.join(broadcast(probedSuper), Seq("scid"))
+        .join(broadcast(probes.select(col("probe_id"), col("qv"))),
           Seq("probe_id"))
-        .select(col("probe_id"), col("vec_id"),
-          cos6(col("embedding"), col("q_embedding")).as("cos"))
-        .withColumn("rn", row_number().over(topW)).where(col("rn") <= RecallK)
-        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
-      exact.join(approx, Seq("probe_id", "vec_id"), "left")
-        .groupBy(col("probe_id"))
-        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
-        .withColumn("recall_at_10",
-          round(col("n_overlap") / lit(RecallK.toDouble), 6))
-        .orderBy(col("probe_id"))
+        .withColumn("qdist", VectorFunctions.l2sq(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(pw2))
+        .where(col("prn") <= NProbeSub)
+        .select(col("probe_id"), col("scid"), col("cid2"))
+      val approxCand = corpus.join(broadcast(probedSub), Seq("scid", "cid2"))
+      recallVsExact(probes, corpus, approxCand)
     },
 
     // Product-quantization ENCODE — the storage side of a compressed
@@ -1475,6 +1523,54 @@ object Similarity {
            |          a.vec_id ASC) AS rn
            |    FROM fin a JOIN cells cl ON a.cid = cl.cid
            |    JOIN probes p ON p.probe_id = cl.probe_id
+           |    WHERE a.vec_id >= $RecallProbes)
+           |  WHERE rn <= $RecallK)
+           |SELECT e.probe_id,
+           |  CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
+           |  round(count(a.vec_id) / $RecallK.0, 6) AS recall_at_10
+           |FROM exact e LEFT JOIN approx a
+           |  ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+           |GROUP BY e.probe_id
+           |ORDER BY e.probe_id""".stripMargin,
+      "q100b_ann_recall_hier" ->
+        s"""$base,
+           |$hierCtes,
+           |probes AS (
+           |  SELECT vec_id AS probe_id, v AS qv, nrm AS qnrm
+           |  FROM n WHERE vec_id < $RecallProbes),
+           |exact AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT p.probe_id, a.vec_id,
+           |      row_number() OVER (PARTITION BY p.probe_id
+           |        ORDER BY ${cosSql("a.v", "p.qv", "a.nrm", "p.qnrm")} DESC,
+           |          a.vec_id ASC) AS rn
+           |    FROM n a CROSS JOIN probes p WHERE a.vec_id >= $RecallProbes)
+           |  WHERE rn <= $RecallK),
+           |ps AS (
+           |  SELECT probe_id, scid FROM (
+           |    SELECT p.probe_id, c.scid,
+           |      row_number() OVER (PARTITION BY p.probe_id
+           |        ORDER BY ${distSql("p.qv", "c.cv")}, c.scid) AS prn
+           |    FROM hc$KmIters c CROSS JOIN probes p)
+           |  WHERE prn <= $NProbeSuper),
+           |pc AS (
+           |  SELECT probe_id, scid, cid2 FROM (
+           |    SELECT ps.probe_id, c.scid, c.cid2,
+           |      row_number() OVER (PARTITION BY ps.probe_id
+           |        ORDER BY ${distSql("p.qv", "c.cv")}, c.scid, c.cid2) AS prn
+           |    FROM cc$KmIters c
+           |    JOIN ps ON c.scid = ps.scid
+           |    JOIN probes p ON p.probe_id = ps.probe_id)
+           |  WHERE prn <= $NProbeSub),
+           |approx AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT pc.probe_id, a.vec_id,
+           |      row_number() OVER (PARTITION BY pc.probe_id
+           |        ORDER BY ${cosSql("a.v", "p.qv", "a.nrm", "p.qnrm")} DESC,
+           |          a.vec_id ASC) AS rn
+           |    FROM hfin2 a
+           |    JOIN pc ON a.scid = pc.scid AND a.cid2 = pc.cid2
+           |    JOIN probes p ON p.probe_id = pc.probe_id
            |    WHERE a.vec_id >= $RecallProbes)
            |  WHERE rn <= $RecallK)
            |SELECT e.probe_id,
