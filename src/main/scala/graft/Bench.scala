@@ -135,6 +135,15 @@ object Bench {
       // coupling test is what keeps that from happening silently.
       for ((_, rdd) <- spark.sparkContext.getPersistentRDDs)
         rdd.unpersist(blocking = false)
+      // Collect the previous sweep's garbage NOW, in the untimed
+      // boundary, instead of letting a major GC land inside some
+      // query's timed window mid-sweep — the recurring "sweep 2
+      // spikes on unchanged plans" pattern (r10: q86 3.2→5.0 s
+      // median; this round: q40 0.9→5.3 s in sweep 2 only). The
+      // released memo/checkpoint blocks above are exactly the
+      // old-generation garbage a mid-sweep major GC would be paying
+      // for.
+      System.gc()
       // Untimed model pre-stage (see modelStagers): training cost is
       // paid here, per sweep, and reported as stage_sec — the timed
       // model queries then measure the query path, the production
