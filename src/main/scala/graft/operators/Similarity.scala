@@ -926,6 +926,59 @@ object Similarity {
       recallVsExact(probes, corpus, approxCand)
     },
 
+    // Recall@10 of the PQ-ADC COMPRESSED path (q89b) — the third index
+    // family's self-evaluation. ADC approximates squared-L2, so the
+    // ground truth here ranks by exact L2², not cosine: the number
+    // answers "what does quantizing to 8 bytes/vector cost in
+    // recall", separately from what cell pruning costs (q100/q100b).
+    // One broadcast lookup table per probe (P × PqM × PqK rows —
+    // broadcast-sized by construction); the encoded corpus is scanned
+    // once for all probes.
+    "q100c_ann_recall_pq" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val P = RecallProbes
+      val (cents, encoded) = pqModel(s, d)
+      // the memoized double-vector relation (v per vec_id) — the
+      // exact leg and the probe slices read it; cells are ignored
+      val (_, vecs) = ivfModel(s, d)
+      val probes = vecs.where(col("vec_id") < P)
+        .select(col("vec_id").as("probe_id"), col("v").as("qv"))
+      val topWd = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      val saltWd = Window
+        .partitionBy(col("probe_id"), pmod(col("vec_id"), lit(32)))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      val exact = vecs.where(col("vec_id") >= P)
+        .crossJoin(broadcast(probes))
+        .select(col("probe_id"), col("vec_id"),
+          VectorFunctions.l2sq(col("v"), col("qv")).as("dist"))
+        .withColumn("rn1", row_number().over(saltWd)).where(col("rn1") <= RecallK)
+        .withColumn("rn", row_number().over(topWd)).where(col("rn") <= RecallK)
+        .select(col("probe_id"), col("vec_id"))
+      val q8 = probes
+        .select(col("probe_id"),
+          posexplode(expr(s"transform(sequence(0, ${PqM - 1}), " +
+            s"j -> slice(qv, j * $PqSubDim + 1, $PqSubDim))")))
+        .select(col("probe_id"), col("pos").as("j"), col("col").as("qsv"))
+      val dtab = cents.join(broadcast(q8), Seq("j"))
+        .withColumn("qd", round(VectorFunctions.l2sq(col("qsv"), col("cv")), 6))
+        .select(col("probe_id"), col("j"), col("cid"), col("qd"))
+      val adcW = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      val approx = encoded.where(col("vec_id") >= P)
+        .join(broadcast(dtab), Seq("j", "cid"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("qd").cast("decimal(18,6)")).cast("double").as("adc_dist"))
+        .withColumn("rn", row_number().over(adcW)).where(col("rn") <= RecallK)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(sum(coalesce(col("hit"), lit(0))).cast("long").as("n_overlap"))
+        .withColumn("recall_at_10",
+          round(col("n_overlap") / lit(RecallK.toDouble), 6))
+        .orderBy(col("probe_id"))
+    },
+
     // Product-quantization ENCODE — the storage side of a compressed
     // vector lake: each vector becomes a 64-bit code (8 subspaces ×
     // 8-bit codeword ids vs the 256-byte float payload) plus
@@ -1524,6 +1577,46 @@ object Similarity {
            |    FROM fin a JOIN cells cl ON a.cid = cl.cid
            |    JOIN probes p ON p.probe_id = cl.probe_id
            |    WHERE a.vec_id >= $RecallProbes)
+           |  WHERE rn <= $RecallK)
+           |SELECT e.probe_id,
+           |  CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
+           |  round(count(a.vec_id) / $RecallK.0, 6) AS recall_at_10
+           |FROM exact e LEFT JOIN approx a
+           |  ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+           |GROUP BY e.probe_id
+           |ORDER BY e.probe_id""".stripMargin,
+      "q100c_ann_recall_pq" ->
+        s"""$base,
+           |$pqCtes,
+           |probes AS (
+           |  SELECT vec_id AS probe_id, v AS qv
+           |  FROM n WHERE vec_id < $RecallProbes),
+           |exact AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT p.probe_id, a.vec_id,
+           |      row_number() OVER (PARTITION BY p.probe_id
+           |        ORDER BY ${distSql("a.v", "p.qv")}, a.vec_id ASC) AS rn
+           |    FROM n a CROSS JOIN probes p WHERE a.vec_id >= $RecallProbes)
+           |  WHERE rn <= $RecallK),
+           |q8 AS (
+           |  SELECT p.probe_id, t.j, list_slice(p.qv, t.j * $PqSubDim + 1,
+           |    t.j * $PqSubDim + $PqSubDim) AS qsv
+           |  FROM probes p, range(0, $PqM) t(j)),
+           |dt AS (
+           |  SELECT q8.probe_id, c.j, c.cid,
+           |    round(${pqDistSql("q8.qsv", "c.cv")}, 6) AS qd
+           |  FROM pc$KmIters c JOIN q8 ON c.j = q8.j),
+           |adc AS (
+           |  SELECT dt.probe_id, e.vec_id,
+           |    CAST(sum(CAST(dt.qd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+           |  FROM pfin e JOIN dt ON e.j = dt.j AND e.cid = dt.cid
+           |  WHERE e.vec_id >= $RecallProbes
+           |  GROUP BY 1, 2),
+           |approx AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      row_number() OVER (PARTITION BY probe_id
+           |        ORDER BY adc_dist, vec_id) AS rn FROM adc)
            |  WHERE rn <= $RecallK)
            |SELECT e.probe_id,
            |  CAST(count(a.vec_id) AS BIGINT) AS n_overlap,
