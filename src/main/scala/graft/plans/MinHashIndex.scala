@@ -39,6 +39,16 @@ import graft.operators.Dedup
   */
 object MinHashIndex {
 
+  // the first-collision-band gate in serveFrom/admit ("band 0, or the
+  // band-0 keys differ") deduplicates multi-band collisions correctly
+  // only for a 2-band scheme: with 3+ bands a pair colliding on two
+  // NON-zero bands would be counted twice. Fail loudly at first use
+  // if Bands is ever raised without generalizing the gate to carry
+  // all band keys ("count at the minimum colliding band").
+  require(Dedup.Bands == 2,
+    s"MinHashIndex's first-collision-band gate assumes Dedup.Bands == 2 " +
+      s"(got ${Dedup.Bands}) — generalize the gate before raising Bands")
+
   /** Band-key hash-partition count for the persisted index. */
   val KBuckets = 64
 
@@ -110,8 +120,22 @@ object MinHashIndex {
     * ids); a probe doc already in the index would match itself at
     * est = 1. */
   def serve(s: SparkSession, h: Handle, probeDocs: DataFrame): DataFrame =
-    serveFrom(s, h,
-      graft.Materialize.cut(Dedup.indexBandRows(probeDocs)))
+    serveFrom(s, h, localizeProbe(s, probeDocs))
+
+  /** Sketch the probe batch ONCE (one distributed job) and land the
+    * band rows as a driver-local relation. The batch is ≪ corpus by
+    * contract and rides a `broadcast()` join either way — broadcast
+    * collects to the driver regardless — so localizing adds no driver
+    * cost, lets the touched-bucket set be computed without a second
+    * job, and leaves NOTHING cached: the previous `Materialize.cut`
+    * here leaked one localCheckpoint per serve/admit call in any
+    * long-lived session (the bench's between-sweep blanket unpersist
+    * was hiding it). */
+  private def localizeProbe(s: SparkSession, probeDocs: DataFrame): DataFrame = {
+    val bandRows = Dedup.indexBandRows(probeDocs)
+    val rows = bandRows.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), bandRows.schema)
+  }
 
   /** est-Jaccard over two melted sig columns — the shared verification
     * expression of the serve and admission joins. */
@@ -163,7 +187,7 @@ object MinHashIndex {
     * needs no skew guard (a hot band key costs at most batch² pairs,
     * and only (ids, sig) rows ride the join). */
   def admit(s: SparkSession, h: Handle, probeDocs: DataFrame): DataFrame = {
-    val probe = graft.Materialize.cut(Dedup.indexBandRows(probeDocs))
+    val probe = localizeProbe(s, probeDocs)
     val corpusHits = serveFrom(s, h, probe)
       .groupBy(col("probe_doc").as("doc_id"))
       .agg(count(lit(1)).as("n_corpus_hits"))

@@ -58,14 +58,53 @@ object ZOrderLayout {
     (0 until bits).map(i =>
       (((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))).sum
 
-  // the value is clamped into [min, max] BEFORE the product so an
+  /** The u grid's span as exact integers — the quantizer regime is
+    * keyed off this, identically on the column and driver sides:
+    *
+    *  - `range * 2^QBits` fits a Long (range < 2^55): the exact
+    *    multiply form `(c - uMin) * 2^QBits div range`, which SPREADS
+    *    a small range over all 2^QBits cells (a step division would
+    *    park a 15-value range in cells 0..14 and starve the coarse
+    *    buckets);
+    *  - wider but `uMax - uMin` still a Long: divide FIRST by the cell
+    *    width `step = ceil(range / 2^QBits)` — at this scale step ≥
+    *    2^47, every cell is occupied-dense anyway, and the division
+    *    keeps all intermediates in Long for snowflake-style id spans
+    *    that wrap the old product;
+    *  - full-Long span (the difference itself overflows): the same
+    *    step division in decimal(38,0), whose scale-bounded rounding
+    *    can move the floor by at most one quantum — inside serve's
+    *    ±1 widening contract.
+    *
+    * The first two regimes are exact integer arithmetic on both
+    * sides, so column and driver agree bit-for-bit there. */
+  private def uRange(uMin: Long, uMax: Long): BigInt =
+    BigInt(uMax) - BigInt(uMin) + 1
+
+  private def uStep(uMin: Long, uMax: Long): Long = {
+    val range = uRange(uMin, uMax)
+    ((range + ((1 << QBits) - 1)) / (1 << QBits)).max(1).toLong
+  }
+
+  // the value is clamped into [min, max] BEFORE quantizing so an
   // appended outlier (append keeps the saved grid) lands in the edge
-  // cell instead of overflowing `(u - uMin) * 2^QBits`
+  // cell instead of overflowing the arithmetic
   private def quantU(u: Column, uMin: Long, uMax: Long): Column = {
-    val range = uMax - uMin + 1
+    import org.apache.spark.sql.GraftSqlBridge.{column => toCol, expression => toExpr}
+    def intDiv(a: Column, b: Long) =
+      toCol(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        toExpr(a), toExpr(lit(b)))).cast("int")
+    val range = uRange(uMin, uMax)
     val c = least(lit(uMax), greatest(lit(uMin), u))
-    least(lit((1 << QBits) - 1), greatest(lit(0),
-      floor((c - lit(uMin)) * (1L << QBits) / lit(range)).cast("int")))
+    val q =
+      if (range <= (Long.MaxValue >> QBits))
+        intDiv((c - lit(uMin)) * (1L << QBits), range.toLong)
+      else if (range <= BigInt(Long.MaxValue))
+        intDiv(c - lit(uMin), uStep(uMin, uMax))
+      else
+        floor((c.cast("decimal(38,0)") - lit(java.math.BigDecimal.valueOf(uMin)))
+          / lit(java.math.BigDecimal.valueOf(uStep(uMin, uMax)))).cast("int")
+    least(lit((1 << QBits) - 1), greatest(lit(0), q))
   }
 
   private def quantV(v: Column, vMin: Double, vMax: Double): Column = {
@@ -87,8 +126,17 @@ object ZOrderLayout {
     * derives min/max from the data itself, so `u - uMin <= range`.) */
   private def quantU(u: Long, uMin: Long, uMax: Long): Int = {
     val c = math.min(uMax, math.max(uMin, u))
-    math.min((1 << QBits) - 1, math.max(0,
-      ((c - uMin) * (1L << QBits) / (uMax - uMin + 1)).toInt))
+    // exact BigInt twin of the column quantizer, regime-matched:
+    // multiply form for spans where it's exact on the column side,
+    // step division beyond — overflow-free for any Long span, and at
+    // most one quantum apart from the decimal wide-span path (covered
+    // by serve's widening)
+    val range = uRange(uMin, uMax)
+    val diff = BigInt(c) - BigInt(uMin)
+    val q =
+      if (range <= (Long.MaxValue >> QBits)) (diff * (1L << QBits) / range).toInt
+      else (diff / uStep(uMin, uMax)).toInt
+    math.min((1 << QBits) - 1, math.max(0, q))
   }
 
   private def quantV(v: Double, vMin: Double, vMax: Double): Int = {
@@ -110,6 +158,10 @@ object ZOrderLayout {
     val st = rows.agg(
       min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
       min(col("value")).as("v_min"), max(col("value")).as("v_max")).head()
+    // an empty input has null min/max — fail with a real message
+    // instead of an NPE from the Long destructuring below
+    require(!st.isNullAt(0),
+      s"ZOrderLayout.save: input has no rows — nothing to cluster under $layoutDir")
     val (uMin, uMax) = (st.getLong(0), st.getLong(1))
     val (vMin, vMax) = (st.getDouble(2), st.getDouble(3))
     val qu = quantU(col("user_id"), uMin, uMax)

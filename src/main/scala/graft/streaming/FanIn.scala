@@ -146,7 +146,13 @@ object FanIn {
     // one shuffle on tweet_id produces BOTH the linkedTweet and the
     // resource partial for each key (the reference computes them on
     // separate legs; semantics are per-key so one grouping suffices)
-    val kb = Neel.kbResources(s).as[Resource].collect().map(r => r.url -> r).toMap
+    // sc.broadcast, NOT a closure capture: a captured map ships with
+    // every task; the broadcast ships once per executor — the stateful
+    // leg's twin of the relational leg's `broadcast(...)` join
+    // (`Neel.scala` link-resolver), so both scale the same way when
+    // the KB outgrows the test dictionary.
+    val kbB = s.sparkContext.broadcast(
+      Neel.kbResources(s).as[Resource].collect().map(r => r.url -> r).toMap)
     val entParts = entRows.groupByKey(_.tweet_id).flatMapGroups { (id, it) =>
       val rows = it.toSeq
       val ents = rows.map { r =>
@@ -154,7 +160,7 @@ object FanIn {
           r.link, r.is_nil, r.nil_cluster, r.confidence, r.category,
           resource = None)
       }.sortBy(e => (e.position.start, e.category))
-      val res = rows.flatMap(_.link).distinct.sorted.flatMap(kb.get)
+      val res = rows.flatMap(_.link).distinct.sorted.flatMap(kbB.value.get)
       Iterator(
         TaggedPartial(id.toString, StreamKinds.LinkedTweet, None, Some(ents),
           None, None),

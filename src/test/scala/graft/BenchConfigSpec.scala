@@ -35,6 +35,31 @@ class BenchConfigSpec extends AnyFunSuite {
         s"call sites use ${found.toSeq.sorted} — update Bench.replayStagers")
   }
 
+  test("Bench.gramStagers matches the benchGramsRel consumers in Curation") {
+    // same coupling idea as replayStagers: a query that consumes the
+    // memoized benchmark-gram relation must be listed so its
+    // materialization is pre-staged untimed (r11: the unstaged rebuild
+    // doubled q84's median on an unchanged stream plan)
+    val text = Files.readString(Paths.get(
+      "src", "main", "scala", "graft", "operators", "Curation.scala"))
+    val entry = """"(q[0-9]+[a-z]*)_[a-z0-9_]*"\s*->""".r
+    val ms = entry.findAllMatchIn(text).toList
+    assert(ms.nonEmpty, "no query entries found in Curation — pattern rot?")
+    val consumers = ms.zipWithIndex.flatMap { case (m, i) =>
+      val end = if (i + 1 < ms.size) ms(i + 1).start else text.length
+      if (text.substring(m.end, end).contains("benchGramsRel(")) Some(m.group(1))
+      else None
+    }.toSet
+    assert(consumers.nonEmpty, "no benchGramsRel consumers found — pattern rot?")
+    assert(consumers === Bench.gramStagers,
+      s"Bench.gramStagers=${Bench.gramStagers.toSeq.sorted} but Curation " +
+        s"queries using benchGramsRel are ${consumers.toSeq.sorted}")
+    val bench = Files.readString(
+      Paths.get("src", "main", "scala", "graft", "Bench.scala"))
+    assert(bench.contains("Curation.stageGrams("),
+      "Bench's stage block never calls Curation.stageGrams")
+  }
+
   test("Bench sweep loop clears every module that defines clearMemos") {
     // The sweep loop's blanket unpersist of ALL persistent RDDs is
     // only safe because every cross-query memo was released by a

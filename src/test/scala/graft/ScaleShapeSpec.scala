@@ -795,6 +795,52 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("Z-order quantizer: snowflake-scale and full-Long u spans stay exact; empty save fails loudly") {
+    val s = spark
+    import s.implicits._
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id").as[Long].collect().sorted.toSeq
+    def roundTrip(rows: org.apache.spark.sql.DataFrame,
+        uLo: Long, uHi: Long): Unit = {
+      val dir = Files.createTempDirectory("zwide").toString
+      try {
+        val h = graft.plans.ZOrderLayout.save(s, rows, dir)
+        val served = key(graft.plans.ZOrderLayout.serve(
+          s, h, uLo, uHi, 10.0, 80.0))
+        val direct = key(rows.where(col("user_id").between(uLo, uHi) &&
+          col("value").between(10.0, 80.0)))
+        assert(served == direct && served.nonEmpty,
+          s"wide-span serve diverges (${served.size} vs ${direct.size} rows)")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+    }
+    // ~2^58 span with 2^48-spaced ids (snowflake shape): the previous
+    // (c - uMin) * 256 product wraps a Long here and misbuckets
+    val sStep = 1L << 48
+    val snow = (0 until 500).map(i =>
+        (i.toLong, (1L << 58) + i.toLong * sStep, s"t${i % 3}", (i % 100).toDouble))
+      .toDF("event_id", "user_id", "event_type", "value")
+    roundTrip(snow, (1L << 58) + 100L * sStep, (1L << 58) + 300L * sStep)
+    // full-Long span (uMax - uMin overflows Long): the decimal path
+    val stride = Long.MaxValue / 200
+    val full2 = (0 until 400).map(i =>
+        (i.toLong, Long.MinValue + i.toLong * stride, s"t${i % 3}",
+          (i % 100).toDouble))
+      .toDF("event_id", "user_id", "event_type", "value")
+    roundTrip(full2, Long.MinValue + 50L * stride, Long.MinValue + 250L * stride)
+    // empty input: a real message, not an NPE
+    val dir = Files.createTempDirectory("zempty").toString
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        graft.plans.ZOrderLayout.save(s, snow.limit(0), dir)
+      }
+      assert(ex.getMessage.contains("no rows"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("Z-order layout append: clustered half + appended half serves the full table's rows") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("zorder_app").toString
