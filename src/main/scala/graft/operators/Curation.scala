@@ -560,6 +560,62 @@ object Curation {
         .orderBy(col("digest"))
     },
 
+    // ARBITRARY-STATE STREAMING — `transformWithState`, Spark 4's
+    // successor to flatMapGroupsWithState (named typed state
+    // variables, initial-state seeding, state-v2 RocksDB backend),
+    // driving PER-SOURCE TOKEN-BUDGET ADMISSION on the firehose: each
+    // source may contribute at most half its total tokens; documents
+    // are cut once the source's running arrival-ordered sum crosses
+    // the cap (see [[graft.streaming.BudgetState]]). Budgets ride the
+    // INITIAL-STATE relation (|sources| rows); per-key state is one
+    // Long. The replay's 3 micro-batches split the doc_id range into
+    // monotone thirds so arrival order equals doc_id order — which
+    // makes the verdict a pure prefix function, oracle-checked
+    // against a window-sum SQL formulation.
+    "q104_stream_budget" -> { (s, d) =>
+      import s.implicits._
+      import graft.streaming.BudgetState._
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), col("source"),
+          size(col("toks")).cast("long").as("n_toks"))
+      val maxRow = docs.agg(max(col("doc_id"))).head()
+      val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      val feed = docs.withColumn("batch",
+        (least(lit(2L), floor(col("doc_id") * 3.0 / (maxId + 1)))
+          + 1).cast("int"))
+      val budgets = docs.groupBy(col("source"))
+        .agg(expr("sum(n_toks) div 2").as("budget"))
+        .as[SourceBudget]
+      // transformWithState requires the RocksDB state store (state
+      // v2); set it for this replay and restore after — runBatched
+      // fully consumes the stream before returning, so the restore
+      // cannot race the stream thread's conf clone
+      val prevStore =
+        s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      val out =
+        try {
+          s.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          graft.streaming.Replay.runBatched(s, feed, "batch", batches = 3,
+            stateParts = Some(3), stageKey = Some(s"q104:$d")) { stream =>
+            stream.as[DocTokens]
+              .groupByKey(_.source)
+              .transformWithState(new TokenBudgetProcessor,
+                org.apache.spark.sql.streaming.TimeMode.None(),
+                org.apache.spark.sql.streaming.OutputMode.Append(),
+                budgets.groupByKey(_.source))
+              .toDF()
+          }
+        } finally prevStore match {
+          case Some(v) =>
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+          case None =>
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      out.orderBy(col("doc_id"))
+    },
+
     // CORPUS-FREQUENCY SURPRISAL FILTER (the CCNet/perplexity-filter
     // shape with the corpus's own unigram model standing in for the
     // external LM): per-token negative logprob from corpus-wide term
@@ -947,6 +1003,24 @@ object Curation {
          |FROM documents d LEFT JOIN train_hits h USING (doc_id)
          |WHERE d.doc_id % $BenchmarkMod <> 0
          |ORDER BY d.doc_id""".stripMargin,
+    // arrival-ordered per-source cap: kept iff the running token sum
+    // including this row (ALL arrivals, kept or not) is within the
+    // source's half-total budget — the pure-prefix window form of the
+    // transformWithState processor's counter
+    "q104_stream_budget" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id, source,
+         |    CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+         |b AS (SELECT source, sum(n_toks) // 2 AS budget
+         |      FROM m GROUP BY 1),
+         |c AS (SELECT doc_id, source, n_toks,
+         |    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM m)
+         |SELECT c.doc_id, c.source, c.n_toks,
+         |  (c.cum <= b.budget) AS kept
+         |FROM c JOIN b USING (source)
+         |ORDER BY doc_id""".stripMargin,
     // the direct greedy-prefix window form — the two-phase bucket
     // threshold in the query must match it row-for-row
     "q94_token_budget_mix" ->

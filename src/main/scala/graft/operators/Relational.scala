@@ -196,6 +196,39 @@ object Relational {
           $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
 
+    // CUBE — all 4 grouping combinations in one pass (Spark expands
+    // to a single Expand + hash aggregate; no repeated scans).
+    "q13b_cube" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          grouping($"l_returnflag").cast("int").as("g_flag"),
+          grouping($"l_linestatus").cast("int").as("g_status"))
+        .orderBy($"g_flag", $"g_status",
+          $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
+    // Explicit GROUPING SETS — the general form rollup/cube are sugar
+    // for: an arbitrary set list ((flag, status), (flag), (status))
+    // without the () grand total, which neither rollup nor cube can
+    // express alone.
+    "q13c_grouping_sets" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"),
+            Seq($"l_returnflag"), Seq($"l_linestatus")),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+          grouping($"l_returnflag").cast("int").as("g_flag"),
+          grouping($"l_linestatus").cast("int").as("g_status"))
+        .orderBy($"g_flag", $"g_status",
+          $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
     // #14: INTERSECT / EXCEPT (distinct set semantics).
     "q14_setops" -> { (s, d) =>
       import s.implicits._
@@ -444,6 +477,24 @@ object Relational {
         |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
         |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q13b_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q13c_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INTEGER) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))
         |ORDER BY g_flag, g_status,
         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q14_setops" ->
