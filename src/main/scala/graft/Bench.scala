@@ -33,7 +33,8 @@ object Bench {
     * each writes the artifacts; every timed sweep then serves from
     * disk — the same "build once per corpus version" policy as the
     * replay corpora and trained models. */
-  val indexStagers = Set("q39c", "q89c", "q97b", "q99", "q99b", "q101")
+  val indexStagers = Set("q39c", "q89c", "q97b", "q99", "q99b", "q101",
+    "q103", "q103b")
 
   /** Queries that consume the session-memoized benchmark-GRAM relation
     * ([[graft.operators.Curation.stageGrams]]) — the decontamination

@@ -1015,7 +1015,74 @@ object Dedup {
           docs.where(pmod(col("doc_id"), lit(10)) === 0))
         .orderBy(col("doc_id"))
     },
+
+    // SEQUENTIAL INCREMENTAL INGEST — the full 100 TB ingestion loop
+    // run end-to-end: the probe population arrives as THREE ordered
+    // batches; each batch is admission-checked against the index AS IT
+    // STANDS (residents + everything admitted so far), and its
+    // admitted docs are appended before the next batch arrives. The
+    // verdicts are therefore path-dependent — a batch-0 reject's
+    // near-dups in batch 2 are NOT corpus hits (the reject never
+    // entered the index) — and the oracle unrolls the same three
+    // stages as chained CTEs, so the driver gate proves the loop's
+    // sequential semantics, not just one probe. Each invocation clones
+    // the resident artifact (the loop mutates its index; the shared
+    // q99 artifact stays immutable) — a production pipeline appends in
+    // place and skips the clone.
+    "q103_ingest_loop" -> { (s, d) => ingestLoop(s, d, compactAfter = None) },
+
+    // The same loop with a COMPACTION between batches 1 and 2
+    // ([[graft.plans.MinHashIndex.compact]]): appends accumulate one
+    // small file per touched partition per batch, and the rewrite
+    // collapses each (band_id, kbucket) partition back to one file
+    // without moving the layout the serve path prunes on. Identical
+    // oracle SQL to q103 — the driver gate is the proof that
+    // compaction is result-neutral mid-loop (batch 2 admits against,
+    // and appends into, the compacted index).
+    "q103b_ingest_compacted" ->
+      { (s, d) => ingestLoop(s, d, compactAfter = Some(1)) },
   )
+
+  /** The three-batch incremental ingest loop behind q103/q103b: clone
+    * the resident index, then per batch — admit, materialize the
+    * verdict (the cut is eager, so the verdict is computed BEFORE the
+    * append mutates the index its lazy plan reads), append the
+    * admitted docs, optionally compact. */
+  private def ingestLoop(s: SparkSession, d: String,
+      compactAfter: Option[Int]): DataFrame = {
+    import graft.plans.MinHashIndex
+    val docs = Tables.documents(s, d)
+    val residents = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+    MinHashIndex.ensureSaved(s, residents, s"$d/documents.parquet",
+      lshIndexDir(s, d))
+    val staging = graft.Fs.createStagingDir(s, "graft-lsh-loop")
+    try {
+      var runDir = s"$staging/idx"
+      MinHashIndex.copyTo(s, lshIndexDir(s, d), runDir)
+      val verdicts = (0 until 3).map { k =>
+        val h = MinHashIndex.load(s, runDir)
+        val batch = docs.where(pmod(col("doc_id"), lit(30)) === k * 10)
+          .select(col("doc_id"), col("text"))
+        val v = Materialize.cut(
+          MinHashIndex.admit(s, h, batch)
+            .withColumn("batch", lit(k).cast("int")))
+        val admitted = batch.join(
+          v.where(col("admitted")).select(col("doc_id")), Seq("doc_id"))
+        MinHashIndex.append(s, runDir, admitted)
+        if (compactAfter.contains(k)) {
+          val dest = s"$staging/idx_c$k"
+          MinHashIndex.compact(s, runDir, dest)
+          runDir = dest
+        }
+        v
+      }
+      verdicts.reduce(_ unionByName _)
+        .select(col("doc_id"), col("batch"), col("n_corpus_hits"),
+          col("n_batch_hits"), col("admitted"))
+        .orderBy(col("doc_id"))
+    } finally graft.Fs.deleteRecursively(staging,
+      s.sparkContext.hadoopConfiguration)
+  }
 
   private val lshIndexDirMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
@@ -1074,6 +1141,53 @@ object Dedup {
   private def estSql: String =
     s"len(list_filter(range(1, ${K + 1}), i -> sig_a[i] = sig_b[i])) / ${K.toDouble}"
 
+  /** The q103/q103b oracle: the three ingest stages UNROLLED as
+    * chained CTEs. Stage k's corpus = the residents plus every prior
+    * stage's admitted set (`a0..a{k-1}`), so the SQL reproduces the
+    * loop's path-dependent semantics exactly; batch membership is
+    * doc_id % 30 (the probes are doc_id % 10 = 0, split into thirds
+    * 0/10/20). */
+  private def ingestLoopOracle: String = {
+    def corpusPred(k: Int): String =
+      (Seq("b.doc_id % 10 <> 0") ++
+        (0 until k).map(j => s"b.doc_id IN (SELECT doc_id FROM a$j)"))
+        .mkString("(", " OR ", ")")
+    def stage(k: Int): String =
+      s"""cand$k AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS other_doc,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 30 = ${k * 10} AND ${corpusPred(k)}),
+         |ch$k AS (SELECT doc_id, count(*) AS n FROM cand$k
+         |  WHERE $estSql >= $EstThreshold GROUP BY 1),
+         |cb$k AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |  WHERE a.doc_id % 30 = ${k * 10} AND b.doc_id % 30 = ${k * 10}),
+         |bh$k AS (SELECT doc_b AS doc_id, count(*) AS n FROM cb$k
+         |  WHERE $estSql >= $EstThreshold GROUP BY 1),
+         |a$k AS (SELECT d.doc_id FROM documents d
+         |  LEFT JOIN ch$k USING (doc_id) LEFT JOIN bh$k USING (doc_id)
+         |  WHERE d.doc_id % 30 = ${k * 10}
+         |    AND ch$k.n IS NULL AND bh$k.n IS NULL)""".stripMargin
+    def leg(k: Int): String =
+      s"""SELECT d.doc_id, CAST($k AS INTEGER) AS batch,
+         |  CAST(coalesce(ch$k.n, 0) AS BIGINT) AS n_corpus_hits,
+         |  CAST(coalesce(bh$k.n, 0) AS BIGINT) AS n_batch_hits,
+         |  (ch$k.n IS NULL AND bh$k.n IS NULL) AS admitted
+         |FROM documents d
+         |LEFT JOIN ch$k USING (doc_id) LEFT JOIN bh$k USING (doc_id)
+         |WHERE d.doc_id % 30 = ${k * 10}""".stripMargin
+    s"""WITH $sigBandCtes,
+       |${(0 until 3).map(stage).mkString(",\n")}
+       |${(0 until 3).map(leg).mkString("\nUNION ALL\n")}
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q30_dedup_exact" ->
       """SELECT md5(text) AS content_md5, min(doc_id) AS canonical_id,
@@ -1125,6 +1239,9 @@ object Dedup {
          |LEFT JOIN bh ON d.doc_id = bh.doc_b
          |WHERE d.doc_id % 10 = 0
          |ORDER BY d.doc_id""".stripMargin,
+    "q103_ingest_loop" -> ingestLoopOracle,
+    // compaction is result-neutral by contract: same SQL as q103
+    "q103b_ingest_compacted" -> ingestLoopOracle,
     "q98_chunk_neardup" -> {
       val bandKey = (b: Int) => Tokens.hex48("md5(concat_ws(':', " +
         (b * RowsPerBand until (b + 1) * RowsPerBand)

@@ -101,6 +101,48 @@ object MinHashIndex {
     staged.count()
   }
 
+  /** COMPACTION — the maintenance pass the append lifecycle needs at
+    * scale: every [[append]] adds one small file per touched
+    * (band_id, kbucket) partition, so after N ingest batches a
+    * partition holds N+1 files and the serve scan's per-file
+    * open/footer cost grows linearly with ingest history. Rewrite the
+    * bands into `destDir` with ONE file per partition — a single
+    * shuffle by the partition key (each key hashes to exactly one
+    * task, so each partition directory gets exactly one writer) —
+    * preserving the (band_id, kbucket) layout the serve path's
+    * file-level pruning depends on ([[Compact.compactParquet]]'s flat
+    * rewrite would destroy it). Rows are identical, so serve/admit
+    * results are unchanged by construction — and q103b proves it
+    * end-to-end under the oracle gate. Writes to a NEW directory; the
+    * atomic swap is the caller's pointer flip, as with the flat
+    * compactor. Returns the output file count. */
+  def compact(s: SparkSession, srcDir: String, destDir: String): Int = {
+    val src = IvfTopK.qualify(s, srcDir)
+    val dest = IvfTopK.qualify(s, destDir)
+    s.read.parquet(s"$src/bands")
+      .repartition(col("band_id"), col("kbucket"))
+      .write.mode("overwrite").partitionBy("band_id", "kbucket")
+      .parquet(s"$dest/bands")
+    s.read.parquet(s"$src/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dest/meta")
+    graft.Fs.listDataFiles(s"$dest/bands",
+      s.sparkContext.hadoopConfiguration).size
+  }
+
+  /** File-level copy of a saved index (bands + meta). Mutation-testing
+    * convenience: a re-runnable query that APPENDS (the ingest-loop
+    * forms q103/q103b) clones the resident index per invocation so
+    * the shared saved artifact is never mutated — a production
+    * pipeline appends in place and doesn't need this. */
+  def copyTo(s: SparkSession, srcDir: String, destDir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val (srcFs, srcPath) = graft.Fs.resolve(IvfTopK.qualify(s, srcDir), conf)
+    val (dstFs, dstPath) = graft.Fs.resolve(IvfTopK.qualify(s, destDir), conf)
+    require(org.apache.hadoop.fs.FileUtil.copy(
+      srcFs, srcPath, dstFs, dstPath, false, conf),
+      s"index copy $srcDir -> $destDir failed")
+  }
+
   /** Reconstruct a handle from saved artifacts — one meta row read on
     * the driver, the index stays on disk for the probe scan. */
   def load(s: SparkSession, indexDir: String): Handle = {

@@ -913,6 +913,47 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("MinHash index compaction: fewer files, identical serve, pruning preserved") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("lsh_compact").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      val resident = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val probe = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val src = s"$staging/idx"
+      // base + two appends: each append adds one small file per
+      // touched partition — the accumulation compact() exists to undo
+      graft.plans.MinHashIndex.save(s,
+        resident.where(col("doc_id") % 3 === 1), s"$sf/documents.parquet", src)
+      graft.plans.MinHashIndex.append(s, src,
+        resident.where(col("doc_id") % 3 === 2))
+      graft.plans.MinHashIndex.append(s, src,
+        resident.where(col("doc_id") % 3 === 0))
+      val conf = s.sparkContext.hadoopConfiguration
+      val nIn = graft.Fs.listDataFiles(s"$src/bands", conf).size
+      val dest = s"$staging/idx_c"
+      val nOut = graft.plans.MinHashIndex.compact(s, src, dest)
+      assert(nOut < nIn,
+        s"compaction did not shrink the file count ($nIn -> $nOut)")
+      def servedFrom(dir: String) = graft.plans.MinHashIndex.serve(s,
+          graft.plans.MinHashIndex.load(s, dir), probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val before = servedFrom(src)
+      assert(before.nonEmpty && servedFrom(dest) == before,
+        "compacted index diverges from the pre-compaction serve")
+      // the rewrite must keep the (band_id, kbucket) layout the serve
+      // path's file-level pruning reads as partition filters
+      val plan = graft.plans.MinHashIndex.serve(s,
+          graft.plans.MinHashIndex.load(s, dest), probe)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("kbucket"),
+        s"pruning lost after compaction:\n${plan.take(1200)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("BM25 index append: half-corpus index + append equals the full-corpus index") {
     // the incremental-maintenance contract: index(first half) then
     // append(second half) must serve the SAME scores as the fresh
