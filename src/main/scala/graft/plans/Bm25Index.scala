@@ -127,6 +127,23 @@ object Bm25Index {
     staged.count()
   }
 
+  /** COMPACTION — collapse the postings back to one file per tbucket
+    * partition after append accumulation, preserving the layout the
+    * serve path's file-level pruning depends on; the vocabulary-sized
+    * terms, one-row stats and meta are copied verbatim (append already
+    * rewrites terms/stats whole, so they never fragment). Writes to a
+    * NEW directory; the swap is the caller's pointer flip. Returns the
+    * postings file count. */
+  def compact(s: SparkSession, srcDir: String, destDir: String): Int = {
+    val src = IvfTopK.qualify(s, srcDir)
+    val dest = IvfTopK.qualify(s, destDir)
+    val n = IndexMaintenance.compactPartitioned(s,
+      s"$src/postings", s"$dest/postings", Seq("tbucket"))
+    for (piece <- Seq("terms", "stats", "meta"))
+      IndexMaintenance.copyDir(s, s"$src/$piece", s"$dest/$piece")
+    n
+  }
+
   /** Reconstruct a handle from saved artifacts. */
   def load(s: SparkSession, indexDir: String): Handle = {
     val base = IvfTopK.qualify(s, indexDir)

@@ -179,6 +179,23 @@ object IvfTopK {
     })
   }
 
+  /** COMPACTION — collapse the assignment relation back to one file
+    * per cid partition after append accumulation, preserving the
+    * partition layout the probe path prunes on; centroids and meta are
+    * copied verbatim. Writes to a NEW directory (the swap is the
+    * caller's pointer flip); the compacted dir serves via [[load]] /
+    * [[serveTopK]] like any saved index. Returns the assignment file
+    * count. */
+  def compact(s: SparkSession, srcDir: String, destDir: String): Int = {
+    val src = qualify(s, srcDir)
+    val dest = qualify(s, destDir)
+    val n = IndexMaintenance.compactPartitioned(s,
+      s"$src/assignment", s"$dest/assignment", Seq("cid"))
+    for (piece <- Seq("centroids", "meta"))
+      IndexMaintenance.copyDir(s, s"$src/$piece", s"$dest/$piece")
+    n
+  }
+
   /** Incremental index maintenance — production corpora APPEND. New
     * vectors are assigned to the EXISTING trained centroids (the exact
     * q39/ivfModel arithmetic: l2² in left-to-right double order,

@@ -119,14 +119,10 @@ object MinHashIndex {
   def compact(s: SparkSession, srcDir: String, destDir: String): Int = {
     val src = IvfTopK.qualify(s, srcDir)
     val dest = IvfTopK.qualify(s, destDir)
-    s.read.parquet(s"$src/bands")
-      .repartition(col("band_id"), col("kbucket"))
-      .write.mode("overwrite").partitionBy("band_id", "kbucket")
-      .parquet(s"$dest/bands")
-    s.read.parquet(s"$src/meta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dest/meta")
-    graft.Fs.listDataFiles(s"$dest/bands",
-      s.sparkContext.hadoopConfiguration).size
+    val n = IndexMaintenance.compactPartitioned(s,
+      s"$src/bands", s"$dest/bands", Seq("band_id", "kbucket"))
+    IndexMaintenance.copyDir(s, s"$src/meta", s"$dest/meta")
+    n
   }
 
   /** File-level copy of a saved index (bands + meta). Mutation-testing
@@ -134,14 +130,9 @@ object MinHashIndex {
     * forms q103/q103b) clones the resident index per invocation so
     * the shared saved artifact is never mutated — a production
     * pipeline appends in place and doesn't need this. */
-  def copyTo(s: SparkSession, srcDir: String, destDir: String): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val (srcFs, srcPath) = graft.Fs.resolve(IvfTopK.qualify(s, srcDir), conf)
-    val (dstFs, dstPath) = graft.Fs.resolve(IvfTopK.qualify(s, destDir), conf)
-    require(org.apache.hadoop.fs.FileUtil.copy(
-      srcFs, srcPath, dstFs, dstPath, false, conf),
-      s"index copy $srcDir -> $destDir failed")
-  }
+  def copyTo(s: SparkSession, srcDir: String, destDir: String): Unit =
+    IndexMaintenance.copyDir(s, IvfTopK.qualify(s, srcDir),
+      IvfTopK.qualify(s, destDir))
 
   /** Reconstruct a handle from saved artifacts — one meta row read on
     * the driver, the index stays on disk for the probe scan. */

@@ -219,6 +219,23 @@ object ZOrderLayout {
     staged.count()
   }
 
+  /** COMPACTION — collapse each zbucket partition back to one file
+    * after append accumulation, re-sorting rows by the full Morton
+    * code `z` inside each partition (appends interleave their own
+    * z-sorted files with the residents', so a straight rewrite would
+    * lose the row-group min/max tightness the clustering exists for);
+    * the one-row stats meta is copied verbatim. Writes to a NEW
+    * directory — the swap is the caller's pointer flip. Returns the
+    * data file count. */
+  def compact(s: SparkSession, srcDir: String, destDir: String): Int = {
+    val src = IvfTopK.qualify(s, srcDir)
+    val dest = IvfTopK.qualify(s, destDir)
+    val n = IndexMaintenance.compactPartitioned(s,
+      s"$src/data", s"$dest/data", Seq("zbucket"), sortCols = Seq("z"))
+    IndexMaintenance.copyDir(s, s"$src/meta", s"$dest/meta")
+    n
+  }
+
   /** Reconstruct a handle from the one-row stats meta. */
   def load(s: SparkSession, layoutDir: String): Handle = {
     val base = IvfTopK.qualify(s, layoutDir)

@@ -869,6 +869,48 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("Z-order compaction: fewer files, identical serve, box pruning preserved") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("zorder_compact").toString
+    try {
+      val rows = Tables.events(s, sf).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val src = s"$staging/layout"
+      graft.plans.ZOrderLayout.save(s, rows.where(col("event_id") % 3 === 0), src)
+      graft.plans.ZOrderLayout.append(s, src, rows.where(col("event_id") % 3 === 1))
+      graft.plans.ZOrderLayout.append(s, src, rows.where(col("event_id") % 3 === 2))
+      val conf = s.sparkContext.hadoopConfiguration
+      val nIn = graft.Fs.listDataFiles(s"$src/data", conf).size
+      val dest = s"$staging/layout_c"
+      val nOut = graft.plans.ZOrderLayout.compact(s, src, dest)
+      assert(nOut < nIn,
+        s"compaction did not shrink the data file count ($nIn -> $nOut)")
+      def servedFrom(dir: String) = graft.plans.ZOrderLayout.serve(s,
+          graft.plans.ZOrderLayout.load(s, dir), 3L, 7L, 50.0, 150.0)
+        .select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+      val before = servedFrom(src)
+      assert(before.nonEmpty && servedFrom(dest) == before,
+        "compacted layout diverges from the pre-compaction serve")
+      // box pruning still opens strictly fewer files than the layout holds
+      val box = graft.plans.ZOrderLayout.serve(s,
+        graft.plans.ZOrderLayout.load(s, dest), 3L, 7L, 50.0, 150.0)
+      box.collect()
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val opened = (box.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }).collectLeaves()
+        .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }
+        .sum
+      assert(opened > 0 && opened < nOut,
+        s"box query read $opened of $nOut compacted files — no pruning")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("q99b admission verdict is consistent with q99's pair relation") {
     val s = spark
     val verdict = SparkEntry.queries("q99b_lsh_admission")(s, sf)
@@ -948,6 +990,78 @@ class ScaleShapeSpec extends SparkSpec {
           graft.plans.MinHashIndex.load(s, dest), probe)
         .queryExecution.executedPlan.toString
       assert(plan.contains("PartitionFilters: [") && plan.contains("kbucket"),
+        s"pruning lost after compaction:\n${plan.take(1200)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
+  test("BM25 index compaction: fewer files, identical serve, pruning preserved") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("bm25_compact").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      // private corpus copy: save indexes a sfDir's documents table
+      docs.where(col("doc_id") % 3 === 0)
+        .write.parquet(s"$staging/corpus/documents.parquet")
+      val src = s"$staging/idx"
+      graft.plans.Bm25Index.save(s, s"$staging/corpus", src)
+      graft.plans.Bm25Index.append(s, src, docs.where(col("doc_id") % 3 === 1))
+      graft.plans.Bm25Index.append(s, src, docs.where(col("doc_id") % 3 === 2))
+      val conf = s.sparkContext.hadoopConfiguration
+      val nIn = graft.Fs.listDataFiles(s"$src/postings", conf).size
+      val dest = s"$staging/idx_c"
+      val nOut = graft.plans.Bm25Index.compact(s, src, dest)
+      assert(nOut < nIn,
+        s"compaction did not shrink the postings file count ($nIn -> $nOut)")
+      def servedFrom(dir: String) = graft.plans.Bm25Index.serve(s,
+          graft.plans.Bm25Index.load(s, dir),
+          operators.TextAnalysis.Bm25QueryTerms)
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+      val before = servedFrom(src)
+      assert(before.nonEmpty && servedFrom(dest) == before,
+        "compacted BM25 index diverges from the pre-compaction serve")
+      val plan = graft.plans.Bm25Index.serve(s,
+          graft.plans.Bm25Index.load(s, dest),
+          operators.TextAnalysis.Bm25QueryTerms)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"),
+        s"pruning lost after compaction:\n${plan.take(1200)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
+  test("IVF index compaction: fewer files, identical serve, pruning preserved") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    try {
+      // private embeddings copy: append mutates the registry's
+      // assignment for its embeddings path, which must not be the
+      // shared sf index other tests serve from
+      s.read.parquet(s"$sf/embeddings.parquet")
+        .write.parquet(s"$staging/embeddings.parquet")
+      val src = s"$staging/idx"
+      graft.plans.IvfTopK.registerIndex(s, staging, Some(src))
+      def twin(off: Long) = s.read.parquet(s"$staging/embeddings.parquet")
+        .where(col("vec_id").between(1, 8))
+        .withColumn("vec_id", col("vec_id") + off)
+      graft.plans.IvfTopK.append(s, staging, twin(1000000L))
+      graft.plans.IvfTopK.append(s, staging, twin(2000000L))
+      val conf = s.sparkContext.hadoopConfiguration
+      val nIn = graft.Fs.listDataFiles(s"$src/assignment", conf).size
+      val dest = s"$staging/idx_c"
+      val nOut = graft.plans.IvfTopK.compact(s, src, dest)
+      assert(nOut < nIn,
+        s"compaction did not shrink the assignment file count ($nIn -> $nOut)")
+      def servedFrom(dir: String) = graft.plans.IvfTopK.serveTopK(s, dir)
+        .collect().map(_.toString).toSeq
+      val before = servedFrom(src)
+      assert(before.nonEmpty && servedFrom(dest) == before,
+        "compacted IVF index diverges from the pre-compaction serve")
+      val plan = graft.plans.IvfTopK.serveTopK(s, dest)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") && plan.contains("cid"),
         s"pruning lost after compaction:\n${plan.take(1200)}")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
