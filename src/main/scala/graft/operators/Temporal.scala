@@ -426,6 +426,36 @@ object Temporal {
         .orderBy(col("event_id"))
     },
 
+    // The FULL Z-order maintenance lifecycle under the oracle gate:
+    // cluster half the table, APPEND the other half (quantized under
+    // the saved grid — an append must not shift the residents'
+    // layout), COMPACT the fragmented zbuckets back to one z-sorted
+    // file each, and serve the box from the compacted layout. Same
+    // oracle as q101 — the driver gate proves save → append → compact
+    // → serve loses and invents nothing. Each invocation builds its
+    // own layout (the mutation IS the operator); q101 stays the
+    // serve-only path over the shared artifact.
+    "q101b_zorder_lifecycle" -> { (s, d) =>
+      val rows = Tables.events(s, d).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val staging = graft.Fs.createStagingDir(s, "graft-zorder-life")
+      try {
+        val src = s"$staging/layout"
+        graft.plans.ZOrderLayout.save(s,
+          rows.where(col("event_id") % 2 === 0), src)
+        graft.plans.ZOrderLayout.append(s, src,
+          rows.where(col("event_id") % 2 === 1))
+        val dest = s"$staging/layout_c"
+        graft.plans.ZOrderLayout.compact(s, src, dest)
+        val h = graft.plans.ZOrderLayout.load(s, dest)
+        // materialized before the finally reclaims the layout files
+        graft.Materialize.cut(
+            graft.plans.ZOrderLayout.serve(s, h, 3L, 7L, 50.0, 150.0))
+          .orderBy(col("event_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // WATERMARKED STREAM-STREAM INTERVAL JOIN — the one core
     // Structured Streaming join type the suite didn't yet exercise:
     // every click joined to the same user's purchases within the next
@@ -552,6 +582,13 @@ object Temporal {
     // the clustered layout must answer exactly what the unclustered
     // scan does
     "q101_zorder_range" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 50 AND 150
+        |ORDER BY event_id""".stripMargin,
+    // save → append → compact → serve must still answer exactly the
+    // unclustered range scan
+    "q101b_zorder_lifecycle" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events
         |WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 50 AND 150
