@@ -1055,20 +1055,27 @@ object Dedup {
     val residents = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
     MinHashIndex.ensureSaved(s, residents, s"$d/documents.parquet",
       lshIndexDir(s, d))
+    // ONE sketch job for the whole probe population; the arrival
+    // batches are slices of the localized sketch (filtering a local
+    // relation), so the corpus is scanned once, not once per batch
+    // per step — and appends reuse the same rows instead of
+    // re-sketching the admitted docs
+    val probeRows = MinHashIndex.localize(s,
+      docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("text")))
     val staging = graft.Fs.createStagingDir(s, "graft-lsh-loop")
     try {
       var runDir = s"$staging/idx"
       MinHashIndex.copyTo(s, lshIndexDir(s, d), runDir)
       val verdicts = (0 until 3).map { k =>
         val h = MinHashIndex.load(s, runDir)
-        val batch = docs.where(pmod(col("doc_id"), lit(30)) === k * 10)
-          .select(col("doc_id"), col("text"))
+        val batchRows = probeRows.where(
+          pmod(col("doc_id"), lit(30)) === k * 10)
         val v = Materialize.cut(
-          MinHashIndex.admit(s, h, batch)
+          MinHashIndex.admitRows(s, h, batchRows)
             .withColumn("batch", lit(k).cast("int")))
-        val admitted = batch.join(
-          v.where(col("admitted")).select(col("doc_id")), Seq("doc_id"))
-        MinHashIndex.append(s, runDir, admitted)
+        MinHashIndex.appendRows(s, runDir, batchRows.join(
+          v.where(col("admitted")).select(col("doc_id")), Seq("doc_id")))
         if (compactAfter.contains(k)) {
           val dest = s"$staging/idx_c$k"
           MinHashIndex.compact(s, runDir, dest)

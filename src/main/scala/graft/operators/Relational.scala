@@ -387,6 +387,35 @@ object Relational {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
         .orderBy($"o_orderkey")
     },
+
+    // WEIGHTED SAMPLE — Efraimidis–Spirakis A-ES, the
+    // sample-proportional-to-size pass a curation pipeline runs when
+    // "10k documents" should mean "10k documents weighted by length/
+    // quality": doc i gets key -ln(u_i)/w_i (u_i a deterministic
+    // md5 uniform, w_i = n_chars) and the k SMALLEST keys are the
+    // weight-proportional sample — one-pass, merge-able (a k-smallest
+    // union of per-partition k-smallests), which is what makes it the
+    // distributed/streaming-safe formulation vs rejection sampling.
+    // Plan: map-only key computation + TakeOrderedAndProject (per-
+    // partition top-k, k-row gather — no global sort). Determinism:
+    // u from the 48-bit hex fold (+0.5, /2^48 — exact doubles), ln
+    // rounded to 6 and carried through DECIMAL(18,6) (the q82 libm-
+    // parity idiom), division left raw IEEE on identical operands.
+    "q105_weighted_sample" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("h", md5(concat(lit("q105:"), $"doc_id".cast("string"))))
+        .withColumn("u",
+          (expr(Tokens.hex48("h")).cast("double") + lit(0.5)) /
+            lit(281474976710656.0))
+        .withColumn("w", greatest($"n_chars", lit(1L)).cast("double"))
+        .withColumn("key",
+          round(-log($"u"), 6).cast("decimal(18,6)").cast("double") / $"w")
+        .orderBy($"key".asc, $"doc_id".asc)
+        .limit(100)
+        .select($"doc_id", $"source", $"n_chars", $"key")
+        .orderBy($"doc_id")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -590,5 +619,17 @@ object Relational {
         |    ${Tokens.mdByteSql("o_orderkey")} AS h
         |  FROM orders)
         |WHERE h < 26 ORDER BY o_orderkey""".stripMargin,
+    "q105_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars, key FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(CAST(round(-ln(
+        |        (CAST(${Tokens.hex48("h")} AS DOUBLE) + 0.5)
+        |          / 281474976710656.0), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS key
+        |  FROM (SELECT *,
+        |      md5(concat('q105:', CAST(doc_id AS VARCHAR))) AS h
+        |    FROM documents)
+        |  ORDER BY key ASC, doc_id ASC LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -54,7 +54,12 @@ object Bm25Index {
     val postings = graft.Materialize.cut(
       TextAnalysis.postingsOf(docs)
         .withColumn("tbucket", tbucket(col("term"))))
-    postings.write.mode("overwrite").partitionBy("tbucket")
+    // write-sized-for-read: one shuffle by tbucket so each bucket dir
+    // gets one file — without it every tokenize task writes a sliver
+    // into every bucket and the pruned serve scan pays tasks × buckets
+    // file opens
+    postings.repartition(col("tbucket"))
+      .write.mode("overwrite").partitionBy("tbucket")
       .parquet(s"$base/postings")
     postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$base/terms")

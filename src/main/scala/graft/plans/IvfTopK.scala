@@ -107,7 +107,12 @@ object IvfTopK {
     val (cents, assigned) = Similarity.ivfModel(s, sfDir)
     val cols = s.read.parquet(embPath).schema.fieldNames.toSeq
     val assignPath = s"$base/assignment"
+    // write-sized-for-read: one shuffle by cid so each cell dir gets
+    // one file (the probe scan opens nprobe files, not nprobe × the
+    // assignment job's task count); at warehouse scale a big cell
+    // sizes into several files via compact()'s target instead
     assigned.select(cols.map(col) :+ col("cid"): _*)
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(assignPath)
     val cArr = cents.collect().map { r =>
       (r.getAs[Number]("cid").intValue(),

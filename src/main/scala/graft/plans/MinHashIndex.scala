@@ -66,6 +66,12 @@ object MinHashIndex {
       indexDir: String): Handle = {
     val base = IvfTopK.qualify(s, indexDir)
     withBucket(Dedup.indexBandRows(residentDocs))
+      // write-sized-for-read: one shuffle by the partition key so each
+      // (band_id, kbucket) directory gets ONE file — without it every
+      // sketch task writes a sliver into every directory (32 tasks ×
+      // 128 dirs ≈ 4k files) and the serve path's pruned scan pays the
+      // per-file open cost the partitioning was meant to save
+      .repartition(col("band_id"), col("kbucket"))
       .write.mode("overwrite").partitionBy("band_id", "kbucket")
       .parquet(s"$base/bands")
     import s.implicits._
@@ -170,6 +176,26 @@ object MinHashIndex {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), bandRows.schema)
   }
 
+  /** Public sketch-and-localize for callers that reuse ONE probe
+    * sketch across several lifecycle steps (the q103 ingest loop
+    * slices one localized sketch into its arrival batches instead of
+    * re-scanning the corpus per batch). */
+  def localize(s: SparkSession, probeDocs: DataFrame): DataFrame =
+    localizeProbe(s, probeDocs)
+
+  /** [[append]] from ALREADY-SKETCHED band rows (doc_id, sig, bk0,
+    * band_id, band_key) — no re-sketch, no corpus scan; a local
+    * probe-batch relation writes one file per touched partition.
+    * Returns the appended document count. */
+  def appendRows(s: SparkSession, indexDir: String,
+      bandRows: DataFrame): Long = {
+    val base = IvfTopK.qualify(s, indexDir)
+    withBucket(bandRows)
+      .write.mode("append").partitionBy("band_id", "kbucket")
+      .parquet(s"$base/bands")
+    bandRows.select(col("doc_id")).distinct().count()
+  }
+
   /** est-Jaccard over two melted sig columns — the shared verification
     * expression of the serve and admission joins. */
   private def estOf(sigA: Column, sigB: Column): Column = {
@@ -219,8 +245,14 @@ object MinHashIndex {
     * band self-join at batch size — batch ≪ corpus by contract, so it
     * needs no skew guard (a hot band key costs at most batch² pairs,
     * and only (ids, sig) rows ride the join). */
-  def admit(s: SparkSession, h: Handle, probeDocs: DataFrame): DataFrame = {
-    val probe = localizeProbe(s, probeDocs)
+  def admit(s: SparkSession, h: Handle, probeDocs: DataFrame): DataFrame =
+    admitRows(s, h, localizeProbe(s, probeDocs))
+
+  /** [[admit]] over ALREADY-SKETCHED probe band rows. The verdict's
+    * per-doc spine comes from the sketch itself (every doc carries
+    * exactly Bands rows, so `distinct doc_id` over the local relation
+    * is the batch's id set) — no second scan of the probe documents. */
+  def admitRows(s: SparkSession, h: Handle, probe: DataFrame): DataFrame = {
     val corpusHits = serveFrom(s, h, probe)
       .groupBy(col("probe_doc").as("doc_id"))
       .agg(count(lit(1)).as("n_corpus_hits"))
@@ -233,7 +265,7 @@ object MinHashIndex {
       .where(estOf(col("sig_a"), col("sig_b")) >= Dedup.EstThreshold)
       .groupBy(col("doc_b").as("doc_id"))
       .agg(count(lit(1)).as("n_batch_hits"))
-    probeDocs.select(col("doc_id"))
+    probe.select(col("doc_id")).distinct()
       .join(corpusHits, Seq("doc_id"), "left")
       .join(batchHits, Seq("doc_id"), "left")
       .select(col("doc_id"),
