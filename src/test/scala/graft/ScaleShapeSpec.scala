@@ -869,6 +869,61 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes the partitioned fact scan at runtime") {
+    // the warehouse-layout twin of the static partition filters the
+    // index serves use: when the fact table is partitioned on the join
+    // key and the dim side carries the selective filter, Catalyst's
+    // DPP injects a runtime subquery filter into the fact scan — at
+    // 100 TB the non-matching partitions' files are never opened even
+    // though the pruning values are only known at run time
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("dpp").toString
+    try {
+      Tables.events(s, sf).select(col("event_id"), col("user_id"),
+          col("value"), col("event_type"))
+        .write.partitionBy("event_type").parquet(s"$dir/events_p")
+      // the dim must be a SCANNED relation with a real residual filter
+      // — a filtered LocalRelation constant-folds to values and DPP's
+      // "selective predicate on the other side" requirement never sees
+      // a predicate
+      // and the predicate must be one DPP considers likely-selective
+      // (a comparison, not a bare boolean attribute)
+      Seq(("click", 0.9), ("view", 0.1), ("purchase", 0.2),
+          ("signup", 0.1), ("error", 0.0))
+        .toDF("event_type", "weight")
+        .write.parquet(s"$dir/dim")
+      val dim = s.read.parquet(s"$dir/dim").where($"weight" > 0.5)
+      val fact = s.read.parquet(s"$dir/events_p")
+      val joined = fact.join(dim.select($"event_type"), Seq("event_type"))
+        .select($"event_id", $"event_type")
+      joined.collect()
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // AQE hides scans inside QueryStageExec leaves — recurse through
+      def allScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case q: QueryStageExec => allScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans)
+      }
+      val scans = allScans(joined.queryExecution.executedPlan)
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.toLowerCase.contains("dynamicpruning"),
+        s"no DPP filter in the fact scan:\n${planStr.take(1200)}")
+      val all = graft.Fs.listDataFiles(s"$dir/events_p",
+        s.sparkContext.hadoopConfiguration).size
+      val factScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("events_p")))
+      assert(factScans.nonEmpty, "fact scan not found in the executed plan")
+      val opened = factScans.map(_.metrics("numFiles").value).max
+      assert(opened > 0 && opened < all,
+        s"DPP opened $opened of $all files — no runtime pruning")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("Z-order compaction: fewer files, identical serve, box pruning preserved") {
     val s = spark
     val staging = java.nio.file.Files.createTempDirectory("zorder_compact").toString
