@@ -10,7 +10,7 @@ object Bench {
     * query that forgets to land here would silently re-absorb its
     * staging cost into sweep 1. */
   val replayStagers = Set("q27s", "q51s", "q75", "q77", "q78", "q84", "q84b",
-    "q102", "q102b", "q104")
+    "q102", "q102b", "q103s", "q104")
 
   /** Query-name prefixes that consume a session-memoized TRAINED
     * model (the IVF/hier/PQ/IVF-PQ quantizers). clearMemos wipes the

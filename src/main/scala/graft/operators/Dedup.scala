@@ -1041,6 +1041,56 @@ object Dedup {
     // and appends into, the compacted index).
     "q103b_ingest_compacted" ->
       { (s, d) => ingestLoop(s, d, compactAfter = Some(1)) },
+
+    // STREAMING INGEST — q103's loop driven by the ENGINE's micro-
+    // batch cycle instead of a driver for-loop: the probe firehose
+    // replays as 3 ordered micro-batches and a `foreachBatch` callback
+    // admits each batch against the persisted index AS IT STANDS, then
+    // appends the admitted docs before the next trigger — the actual
+    // production shape (a landing stream drives admission; the index
+    // is the stream's external state). Identical oracle to q103: the
+    // driver gate proves the streamed loop equals the unrolled batch
+    // semantics.
+    "q103s_stream_ingest" -> { (s, d) =>
+      import graft.plans.MinHashIndex
+      val docs = Tables.documents(s, d)
+      val residents = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      MinHashIndex.ensureSaved(s, residents, s"$d/documents.parquet",
+        lshIndexDir(s, d))
+      val staging = graft.Fs.createStagingDir(s, "graft-lsh-sloop")
+      try {
+        val runDir = s"$staging/idx"
+        MinHashIndex.copyTo(s, lshIndexDir(s, d), runDir)
+        val feed = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("text"))
+          .withColumn("batch",
+            (pmod(col("doc_id"), lit(30)) / 10 + 1).cast("int"))
+        val out = scala.collection.mutable.ArrayBuffer[
+          org.apache.spark.sql.Row]()
+        var verdictSchema: org.apache.spark.sql.types.StructType = null
+        graft.streaming.Replay.runBatchedForeach(s, feed, "batch",
+          batches = 3, stageKey = Some(s"q103s:$d")) { batch =>
+          val h = MinHashIndex.load(s, runDir)
+          val rows = MinHashIndex.localize(s,
+            batch.select(col("doc_id"), col("text")))
+          val v = MinHashIndex.admitRows(s, h, rows)
+          val collected = v.collect()
+          verdictSchema = v.schema
+          out ++= collected
+          val admitted = collected.filter(_.getBoolean(3)).map(_.getLong(0))
+          MinHashIndex.appendRows(s, runDir,
+            rows.where(col("doc_id").isin(admitted.map(Long.box): _*)))
+        }
+        s.createDataFrame(java.util.Arrays.asList(out.toSeq: _*),
+            verdictSchema)
+          .withColumn("batch",
+            (pmod(col("doc_id"), lit(30)) / 10).cast("int"))
+          .select(col("doc_id"), col("batch"), col("n_corpus_hits"),
+            col("n_batch_hits"), col("admitted"))
+          .orderBy(col("doc_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
   /** The three-batch incremental ingest loop behind q103/q103b: clone
@@ -1249,6 +1299,8 @@ object Dedup {
     "q103_ingest_loop" -> ingestLoopOracle,
     // compaction is result-neutral by contract: same SQL as q103
     "q103b_ingest_compacted" -> ingestLoopOracle,
+    // the streamed loop must equal the unrolled batch semantics
+    "q103s_stream_ingest" -> ingestLoopOracle,
     "q98_chunk_neardup" -> {
       val bandKey = (b: Int) => Tokens.hex48("md5(concat_ws(':', " +
         (b * RowsPerBand until (b + 1) * RowsPerBand)

@@ -127,30 +127,51 @@ object Replay {
       batches: Int, stateParts: Option[Int] = None,
       stageKey: Option[String] = None)(
       build: DataFrame => DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    def stageInto(dir: String): Unit = {
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
-      val base = System.currentTimeMillis()
-      for (b <- 1 to batches) {
-        val tmp = graft.Fs.createStagingDir(s, "graft-replay-batch")
-        try {
-          frame.where(col(batchCol) === b)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
-            .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
-          val dest = new org.apache.hadoop.fs.Path(s"$dir/b$b.parquet")
-          fs.rename(part, dest)
-          fs.setTimes(dest, base + b * 2000L, -1)
-        } finally graft.Fs.deleteRecursively(tmp,
-          s.sparkContext.hadoopConfiguration)
-      }
-    }
-    val dir = stageKey match {
+    val dir = batchedDir(s, frame, batchCol, batches, stageKey)
+    try {
+      if (stageKey.isEmpty) stageBatchedInto(s, frame, batchCol, batches, dir)
+      replayStream(s, dir, frame.schema, stateParts)(build)
+    } finally if (stageKey.isEmpty) graft.Fs.deleteRecursively(dir,
+      s.sparkContext.hadoopConfiguration)
+  }
+
+  /** Like [[runBatched]], but the per-micro-batch consumer is a
+    * DRIVER-side `foreachBatch` callback instead of a streaming
+    * transform — the harness for lifecycle operators that MUTATE an
+    * external artifact per arriving batch (the q103s streaming ingest
+    * loop admits against, then appends into, the persisted LSH index
+    * inside each callback). Same staging/ordering contract: one file
+    * per `batchCol` value, strictly increasing mtimes,
+    * maxFilesPerTrigger = 1, so callback order equals the batch
+    * column. */
+  def runBatchedForeach(s: SparkSession, frame: DataFrame, batchCol: String,
+      batches: Int, stageKey: Option[String] = None)(
+      handle: DataFrame => Unit): Unit = {
+    val dir = batchedDir(s, frame, batchCol, batches, stageKey)
+    try {
+      if (stageKey.isEmpty) stageBatchedInto(s, frame, batchCol, batches, dir)
+      val stream = s.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = stream.writeStream
+        .foreachBatch((df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) => handle(df))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try require(q.awaitTermination(300000), "foreach replay timed out")
+      finally q.stop()
+    } finally if (stageKey.isEmpty) graft.Fs.deleteRecursively(dir,
+      s.sparkContext.hadoopConfiguration)
+  }
+
+  /** One staged file per `batchCol` value (1..batches), mtime-ordered;
+    * memoized under `stageKey` like [[stageOnce]]. */
+  private def batchedDir(s: SparkSession, frame: DataFrame, batchCol: String,
+      batches: Int, stageKey: Option[String]): String =
+    stageKey match {
       case Some(k) => staged.computeIfAbsent((s, k), _ => {
         exitHook
         val d = graft.Fs.createStagingDir(s, "graft-replay")
-        try stageInto(d)
+        try stageBatchedInto(s, frame, batchCol, batches, d)
         catch { case t: Throwable =>
           graft.Fs.deleteRecursively(d, s.sparkContext.hadoopConfiguration)
           throw t
@@ -159,11 +180,26 @@ object Replay {
       })
       case None => graft.Fs.createStagingDir(s, "graft-replay")
     }
-    try {
-      if (stageKey.isEmpty) stageInto(dir)
-      replayStream(s, dir, frame.schema, stateParts)(build)
-    } finally if (stageKey.isEmpty) graft.Fs.deleteRecursively(dir,
-      s.sparkContext.hadoopConfiguration)
+
+  private def stageBatchedInto(s: SparkSession, frame: DataFrame,
+      batchCol: String, batches: Int, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), s.sparkContext.hadoopConfiguration)
+    val base = System.currentTimeMillis()
+    for (b <- 1 to batches) {
+      val tmp = graft.Fs.createStagingDir(s, "graft-replay-batch")
+      try {
+        frame.where(col(batchCol) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+        val dest = new org.apache.hadoop.fs.Path(s"$dir/b$b.parquet")
+        fs.rename(part, dest)
+        fs.setTimes(dest, base + b * 2000L, -1)
+      } finally graft.Fs.deleteRecursively(tmp,
+        s.sparkContext.hadoopConfiguration)
+    }
   }
 
   /** The shared replay body: stream the staged dir one file per
