@@ -416,6 +416,36 @@ object Relational {
         .select($"doc_id", $"source", $"n_chars", $"key")
         .orderBy($"doc_id")
     },
+
+    // PER-GROUP WEIGHTED RESERVOIR — q105's A-ES sample per SOURCE,
+    // via a custom typed `Aggregator` ([[graft.functions
+    // .ReservoirTopK]]): the engine's extension point for aggregates
+    // the built-ins can't express. The bounded buffer is MERGEABLE,
+    // so Spark plans it as ObjectHashAggregate with map-side partial
+    // aggregation — each task reduces its slice to ≤ k entries per
+    // source before the shuffle (a window-rank formulation would
+    // shuffle every row to its group). Oracle = the window-rank SQL:
+    // associative merges must reproduce the global rank exactly.
+    "q106_grouped_reservoir" -> { (s, d) =>
+      import s.implicits._
+      val keyed = Tables.documents(s, d)
+        .withColumn("h", md5(concat(lit("q106:"), $"doc_id".cast("string"))))
+        .withColumn("u",
+          (expr(Tokens.hex48("h")).cast("double") + lit(0.5)) /
+            lit(281474976710656.0))
+        .withColumn("w", greatest($"n_chars", lit(1L)).cast("double"))
+        .withColumn("key",
+          round(-log($"u"), 6).cast("decimal(18,6)").cast("double") / $"w")
+        .select($"source", $"key", $"doc_id")
+      keyed.as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.KeyedDoc(t._2, t._3))
+        .agg(new graft.functions.ReservoirTopK(5).toColumn.name("sample"))
+        .toDF("source", "sample")
+        .select($"source", explode($"sample").as("kd"))
+        .select($"source", $"kd.doc_id".as("doc_id"), $"kd.key".as("key"))
+        .orderBy($"source", $"doc_id")
+    },
   )
 
   def oracle: Map[String, String] = Map(
@@ -631,5 +661,20 @@ object Relational {
         |    FROM documents)
         |  ORDER BY key ASC, doc_id ASC LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
+    "q106_grouped_reservoir" ->
+      s"""WITH m AS (
+        |  SELECT doc_id, source,
+        |    CAST(CAST(round(-ln(
+        |        (CAST(${Tokens.hex48("h")} AS DOUBLE) + 0.5)
+        |          / 281474976710656.0), 6) AS DECIMAL(18,6)) AS DOUBLE)
+        |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS key
+        |  FROM (SELECT *,
+        |      md5(concat('q106:', CAST(doc_id AS VARCHAR))) AS h
+        |    FROM documents)),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY source ORDER BY key ASC, doc_id ASC) AS rk
+        |  FROM m)
+        |SELECT source, doc_id, key FROM r WHERE rk <= 5
+        |ORDER BY source, doc_id""".stripMargin,
   )
 }

@@ -869,6 +869,19 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("q106 typed Aggregator plans with map-side partial aggregation") {
+    // the property that makes the custom reservoir safe at scale: the
+    // bounded buffer reduces BEFORE the exchange (ObjectHashAggregate
+    // partial), so the shuffle carries <= k entries per group per
+    // task, never the corpus
+    val plan = SparkEntry.queries("q106_grouped_reservoir")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed Aggregator did not plan as ObjectHashAggregate:\n${plan.take(800)}")
+    assert(plan.contains("partial_"),
+      s"no map-side partial aggregation in the reservoir plan:\n${plan.take(800)}")
+  }
+
   test("dynamic partition pruning: a dim-side filter prunes the partitioned fact scan at runtime") {
     // the warehouse-layout twin of the static partition filters the
     // index serves use: when the fact table is partitioned on the join
