@@ -1091,6 +1091,37 @@ object Dedup {
       } finally graft.Fs.deleteRecursively(staging,
         s.sparkContext.hadoopConfiguration)
     },
+
+    // RETENTION DELETE — the erasure pass that completes the index
+    // lifecycle: a slice of the resident corpus (doc_id % 7 = 0) is
+    // deleted from the persisted index by rewriting ONLY the
+    // partitions holding its band rows (dynamic partition overwrite;
+    // emptied partitions removed), then the standard probe serve runs
+    // against what remains. Oracle = q99's CTE chain with the deleted
+    // slice excluded from the corpus side — the driver gate proves the
+    // partition-local delete leaves exactly the fresh index over the
+    // surviving residents.
+    "q107_index_delete" -> { (s, d) =>
+      import graft.plans.MinHashIndex
+      val docs = Tables.documents(s, d)
+      val residents = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      MinHashIndex.ensureSaved(s, residents, s"$d/documents.parquet",
+        lshIndexDir(s, d))
+      val staging = graft.Fs.createStagingDir(s, "graft-lsh-del")
+      try {
+        val runDir = s"$staging/idx"
+        MinHashIndex.copyTo(s, lshIndexDir(s, d), runDir)
+        MinHashIndex.delete(s, runDir,
+          residents.where(pmod(col("doc_id"), lit(7)) === 0)
+            .select(col("doc_id")))
+        val h = MinHashIndex.load(s, runDir)
+        // materialized before the finally reclaims the cloned index
+        Materialize.cut(MinHashIndex.serve(s, h,
+            docs.where(pmod(col("doc_id"), lit(10)) === 0)))
+          .orderBy(col("probe_doc"), col("corpus_doc"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
   /** The three-batch incremental ingest loop behind q103/q103b: clone
@@ -1301,6 +1332,19 @@ object Dedup {
     "q103b_ingest_compacted" -> ingestLoopOracle,
     // the streamed loop must equal the unrolled batch semantics
     "q103s_stream_ingest" -> ingestLoopOracle,
+    // q99's serve with the deleted slice excluded from the corpus
+    "q107_index_delete" ->
+      s"""WITH $sigBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS probe_doc, b.doc_id AS corpus_doc,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |    AND b.doc_id % 7 <> 0)
+         |SELECT probe_doc, corpus_doc, $estSql AS est_jaccard
+         |FROM cand WHERE $estSql >= $EstThreshold
+         |ORDER BY probe_doc, corpus_doc""".stripMargin,
     "q98_chunk_neardup" -> {
       val bandKey = (b: Int) => Tokens.hex48("md5(concat_ws(':', " +
         (b * RowsPerBand until (b + 1) * RowsPerBand)

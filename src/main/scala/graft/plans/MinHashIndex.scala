@@ -107,6 +107,62 @@ object MinHashIndex {
     staged.count()
   }
 
+  /** DELETION — the retention/right-to-erasure pass that completes
+    * the lifecycle (save → append → compact → DELETE): remove the
+    * given doc_ids' band rows by rewriting ONLY the (band_id, kbucket)
+    * partitions that hold them. The touched-partition set is derived
+    * from a semi-join (bounded: ≤ Bands × [[KBuckets]] values
+    * regardless of delete size), the pruned scan anti-joins the id
+    * set, and the rewrite goes through DYNAMIC partition overwrite so
+    * untouched partitions' files are never rewritten — at 100 TB a
+    * deletion batch costs the partitions it lands in, not an index
+    * rewrite. Partitions emptied entirely are removed explicitly
+    * (dynamic overwrite only replaces partitions it writes). The
+    * remaining rows are materialized before the in-place overwrite
+    * (Spark cannot overwrite a path it is still reading); a warehouse
+    * deployment writes to a fresh dir + pointer-flips instead, as with
+    * compact(). Returns the number of index rows removed. */
+  def delete(s: SparkSession, indexDir: String, deleteIds: DataFrame): Long = {
+    val base = IvfTopK.qualify(s, indexDir)
+    val ids = deleteIds.select(col("doc_id")).distinct()
+    val bands = s.read.parquet(s"$base/bands")
+    val touched = bands.join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("band_id"), col("kbucket")).distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    if (touched.isEmpty) return 0L
+    val prunedPred = touched
+      .map { case (b, kb) => col("band_id") === b && col("kbucket") === kb }
+      .reduce(_ || _)
+    val pruned = bands.where(prunedPred)
+    val nRemoved = pruned
+      .join(broadcast(ids), Seq("doc_id"), "left_semi").count()
+    val remaining = graft.Materialize.cut(
+      pruned.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      remaining
+        .repartition(col("band_id"), col("kbucket"))
+        .write.mode("overwrite").partitionBy("band_id", "kbucket")
+        .parquet(s"$base/bands")
+    } finally prevMode match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // partitions whose every row was deleted wrote nothing — remove
+    // their directories so the serve scan doesn't resurrect them
+    val kept = remaining.select(col("band_id"), col("kbucket"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val conf = s.sparkContext.hadoopConfiguration
+    for ((b, kb) <- touched if !kept((b, kb)))
+      graft.Fs.deleteRecursively(
+        s"$base/bands/band_id=$b/kbucket=$kb", conf)
+    graft.Materialize.release(remaining)
+    nRemoved
+  }
+
   /** COMPACTION — the maintenance pass the append lifecycle needs at
     * scale: every [[append]] adds one small file per touched
     * (band_id, kbucket) partition, so after N ingest batches a

@@ -1023,6 +1023,50 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("MinHash index delete: only touched partitions rewritten, serve equals fresh index on survivors") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("lsh_del").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      val resident = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val probe = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val src = s"$staging/idx"
+      graft.plans.MinHashIndex.save(s, resident, s"$sf/documents.parquet", src)
+      val conf = s.sparkContext.hadoopConfiguration
+      def files() = graft.Fs.listDataFiles(s"$src/bands", conf)
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime))
+        .toMap
+      val before = files()
+      val n = graft.plans.MinHashIndex.delete(s, src,
+        resident.where(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id")))
+      assert(n > 0, "delete removed no index rows — fixture rot?")
+      val after = files()
+      // delete locality: some partitions' files survive byte-identical
+      // (same path, length, mtime) — an index-wide rewrite would
+      // replace every file
+      val untouched = after.count { case (p, meta) =>
+        before.get(p).contains(meta) }
+      assert(untouched > 0,
+        s"every partition was rewritten (${before.size} -> ${after.size}) — no delete locality")
+      // the surviving index must serve exactly what a fresh index over
+      // the surviving residents serves
+      val freshDir = s"$staging/fresh"
+      graft.plans.MinHashIndex.save(s,
+        resident.where(pmod(col("doc_id"), lit(7)) =!= 0),
+        s"$sf/documents.parquet", freshDir)
+      def servedFrom(dir: String) = graft.plans.MinHashIndex.serve(s,
+          graft.plans.MinHashIndex.load(s, dir), probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val got = servedFrom(src)
+      assert(got.nonEmpty && got == servedFrom(freshDir),
+        "post-delete serve diverges from the fresh survivors-only index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("MinHash index compaction: fewer files, identical serve, pruning preserved") {
     val s = spark
     val staging = java.nio.file.Files.createTempDirectory("lsh_compact").toString
