@@ -132,6 +132,55 @@ object Bm25Index {
     staged.count()
   }
 
+  /** Retention DELETE — MERGE-ON-READ tombstones, the inverted-index
+    * deletion strategy (a deleted DOCUMENT's terms hash into nearly
+    * every tbucket, so a partition-local physical rewrite degenerates
+    * to a full postings rewrite; Lucene and the lakehouse formats
+    * solve this the same way): the doc_ids land in a `deletes/`
+    * tombstone list that [[serve]] anti-joins (broadcast — tombstones
+    * are delete-sized, not corpus-sized), while the vocabulary-sized
+    * terms table and one-row stats are decremented NOW from the
+    * deleted docs' own re-tokenized postings, so served scores (df,
+    * avgdl) are exact for the survivors immediately. [[compact]]
+    * purges tombstoned rows physically and clears the list. The docs
+    * must actually be residents (double-deletion corrupts df/stats —
+    * the caller's contract, like append's fresh-ids). Returns the
+    * number of tombstoned documents. */
+  def delete(s: SparkSession, indexDir: String,
+      deletedDocs: DataFrame): Long = {
+    val base = IvfTopK.qualify(s, indexDir)
+    val staged = graft.Materialize.cut(deletedDocs
+      .select(col("doc_id"), col("text")))
+    val delPost = graft.Materialize.cut(TextAnalysis.postingsOf(staged))
+    staged.select(col("doc_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$base/deletes")
+    // df decrement; terms whose df reaches 0 drop out (exactly what a
+    // fresh survivors-only index would hold)
+    val delDf = delPost.groupBy(col("term")).agg(count(lit(1)).as("df_del"))
+    val merged = graft.Materialize.cut(
+      s.read.parquet(s"$base/terms")
+        .join(delDf, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
+        .where(col("df") > 0))
+    merged.write.mode("overwrite").parquet(s"$base/terms")
+    // stats subtract: mergeable sums go down as easily as up
+    val dec = delPost.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("t"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .head()
+    val n = staged.select(col("doc_id")).distinct().count()
+    val old = s.read.parquet(s"$base/stats").head()
+    import s.implicits._
+    Seq((old.getLong(0) - n, old.getLong(1) - dec.getLong(0),
+        old.getLong(2) - dec.getLong(1)))
+      .toDF("n_docs", "n_tok_docs", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/stats")
+    graft.Materialize.release(merged)
+    graft.Materialize.release(delPost)
+    graft.Materialize.release(staged)
+    n
+  }
+
   /** COMPACTION — collapse the postings back to one file per tbucket
     * partition after append accumulation, preserving the layout the
     * serve path's file-level pruning depends on; the vocabulary-sized
@@ -142,11 +191,34 @@ object Bm25Index {
   def compact(s: SparkSession, srcDir: String, destDir: String): Int = {
     val src = IvfTopK.qualify(s, srcDir)
     val dest = IvfTopK.qualify(s, destDir)
-    val n = IndexMaintenance.compactPartitioned(s,
-      s"$src/postings", s"$dest/postings", Seq("tbucket"))
+    // compaction is where merge-on-read tombstones are PURGED: the
+    // rewrite drops tombstoned rows and the compacted index carries no
+    // deletes list (terms/stats were already decremented at delete
+    // time, so nothing else changes)
+    val n = tombstones(s, src) match {
+      case Some(dels) =>
+        s.read.parquet(s"$src/postings")
+          .join(broadcast(dels), Seq("doc_id"), "left_anti")
+          .repartition(col("tbucket"))
+          .write.mode("overwrite").partitionBy("tbucket")
+          .parquet(s"$dest/postings")
+        graft.Fs.listDataFiles(s"$dest/postings",
+          s.sparkContext.hadoopConfiguration).size
+      case None =>
+        IndexMaintenance.compactPartitioned(s,
+          s"$src/postings", s"$dest/postings", Seq("tbucket"))
+    }
     for (piece <- Seq("terms", "stats", "meta"))
       IndexMaintenance.copyDir(s, s"$src/$piece", s"$dest/$piece")
     n
+  }
+
+  /** The tombstone list under an index base dir, if any. */
+  private def tombstones(s: SparkSession, base: String): Option[DataFrame] = {
+    val delDir = s"$base/deletes"
+    val (fs, p) = graft.Fs.resolve(delDir,
+      s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(delDir)) else None
   }
 
   /** Reconstruct a handle from saved artifacts. */
@@ -173,10 +245,17 @@ object Bm25Index {
       c.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.lang.Integer.valueOf((c.getValue % Buckets).toInt)
     }.distinct
-    val tf = s.read.parquet(h.postingsPath)
+    val tf0 = s.read.parquet(h.postingsPath)
       .where(col("tbucket").isin(buckets: _*))
       .where(col("term").isin(queryTerms: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    // merge-on-read: tombstoned docs filter out here (broadcast — the
+    // list is delete-sized); compact() purges them physically
+    val tf = tombstones(s, h.postingsPath.stripSuffix("/postings")) match {
+      case Some(dels) =>
+        tf0.join(broadcast(dels), Seq("doc_id"), "left_anti")
+      case None => tf0
+    }
     val df = s.read.parquet(h.termsPath)
       .where(col("term").isin(queryTerms: _*))
     // derive avgdl with the fresh path's exact arithmetic: long sums,

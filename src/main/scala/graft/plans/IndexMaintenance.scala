@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Shared maintenance passes for the persisted-index family
@@ -33,6 +33,66 @@ object IndexMaintenance {
       .write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(destDir)
     graft.Fs.listDataFiles(destDir, s.sparkContext.hadoopConfiguration).size
+  }
+
+  /** Partition-local PHYSICAL delete from a partitioned parquet
+    * dataset: rows whose `matchCol` is in `ids` are removed by
+    * rewriting ONLY the partitions that hold them. The touched set
+    * comes from a semi-join (bounded by the partition space, never the
+    * delete size), the pruned scan anti-joins the ids, the rewrite
+    * goes through DYNAMIC partition overwrite, and partitions emptied
+    * entirely are removed explicitly (dynamic overwrite only replaces
+    * partitions it writes). The remaining rows are materialized before
+    * the in-place overwrite (Spark cannot overwrite a path it is
+    * reading); a warehouse deployment writes fresh dirs + pointer-
+    * flips. Returns the number of rows removed. */
+  def deletePartitioned(s: SparkSession, dataDir: String,
+      partitionCols: Seq[String], matchCol: String,
+      ids: DataFrame, sortCols: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.broadcast
+    require(partitionCols.nonEmpty)
+    val keys = ids.select(col(matchCol)).distinct()
+    val data = s.read.parquet(dataDir)
+    val touched = data.join(broadcast(keys), Seq(matchCol), "left_semi")
+      .select(partitionCols.map(col): _*).distinct().collect()
+      .map(r => partitionCols.indices.map(r.get))
+    if (touched.isEmpty) return 0L
+    val prunedPred = touched.map { vs =>
+      partitionCols.zip(vs).map { case (c, v) => col(c) === v }
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    val pruned = data.where(prunedPred)
+    val nRemoved = pruned
+      .join(broadcast(keys), Seq(matchCol), "left_semi").count()
+    val remaining = graft.Materialize.cut(
+      pruned.join(broadcast(keys), Seq(matchCol), "left_anti"))
+    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      remaining
+        .repartition(partitionCols.map(col): _*)
+        // sorted layouts (Z-order) keep their within-partition order
+        // through the rewrite
+        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(dataDir)
+    } finally prevMode match {
+      case Some(v) =>
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val kept = remaining.select(partitionCols.map(col): _*)
+      .distinct().collect()
+      .map(r => partitionCols.indices.map(r.get)).toSet
+    val conf = s.sparkContext.hadoopConfiguration
+    for (vs <- touched if !kept(vs)) {
+      val sub = partitionCols.zip(vs)
+        .map { case (c, v) => s"$c=$v" }.mkString("/")
+      graft.Fs.deleteRecursively(s"$dataDir/$sub", conf)
+    }
+    graft.Materialize.release(remaining)
+    nRemoved
   }
 
   /** Byte-copy a small side artifact (meta / stats / terms /

@@ -184,6 +184,16 @@ object IvfTopK {
     })
   }
 
+  /** Retention DELETE — remove vec_ids from the assignment relation by
+    * rewriting only the cid partitions that hold them (the generic
+    * partition-local erasure; centroids/meta untouched — deletion
+    * never retrains). Returns the rows removed. */
+  def delete(s: SparkSession, indexDir: String, deleteIds:
+      org.apache.spark.sql.DataFrame): Long =
+    IndexMaintenance.deletePartitioned(s,
+      s"${qualify(s, indexDir)}/assignment",
+      Seq("cid"), "vec_id", deleteIds)
+
   /** COMPACTION — collapse the assignment relation back to one file
     * per cid partition after append accumulation, preserving the
     * partition layout the probe path prunes on; centroids and meta are

@@ -122,46 +122,10 @@ object MinHashIndex {
     * (Spark cannot overwrite a path it is still reading); a warehouse
     * deployment writes to a fresh dir + pointer-flips instead, as with
     * compact(). Returns the number of index rows removed. */
-  def delete(s: SparkSession, indexDir: String, deleteIds: DataFrame): Long = {
-    val base = IvfTopK.qualify(s, indexDir)
-    val ids = deleteIds.select(col("doc_id")).distinct()
-    val bands = s.read.parquet(s"$base/bands")
-    val touched = bands.join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .select(col("band_id"), col("kbucket")).distinct().collect()
-      .map(r => (r.getInt(0), r.getInt(1)))
-    if (touched.isEmpty) return 0L
-    val prunedPred = touched
-      .map { case (b, kb) => col("band_id") === b && col("kbucket") === kb }
-      .reduce(_ || _)
-    val pruned = bands.where(prunedPred)
-    val nRemoved = pruned
-      .join(broadcast(ids), Seq("doc_id"), "left_semi").count()
-    val remaining = graft.Materialize.cut(
-      pruned.join(broadcast(ids), Seq("doc_id"), "left_anti"))
-    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      remaining
-        .repartition(col("band_id"), col("kbucket"))
-        .write.mode("overwrite").partitionBy("band_id", "kbucket")
-        .parquet(s"$base/bands")
-    } finally prevMode match {
-      case Some(v) =>
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    // partitions whose every row was deleted wrote nothing — remove
-    // their directories so the serve scan doesn't resurrect them
-    val kept = remaining.select(col("band_id"), col("kbucket"))
-      .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    val conf = s.sparkContext.hadoopConfiguration
-    for ((b, kb) <- touched if !kept((b, kb)))
-      graft.Fs.deleteRecursively(
-        s"$base/bands/band_id=$b/kbucket=$kb", conf)
-    graft.Materialize.release(remaining)
-    nRemoved
-  }
+  def delete(s: SparkSession, indexDir: String, deleteIds: DataFrame): Long =
+    IndexMaintenance.deletePartitioned(s,
+      s"${IvfTopK.qualify(s, indexDir)}/bands",
+      Seq("band_id", "kbucket"), "doc_id", deleteIds)
 
   /** COMPACTION — the maintenance pass the append lifecycle needs at
     * scale: every [[append]] adds one small file per touched

@@ -219,6 +219,16 @@ object ZOrderLayout {
     staged.count()
   }
 
+  /** Retention DELETE — remove event_ids from the clustered layout by
+    * rewriting only the zbucket partitions that hold them; the saved
+    * grid (meta) is untouched, so serve's quantization is unchanged.
+    * Returns the rows removed. */
+  def delete(s: SparkSession, layoutDir: String,
+      deleteIds: DataFrame): Long =
+    IndexMaintenance.deletePartitioned(s,
+      s"${IvfTopK.qualify(s, layoutDir)}/data",
+      Seq("zbucket"), "event_id", deleteIds, sortCols = Seq("z"))
+
   /** COMPACTION — collapse each zbucket partition back to one file
     * after append accumulation, re-sorting rows by the full Morton
     * code `z` inside each partition (appends interleave their own

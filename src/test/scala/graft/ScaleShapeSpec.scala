@@ -1067,6 +1067,118 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("BM25 tombstone delete: serve equals fresh survivors index; compact purges the list") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("bm25_del").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      docs.write.parquet(s"$staging/corpus/documents.parquet")
+      val src = s"$staging/idx"
+      graft.plans.Bm25Index.save(s, s"$staging/corpus", src)
+      val n = graft.plans.Bm25Index.delete(s, src,
+        docs.where(pmod(col("doc_id"), lit(7)) === 0))
+      assert(n > 0, "delete tombstoned no docs — fixture rot?")
+      // a fresh index over the survivors is the ground truth: df,
+      // avgdl and the tombstone filter must all line up
+      docs.where(pmod(col("doc_id"), lit(7)) =!= 0)
+        .write.parquet(s"$staging/surv/documents.parquet")
+      val freshDir = s"$staging/fresh"
+      graft.plans.Bm25Index.save(s, s"$staging/surv", freshDir)
+      def servedFrom(dir: String) = graft.plans.Bm25Index.serve(s,
+          graft.plans.Bm25Index.load(s, dir),
+          operators.TextAnalysis.Bm25QueryTerms)
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+      val got = servedFrom(src)
+      assert(got.nonEmpty && got == servedFrom(freshDir),
+        "tombstoned serve diverges from the fresh survivors-only index")
+      // compaction purges: the compacted index has no deletes list and
+      // serves identically
+      val dest = s"$staging/idx_c"
+      graft.plans.Bm25Index.compact(s, src, dest)
+      val (fs, p) = graft.Fs.resolve(s"$dest/deletes",
+        s.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(p), "compaction left the tombstone list behind")
+      assert(servedFrom(dest) == got,
+        "post-purge serve diverges from the tombstoned serve")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
+  test("IVF index delete: only touched cid partitions rewritten, serve equals fresh survivors") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    try {
+      s.read.parquet(s"$sf/embeddings.parquet")
+        .write.parquet(s"$staging/embeddings.parquet")
+      val src = s"$staging/idx"
+      graft.plans.IvfTopK.registerIndex(s, staging, Some(src))
+      val conf = s.sparkContext.hadoopConfiguration
+      def files() = graft.Fs.listDataFiles(s"$src/assignment", conf)
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime))
+        .toMap
+      val before = files()
+      val assign = s.read.parquet(s"$src/assignment")
+      assume(assign.select(col("cid")).distinct().count() >= 2,
+        "locality needs >= 2 cells")
+      // delete a handful of vectors from ONE cell (not query vec 0),
+      // so locality is provable: other cells' files must survive
+      val someCid = assign.where(col("vec_id") =!= 0)
+        .select(col("cid")).head().getInt(0)
+      val delIds = assign
+        .where(col("cid") === someCid && col("vec_id") =!= 0)
+        .select(col("vec_id")).limit(3)
+        .collect().map(_.getLong(0))
+      import s.implicits._
+      val n = graft.plans.IvfTopK.delete(s, src,
+        delIds.toSeq.toDF("vec_id"))
+      assert(n === delIds.length && n > 0)
+      val after = files()
+      assert(after.count { case (p, m) => before.get(p).contains(m) } > 0,
+        "every cid partition was rewritten — no delete locality")
+      val served = graft.plans.IvfTopK.serveTopK(s, src)
+        .collect().map(r => r.getLong(0)).toSet
+      assert(served.nonEmpty && (served & delIds.toSet).isEmpty,
+        s"deleted vectors still served: ${served & delIds.toSet}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
+  test("Z-order delete: only touched zbuckets rewritten, serve equals direct scan on survivors") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("zorder_del").toString
+    try {
+      val rows = Tables.events(s, sf).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val src = s"$staging/layout"
+      graft.plans.ZOrderLayout.save(s, rows, src)
+      val conf = s.sparkContext.hadoopConfiguration
+      def files() = graft.Fs.listDataFiles(s"$src/data", conf)
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime))
+        .toMap
+      val before = files()
+      val delIds = rows.where(col("user_id") === 3).select(col("event_id"))
+      val n = graft.plans.ZOrderLayout.delete(s, src, delIds)
+      assert(n === delIds.count() && n > 0)
+      val after = files()
+      assert(after.count { case (p, m) => before.get(p).contains(m) } > 0,
+        "every zbucket was rewritten — no delete locality")
+      val h = graft.plans.ZOrderLayout.load(s, src)
+      val served = graft.plans.ZOrderLayout.serve(s, h, 0L, Long.MaxValue,
+          Double.MinValue, Double.MaxValue)
+        .select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+      val direct = rows.where(col("user_id") =!= 3)
+        .select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+      assert(served == direct && served.nonEmpty,
+        "post-delete layout diverges from the survivors scan")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("MinHash index compaction: fewer files, identical serve, pruning preserved") {
     val s = spark
     val staging = java.nio.file.Files.createTempDirectory("lsh_compact").toString
