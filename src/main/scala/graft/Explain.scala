@@ -51,7 +51,64 @@ object Explain {
     "q100_ann_recall" -> "ANN recall@10 self-evaluation: exact leg is a broadcast probe cross join with SALTED two-stage per-probe top-k (no single task sorts a probe's full candidate stream); IVF leg is cell-bounded under the broadcast centroid/cell relations",
     "q101_zorder_range" -> "2-D range over the Z-order clustered layout: the query box maps driver-side to its coarse Morton cells, which reach the scan as a static zbucket PartitionFilters — unmatched cells' files are never opened, for boxes and single-dimension ranges alike",
     "q99b_lsh_admission" -> "batch admission verdict: ONE probe sketch (materialized) feeds both legs — the file-pruned broadcast corpus join and the within-batch band self-join; verdict assembly is two left joins on the batch-sized id relation",
+    // ---- every remaining >=1 s query (BENCH_r12 medians), so plan
+    // drift on the whole expensive set is pinned here and guarded by
+    // PlanDocsSpec. For replay/lifecycle queries the pinned plan is
+    // the final assembly the registry function RETURNS (post-replay
+    // post-processing over the materialized sink cut / staged
+    // artifacts); the streaming-internal or per-step plan properties
+    // are asserted separately in ScaleShapeSpec and the operator
+    // specs.
+    "q04_multi_join" -> "4-table star join: region/nation/customer dims broadcast in sequence; the lineitem-orders fact join is the only shuffled join and AQE picks its strategy",
+    "q13b_cube" -> "CUBE = one Expand (4 grouping combos) feeding a single two-phase aggregate — one shuffle total, no per-combo re-scan",
+    "q27_fanin_stateful" -> "fan-in result assembly after flatMapGroupsWithState: the KB dimension rides a broadcast, the per-tag grouping is one keyed shuffle over tagged tuples",
+    "q27s_fanin_stream_replay" -> "q27's stream through the staged-file replay: pinned plan is the post-replay assembly over the memory-sink cut (LogicalRDD) — state-partition scoping and the stream body are asserted in FanInPropertySpec/RecoverySpec",
+    "q34_ngram_jaccard" -> "n-gram Jaccard near-dup: shingle-block equi-join so the quadratic term is bounded per block; only (md5, doc_id) pairs shuffle, text never does",
+    "q35_dup_clusters" -> "duplicate clustering: signature contraction + min-label propagation — each round a keyed agg over the touched set only, lineage cut per round so the plan stays constant-depth",
+    "q37g_pagerank" -> "3 PageRank iterations on the dup graph: per-iteration broadcast-join + aggregate with rounding, lineage cut per round — the pinned final plan reads the last round's cut, not a 3x-nested tree",
+    "q42b_bpe_merges" -> "BPE merge-table training: per-round distributed pair counts (one agg shuffle each), winner broadcast back; the merge table itself is the output relation",
+    "q47_tfidf" -> "TF-IDF: document-frequency stats aggregated once then broadcast back onto the token stream — one corpus scan + one aggregation shuffle, no corpus shuffle by term",
+    "q51_sessionize" -> "batch session_window aggregation — one shuffle on user_id, sessions assembled inside the aggregate, no self-join or window-function gap scan",
+    "q51s_stream_sessionize" -> "q51 through streaming session_window + watermark in append mode, far-future-sentinel flushed (Replay.sentinelAfterStage); pinned plan is the post-replay assembly over the sink cut",
+    "q55b_sketch_stats" -> "KMV bottom-k distinct sketch + deterministic Bernoulli sample — both reduce to one aggregation shuffle over the events scan; the sketch buffer is the only state",
+    "q75_stream_dup_filter" -> "streaming LSH dup-filter: each micro-batch probes the banded index under a broadcast, watermark bounds the state; pinned plan is the post-replay assembly over the sink cut",
+    "q77_stream_window_agg" -> "q50 through a watermarked streaming window aggregate (append mode, sentinel-flushed); pinned plan is the post-replay assembly over the sink cut",
+    "q78_stream_dedup" -> "streaming digest dedup via dropDuplicatesWithinWatermark — state bounded by the watermark delay; pinned plan is the post-replay assembly over the sink cut",
+    "q81_curation_pipeline" -> "stacked map-only curation gates (language/quality/PII/repetition) over ONE corpus scan — no join or shuffle until the presentation sort",
+    "q82_surprisal_filter" -> "unigram surprisal scoring under broadcast vocabulary stats — map-only per-document scoring, the only shuffle is the corpus-stats aggregate",
+    "q84_stream_curation" -> "streaming curation replay: scalar gates then a stream-static broadcast anti-join against the benchmark-gram relation (pre-staged untimed), watermarked digest dedup; pinned plan is the post-replay assembly over the sink cut",
+    "q84b_stream_curation_ttl" -> "bounded-TTL streaming curation (fixed 300 s dedup state, at-least-once redelivery modeled in batch 4); pinned plan is the post-replay multiplicity aggregate over the sink cut",
+    "q86b_knn_join_capped" -> "q86's k-NN join kernel with the chunk cap forced small — the skew path (rank-chunked candidate join) is what executes and is oracle-checked",
+    "q92b_scene_groups" -> "scene grouping: frame-signature contraction + shared min-label propagation; a static shot contracts to 1 representative and 0 pairs before any join",
+    "q101b_zorder_lifecycle" -> "Z-order maintenance chain save → append (saved-grid quantization) → compact (per-zbucket z-sorted rewrite) → serve; pinned plan is the serve scan over the compacted layout with zbucket PartitionFilters",
+    "q102_stream_stream_join" -> "watermarked stream-stream interval join (clicks x purchases within 30 min), both sides streaming: inner join emits eagerly, watermark + time bound evict both state sides; pinned plan is the post-replay assembly",
+    "q102b_stream_stream_left" -> "left-outer interval join: unmatched clicks emit on watermark timeout, dual far-future sentinels (Replay.sentinelAfterStage) flush the global watermark at replay end; pinned plan is the post-replay assembly",
+    "q103_ingest_loop" -> "3 sequential admit -> append rounds against a pre-staged clone of the persisted LSH index: each batch broadcast-probes the file-pruned bands scan AS IT STANDS; pinned plan is the verdict assembly over the staged per-batch results",
+    "q103b_ingest_compacted" -> "q103 with a mid-loop MinHashIndex.compact (one file per (band_id, kbucket) after append fragmentation) — identical verdict oracle proves the rewrite result-neutral",
+    "q103s_stream_ingest" -> "q103 driven through the engine's micro-batch cycle: foreachBatch admits each arriving batch (verdicts staged to parquet, admitted ids JOINED — no In-literal) and appends before the next trigger; pinned plan is the final verdict read",
+    "q104_stream_budget" -> "transformWithState on RocksDB state v2: per-source Long counter seeded from the initial-state budget relation, arrival-ordered cap; pinned plan is the post-replay ordering over the sink cut",
+    "q107_index_delete" -> "retention delete from the persisted LSH index: touched-partition set from a bounded semi-join, dynamic partition overwrite rewrites ONLY those partitions, emptied dirs removed; pinned plan is the serve scan over the surviving index",
   )
+
+  /** The >=1 s set (BENCH_r12 medians, full registry names): every
+    * name here must be pinned in [[headline]] — PlanDocsSpec enforces
+    * it, so an expensive query can't drift out of the plan audit. */
+  val expensive: Seq[String] = Seq(
+    "q01_pricing_summary", "q04_multi_join", "q13b_cube",
+    "q27_fanin_stateful", "q27s_fanin_stream_replay", "q31_minhash_pairs",
+    "q34_ngram_jaccard", "q35_dup_clusters", "q37g_pagerank",
+    "q42b_bpe_merges", "q47_tfidf", "q51_sessionize",
+    "q51s_stream_sessionize", "q55b_sketch_stats",
+    "q63b_bloom_decontaminate", "q68_salted_join", "q75_stream_dup_filter",
+    "q77_stream_window_agg", "q78_stream_dedup", "q81_curation_pipeline",
+    "q82_surprisal_filter", "q82b_surprisal_vocab", "q83_substring_dup",
+    "q84_stream_curation", "q84b_stream_curation_ttl", "q86_knn_join",
+    "q86b_knn_join_capped", "q92b_scene_groups", "q94_token_budget_mix",
+    "q95_audio_neardup", "q96_hard_negatives", "q97_hybrid_search",
+    "q98_chunk_neardup", "q99_lsh_index_dedup", "q99b_lsh_admission",
+    "q101b_zorder_lifecycle", "q102_stream_stream_join",
+    "q102b_stream_stream_left", "q103_ingest_loop", "q103b_ingest_compacted",
+    "q103s_stream_ingest", "q104_stream_budget", "q107_index_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** SCALE REHEARSAL: self-union documents/embeddings into a ~Nx corpus
+  * and run the heavy dedup/ANN/index family once, UNTIMED by the
+  * bench, recording per-query wall time, the largest single-task
+  * input / shuffle-read volumes, spill, and every skew-guard probe
+  * ([[SkewStats]]). This converts "the plan survives 10x" from an
+  * argument into a measurement: if a guard threshold is mis-sized or
+  * a task's input grows super-linearly, it shows up here first, at a
+  * scale the container can still execute.
+  *
+  * The self-union multiplies every text/vector `factor` times under
+  * fresh ids (original ids shifted by k*(max+1)), which is the
+  * ADVERSARIAL direction for the dedup family: every document gains
+  * factor-1 exact twins, so duplicate groups, band buckets, and
+  * cluster sizes all grow with the factor while the md5 key space
+  * stays uniform — the guards see real pressure, not just more rows.
+  *
+  * Run: `sbt "runMain graft.Rehearsal [baseDir] [factor]"` (defaults
+  * /root/testdata/sf0.1, 10). Results go to stdout as one block to
+  * paste into PLANS.md. */
+object Rehearsal {
+
+  /** The heavy family named by the round-12 advice. */
+  val heavy: Seq[String] = Seq(
+    "q31_minhash_pairs", "q35_dup_clusters", "q86_knn_join",
+    "q98_chunk_neardup", "q99_lsh_index_dedup", "q103_ingest_loop")
+
+  private final class TaskMax extends SparkListener {
+    val maxInput = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxShuffleRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val spill = new java.util.concurrent.atomic.AtomicLong(0)
+    val maxPeakMem = new java.util.concurrent.atomic.AtomicLong(0)
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        maxInput.getAndAccumulate(m.inputMetrics.bytesRead, math.max)
+        maxShuffleRead.getAndAccumulate(
+          m.shuffleReadMetrics.totalBytesRead, math.max)
+        spill.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        maxPeakMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+      }
+    }
+    def reset(): Unit = {
+      maxInput.set(0); maxShuffleRead.set(0); spill.set(0); maxPeakMem.set(0)
+    }
+  }
+
+  private def mb(b: Long): String = f"${b / 1048576.0}%.1f MB"
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = Fs.createStagingDir(spark, "graft-rehearsal")
+    try {
+      // ---- stage the Nx corpus under fresh ids -------------------
+      def selfUnion(table: String, idCol: String): Long = {
+        val base = spark.read.parquet(s"$baseDir/$table.parquet")
+        val step = base.agg(max(col(idCol))).head().getLong(0) + 1
+        val big = (0 until factor)
+          .map(k => base.withColumn(idCol, col(idCol) + lit(k * step)))
+          .reduce(_ unionByName _)
+        big.repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+        spark.read.parquet(s"$dir/$table.parquet").count()
+      }
+      val nDocs = selfUnion("documents", "doc_id")
+      val nVecs = selfUnion("embeddings", "vec_id")
+      println(s"[rehearsal] staged ${factor}x corpus at $dir: " +
+        s"$nDocs documents, $nVecs embeddings")
+
+      val listener = new TaskMax
+      spark.sparkContext.addSparkListener(listener)
+      SkewStats.drain() // discard anything recorded before we measure
+      val qs = SparkEntry.queries
+      val rows = heavy.map { name =>
+        listener.reset()
+        val t0 = System.nanoTime()
+        val n = qs(name)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // count() can skip column materialization but every heavy
+        // query here ends in a join/agg/write-side shape whose work
+        // count() still forces; wall times are for RELATIVE scaling
+        // judgment, not bench comparison
+        val guards = SkewStats.drain()
+        val gtxt = if (guards.isEmpty) "none probed"
+          else guards.map(p => s"${p.site}: maxBucket=${p.maxBucket} " +
+            s"thr=${p.threshold} salted=${p.salted}").mkString("; ")
+        val line = f"$name%-22s ${sec}%7.1f s  rows=$n%-9d " +
+          s"maxTaskInput=${mb(listener.maxInput.get)}  " +
+          s"maxTaskShufRead=${mb(listener.maxShuffleRead.get)}  " +
+          s"spill=${mb(listener.spill.get)}  " +
+          s"peakTaskMem=${mb(listener.maxPeakMem.get)}  guards[$gtxt]"
+        println(s"[rehearsal] $line")
+        // reclaim replay/materialize debris between queries, same
+        // hygiene as the bench loop
+        graft.streaming.Replay.releaseOutputs()
+        line
+      }
+      println("[rehearsal] ==== summary (paste into PLANS.md) ====")
+      rows.foreach(println)
+    } finally {
+      Fs.deleteRecursively(dir, spark.sparkContext.hadoopConfiguration)
+      spark.stop()
+    }
+  }
+}

@@ -32,6 +32,10 @@ object Verify {
         failures ::= (name, String.valueOf(e.getMessage))
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // reclaim the replay-output checkpoint blocks the query just
+      // consumed (same hygiene as Bench — 139 sequential queries on a
+      // small heap otherwise accumulate dead block storage)
+      graft.streaming.Replay.releaseOutputs()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

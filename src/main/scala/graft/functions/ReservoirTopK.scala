@@ -15,7 +15,7 @@ final case class KeyedDoc(key: Double, doc_id: Long)
   *
   * The scale property is the MERGEABLE BOUNDED buffer: Spark plans a
   * typed Aggregator as ObjectHashAggregate with partial aggregation,
-  * so every map task reduces its slice to ≤ k entries per group
+  * so every map task reduces its slice to ≤ 2k entries per group
   * BEFORE the shuffle and `merge` combines partials associatively —
   * the exchange carries O(groups × k × tasks) entries, never the
   * corpus, which is what makes "a weighted sample per source" safe at
@@ -34,15 +34,27 @@ final class ReservoirTopK(k: Int)
 
   private def trim(xs: Seq[KeyedDoc]): Seq[KeyedDoc] = xs.sortWith(lt).take(k)
 
+  /** Amortization bound: `reduce` appends without sorting until the
+    * buffer reaches 2k (min 64), then trims back to k — one
+    * O(cap log cap) sort per ≥k appends is O(log k) amortized per row,
+    * vs the previous trim-per-row O(k log k). The exchange still
+    * carries ≤ cap = O(k) entries per partial, so the mergeable-
+    * bounded-buffer scale property is unchanged; `merge`/`finish`
+    * trim exactly, so the result is bit-identical to the always-
+    * sorted form (the (key, doc_id) order is total). */
+  private val cap = math.max(2 * k, 64)
+
   override def zero: Seq[KeyedDoc] = Seq.empty
 
-  override def reduce(b: Seq[KeyedDoc], a: KeyedDoc): Seq[KeyedDoc] =
-    trim(b :+ a)
+  override def reduce(b: Seq[KeyedDoc], a: KeyedDoc): Seq[KeyedDoc] = {
+    val nb = b :+ a
+    if (nb.size > cap) trim(nb) else nb
+  }
 
   override def merge(b1: Seq[KeyedDoc], b2: Seq[KeyedDoc]): Seq[KeyedDoc] =
     trim(b1 ++ b2)
 
-  override def finish(r: Seq[KeyedDoc]): Seq[KeyedDoc] = r.sortWith(lt)
+  override def finish(r: Seq[KeyedDoc]): Seq[KeyedDoc] = trim(r)
 
   override def bufferEncoder: Encoder[Seq[KeyedDoc]] = ExpressionEncoder()
 

@@ -27,6 +27,17 @@ object GraftSqlBridge {
     * frames that are not local checkpoints. The caller must be done
     * with the frame: a truncated-lineage RDD cannot recompute freed
     * blocks. */
+  /** Unload every lingering state-store provider (private[sql] in
+    * Spark 4). A stopped streaming query's providers stay registered —
+    * holding the last ~2 versions of each partition's state map, or
+    * RocksDB native memory — until the 60 s maintenance tick notices
+    * the query is gone; a replay harness that runs many short-lived
+    * queries per minute unloads them eagerly instead. Safe against
+    * concurrent streams: an unloaded provider reloads from its
+    * checkpoint on next access. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   def unpersistLocalCheckpoint(df: Dataset[Row]): Unit =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
       .queryExecution.analyzed match {

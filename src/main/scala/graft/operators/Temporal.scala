@@ -79,30 +79,16 @@ object Temporal {
             col("n"), col("sum_value")).limit(0)
       } else {
         val maxTs = maxRow.getTimestamp(0)
-        // the sentinel must reach the source LAST (FileStreamSource
-        // orders by modification time): one event 400 days out,
-        // appended after the data files with its mtime bumped a
-        // minute ahead so the ordering holds even on a coarse-mtime
-        // filesystem
-        // staging I/O through the Hadoop FileSystem API (graft.Fs) so
-        // the sentinel trick works against hdfs:// staging unchanged
-        def appendSentinel(dir: String): Unit = {
-          val hconf = s.sparkContext.hadoopConfiguration
-          def parquetFiles: Set[String] = graft.Fs
-            .listDataFiles(dir, hconf).map(_.getPath.toString).toSet
-          val dataFiles = parquetFiles
-          val sentinelTs = new java.sql.Timestamp(
-            maxTs.getTime + 400L * 24 * 3600 * 1000)
-          s.createDataFrame(
-              java.util.List.of(org.apache.spark.sql.Row(
-                sentinelTs, "__sentinel", 0.0)), ev.schema)
-            .coalesce(1).write.mode("append").parquet(dir)
-          val bumped = System.currentTimeMillis() + 60000
-          (parquetFiles -- dataFiles).foreach(
-            graft.Fs.setMTime(_, hconf, bumped))
-        }
+        // watermark-flush sentinel: one event 400 days out (past span
+        // + the 365-day delay) in the last micro-batch — the shared
+        // Replay primitive
+        val sentinelTs = new java.sql.Timestamp(
+          maxTs.getTime + 400L * 24 * 3600 * 1000)
         graft.streaming.Replay.run(s, ev, files = 3,
-          stateParts = Some(4), afterStage = appendSentinel,
+          stateParts = Some(4),
+          afterStage = graft.streaming.Replay.sentinelAfterStage(s,
+            Seq(org.apache.spark.sql.Row(sentinelTs, "__sentinel", 0.0)),
+            ev.schema),
           stageKey = Some(s"q77:$d")) { stream =>
           stream
             .withWatermark("ts", "365 days")
@@ -150,23 +136,13 @@ object Temporal {
         queries("q51_sessionize")(s, d).limit(0)
       } else {
         val maxTs = maxRow.getTimestamp(0)
-        def appendSentinel(dir: String): Unit = {
-          val hconf = s.sparkContext.hadoopConfiguration
-          def parquetFiles: Set[String] = graft.Fs
-            .listDataFiles(dir, hconf).map(_.getPath.toString).toSet
-          val dataFiles = parquetFiles
-          val sentinelTs = new java.sql.Timestamp(
-            maxTs.getTime + 400L * 24 * 3600 * 1000)
-          s.createDataFrame(
-              java.util.List.of(org.apache.spark.sql.Row(
-                sentinelTs, -1L, 0.0)), ev.schema)
-            .coalesce(1).write.mode("append").parquet(dir)
-          val bumped = System.currentTimeMillis() + 60000
-          (parquetFiles -- dataFiles).foreach(
-            graft.Fs.setMTime(_, hconf, bumped))
-        }
+        val sentinelTs = new java.sql.Timestamp(
+          maxTs.getTime + 400L * 24 * 3600 * 1000)
         graft.streaming.Replay.run(s, ev, files = 3,
-          stateParts = Some(4), afterStage = appendSentinel,
+          stateParts = Some(4),
+          afterStage = graft.streaming.Replay.sentinelAfterStage(s,
+            Seq(org.apache.spark.sql.Row(sentinelTs, -1L, 0.0)),
+            ev.schema),
           stageKey = Some(s"q51s:$d")) { stream =>
           stream
             .withWatermark("ts", "365 days")
@@ -522,24 +498,13 @@ object Temporal {
         val minTs = spanRow.getTimestamp(0)
         val maxTs = spanRow.getTimestamp(1)
         val spanSec = (maxTs.getTime - minTs.getTime) / 1000 + 3600
-        def appendSentinels(dir: String): Unit = {
-          val hconf = s.sparkContext.hadoopConfiguration
-          def files: Set[String] = graft.Fs
-            .listDataFiles(dir, hconf).map(_.getPath.toString).toSet
-          val before = files
-          val farTs = new java.sql.Timestamp(
-            maxTs.getTime + (2 * spanSec + 172800) * 1000L)
-          s.createDataFrame(
-              java.util.List.of(
-                org.apache.spark.sql.Row(-1L, -1L, farTs, "click"),
-                org.apache.spark.sql.Row(-2L, -2L, farTs, "purchase")),
-              ev.schema)
-            .coalesce(1).write.mode("append").parquet(dir)
-          val bumped = System.currentTimeMillis() + 60000
-          (files -- before).foreach(graft.Fs.setMTime(_, hconf, bumped))
-        }
+        val farTs = new java.sql.Timestamp(
+          maxTs.getTime + (2 * spanSec + 172800) * 1000L)
         graft.streaming.Replay.run(s, ev, files = 3, stateParts = Some(4),
-          afterStage = appendSentinels,
+          afterStage = graft.streaming.Replay.sentinelAfterStage(s,
+            Seq(org.apache.spark.sql.Row(-1L, -1L, farTs, "click"),
+              org.apache.spark.sql.Row(-2L, -2L, farTs, "purchase")),
+            ev.schema),
           stageKey = Some(s"q102b:$d")) { stream =>
           val clicks = stream.where(col("event_type") === "click")
             .select(col("event_id").as("click_id"), col("user_id"),

@@ -80,10 +80,37 @@ object Bm25Index {
       .agg(count(lit(1)).as("t"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .head()
     import s.implicits._
-    Seq((addTo._1 + nDocs, addTo._2 + inc.getLong(0),
-        addTo._3 + inc.getLong(1)))
-      .toDF("n_docs", "n_tok_docs", "sum_dl")
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    swapIn(s, path)(fresh =>
+      Seq((addTo._1 + nDocs, addTo._2 + inc.getLong(0),
+          addTo._3 + inc.getLong(1)))
+        .toDF("n_docs", "n_tok_docs", "sum_dl")
+        .coalesce(1).write.mode("overwrite").parquet(fresh))
+  }
+
+  /** Crash-safe in-place replacement for the small whole-rewrite
+    * artifacts (vocabulary-sized terms, one-row stats): write the new
+    * relation to a fresh sibling path, then swap via two renames
+    * (rename is atomic per path on HDFS and the local FS). A crash
+    * before the first rename leaves the live artifact untouched; a
+    * crash between the renames leaves a `.old` sibling the next swap
+    * reclaims. delete()'s multi-artifact update therefore degrades to
+    * at most ONE stale artifact — and because its tombstones land
+    * FIRST, every crash window is conservative: deleted docs are
+    * already invisible to serve while df/stats at worst lag one
+    * decrement (vs the previous in-place overwrite, where a crash
+    * mid-write left a torn artifact requiring an index rebuild). */
+  private def swapIn(s: SparkSession, path: String)(
+      write: String => Unit): Unit = {
+    val (fs, p) = graft.Fs.resolve(path, s.sparkContext.hadoopConfiguration)
+    val fresh = new org.apache.hadoop.fs.Path(path + ".swap")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (fs.exists(fresh)) fs.delete(fresh, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    write(fresh.toString)
+    if (fs.exists(p))
+      require(fs.rename(p, old), s"swap: rename $p -> $old failed")
+    require(fs.rename(fresh, p), s"swap: rename $fresh -> $p failed")
+    fs.delete(old, true)
   }
 
   private val savedDirs = new java.util.concurrent.ConcurrentHashMap[
@@ -110,6 +137,21 @@ object Bm25Index {
     // materialize the batch ONCE: the returned count, the postings
     // write and the stats update come from the same evaluation
     val staged = graft.Materialize.cut(newDocs)
+    // RE-INGEST RULE: an id on the tombstone list may not be appended —
+    // its PHYSICAL postings are still in place (delete is merge-on-
+    // read), so purging the tombstone here would resurrect the old
+    // postings alongside the new ones, and keeping it would anti-join
+    // the fresh document out of serve while its postings inflate
+    // df/avgdl. A deleted id becomes appendable only after [[compact]]
+    // purges it physically. The check is tombstone-×-batch-sized
+    // (broadcast semi-join), never corpus-sized.
+    tombstones(s, base).foreach { dels =>
+      val clash = staged.select(col("doc_id")).distinct()
+        .join(broadcast(dels), Seq("doc_id"), "left_semi").count()
+      require(clash == 0L,
+        s"append: $clash doc_id(s) are tombstoned in $base/deletes — " +
+          "re-ingest of a deleted id requires a compact() first")
+    }
     val newPost = graft.Materialize.cut(
       TextAnalysis.postingsOf(staged)
         .withColumn("tbucket", tbucket(col("term"))))
@@ -125,7 +167,8 @@ object Bm25Index {
         .select(col("term"),
           (coalesce(col("df"), lit(0L)) +
             coalesce(col("df_new"), lit(0L))).as("df")))
-    merged.write.mode("overwrite").parquet(s"$base/terms")
+    swapIn(s, s"$base/terms")(fresh =>
+      merged.write.mode("overwrite").parquet(fresh))
     val old = s.read.parquet(s"$base/stats").head()
     writeStats(s, s"$base/stats", staged.count(), newPost,
       addTo = (old.getLong(0), old.getLong(1), old.getLong(2)))
@@ -144,8 +187,13 @@ object Bm25Index {
     * avgdl) are exact for the survivors immediately. [[compact]]
     * purges tombstoned rows physically and clears the list. The docs
     * must actually be residents (double-deletion corrupts df/stats —
-    * the caller's contract, like append's fresh-ids). Returns the
-    * number of tombstoned documents. */
+    * the caller's contract, like append's fresh-ids), and a deleted id
+    * stays un-appendable until a compact() purges its physical
+    * postings ([[append]] enforces this). The three artifact updates
+    * land tombstones-FIRST and then swap terms/stats via [[swapIn]],
+    * so any crash point leaves serve conservative (deleted docs
+    * invisible, df/stats at worst one decrement stale) rather than
+    * torn. Returns the number of tombstoned documents. */
   def delete(s: SparkSession, indexDir: String,
       deletedDocs: DataFrame): Long = {
     val base = IvfTopK.qualify(s, indexDir)
@@ -163,7 +211,8 @@ object Bm25Index {
         .select(col("term"),
           (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
         .where(col("df") > 0))
-    merged.write.mode("overwrite").parquet(s"$base/terms")
+    swapIn(s, s"$base/terms")(fresh =>
+      merged.write.mode("overwrite").parquet(fresh))
     // stats subtract: mergeable sums go down as easily as up
     val dec = delPost.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("t"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
@@ -171,10 +220,11 @@ object Bm25Index {
     val n = staged.select(col("doc_id")).distinct().count()
     val old = s.read.parquet(s"$base/stats").head()
     import s.implicits._
-    Seq((old.getLong(0) - n, old.getLong(1) - dec.getLong(0),
-        old.getLong(2) - dec.getLong(1)))
-      .toDF("n_docs", "n_tok_docs", "sum_dl")
-      .coalesce(1).write.mode("overwrite").parquet(s"$base/stats")
+    swapIn(s, s"$base/stats")(fresh =>
+      Seq((old.getLong(0) - n, old.getLong(1) - dec.getLong(0),
+          old.getLong(2) - dec.getLong(1)))
+        .toDF("n_docs", "n_tok_docs", "sum_dl")
+        .coalesce(1).write.mode("overwrite").parquet(fresh))
     graft.Materialize.release(merged)
     graft.Materialize.release(delPost)
     graft.Materialize.release(staged)

@@ -51,8 +51,27 @@ object IndexMaintenance {
       ids: DataFrame, sortCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.broadcast
     require(partitionCols.nonEmpty)
-    val keys = ids.select(col(matchCol)).distinct()
     val data = s.read.parquet(dataDir)
+    // The emptied-partition cleanup below reconstructs directory names
+    // as "$c=$v" verbatim — correct for the integral partition keys
+    // every current index layout uses (band_id/kbucket/cid/zbucket),
+    // WRONG for string/date/null values, which Hive path-escapes
+    // (%-encoding, __HIVE_DEFAULT_PARTITION__). Refuse non-integral
+    // layouts loudly instead of silently leaving emptied dirs behind
+    // to resurrect on a later append.
+    for (c <- partitionCols) {
+      import org.apache.spark.sql.types._
+      val ok = data.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"deletePartitioned: partition column $c is " +
+          s"${data.schema(c).dataType} — the emptied-dir cleanup only " +
+          "builds unescaped integral partition paths (string/date/null " +
+          "values need Hive path escaping)")
+    }
+    val keys = ids.select(col(matchCol)).distinct()
     val touched = data.join(broadcast(keys), Seq(matchCol), "left_semi")
       .select(partitionCols.map(col): _*).distinct().collect()
       .map(r => partitionCols.indices.map(r.get))

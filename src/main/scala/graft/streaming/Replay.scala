@@ -79,6 +79,80 @@ object Replay {
       dir
     })
 
+  /** The far-future WATERMARK-FLUSH SENTINEL as a shared `afterStage`
+    * hook: append `rows` as one parquet file whose mtime is bumped a
+    * minute ahead, so FileStreamSource (which orders files by
+    * modification time) delivers them in the FINAL micro-batch.
+    *
+    * Why it exists: a keyed APPEND-mode stateful query (windowed agg,
+    * session_window, left-outer stream-stream join) only emits a
+    * state entry once the watermark proves it closed, and a bounded
+    * replay's last real row leaves the watermark short of the final
+    * windows — the state would simply never flush. A production
+    * pipeline solves this with a watermark heartbeat; the replay twin
+    * is sentinel rows whose event time lies past every real row
+    * (caller's contract: strictly greater than max(event time) +
+    * watermark delay + widest window/gap), filtered back out of the
+    * output by their marker key. Shared by q77/q51s/q102b;
+    * SentinelFlushSpec property-tests that an arbitrary keyed
+    * append-mode aggregation drains completely under it.
+    *
+    * I/O goes through the Hadoop FileSystem API, so the trick works
+    * against hdfs:// staging unchanged. Under [[stageOnce]] keyed
+    * staging it runs once, at staging time. */
+  def sentinelAfterStage(s: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): String => Unit =
+    dir => {
+      val hconf = s.sparkContext.hadoopConfiguration
+      def files: Set[String] = graft.Fs
+        .listDataFiles(dir, hconf).map(_.getPath.toString).toSet
+      val before = files
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("append").parquet(dir)
+      // a minute ahead so the ordering holds even on a coarse-mtime
+      // filesystem
+      val bumped = System.currentTimeMillis() + 60000
+      (files -- before).foreach(graft.Fs.setMTime(_, hconf, bumped))
+    }
+
+  /** Replay OUTPUT cuts handed to callers ([[replayStream]]'s
+    * materialized memory-sink rows). The cut severs lineage, so
+    * `Dataset.unpersist` can't reach its blocks and the ContextCleaner
+    * only reclaims them after a full driver GC notices the dead RDD —
+    * under a bench sweep that ran ~10 replay queries back-to-back the
+    * un-reclaimed block storage plus lingering state-store maps showed
+    * up as monotone cross-sweep degradation on q84/q84b (r12 sweeps
+    * [3.50, 7.19, 8.23]). The harness calls [[releaseOutputs]] after
+    * each consumed query; sessions that never call it just fall back
+    * to GC-time reclamation (the old behavior). */
+  private val liveOutputs =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Release every replay output cut handed out since the last call.
+    * Callers contract that those frames are fully consumed (written /
+    * collected) — a truncated-lineage checkpoint cannot recompute
+    * freed blocks. */
+  def releaseOutputs(): Unit = {
+    var df = liveOutputs.poll()
+    while (df != null) {
+      graft.Materialize.release(df)
+      df = liveOutputs.poll()
+    }
+  }
+
+  /** Unload every lingering state-store provider. A stopped streaming
+    * query's providers stay in the executor-side registry (holding the
+    * last ~2 versions of each partition's state map — corpus-sized for
+    * the dedup replays, native memory for RocksDB) until the 60 s
+    * maintenance tick notices the query is gone; a replay harness runs
+    * many short-lived queries per minute, so it unloads eagerly. Safe
+    * against concurrent streams: an unloaded provider reloads from its
+    * checkpoint on next access. */
+  private def unloadStateStores(): Unit =
+    try org.apache.spark.sql.GraftSqlBridge.unloadStateStores()
+    catch { case _: Throwable => () }
+
   /** Drop all memoized staged directories (bench/test hygiene). */
   def clearStaged(): Unit = {
     val it = staged.entrySet().iterator()
@@ -158,7 +232,7 @@ object Replay {
         .trigger(Trigger.AvailableNow())
         .start()
       try require(q.awaitTermination(300000), "foreach replay timed out")
-      finally q.stop()
+      finally { q.stop(); unloadStateStores() }
     } finally if (stageKey.isEmpty) graft.Fs.deleteRecursively(dir,
       s.sparkContext.hadoopConfiguration)
   }
@@ -221,11 +295,12 @@ object Replay {
         .trigger(Trigger.AvailableNow())
         .start()
       try require(q.awaitTermination(300000), s"replay $name timed out")
-      finally q.stop()
+      finally { q.stop(); unloadStateStores() }
     } finally stateParts.foreach(_ =>
       s.conf.set("spark.sql.shuffle.partitions", prevParts))
     // materialize the sink rows, then release the sink itself
     val out = graft.Materialize.cut(s.table(name))
+    liveOutputs.add(out)
     s.catalog.dropTempView(name)
     out
   }

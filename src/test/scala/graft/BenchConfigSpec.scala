@@ -60,6 +60,35 @@ class BenchConfigSpec extends AnyFunSuite {
       "Bench's stage block never calls Curation.stageGrams")
   }
 
+  test("Bench.cloneStagers matches the takeClone consumers in Dedup") {
+    // a lifecycle query that mutates a per-invocation index clone
+    // (Dedup.takeClone) must be listed so the bench pre-stages its
+    // clone untimed — an unlisted consumer silently re-absorbs the
+    // ~4-5 s byte copy into its timed median (the r12 accounting bug)
+    val text = Files.readString(Paths.get(
+      "src", "main", "scala", "graft", "operators", "Dedup.scala"))
+    val entry = """"(q[0-9]+[a-z]*)_[a-z0-9_]*"\s*->""".r
+    val ms = entry.findAllMatchIn(text).toList
+    assert(ms.nonEmpty, "no query entries found in Dedup — pattern rot?")
+    val consumers = ms.zipWithIndex.flatMap { case (m, i) =>
+      val end = if (i + 1 < ms.size) ms(i + 1).start else text.length
+      val body = text.substring(m.end, end)
+      // direct takeClone call or via the shared ingestLoop helper
+      // (which takeClones internally)
+      if (body.contains("takeClone(") || body.contains("ingestLoop("))
+        Some(m.group(1))
+      else None
+    }.toSet
+    assert(consumers.nonEmpty, "no takeClone consumers found — pattern rot?")
+    assert(consumers === Bench.cloneStagers,
+      s"Bench.cloneStagers=${Bench.cloneStagers.toSeq.sorted} but Dedup " +
+        s"queries consuming clones are ${consumers.toSeq.sorted}")
+    val bench = Files.readString(
+      Paths.get("src", "main", "scala", "graft", "Bench.scala"))
+    assert(bench.contains("Dedup.stageIngestClones("),
+      "Bench's stage block never calls Dedup.stageIngestClones")
+  }
+
   test("Bench sweep loop clears every module that defines clearMemos") {
     // The sweep loop's blanket unpersist of ALL persistent RDDs is
     // only safe because every cross-query memo was released by a

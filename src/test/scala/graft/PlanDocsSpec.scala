@@ -22,6 +22,31 @@ class PlanDocsSpec extends AnyFunSuite {
         "add a row to PLANS.md's per-query index")
   }
 
+  test("every >=1 s query has a pinned EXPLAINS section") {
+    // Explain.expensive is the >=1 s set (BENCH_r12 medians); each
+    // name must be a headline entry AND have its generated `## name`
+    // section in EXPLAINS.md, so plan drift on the expensive set
+    // fails here by name instead of silently aging out of the audit.
+    val headlineNames = Explain.headline.map(_._1).toSet
+    val missingHeadline = Explain.expensive.filterNot(headlineNames)
+    assert(missingHeadline.isEmpty,
+      s"expensive queries not in Explain.headline: " +
+        missingHeadline.mkString(", "))
+    val explains = Files.readString(Paths.get("EXPLAINS.md"))
+    val sections = explains.linesIterator
+      .filter(_.startsWith("## ")).map(_.drop(3).trim).toSet
+    val missingSection = Explain.expensive.filterNot(sections)
+    assert(missingSection.isEmpty,
+      s"expensive queries with no EXPLAINS.md section (re-run " +
+        s"`sbt \"runMain graft.Explain\"`): ${missingSection.mkString(", ")}")
+    // every headline name must be a real registry entry (a renamed
+    // query would otherwise leave a stale pin behind)
+    val unknown = Explain.headline.map(_._1)
+      .filterNot(SparkEntry.queries.keySet)
+    assert(unknown.isEmpty,
+      s"Explain.headline names not in the registry: ${unknown.mkString(", ")}")
+  }
+
   test("every oracle key has a registered query and vice versa") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet

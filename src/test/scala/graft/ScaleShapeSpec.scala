@@ -1105,6 +1105,70 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("BM25 re-ingest rule: tombstoned id un-appendable until compact purges it") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("bm25_reingest").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      docs.write.parquet(s"$staging/corpus/documents.parquet")
+      val src = s"$staging/idx"
+      graft.plans.Bm25Index.save(s, s"$staging/corpus", src)
+      val deleted = docs.where(pmod(col("doc_id"), lit(7)) === 0)
+      assert(graft.plans.Bm25Index.delete(s, src, deleted) > 0)
+      // a tombstoned id's physical postings are still resident
+      // (merge-on-read) — re-appending it would either resurrect the
+      // old postings or inflate df/avgdl while staying anti-joined
+      // out of serve, so append must REFUSE the id loudly
+      val clash = intercept[IllegalArgumentException] {
+        graft.plans.Bm25Index.append(s, src, deleted.limit(1))
+      }
+      assert(clash.getMessage.contains("tombstoned"))
+      // compact purges the physical postings and clears the list;
+      // the id becomes appendable again and scores like a fresh doc
+      val dest = s"$staging/idx_c"
+      graft.plans.Bm25Index.compact(s, src, dest)
+      val one = deleted.limit(1)
+      graft.plans.Bm25Index.append(s, dest, one)
+      val backId = one.head().getLong(0)
+      val served = graft.plans.Bm25Index.serve(s,
+          graft.plans.Bm25Index.load(s, dest),
+          operators.TextAnalysis.Bm25QueryTerms)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      // the re-ingested doc is servable again iff it matches the
+      // query terms; at minimum serve must not throw and the index
+      // must contain its postings — assert via the terms relation
+      val hasPostings = s.read.parquet(s"$dest/postings")
+        .where(col("doc_id") === backId).count() > 0
+      assert(hasPostings, s"re-ingested doc $backId has no postings")
+      assert(served.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
+  test("deletePartitioned refuses non-integral partition columns (Hive path escaping)") {
+    val s = spark
+    import s.implicits._
+    val staging = java.nio.file.Files.createTempDirectory("delpart_guard").toString
+    try {
+      Seq((1L, "a x"), (2L, "b%2"), (3L, "a x"))
+        .toDF("id", "part")
+        .write.partitionBy("part").parquet(s"$staging/data")
+      val err = intercept[IllegalArgumentException] {
+        graft.plans.IndexMaintenance.deletePartitioned(s, s"$staging/data",
+          Seq("part"), "id", Seq(1L).toDF("id"))
+      }
+      // string partition values are Hive path-escaped on disk; the
+      // emptied-dir cleanup builds raw "$c=$v" paths, so the guard
+      // must refuse before any rewrite happens
+      assert(err.getMessage.contains("integral"))
+      assert(s.read.parquet(s"$staging/data").count() == 3,
+        "guard must refuse BEFORE mutating the layout")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("IVF index delete: only touched cid partitions rewritten, serve equals fresh survivors") {
     val s = spark
     val staging = java.nio.file.Files.createTempDirectory("ivf_del").toString
