@@ -835,6 +835,27 @@ object Dedup {
         .orderBy(col("cluster_id"))
     },
 
+    // CLUSTER-AWARE dataset split — the leakage-proof form of q85:
+    // the split byte comes from the near-dup CLUSTER label, so every
+    // member of a duplicate component lands in the same split and a
+    // near-duplicate of a training document can never appear in
+    // val/test. (q85's content-hash split pins only EXACT duplicates
+    // together — two 95%-similar crawls of the same page can straddle
+    // the train/test boundary, which is precisely the eval-leakage
+    // mode near-dup detection exists to prevent.) Scale: one stateless
+    // column expression over the memoized cluster relation — no
+    // shuffle beyond what q35 already paid, and the 205/230 byte
+    // thresholds reproduce q85's 80/10/10 target.
+    "q108_cluster_split" -> { (s, d) =>
+      dupClusters(s, d)
+        .withColumn("b", expr(Tokens.mdByteExpr("cluster_id")))
+        .select(col("doc_id"), col("cluster_id"),
+          when(col("b") < 205, lit("train"))
+            .when(col("b") < 230, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact character-3-gram Jaccard within (lang, n_chars) blocks.
     "q34_ngram_jaccard" -> { (s, d) =>
       // materialize the gram relation once — the block self-join would
@@ -1515,6 +1536,23 @@ object Dedup {
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS doc_id, min(b) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q108_cluster_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |cl AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ${Tokens.mdByteSql("cluster_id")} < 205 THEN 'train'
+         |       WHEN ${Tokens.mdByteSql("cluster_id")} < 230 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM cl ORDER BY doc_id""".stripMargin,
     "q32_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,

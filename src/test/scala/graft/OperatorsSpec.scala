@@ -16,6 +16,40 @@ class OperatorsSpec extends SparkSpec {
     assert(agg === total)
   }
 
+  test("q108: near-dup cluster members never straddle splits, ~80/10/10 over clusters") {
+    val s = spark
+    import s.implicits._
+    // force duplicate content under DIFFERENT ids (the sf0.001 fixture
+    // has none): q85's content-hash split would keep these together
+    // too, but q108's claim is stronger — whole NEAR-dup components
+    // share a split — and the forced est=1.0 cliques exercise exactly
+    // the cluster-inheritance path
+    val staging = java.nio.file.Files.createTempDirectory("q108_split").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      docs.union(docs.withColumn("doc_id", $"doc_id" + 1000000L))
+        .write.parquet(s"$staging/documents.parquet")
+      val out = Dedup.queries("q108_cluster_split")(s, staging).cache()
+      try {
+        val multi = out.groupBy($"cluster_id").count().where($"count" > 1)
+        assert(multi.count() > 0, "no multi-member clusters — fixture rot?")
+        val straddling = out.groupBy($"cluster_id")
+          .agg(countDistinct($"split").as("n_splits"))
+          .where($"n_splits" > 1).count()
+        assert(straddling === 0, "near-dup cluster straddles splits")
+        // the byte thresholds target 80/10/10 of the CLUSTER mass
+        val byCluster = out.select($"cluster_id", $"split").distinct()
+        val n = byCluster.count().toDouble
+        val frac = byCluster.groupBy($"split").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1) / n).toMap
+        assert(frac("train") > 0.70 && frac("train") < 0.90, s"train $frac")
+        assert(frac.getOrElse("val", 0.0) > 0.03 && frac("val") < 0.18, s"val $frac")
+        assert(frac.getOrElse("test", 0.0) > 0.03 && frac("test") < 0.18, s"test $frac")
+      } finally out.unpersist()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("minhash estimates are within [0,1] and pairs are canonical") {
     val s = spark
     import s.implicits._
