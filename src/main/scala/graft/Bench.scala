@@ -56,6 +56,13 @@ object Bench {
     * delete work only. */
   val cloneStagers = Set("q103", "q103b", "q103s", "q107")
 
+  /** Queries that mutate a per-invocation clone of the COMMITTED-v1
+    * snapshot index ([[graft.operators.Dedup.stageSnapClones]]) —
+    * same accounting rule as [[cloneStagers]]: the shared save +
+    * manifest commit is setup; the append/commit/as-of-serve
+    * lifecycle is what gets timed. */
+  val snapStagers = Set("q109")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // bench contract is local[32] (the builder prompt); env overrides
@@ -163,6 +170,8 @@ object Bench {
     // per sweep and consumes exactly one)
     val cloneCount = names.count { case (n, _) =>
       cloneStagers.exists(p => n.startsWith(p + "_")) }
+    val snapCount = names.count { case (n, _) =>
+      snapStagers.exists(p => n.startsWith(p + "_")) }
     for (sweep <- 1 to runs) {
       sweepStorage += storageBytes
       // The three modules cleared here are EXACTLY the ones defining
@@ -216,6 +225,12 @@ object Bench {
         try graft.operators.Dedup.stageIngestClones(spark, sfDir, cloneCount)
         catch { case e: Throwable =>
           System.err.println(s"[bench] clone stage failed (sweep $sweep): " +
+            e.getMessage)
+        }
+      if (snapCount > 0)
+        try graft.operators.Dedup.stageSnapClones(spark, sfDir, snapCount)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] snap stage failed (sweep $sweep): " +
             e.getMessage)
         }
       stageSecs += (System.nanoTime() - st0) / 1e9

@@ -88,6 +88,7 @@ object Explain {
     "q103s_stream_ingest" -> "q103 driven through the engine's micro-batch cycle: foreachBatch admits each arriving batch (verdicts staged to parquet, admitted ids JOINED — no In-literal) and appends before the next trigger; pinned plan is the final verdict read",
     "q104_stream_budget" -> "transformWithState on RocksDB state v2: per-source Long counter seeded from the initial-state budget relation, arrival-ordered cap; pinned plan is the post-replay ordering over the sink cut",
     "q107_index_delete" -> "retention delete from the persisted LSH index: touched-partition set from a bounded semi-join, dynamic partition overwrite rewrites ONLY those partitions, emptied dirs removed; pinned plan is the serve scan over the surviving index",
+    "q109_index_timetravel" -> "snapshot-isolated index with time travel (manifest commits): append adds files + commits v2, then ONE probe sketch serves as-of v1 AND v2 — the v1 leg reads the v1 manifest's file set (basePath keeps (band_id, kbucket) pruning), blind to the append by construction",
   )
 
   /** The >=1 s set (BENCH_r12 medians, full registry names): every
@@ -108,7 +109,8 @@ object Explain {
     "q98_chunk_neardup", "q99_lsh_index_dedup", "q99b_lsh_admission",
     "q101b_zorder_lifecycle", "q102_stream_stream_join",
     "q102b_stream_stream_left", "q103_ingest_loop", "q103b_ingest_compacted",
-    "q103s_stream_ingest", "q104_stream_budget", "q107_index_delete")
+    "q103s_stream_ingest", "q104_stream_budget", "q107_index_delete",
+    "q109_index_timetravel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -21,17 +21,44 @@ object Fs {
   /** RECURSIVE listing of the data files under `dir` with the given
     * suffix — subdirectories are followed, so hive-partitioned
     * layouts (part files nested under key=value dirs) are counted
-    * instead of silently summing to zero bytes. */
+    * instead of silently summing to zero bytes.
+    *
+    * The local filesystem takes a java.nio fast path: Hadoop's local
+    * adapter materializes permission info by SHELLING OUT per file
+    * (~5 ms each — measured 1.5 s for a 256-file index tree vs 0.02 s
+    * via nio), which made every manifest commit and storage audit
+    * O(files) in process spawns. Callers only consume path/length/
+    * mtime, which nio provides without the exec. Remote filesystems
+    * (hdfs://, s3a://) keep the FileSystem API path. */
   def listDataFiles(dir: String, conf: Configuration,
       suffix: String = ".parquet"): Seq[FileStatus] = {
     val (fs, p) = resolve(dir, conf)
-    val it = fs.listFiles(p, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.endsWith(suffix)) buf += st
+    if (fs.getScheme == "file") {
+      val base = java.nio.file.Paths.get(p.toUri.getPath)
+      if (!java.nio.file.Files.isDirectory(base)) Seq.empty
+      else {
+        val stream = java.nio.file.Files.walk(base)
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala
+            .filter(q => q.getFileName.toString.endsWith(suffix) &&
+              java.nio.file.Files.isRegularFile(q))
+            .map { q =>
+              val f = q.toFile
+              new FileStatus(f.length, false, 1, 33554432L, f.lastModified,
+                new Path("file:" + q.toAbsolutePath))
+            }.toVector
+        } finally stream.close()
+      }
+    } else {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(suffix)) buf += st
+      }
+      buf.toSeq
     }
-    buf.toSeq
   }
 
   /** Set a file's modification time (q77's sentinel-last ordering

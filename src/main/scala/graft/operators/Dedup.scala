@@ -1160,6 +1160,51 @@ object Dedup {
       } finally graft.Fs.deleteRecursively(staging,
         s.sparkContext.hadoopConfiguration)
     },
+
+    // SNAPSHOT-ISOLATED index with TIME TRAVEL — the lakehouse form of
+    // the append lifecycle ([[graft.plans.Snapshots]]): each committed
+    // version is an immutable manifest of the band files, so a reader
+    // pinned to version 1 is untouched by the version-2 append and an
+    // "as-of" serve needs no index copy at all. The query builds the
+    // index over an initial resident population (doc_id % 10 ∈ 1..8),
+    // commits v1, appends the % 10 = 9 slice, commits v2, and serves
+    // the SAME probe set (% 10 = 0) against both versions from ONE
+    // probe sketch — the v1 leg must be blind to the appended slice.
+    // Oracle = q99's CTE chain with the two corpus populations
+    // unioned under a version tag. Scale: an as-of read is a file
+    // LISTING choice, not a data operation — both legs keep the
+    // (band_id, kbucket) partition pruning through the manifest read
+    // (basePath), and the append itself stays a dynamic-partition
+    // file addition.
+    "q109_index_timetravel" -> { (s, d) =>
+      import graft.plans.{MinHashIndex, Snapshots}
+      val docs = Tables.documents(s, d)
+      // the initial save + v1 commit is a shared immutable artifact
+      // (pre-staged clone, same accounting as q103's takeClone); the
+      // query's own work is the append, the v2 commit and the two
+      // as-of serves
+      val staging = takeSnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val v1 = Snapshots.current(s, s"$idxDir/bands").get
+        MinHashIndex.append(s, idxDir,
+          docs.where(pmod(col("doc_id"), lit(10)) === 9)
+            .select(col("doc_id"), col("text")))
+        val v2 = Snapshots.commit(s, s"$idxDir/bands")
+        val probe = MinHashIndex.localize(s,
+          docs.where(pmod(col("doc_id"), lit(10)) === 0)
+            .select(col("doc_id"), col("text")))
+        def leg(v: Int, tag: Int) =
+          MinHashIndex.serveRowsAsOf(s, idxDir, v, probe)
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2)))
+          .select(col("version"), col("probe_doc"), col("corpus_doc"),
+            col("est_jaccard"))
+          .orderBy(col("version"), col("probe_doc"), col("corpus_doc"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
   /** The three-batch incremental ingest loop behind q103/q103b: clone
@@ -1261,6 +1306,63 @@ object Dedup {
     else {
       val staging = graft.Fs.createStagingDir(s, "graft-lsh-clone")
       graft.plans.MinHashIndex.copyTo(s, lshIndexDir(s, d), s"$staging/idx")
+      staging
+    }
+  }
+
+  /** Pristine SNAPSHOT index for q109 — the v1 population
+    * (doc_id % 10 ∈ 1..8) saved and manifest-committed ONCE per
+    * (session, dir); q109 invocations mutate byte-copies of it. */
+  private val snapIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def snapIndexDir(s: SparkSession, d: String): String =
+    snapIndexMemo.computeIfAbsent((s, d), _ => {
+      import graft.plans.{MinHashIndex, Snapshots}
+      val dir = graft.Fs.createStagingDir(s, "graft-lsh-snapsrc")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      MinHashIndex.save(s,
+        Tables.documents(s, d)
+          .where(pmod(col("doc_id"), lit(10)) =!= 0 &&
+            pmod(col("doc_id"), lit(10)) =!= 9)
+          .select(col("doc_id"), col("text")),
+        s"$d/documents.parquet", s"$dir/idx")
+      Snapshots.commit(s, s"$dir/idx/bands")
+      dir
+    })
+
+  private val stagedSnapClones = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.ConcurrentLinkedQueue[String]]()
+
+  /** Pre-stage `n` byte-copies of the committed-v1 snapshot index
+    * UNTIMED (Bench.snapStagers) — the q109 analogue of
+    * [[stageIngestClones]]: the initial save + v1 commit is a shared
+    * immutable artifact; what q109 demonstrates (and times) is the
+    * append → commit v2 → dual as-of serves. */
+  def stageSnapClones(s: SparkSession, d: String, n: Int): Unit = {
+    val src = snapIndexDir(s, d)
+    val q = stagedSnapClones.computeIfAbsent((s, d),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+    for (_ <- q.size until n) {
+      val staging = graft.Fs.createStagingDir(s, "graft-lsh-snapclone")
+      graft.plans.MinHashIndex.copyTo(s, s"$src/idx", s"$staging/idx")
+      q.add(staging)
+    }
+  }
+
+  /** Pop a pre-staged snapshot clone or copy inline (Verify /
+    * standalone). The returned root holds `idx/` with manifest v1
+    * already committed. */
+  private def takeSnapClone(s: SparkSession, d: String): String = {
+    val q = stagedSnapClones.get((s, d))
+    val pre = if (q == null) null else q.poll()
+    if (pre != null) pre
+    else {
+      val staging = graft.Fs.createStagingDir(s, "graft-lsh-snapclone")
+      graft.plans.MinHashIndex.copyTo(s, s"${snapIndexDir(s, d)}/idx",
+        s"$staging/idx")
       staging
     }
   }
@@ -1390,6 +1492,22 @@ object Dedup {
          |SELECT probe_doc, corpus_doc, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY probe_doc, corpus_doc""".stripMargin,
+    "q109_index_timetravel" ->
+      s"""WITH $sigBandCtes,
+         |cand AS (
+         |  SELECT 1 AS version, a.doc_id AS probe_doc, b.doc_id AS corpus_doc,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 9)
+         |  UNION
+         |  SELECT 2, a.doc_id, b.doc_id, a.sig, b.sig
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         |SELECT version, probe_doc, corpus_doc, $estSql AS est_jaccard
+         |FROM cand WHERE $estSql >= $EstThreshold
+         |ORDER BY version, probe_doc, corpus_doc""".stripMargin,
     "q99b_lsh_admission" ->
       s"""WITH $sigBandCtes,
          |candc AS (

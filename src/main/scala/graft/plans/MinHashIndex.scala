@@ -226,10 +226,34 @@ object MinHashIndex {
       .reduce(_ + _).cast("double") / lit(k.toDouble)
   }
 
+  /** [[serve]] AS OF a committed snapshot version
+    * ([[Snapshots.commit]] over the bands dir): the index relation is
+    * exactly the manifested file set, read with `basePath` so the
+    * (band_id, kbucket) partition pruning survives the explicit
+    * listing — a reader pinned to version N sees byte-identical
+    * results no matter how many appends commit after it. */
+  def serveAsOf(s: SparkSession, indexDir: String, version: Int,
+      probeDocs: DataFrame): DataFrame =
+    serveRowsAsOf(s, indexDir, version, localizeProbe(s, probeDocs))
+
+  /** [[serveAsOf]] over ALREADY-SKETCHED probe band rows (one probe
+    * sketch shared across several as-of reads — the q109 form). */
+  def serveRowsAsOf(s: SparkSession, indexDir: String, version: Int,
+      probeRows: DataFrame): DataFrame = {
+    val base = IvfTopK.qualify(s, indexDir)
+    serveOn(Snapshots.read(s, s"$base/bands", version), probeRows)
+  }
+
   /** [[serve]] body over pre-materialized probe band rows, so the
     * admission verdict can reuse one probe sketch for both its legs. */
   private def serveFrom(s: SparkSession, h: Handle,
-      probeRows: DataFrame): DataFrame = {
+      probeRows: DataFrame): DataFrame =
+    serveOn(s.read.parquet(h.bandsPath), probeRows)
+
+  /** The serve join against an arbitrary bands RELATION (live dir or
+    * a snapshot file set) — bucket-set pruning, broadcast probe,
+    * first-collision-band gate. */
+  private def serveOn(idxRel: DataFrame, probeRows: DataFrame): DataFrame = {
     val probe = probeRows.select(
       col("doc_id").as("probe_doc"), col("sig").as("sig_a"),
       col("bk0").as("probe_bk0"), col("band_id"), col("band_key"))
@@ -242,7 +266,7 @@ object MinHashIndex {
     val pruned = touched
       .map { case (b, kb) => col("band_id") === b && col("kbucket") === kb }
       .reduceOption(_ || _).getOrElse(lit(false))
-    val idx = s.read.parquet(h.bandsPath).where(pruned)
+    val idx = idxRel.where(pruned)
       .select(col("doc_id").as("corpus_doc"), col("sig").as("sig_b"),
         col("bk0").as("corpus_bk0"), col("band_id"), col("band_key"))
     idx.join(broadcast(probe), Seq("band_id", "band_key"))

@@ -70,23 +70,39 @@ class BenchConfigSpec extends AnyFunSuite {
     val entry = """"(q[0-9]+[a-z]*)_[a-z0-9_]*"\s*->""".r
     val ms = entry.findAllMatchIn(text).toList
     assert(ms.nonEmpty, "no query entries found in Dedup — pattern rot?")
-    val consumers = ms.zipWithIndex.flatMap { case (m, i) =>
-      val end = if (i + 1 < ms.size) ms(i + 1).start else text.length
-      val body = text.substring(m.end, end)
-      // direct takeClone call or via the shared ingestLoop helper
-      // (which takeClones internally)
-      if (body.contains("takeClone(") || body.contains("ingestLoop("))
-        Some(m.group(1))
-      else None
-    }.toSet
+    // an entry's body ends at the NEXT entry or at its Map literal's
+    // closing paren, whichever comes first — the regex matches both
+    // the queries and the oracle maps, and the last entry of each map
+    // would otherwise swallow the helper DEFINITIONS that follow
+    // (ingestLoop, takeClone, ...) and self-attribute their names
+    def bodyEnd(from: Int, nextStart: Int): Int = {
+      val close = text.indexOf("\n  )\n", from)
+      if (close == -1) nextStart else math.min(close, nextStart)
+    }
+    def consumersOf(markers: String*): Set[String] =
+      ms.zipWithIndex.flatMap { case (m, i) =>
+        val next = if (i + 1 < ms.size) ms(i + 1).start else text.length
+        val body = text.substring(m.end, bodyEnd(m.end, next))
+        if (markers.exists(body.contains)) Some(m.group(1)) else None
+      }.toSet
+    // direct takeClone call or via the shared ingestLoop helper
+    // (which takeClones internally)
+    val consumers = consumersOf("takeClone(", "ingestLoop(")
     assert(consumers.nonEmpty, "no takeClone consumers found — pattern rot?")
     assert(consumers === Bench.cloneStagers,
       s"Bench.cloneStagers=${Bench.cloneStagers.toSeq.sorted} but Dedup " +
         s"queries consuming clones are ${consumers.toSeq.sorted}")
+    // the committed-v1 snapshot clones (q109) have their own pool
+    val snapConsumers = consumersOf("takeSnapClone(")
+    assert(snapConsumers === Bench.snapStagers,
+      s"Bench.snapStagers=${Bench.snapStagers.toSeq.sorted} but Dedup " +
+        s"queries consuming snap clones are ${snapConsumers.toSeq.sorted}")
     val bench = Files.readString(
       Paths.get("src", "main", "scala", "graft", "Bench.scala"))
     assert(bench.contains("Dedup.stageIngestClones("),
       "Bench's stage block never calls Dedup.stageIngestClones")
+    assert(bench.contains("Dedup.stageSnapClones("),
+      "Bench's stage block never calls Dedup.stageSnapClones")
   }
 
   test("Bench sweep loop clears every module that defines clearMemos") {
