@@ -89,6 +89,8 @@ object Explain {
     "q104_stream_budget" -> "transformWithState on RocksDB state v2: per-source Long counter seeded from the initial-state budget relation, arrival-ordered cap; pinned plan is the post-replay ordering over the sink cut",
     "q107_index_delete" -> "retention delete from the persisted LSH index: touched-partition set from a bounded semi-join, dynamic partition overwrite rewrites ONLY those partitions, emptied dirs removed; pinned plan is the serve scan over the surviving index",
     "q109_index_timetravel" -> "snapshot-isolated index with time travel (manifest commits): append adds files + commits v2, then ONE probe sketch serves as-of v1 AND v2 — the v1 leg reads the v1 manifest's file set (basePath keeps (band_id, kbucket) pruning), blind to the append by construction",
+    "q110_incremental_clusters" -> "incremental cluster maintenance: batch edges from the persisted-index serve + within-batch band join (one shared probe sketch), label propagation on the QUOTIENT graph (batch docs + touched cluster labels only), broadcast label remap back onto the resident state — never a corpus re-cluster",
+    "q108_cluster_split" -> "leakage-proof split from the near-dup CLUSTER label: stateless column expression over the memoized cluster relation (pinned plan reads the label cut) — the timed cost in a sweep is the shared minhash-pairs + cluster memo it happens to pay first",
   )
 
   /** The >=1 s set (BENCH_r12 medians, full registry names): every
@@ -110,7 +112,8 @@ object Explain {
     "q101b_zorder_lifecycle", "q102_stream_stream_join",
     "q102b_stream_stream_left", "q103_ingest_loop", "q103b_ingest_compacted",
     "q103s_stream_ingest", "q104_stream_budget", "q107_index_delete",
-    "q109_index_timetravel")
+    "q108_cluster_split", "q109_index_timetravel",
+    "q110_incremental_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

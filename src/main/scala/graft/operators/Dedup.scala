@@ -163,6 +163,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val chunkSigMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val residentLabelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Evict memoized relations (for long-lived sessions / tests),
     * RELEASING their materialized storage — without the release a
@@ -170,7 +172,8 @@ object Dedup {
     * until a full GC (measured: 2x sweep variance on q31/q35). */
   def clearMemos(): Unit = {
     import scala.jdk.CollectionConverters._
-    Seq(pairsMemo, clustersMemo, sigMemo, chunkSigMemo).foreach { m =>
+    Seq(pairsMemo, clustersMemo, sigMemo, chunkSigMemo,
+        residentLabelsMemo).foreach { m =>
       m.values.asScala.foreach(graft.Materialize.release)
       m.clear()
     }
@@ -1205,6 +1208,79 @@ object Dedup {
       } finally graft.Fs.deleteRecursively(staging,
         s.sparkContext.hadoopConfiguration)
     },
+
+    // INCREMENTAL CLUSTER MAINTENANCE — the landing-pipeline form of
+    // q35: resident cluster labels are PERSISTED STATE; an arriving
+    // batch contributes its near-dup edges (batch→corpus from the
+    // persisted LSH index serve, batch→batch from the band self-join
+    // over the same probe sketch) and labels update by propagating on
+    // the QUOTIENT graph — nodes are the batch docs plus the TOUCHED
+    // resident cluster labels, never the resident corpus. Contracting
+    // a connected cluster to its label preserves components, and the
+    // component min over [batch ids ∪ cluster mins] IS the global
+    // min, so the result equals a full recompute EXACTLY — which is
+    // the oracle (q35's recursive SQL over the whole corpus). The
+    // resident→resident graph cannot gain edges from a batch, so the
+    // only resident-side mutation is a bounded label REMAP (broadcast
+    // of the merged-label map, touched clusters only). At 100 TB this
+    // is the difference between re-clustering the corpus per ingest
+    // batch and paying O(batch + touched clusters).
+    "q110_incremental_clusters" -> { (s, d) =>
+      import graft.plans.MinHashIndex
+      val docs = Tables.documents(s, d)
+      val h = MinHashIndex.ensureSaved(s,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), col("text")),
+        s"$d/documents.parquet", lshIndexDir(s, d))
+      val resLab = residentLabels(s, d)
+      // one probe sketch feeds both edge legs (the admitRows pattern)
+      val probe = MinHashIndex.localize(s,
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("text")))
+      // leg 1: batch → resident-CLUSTER bridges via the index serve
+      val bridges = MinHashIndex.serveRows(s, h, probe)
+        .join(resLab.select(col("doc_id").as("corpus_doc"),
+          col("label")), Seq("corpus_doc"))
+        .select(col("probe_doc").as("pa"), col("label").as("pb"))
+        .distinct()
+      // leg 2: batch → batch pairs (q31's band join at batch size —
+      // batch ≪ corpus by contract, no skew guard needed)
+      def side(p: String) = probe.select(
+        col("doc_id").as(s"doc_$p"), col("sig").as(s"sig_$p"),
+        col("bk0").as(s"bk0_$p"), col("band_id"), col("band_key"))
+      val est = (0 until K).map(i =>
+        when(element_at(col("sig_a"), i + 1) ===
+          element_at(col("sig_b"), i + 1), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / lit(K.toDouble)
+      val batchPairs = side("a").join(side("b"), Seq("band_id", "band_key"))
+        .where(col("doc_a") < col("doc_b"))
+        .where(col("band_id") === 0 || col("bk0_a") =!= col("bk0_b"))
+        .where(est >= EstThreshold)
+        .select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+      // quotient propagation: batch ids (% 10 = 0) and touched labels
+      // (resident ids, % 10 ≠ 0) cannot collide, so one numeric node
+      // space carries both
+      val nodes = probe.select(col("doc_id").as("node")).distinct()
+        .unionByName(bridges.select(col("pb").as("node")).distinct())
+      val comp = minLabelComponents(bridges.unionByName(batchPairs), nodes)
+      val batchLab = comp.where(pmod(col("node"), lit(10)) === 0)
+        .select(col("node").as("doc_id"), col("label"))
+      // bounded remap: touched resident clusters whose component min
+      // changed (possibly to a batch id, or to another cluster's min
+      // when a batch doc bridges two resident clusters)
+      val remap = comp.where(pmod(col("node"), lit(10)) =!= 0)
+        .select(col("node").as("old_label"), col("label").as("new_label"))
+      val resFinal = resLab
+        .join(broadcast(remap), resLab("label") === remap("old_label"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("new_label"), col("label")).as("label"))
+      val out = Materialize.cut(
+        resFinal.unionByName(batchLab)
+          .select(col("doc_id"), col("label").as("cluster_id")))
+      Materialize.release(comp)
+      out.orderBy(col("doc_id"))
+    },
   )
 
   /** The three-batch incremental ingest loop behind q103/q103b: clone
@@ -1309,6 +1385,29 @@ object Dedup {
       staging
     }
   }
+
+  /** The RESIDENT corpus's cluster labels (doc_id, label = component
+    * min over residents only) — q110's persisted incremental state,
+    * memoized per (session, dir). In production this is a parquet
+    * table maintained batch over batch; here it is derived once from
+    * the resident slice of the memoized pair relation. */
+  private def residentLabels(s: SparkSession, d: String): DataFrame =
+    residentLabelsMemo.computeIfAbsent((s, d), _ => {
+      val resPairs = minhashPairs(s, d)
+        .where(pmod(col("doc_a"), lit(10)) =!= 0 &&
+          pmod(col("doc_b"), lit(10)) =!= 0)
+        .select(col("doc_a"), col("doc_b"))
+      val nodes = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id").as("node"))
+      val out = minLabelComponents(resPairs, nodes)
+      // minLabelComponents returns a frame the caller must release;
+      // re-cut under the memo's own lifetime so clearMemos owns it
+      val kept = Materialize.cut(out.select(col("node").as("doc_id"),
+        col("label")))
+      Materialize.release(out)
+      kept
+    })
 
   /** Pristine SNAPSHOT index for q109 — the v1 population
     * (doc_id % 10 ∈ 1..8) saved and manifest-committed ONCE per
@@ -1643,6 +1742,21 @@ object Dedup {
          |  n_members
          |FROM ranked WHERE rnk = 1 ORDER BY cluster_id""".stripMargin,
     "q35_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // the incremental result must equal a FULL recompute over the
+    // whole corpus — q35's oracle verbatim is the strongest possible
+    // gate for the quotient-graph update
+    "q110_incremental_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
          |edges AS (

@@ -244,6 +244,12 @@ object MinHashIndex {
     serveOn(Snapshots.read(s, s"$base/bands", version), probeRows)
   }
 
+  /** [[serve]] over ALREADY-SKETCHED probe band rows (callers that
+    * reuse one probe sketch across several legs — q110 feeds the same
+    * sketch to the corpus serve and the within-batch pair join). */
+  def serveRows(s: SparkSession, h: Handle, probeRows: DataFrame): DataFrame =
+    serveFrom(s, h, probeRows)
+
   /** [[serve]] body over pre-materialized probe band rows, so the
     * admission verdict can reuse one probe sketch for both its legs. */
   private def serveFrom(s: SparkSession, h: Handle,

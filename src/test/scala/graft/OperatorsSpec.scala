@@ -50,6 +50,34 @@ class OperatorsSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("q110: batch doc lowers and merges resident labels (quotient remap path)") {
+    val s = spark
+    import s.implicits._
+    // constructed corpus: resident cluster {11, 21} (text A), resident
+    // cluster {13, 23} (text B), singletons 30/12; batch doc 10 is an
+    // exact copy of A, so the component {10, 11, 21} must relabel the
+    // RESIDENT cluster to the batch id 10 — the broadcast-remap path —
+    // while B's cluster and the singletons stay untouched
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight"
+    val C = "red green blue yellow purple orange black white"
+    val D = "north south east west up down left right"
+    val staging = java.nio.file.Files.createTempDirectory("q110_remap").toString
+    try {
+      Seq((11L, A), (21L, A), (13L, B), (23L, B), (30L, C), (12L, D),
+          (10L, A))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.parquet(s"$staging/documents.parquet")
+      val out = Dedup.queries("q110_incremental_clusters")(s, staging)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(10L -> 10L, 11L -> 10L, 21L -> 10L,
+        13L -> 13L, 23L -> 13L, 30L -> 30L, 12L -> 12L), s"got $out")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("minhash estimates are within [0,1] and pairs are canonical") {
     val s = spark
     import s.implicits._
