@@ -10,7 +10,7 @@ object Bench {
     * query that forgets to land here would silently re-absorb its
     * staging cost into sweep 1. */
   val replayStagers = Set("q27s", "q51s", "q75", "q77", "q78", "q84", "q84b",
-    "q102", "q102b", "q103s", "q104")
+    "q102", "q102b", "q103s", "q104", "q110s")
 
   /** Query-name prefixes that consume a session-memoized TRAINED
     * model (the IVF/hier/PQ/IVF-PQ quantizers). clearMemos wipes the
@@ -54,7 +54,16 @@ object Bench {
     * pre-stages one clone per selected query here, untimed
     * (stage_sec); the timed queries then measure admit/append/compact/
     * delete work only. */
-  val cloneStagers = Set("q103", "q103b", "q103s", "q107")
+  val cloneStagers = Set("q103", "q103b", "q103s", "q107", "q110s")
+
+  /** Queries that consume the PERSISTED resident-label state table
+    * ([[graft.operators.Dedup.stageResidentState]]) — q110's cluster
+    * state. The table is files (like the replay corpora), staged once
+    * per session and NOT evicted by clearMemos; the stage call here
+    * just pays the one-time derivation in stage_sec instead of inside
+    * whichever q110 run a sweep hits first (in production the label
+    * table is maintained batch over batch, never derived per job). */
+  val stateStagers = Set("q110", "q110s")
 
   /** Queries that mutate a per-invocation clone of the COMMITTED-v1
     * snapshot index ([[graft.operators.Dedup.stageSnapClones]]) —
@@ -172,6 +181,8 @@ object Bench {
       cloneStagers.exists(p => n.startsWith(p + "_")) }
     val snapCount = names.count { case (n, _) =>
       snapStagers.exists(p => n.startsWith(p + "_")) }
+    val stageState = names.exists { case (n, _) =>
+      stateStagers.exists(p => n.startsWith(p + "_")) }
     for (sweep <- 1 to runs) {
       sweepStorage += storageBytes
       // The three modules cleared here are EXACTLY the ones defining
@@ -231,6 +242,12 @@ object Bench {
         try graft.operators.Dedup.stageSnapClones(spark, sfDir, snapCount)
         catch { case e: Throwable =>
           System.err.println(s"[bench] snap stage failed (sweep $sweep): " +
+            e.getMessage)
+        }
+      if (stageState)
+        try graft.operators.Dedup.stageResidentState(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] state stage failed (sweep $sweep): " +
             e.getMessage)
         }
       stageSecs += (System.nanoTime() - st0) / 1e9

@@ -558,31 +558,113 @@ object Dedup {
     out
   }
 
+  /** Pair-count ceiling for the LOCAL regime of
+    * [[minLabelComponents]]. Below it the edge list collects to the
+    * driver (≤ ~32 MB at the default) and a union-find labels the
+    * touched nodes in one pass; above it the distributed propagation
+    * loop runs. The same size-regime switch Spark applies at the
+    * broadcast-join threshold: the distributed loop costs O(diameter)
+    * shuffle rounds whose FIXED per-job cost (scheduling + codegen +
+    * checkpoint) dwarfs the data when the graph is small — measured
+    * ~0.8 s/round on a ~2k-node quotient graph, ~5 s/batch in q110s —
+    * while a 2M-edge collect is tens of MB, well inside the bound
+    * every broadcast join in this engine already accepts.
+    * Conf-overridable so tests can force either regime on one graph
+    * and assert the labelings agree. */
+  private def localComponentsMaxPairs(s: SparkSession): Long =
+    s.conf.get("spark.graft.localComponentsMaxPairs", (2L << 20).toString)
+      .toLong
+
   /** Iterative min-label propagation over an undirected pair graph —
     * the connected-components kernel shared by q35 (near-dup doc
-    * clusters) and q92b (within-video scene groups). `pairs` is one
-    * row per undirected edge (two numeric columns); `nodes` is the
+    * clusters), q92b (within-video scene groups), and the
+    * incremental-cluster quotient steps (q108/q110/q110s). `pairs` is
+    * one row per undirected edge (two LONG columns); `nodes` is the
     * node universe (column `node`, deduplicated here). Returns a
     * MATERIALIZED (node, label = component min) frame the caller must
-    * `Materialize.release` after use. No driver-side graph — every
-    * round is one join + min-aggregate, frames cut per round so
-    * lineage stays flat. */
-  private[operators] def minLabelComponents(pairs: DataFrame,
+    * `Materialize.release` after use.
+    *
+    * Two size regimes ([[localComponentsMaxPairs]]): small edge lists
+    * collect once and a driver union-find answers directly; large ones
+    * run the distributed loop — every round one join + min-aggregate,
+    * frames cut per round so lineage stays flat. Only nodes that touch
+    * an edge participate in either regime (on a near-dup graph a small
+    * fraction of the universe); the isolated rest self-label in the
+    * final join. */
+  private[graft] def minLabelComponents(pairs: DataFrame,
       nodes: DataFrame): DataFrame = {
-    val p = pairs.toDF("pa", "pb")
-    // materialize the edge list once — every propagation round joins
-    // it, and without this the upstream pipeline would re-run per round
+    val s = pairs.sparkSession
+    // materialize the single-direction pair list once — it is either
+    // collected (local regime) or joined every propagation round
+    // (distributed), and without this the upstream pipeline would
+    // re-run per consumption
+    val p = Materialize(pairs.toDF("pa", "pb"))
+    val nodesD = Materialize(nodes.select(col("node")).distinct())
+    val nPairs = p.count()
+    val longCols = p.schema.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val labels =
+      if (longCols && nPairs <= localComponentsMaxPairs(s))
+        localMinLabels(s, p)
+      else loopMinLabels(s, p)
+    val out = Materialize.cut(nodesD.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label")))
+    Materialize.release(labels)
+    Materialize.release(nodesD)
+    Materialize.release(p)
+    out
+  }
+
+  /** LOCAL regime: collect the (bounded) pair list and union-find with
+    * path halving, tracking the min node id per component. Returns
+    * (node, label) for edge-touched nodes as a MATERIALIZED frame
+    * (uniform release contract with the loop regime). */
+  private def localMinLabels(s: SparkSession, p: DataFrame): DataFrame = {
+    val rows = p.collect()
+    // boxed value type: a primitive-Int map would unbox a missing
+    // key's null to 0 and silently alias every new node to node 0
+    val idx = new java.util.HashMap[java.lang.Long, java.lang.Integer](
+      rows.length * 3)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long]
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]
+    def intern(v: Long): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue()
+      else {
+        val i = ids.length
+        idx.put(v, i); ids += v; parent += i; i
+      }
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)); x = parent(x)
+      }
+      x
+    }
+    for (r <- rows) {
+      val a = find(intern(r.getLong(0)))
+      val b = find(intern(r.getLong(1)))
+      if (a != b) parent(a) = b
+    }
+    val minOf = Array.fill(ids.length)(Long.MaxValue)
+    for (i <- ids.indices) {
+      val r = find(i)
+      if (ids(i) < minOf(r)) minOf(r) = ids(i)
+    }
+    import s.implicits._
+    Materialize(
+      ids.indices.map(i => (ids(i), minOf(find(i)))).toDF("node", "label"))
+  }
+
+  /** DISTRIBUTED regime: min-label propagation to fixpoint. No
+    * driver-side graph — every round is one join + min-aggregate over
+    * the edge-touched nodes, frames cut per round so lineage stays
+    * flat. */
+  private def loopMinLabels(s: SparkSession, p: DataFrame): DataFrame = {
     val edges = Materialize(p
       .union(p.select(col("pb"), col("pa")))
       .toDF("src", "dst"))
-    val nodesD = Materialize(nodes.select(col("node")).distinct())
-    // only nodes that touch an edge can ever change label — iterate
-    // over THEM alone and self-label the isolated rest at the end.
-    // On a near-dup graph the touched set is a small fraction of the
-    // node universe (most docs/frames have no duplicate), so every
-    // per-round join, aggregate, and convergence count shrinks by
-    // that factor: the loop iterates over the duplicates, not the
-    // corpus
     var labels = Materialize(edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
     var converged = labels.head(1).isEmpty // no edges → nothing to propagate
@@ -617,11 +699,7 @@ object Dedup {
     require(converged,
       s"label propagation did not converge after $rounds rounds — " +
         "component diameter exceeds the cap; raise the bound")
-    val out = Materialize.cut(nodesD.join(labels, Seq("node"), "left")
-      .select(col("node"), coalesce(col("label"), col("node")).as("label")))
-    Materialize.release(labels)
-    Materialize.release(nodesD)
-    out
+    labels
   }
 
   /** q83's distinct (doc_id, 48-bit window-hash) relation, materialized
@@ -1232,54 +1310,100 @@ object Dedup {
         docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
           .select(col("doc_id"), col("text")),
         s"$d/documents.parquet", lshIndexDir(s, d))
-      val resLab = residentLabels(s, d)
+      val resLab = residentLabelsServed(s, d)
       // one probe sketch feeds both edge legs (the admitRows pattern)
       val probe = MinHashIndex.localize(s,
         docs.where(pmod(col("doc_id"), lit(10)) === 0)
           .select(col("doc_id"), col("text")))
-      // leg 1: batch → resident-CLUSTER bridges via the index serve
-      val bridges = MinHashIndex.serveRows(s, h, probe)
-        .join(resLab.select(col("doc_id").as("corpus_doc"),
-          col("label")), Seq("corpus_doc"))
-        .select(col("probe_doc").as("pa"), col("label").as("pb"))
-        .distinct()
-      // leg 2: batch → batch pairs (q31's band join at batch size —
-      // batch ≪ corpus by contract, no skew guard needed)
-      def side(p: String) = probe.select(
-        col("doc_id").as(s"doc_$p"), col("sig").as(s"sig_$p"),
-        col("bk0").as(s"bk0_$p"), col("band_id"), col("band_key"))
-      val est = (0 until K).map(i =>
-        when(element_at(col("sig_a"), i + 1) ===
-          element_at(col("sig_b"), i + 1), 1).otherwise(0))
-        .reduce(_ + _).cast("double") / lit(K.toDouble)
-      val batchPairs = side("a").join(side("b"), Seq("band_id", "band_key"))
-        .where(col("doc_a") < col("doc_b"))
-        .where(col("band_id") === 0 || col("bk0_a") =!= col("bk0_b"))
-        .where(est >= EstThreshold)
-        .select(col("doc_a").as("pa"), col("doc_b").as("pb"))
-      // quotient propagation: batch ids (% 10 = 0) and touched labels
-      // (resident ids, % 10 ≠ 0) cannot collide, so one numeric node
-      // space carries both
-      val nodes = probe.select(col("doc_id").as("node")).distinct()
-        .unionByName(bridges.select(col("pb").as("node")).distinct())
-      val comp = minLabelComponents(bridges.unionByName(batchPairs), nodes)
-      val batchLab = comp.where(pmod(col("node"), lit(10)) === 0)
-        .select(col("node").as("doc_id"), col("label"))
+      val delta = clusterStep(s, h, resLab, probe)
       // bounded remap: touched resident clusters whose component min
       // changed (possibly to a batch id, or to another cluster's min
       // when a batch doc bridges two resident clusters)
-      val remap = comp.where(pmod(col("node"), lit(10)) =!= 0)
-        .select(col("node").as("old_label"), col("label").as("new_label"))
       val resFinal = resLab
-        .join(broadcast(remap), resLab("label") === remap("old_label"),
-          "left")
+        .join(broadcast(delta.remap),
+          resLab("label") === delta.remap("old_label"), "left")
         .select(col("doc_id"),
           coalesce(col("new_label"), col("label")).as("label"))
       val out = Materialize.cut(
-        resFinal.unionByName(batchLab)
+        resFinal.unionByName(delta.batchLab)
           .select(col("doc_id"), col("label").as("cluster_id")))
-      Materialize.release(comp)
+      Materialize.release(delta.comp)
       out.orderBy(col("doc_id"))
+    },
+
+    // STREAMING INCREMENTAL CLUSTERS — q110 driven by the ENGINE's
+    // micro-batch cycle (the q103s pattern applied to CLUSTER state):
+    // the arriving corpus slice replays as 3 ordered micro-batches,
+    // and each foreachBatch callback computes the batch's edges
+    // against the index AS IT STANDS (earlier batches already
+    // appended), runs the quotient propagation, UPSERTS the persisted
+    // label table partition-locally, and appends the batch to the
+    // index before the next trigger — the index AND the label table
+    // are both the stream's external state, which is how a landing
+    // pipeline maintains near-dup clusters continuously. The label
+    // table is bucketed by pmod(doc_id, corpus-sized bucket count) via
+    // [[graft.plans.IndexMaintenance.upsertPartitioned]]: a batch
+    // that touches a handful of clusters rewrites the buckets holding
+    // their members, never the table. Oracle = q110's full-recompute
+    // SQL verbatim — the gate proves the batched, path-dependent
+    // updates compose to EXACTLY the one-shot result regardless of
+    // arrival slicing.
+    "q110s_stream_clusters" -> { (s, d) =>
+      import graft.plans.{IndexMaintenance, MinHashIndex}
+      val docs = Tables.documents(s, d)
+      MinHashIndex.ensureSaved(s,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), col("text")),
+        s"$d/documents.parquet", lshIndexDir(s, d))
+      val staging = takeClone(s, d)
+      try {
+        val runDir = s"$staging/idx"
+        // label-table v0 = a private copy of the persisted resident
+        // state (the stream mutates it; the shared artifact stays
+        // immutable across invocations)
+        val labDir = s"$staging/labels"
+        IndexMaintenance.copyDir(s, stageResidentState(s, d), labDir)
+        val buckets = labelBuckets(s, labDir)
+        val feed = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("text"))
+          .withColumn("batch",
+            (pmod(col("doc_id"), lit(30)) / 10 + 1).cast("int"))
+        graft.streaming.Replay.runBatchedForeach(s, feed, "batch",
+          batches = 3, stageKey = Some(s"q110s:$d")) { batch =>
+          val h = MinHashIndex.load(s, runDir)
+          val rows = MinHashIndex.localize(s,
+            batch.select(col("doc_id"), col("text")))
+          val lab = s.read.parquet(labDir)
+            .select(col("doc_id"), col("label"))
+          val delta = clusterStep(s, h, lab, rows)
+          // the upsert rows: remapped members of touched clusters +
+          // the batch's own labels — bucket-complete by construction
+          // (every doc whose label changes is covered), so the
+          // partition-local merge rewrites only buckets holding them
+          val remapB = broadcast(delta.remap)
+          val updates = lab
+            .join(remapB, lab("label") === remapB("old_label"))
+            .select(col("doc_id"), col("new_label").as("label"))
+            .unionByName(delta.batchLab)
+            .withColumn("dbucket",
+              pmod(col("doc_id"), lit(buckets)).cast("int"))
+          // dbucket is a pure function of doc_id, so the touched set
+          // derives from the updates alone — no table scan
+          IndexMaintenance.upsertPartitioned(s, labDir,
+            Seq("dbucket"), "doc_id", updates, partitionFromKey = true)
+          Materialize.release(delta.comp)
+          // ALL batch docs enter the index — clustering maintains
+          // state for the full corpus (unlike q103's dedup admission,
+          // which appends only survivors)
+          MinHashIndex.appendRows(s, runDir, rows)
+        }
+        // materialized before the finally reclaims the staging dir
+        Materialize.cut(
+          s.read.parquet(labDir)
+            .select(col("doc_id"), col("label").as("cluster_id")))
+          .orderBy(col("doc_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
     },
   )
 
@@ -1408,6 +1532,143 @@ object Dedup {
       Materialize.release(out)
       kept
     })
+
+  /** Bucket sizing for the persisted cluster-label table (q110/q110s):
+    * partitions are keyed by pmod(doc_id, buckets) — IMMUTABLE per
+    * row, so a label remap never moves a row between partitions and
+    * the upsert's touched-bucket set is exactly the buckets holding
+    * members of touched clusters. The COUNT is sized to the corpus at
+    * stage time (write-sized-for-read, the r12 lesson): one bucket per
+    * ~1M label rows, floored at 8 — a fixed count either over-shards a
+    * bench corpus (64 near-empty dirs taxing every per-batch read,
+    * write, and listing) or under-shards a 100-TB one (multi-GB
+    * rewrite per touched cluster). The chosen count is persisted
+    * alongside the table (`_graft_buckets`, underscore-hidden from
+    * parquet discovery) because every later writer must hash with the
+    * SAME modulus. */
+  private val LabelBucketTargetRows = 1L << 20
+
+  private def labelBucketCount(nRows: Long): Int =
+    math.max(8L, math.min(4096L,
+      (nRows + LabelBucketTargetRows - 1) / LabelBucketTargetRows)).toInt
+
+  /** Read back the bucket modulus a label table was written with. */
+  private def labelBuckets(s: SparkSession, tableDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$tableDir/_graft_buckets")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try new java.io.BufferedReader(new java.io.InputStreamReader(in))
+      .readLine().trim.toInt
+    finally in.close()
+  }
+
+  private val residentStateDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** The persisted resident-label STATE TABLE behind q110/q110s —
+    * (doc_id, label) bucketed by pmod(doc_id, [[labelBucketCount]]),
+    * computed
+    * once per (session, dir) and kept as FILES (like Replay's staged
+    * corpora, it survives clearMemos: in production this is a parquet
+    * table maintained batch over batch, not a per-job derivation).
+    * Returns the table directory. The bench calls this from its
+    * untimed stage block (Bench.stateStagers) so the one-time
+    * derivation is charged to stage_sec, not to whichever q110 run a
+    * sweep hits first; Verify and tests hit the same lazy path
+    * inline. */
+  def stageResidentState(s: SparkSession, d: String): String =
+    residentStateDirs.computeIfAbsent((s, d), _ => {
+      val dir = graft.Fs.createStagingDir(s, "graft-resident-labels")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      // the derivation rides the session memos (pairs/signatures);
+      // an UNTIMED staging call must not pre-pay relations the TIMED
+      // dedup queries (q31/q35) claim to measure — release whatever
+      // this call minted, keep whatever already existed
+      val minted = Seq(pairsMemo, sigMemo, residentLabelsMemo)
+        .map(m => m -> !m.containsKey((s, d)))
+      try {
+        val lab = residentLabels(s, d)
+        val buckets = labelBucketCount(lab.count())
+        lab.withColumn("dbucket",
+            pmod(col("doc_id"), lit(buckets)).cast("int"))
+          .repartition(col("dbucket"))
+          .write.mode("overwrite").partitionBy("dbucket")
+          .parquet(s"$dir/labels")
+        val p = new org.apache.hadoop.fs.Path(s"$dir/labels/_graft_buckets")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val out = fs.create(p, true)
+        try out.write(s"$buckets\n".getBytes("UTF-8")) finally out.close()
+      } finally for ((m, wasMinted) <- minted if wasMinted)
+        Option(m.remove((s, d))).foreach(Materialize.release)
+      s"$dir/labels"
+    })
+
+  /** The resident cluster labels as q110/q110s consume them — read
+    * from the persisted state table (staging it on first use). */
+  private def residentLabelsServed(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(stageResidentState(s, d))
+      .select(col("doc_id"), col("label"))
+
+  /** Within-batch near-dup pairs from a localized probe sketch —
+    * q31's band self-join at batch size (batch ≪ corpus by contract,
+    * no skew guard needed). Shared by q110 and its streaming twin. */
+  private def batchBandPairs(probe: DataFrame): DataFrame = {
+    def side(p: String) = probe.select(
+      col("doc_id").as(s"doc_$p"), col("sig").as(s"sig_$p"),
+      col("bk0").as(s"bk0_$p"), col("band_id"), col("band_key"))
+    val est = (0 until K).map(i =>
+      when(element_at(col("sig_a"), i + 1) ===
+        element_at(col("sig_b"), i + 1), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(K.toDouble)
+    side("a").join(side("b"), Seq("band_id", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(col("band_id") === 0 || col("bk0_a") =!= col("bk0_b"))
+      .where(est >= EstThreshold)
+      .select(col("doc_a").as("pa"), col("doc_b").as("pb"))
+  }
+
+  /** One incremental cluster-maintenance step's outputs: the arriving
+    * batch's labels, the touched-cluster remap (old_label →
+    * new_label), and the materialized quotient-component frame the
+    * caller must [[graft.Materialize.release]] AFTER consuming the
+    * other two (both are lazy views over it). */
+  private case class ClusterDelta(batchLab: DataFrame, remap: DataFrame,
+      comp: DataFrame)
+
+  /** ONE incremental cluster-maintenance step, shared by q110 and the
+    * q110s streaming twin: edges are batch→corpus bridges from the
+    * standing index serve (corpus hits mapped to their CURRENT labels)
+    * plus the within-batch band pairs, and labels propagate on the
+    * QUOTIENT graph — nodes are the batch's doc ids plus the touched
+    * cluster labels, never the resident corpus. Batch nodes are told
+    * apart from label nodes by MEMBERSHIP in the batch id set, not id
+    * arithmetic: once a streamed batch is absorbed, its ids can BE
+    * cluster labels in the next step. */
+  private def clusterStep(s: SparkSession,
+      h: graft.plans.MinHashIndex.Handle,
+      labels: DataFrame, batchRows: DataFrame): ClusterDelta = {
+    import graft.plans.MinHashIndex
+    val ids = batchRows.select(col("doc_id")).distinct()
+    // leg 1: batch → resident-CLUSTER bridges via the index serve
+    val bridges = MinHashIndex.serveRows(s, h, batchRows)
+      .join(labels.select(col("doc_id").as("corpus_doc"), col("label")),
+        Seq("corpus_doc"))
+      .select(col("probe_doc").as("pa"), col("label").as("pb"))
+      .distinct()
+    // leg 2: batch → batch pairs over the same probe sketch
+    val pairs = batchBandPairs(batchRows)
+    val nodes = ids.select(col("doc_id").as("node"))
+      .unionByName(bridges.select(col("pb").as("node")).distinct())
+    val comp = minLabelComponents(bridges.unionByName(pairs), nodes)
+    val idNodes = ids.select(col("doc_id").as("node"))
+    ClusterDelta(
+      batchLab = comp.join(idNodes, Seq("node"))
+        .select(col("node").as("doc_id"), col("label")),
+      remap = comp.join(idNodes, Seq("node"), "left_anti")
+        .select(col("node").as("old_label"), col("label").as("new_label")),
+      comp = comp)
+  }
 
   /** Pristine SNAPSHOT index for q109 — the v1 population
     * (doc_id % 10 ∈ 1..8) saved and manifest-committed ONCE per
@@ -1757,6 +2018,21 @@ object Dedup {
     // whole corpus — q35's oracle verbatim is the strongest possible
     // gate for the quotient-graph update
     "q110_incremental_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // q110's oracle VERBATIM: the streamed, batched, path-dependent
+    // label-table updates must compose to exactly the one-shot full
+    // recompute, no matter how the arrival was sliced
+    "q110s_stream_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
          |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
          |edges AS (

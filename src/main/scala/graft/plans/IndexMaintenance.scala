@@ -52,13 +52,92 @@ object IndexMaintenance {
     import org.apache.spark.sql.functions.broadcast
     require(partitionCols.nonEmpty)
     val data = s.read.parquet(dataDir)
-    // The emptied-partition cleanup below reconstructs directory names
-    // as "$c=$v" verbatim — correct for the integral partition keys
-    // every current index layout uses (band_id/kbucket/cid/zbucket),
-    // WRONG for string/date/null values, which Hive path-escapes
-    // (%-encoding, __HIVE_DEFAULT_PARTITION__). Refuse non-integral
-    // layouts loudly instead of silently leaving emptied dirs behind
-    // to resurrect on a later append.
+    requireIntegralPartitions(data, partitionCols, "deletePartitioned")
+    val keys = ids.select(col(matchCol)).distinct()
+    val touched = partitionValues(
+      data.join(broadcast(keys), Seq(matchCol), "left_semi"), partitionCols)
+    if (touched.isEmpty) return 0L
+    val pruned = data.where(partitionPredicate(touched, partitionCols))
+    val nRemoved = pruned
+      .join(broadcast(keys), Seq(matchCol), "left_semi").count()
+    val remaining = graft.Materialize.cut(
+      pruned.join(broadcast(keys), Seq(matchCol), "left_anti"))
+    overwriteDynamic(s, remaining, dataDir, partitionCols, sortCols)
+    dropEmptiedPartitions(s, dataDir, partitionCols, touched,
+      partitionValues(remaining, partitionCols).toSet)
+    graft.Materialize.release(remaining)
+    nRemoved
+  }
+
+  /** Partition-local UPSERT into a partitioned parquet dataset — the
+    * MERGE-INTO shape every incrementally-maintained state table needs
+    * (q110s's cluster-label table is the first consumer): rows in
+    * `updates` REPLACE resident rows with the same `keyCol` value and
+    * new keys are inserted, by rewriting ONLY the partitions that hold
+    * a replaced key or receive a row. The touched set comes from a
+    * broadcast semi-join (bounded by the partition space, never the
+    * table size), so at 100 TB a batch that remaps a handful of
+    * clusters rewrites a handful of partition directories, never the
+    * table. `updates` must carry the dataset's full schema including
+    * the partition columns (an update may MOVE a row between
+    * partitions; a source partition emptied that way is removed
+    * explicitly, as in [[deletePartitioned]]). The merged rows are
+    * materialized before the in-place overwrite (Spark cannot
+    * overwrite a path it is reading); a warehouse deployment writes
+    * fresh dirs + pointer-flips. Returns the number of rows written.
+    *
+    * `partitionFromKey = true` declares the partition columns a PURE
+    * FUNCTION of `keyCol` (a resident row with an updated key lives in
+    * exactly the partition its replacement row carries), so the
+    * touched set derives from the update rows alone and the
+    * resident-side semi-join scan is skipped entirely — the common
+    * hash-bucketed-state-table case (q110s's label table). Leave it
+    * false when an update may MOVE a row between partitions.
+    */
+  def upsertPartitioned(s: SparkSession, dataDir: String,
+      partitionCols: Seq[String], keyCol: String,
+      updates: DataFrame, sortCols: Seq[String] = Nil,
+      partitionFromKey: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.broadcast
+    require(partitionCols.nonEmpty)
+    val data = s.read.parquet(dataDir)
+    requireIntegralPartitions(data, partitionCols, "upsertPartitioned")
+    // the update relation feeds three consumers (key set, touched
+    // partitions, merged rows) — compute its pipeline once
+    val ups = graft.Materialize(updates.select(data.columns.toSeq.map(col): _*))
+    try {
+      val keys = ups.select(col(keyCol)).distinct()
+      val touched = (
+        (if (partitionFromKey) Nil
+         else partitionValues(
+           data.join(broadcast(keys), Seq(keyCol), "left_semi"),
+           partitionCols))
+        ++ partitionValues(ups, partitionCols)).distinct
+      if (touched.isEmpty) return 0L
+      val pruned = data.where(partitionPredicate(touched, partitionCols))
+      // upsert semantics: resident rows with an updated key drop out,
+      // `updates` supplies their replacements (and the inserts)
+      val merged = graft.Materialize.cut(
+        pruned.join(broadcast(keys), Seq(keyCol), "left_anti")
+          .unionByName(ups))
+      val nWritten = merged.count()
+      overwriteDynamic(s, merged, dataDir, partitionCols, sortCols)
+      dropEmptiedPartitions(s, dataDir, partitionCols, touched,
+        partitionValues(merged, partitionCols).toSet)
+      graft.Materialize.release(merged)
+      nWritten
+    } finally graft.Materialize.release(ups)
+  }
+
+  /** The emptied-partition cleanup reconstructs directory names as
+    * "$c=$v" verbatim — correct for the integral partition keys every
+    * current index layout uses (band_id/kbucket/cid/zbucket/dbucket),
+    * WRONG for string/date/null values, which Hive path-escapes
+    * (%-encoding, __HIVE_DEFAULT_PARTITION__). Refuse non-integral
+    * layouts loudly instead of silently leaving emptied dirs behind to
+    * resurrect on a later append. */
+  private def requireIntegralPartitions(data: DataFrame,
+      partitionCols: Seq[String], op: String): Unit =
     for (c <- partitionCols) {
       import org.apache.spark.sql.types._
       val ok = data.schema(c).dataType match {
@@ -66,29 +145,33 @@ object IndexMaintenance {
         case _ => false
       }
       require(ok,
-        s"deletePartitioned: partition column $c is " +
+        s"$op: partition column $c is " +
           s"${data.schema(c).dataType} — the emptied-dir cleanup only " +
           "builds unescaped integral partition paths (string/date/null " +
           "values need Hive path escaping)")
     }
-    val keys = ids.select(col(matchCol)).distinct()
-    val touched = data.join(broadcast(keys), Seq(matchCol), "left_semi")
-      .select(partitionCols.map(col): _*).distinct().collect()
-      .map(r => partitionCols.indices.map(r.get))
-    if (touched.isEmpty) return 0L
-    val prunedPred = touched.map { vs =>
+
+  /** Distinct partition-column tuples present in `df` — a driver-side
+    * collect bounded by the partition space, never the row count. */
+  private def partitionValues(df: DataFrame,
+      partitionCols: Seq[String]): Seq[Seq[Any]] =
+    df.select(partitionCols.map(col): _*).distinct().collect()
+      .toSeq.map(r => partitionCols.indices.map(r.get))
+
+  private def partitionPredicate(touched: Seq[Seq[Any]],
+      partitionCols: Seq[String]) =
+    touched.map { vs =>
       partitionCols.zip(vs).map { case (c, v) => col(c) === v }
         .reduce(_ && _)
     }.reduce(_ || _)
-    val pruned = data.where(prunedPred)
-    val nRemoved = pruned
-      .join(broadcast(keys), Seq(matchCol), "left_semi").count()
-    val remaining = graft.Materialize.cut(
-      pruned.join(broadcast(keys), Seq(matchCol), "left_anti"))
+
+  private def overwriteDynamic(s: SparkSession, rows: DataFrame,
+      dataDir: String, partitionCols: Seq[String],
+      sortCols: Seq[String]): Unit = {
     val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     try {
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      remaining
+      rows
         .repartition(partitionCols.map(col): _*)
         // sorted layouts (Z-order) keep their within-partition order
         // through the rewrite
@@ -101,17 +184,21 @@ object IndexMaintenance {
       case None =>
         s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val kept = remaining.select(partitionCols.map(col): _*)
-      .distinct().collect()
-      .map(r => partitionCols.indices.map(r.get)).toSet
+  }
+
+  /** Dynamic overwrite only replaces partitions it writes — a touched
+    * partition whose rows all vanished (deleted, or moved to another
+    * partition by an update) must be removed explicitly or its stale
+    * files resurrect on the next read. */
+  private def dropEmptiedPartitions(s: SparkSession, dataDir: String,
+      partitionCols: Seq[String], touched: Seq[Seq[Any]],
+      kept: Set[Seq[Any]]): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     for (vs <- touched if !kept(vs)) {
       val sub = partitionCols.zip(vs)
         .map { case (c, v) => s"$c=$v" }.mkString("/")
       graft.Fs.deleteRecursively(s"$dataDir/$sub", conf)
     }
-    graft.Materialize.release(remaining)
-    nRemoved
   }
 
   /** Byte-copy a small side artifact (meta / stats / terms /

@@ -97,12 +97,21 @@ class BenchConfigSpec extends AnyFunSuite {
     assert(snapConsumers === Bench.snapStagers,
       s"Bench.snapStagers=${Bench.snapStagers.toSeq.sorted} but Dedup " +
         s"queries consuming snap clones are ${snapConsumers.toSeq.sorted}")
+    // the persisted resident-label state table (q110 family): direct
+    // stageResidentState call or the residentLabelsServed reader
+    val stateConsumers =
+      consumersOf("residentLabelsServed(", "stageResidentState(")
+    assert(stateConsumers === Bench.stateStagers,
+      s"Bench.stateStagers=${Bench.stateStagers.toSeq.sorted} but Dedup " +
+        s"queries consuming the label state are ${stateConsumers.toSeq.sorted}")
     val bench = Files.readString(
       Paths.get("src", "main", "scala", "graft", "Bench.scala"))
     assert(bench.contains("Dedup.stageIngestClones("),
       "Bench's stage block never calls Dedup.stageIngestClones")
     assert(bench.contains("Dedup.stageSnapClones("),
       "Bench's stage block never calls Dedup.stageSnapClones")
+    assert(bench.contains("Dedup.stageResidentState("),
+      "Bench's stage block never calls Dedup.stageResidentState")
   }
 
   test("Bench sweep loop clears every module that defines clearMemos") {

@@ -528,4 +528,36 @@ class OperatorsSpec extends SparkSpec {
       s"layout-dependent results: nanos=${a.take(2)} ntz=${b.take(2)} utc=${c.take(2)}")
     Fs.deleteRecursively(tmp.toString)
   }
+
+  test("minLabelComponents: local union-find and distributed loop agree " +
+      "on the same graph (regime boundary)") {
+    val s = spark
+    import s.implicits._
+    // chains (diameter > 1), a clique, isolated nodes, and a
+    // cross-component bridge — every structural case the two regimes
+    // could diverge on
+    val pairs = Seq(
+      (5L, 3L), (3L, 9L), (9L, 7L),           // chain: min 3
+      (20L, 21L), (21L, 22L), (20L, 22L),     // clique: min 20
+      (40L, 41L), (41L, 30L),                 // bridge lowers 40s to 30
+      (100L, 50L)).toDF("pa", "pb")
+    val nodes = ((1L to 9L) ++ Seq(20L, 21L, 22L, 30L, 40L, 41L, 50L, 100L)
+      ).toDF("node")
+    def run(): Map[Long, Long] = {
+      val out = graft.operators.Dedup.minLabelComponents(pairs, nodes)
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.Materialize.release(out)
+      got
+    }
+    val local = run() // 9 pairs — far under the default threshold
+    s.conf.set("spark.graft.localComponentsMaxPairs", "0")
+    val looped = try run()
+      finally s.conf.unset("spark.graft.localComponentsMaxPairs")
+    assert(local === looped,
+      s"regimes disagree: local=$local loop=$looped")
+    assert(local(5L) == 3L && local(7L) == 3L && local(22L) == 20L &&
+      local(40L) == 30L && local(41L) == 30L && local(100L) == 50L &&
+      local(1L) == 1L && local(2L) == 2L,
+      s"wrong labeling: $local")
+  }
 }

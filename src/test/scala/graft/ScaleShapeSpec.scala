@@ -1212,6 +1212,70 @@ class ScaleShapeSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("upsertPartitioned: partition-local merge — untouched buckets survive " +
+      "byte-identical, moves empty their source partition") {
+    val s = spark
+    import s.implicits._
+    val staging = java.nio.file.Files.createTempDirectory("upsert_part").toString
+    try {
+      val dir = s"$staging/data"
+      // 4 buckets: b0={1,2}, b1={11}, b2={21,22}, b3={31}
+      Seq((1L, 100L, 0), (2L, 200L, 0), (11L, 110L, 1),
+          (21L, 210L, 2), (22L, 220L, 2), (31L, 310L, 3))
+        .toDF("id", "v", "b")
+        .repartition(col("b"))
+        .write.partitionBy("b").parquet(dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      def files() = graft.Fs.listDataFiles(dir, conf)
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime))
+        .toMap
+      val before = files()
+      // update id=1 in place (touches b0), MOVE id=11 from b1 to b0
+      // (b1 empties), insert id=41 into b3; b2 is untouched
+      val n = graft.plans.IndexMaintenance.upsertPartitioned(s, dir,
+        Seq("b"), "id",
+        Seq((1L, 101L, 0), (11L, 111L, 0), (41L, 410L, 3))
+          .toDF("id", "v", "b"))
+      assert(n == 5, s"expected 5 rows written (b0: 3, b3: 2), got $n")
+      val after = files()
+      // locality: b2's file survives byte-identical (same path, length,
+      // mtime) — a table-wide rewrite would replace every file
+      val untouched = after.keys.filter(_.contains("b=2"))
+      assert(untouched.nonEmpty &&
+        untouched.forall(p => before.get(p) == after.get(p)),
+        "the untouched bucket was rewritten — no upsert locality")
+      // the emptied source bucket is gone (dynamic overwrite alone
+      // would leave its stale file to resurrect)
+      assert(!after.keys.exists(_.contains("b=1")),
+        "emptied partition b=1 still has files")
+      val got = s.read.parquet(dir).as[(Long, Long, Int)].collect().toSet
+      assert(got === Set((1L, 101L, 0), (2L, 200L, 0), (11L, 111L, 0),
+        (21L, 210L, 2), (22L, 220L, 2), (31L, 310L, 3), (41L, 410L, 3)),
+        s"merged rows wrong: $got")
+      // partitionFromKey fast path: partition is a pure function of
+      // the key here (each id stays in its bucket), so the touched set
+      // comes from the update rows alone — same merge result, and the
+      // still-untouched bucket again survives byte-identical
+      val before2 = files()
+      val n2 = graft.plans.IndexMaintenance.upsertPartitioned(s, dir,
+        Seq("b"), "id",
+        Seq((2L, 201L, 0), (51L, 510L, 2)).toDF("id", "v", "b"),
+        partitionFromKey = true)
+      assert(n2 == 6, s"expected 6 rows written (b0: 3, b2: 3), got $n2")
+      val after2 = files()
+      val untouched2 = after2.keys.filter(_.contains("b=3"))
+      assert(untouched2.nonEmpty &&
+        untouched2.forall(p => before2.get(p) == after2.get(p)),
+        "partitionFromKey rewrote an untouched bucket")
+      val got2 = s.read.parquet(dir).as[(Long, Long, Int)].collect().toSet
+      assert(got2 === Set((1L, 101L, 0), (2L, 201L, 0), (11L, 111L, 0),
+        (21L, 210L, 2), (22L, 220L, 2), (51L, 510L, 2),
+        (31L, 310L, 3), (41L, 410L, 3)), s"fast-path merge wrong: $got2")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("deletePartitioned refuses non-integral partition columns (Hive path escaping)") {
     val s = spark
     import s.implicits._

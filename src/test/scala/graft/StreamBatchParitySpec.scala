@@ -108,6 +108,55 @@ class StreamBatchParitySpec extends SparkSpec {
     } finally Fs.deleteRecursively(stage)
   }
 
+  test("q110s: streamed incremental clusters equal the one-shot q110 exactly") {
+    val s = spark
+    val batch = Dedup.queries("q110_incremental_clusters")(s, sf)
+    val stream = Dedup.queries("q110s_stream_clusters")(s, sf)
+    assert(stream.count() === batch.count())
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+
+  test("q110s: cross-batch merges through the persisted label table " +
+      "(an absorbed batch id can BE a cluster label)") {
+    val s = spark
+    import s.implicits._
+    // constructed corpus — the replay slices batches as
+    // batch1 = %30==0, batch2 = %30==10, batch3 = %30==20:
+    //  residents: {11,21}=A, {13}=B, {41,51}=W
+    //  batch1: 30=W (LOWERS resident cluster 41 to label 30),
+    //          60=Z (new singleton)
+    //  batch2: 70=Z (merges with 60 VIA THE INDEX SERVE — label node
+    //          60 has doc_id%10==0, so id-arithmetic tagging would
+    //          misread it as a batch node; membership tagging must
+    //          not), 100=A (merges resident cluster 11)
+    //  batch3: 50=B (merges 13), 80=Q (new singleton)
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight"
+    val W = "north south east west up down left right"
+    val Z = "red green blue yellow purple orange black white"
+    val Q = "spring summer autumn winter morning noon evening night"
+    val staging = java.nio.file.Files.createTempDirectory("q110s_x").toString
+    try {
+      Seq((11L, A), (21L, A), (13L, B), (41L, W), (51L, W),
+          (30L, W), (60L, Z), (70L, Z), (100L, A), (50L, B), (80L, Q))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.parquet(s"$staging/documents.parquet")
+      val out = Dedup.queries("q110s_stream_clusters")(s, staging)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(11L -> 11L, 21L -> 11L, 100L -> 11L,
+        13L -> 13L, 50L -> 13L, 41L -> 30L, 51L -> 30L, 30L -> 30L,
+        60L -> 60L, 70L -> 60L, 80L -> 80L), s"got $out")
+      // and the streamed path equals the one-shot form on the same
+      // constructed corpus (both must equal the full recompute)
+      val one = Dedup.queries("q110_incremental_clusters")(s, staging)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === one)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("q76: semantic dedup keeps the id-minimal member of every cell") {
     val s = spark
     import s.implicits._
