@@ -54,7 +54,7 @@ object Bench {
     * pre-stages one clone per selected query here, untimed
     * (stage_sec); the timed queries then measure admit/append/compact/
     * delete work only. */
-  val cloneStagers = Set("q103", "q103b", "q103s", "q107", "q110s")
+  val cloneStagers = Set("q103", "q103b", "q103s", "q107", "q110s", "q112")
 
   /** Queries that consume the PERSISTED resident-label state table
     * ([[graft.operators.Dedup.stageResidentState]]) — q110's cluster
@@ -63,7 +63,7 @@ object Bench {
     * just pays the one-time derivation in stage_sec instead of inside
     * whichever q110 run a sweep hits first (in production the label
     * table is maintained batch over batch, never derived per job). */
-  val stateStagers = Set("q110", "q110s")
+  val stateStagers = Set("q110", "q110s", "q111")
 
   /** Queries that mutate a per-invocation clone of the COMMITTED-v1
     * snapshot index ([[graft.operators.Dedup.stageSnapClones]]) —

@@ -1146,6 +1146,21 @@ object Dedup {
     "q103b_ingest_compacted" ->
       { (s, d) => ingestLoop(s, d, compactAfter = Some(1)) },
 
+    // AUTO-COMPACTION POLICY — the same loop with the threshold-
+    // triggered PARTITION-LOCAL policy after every append
+    // ([[graft.plans.MinHashIndex.compactInPlaceIfFragmented]]):
+    // q103b's mid-loop compact is one full-table rewrite (quadratic
+    // total writing if run per batch at scale); the policy instead
+    // rewrites only (band_id, kbucket) directories whose file count
+    // crossed the threshold, bounding write amplification by where
+    // the arrivals actually landed while still capping per-partition
+    // file growth under continuous ingest — the lakehouse OPTIMIZE
+    // scheduler shape. Identical oracle SQL to q103: the gate proves
+    // the policy result-neutral at every point in the loop.
+    "q112_ingest_autocompact" ->
+      { (s, d) => ingestLoop(s, d, compactAfter = None,
+          autoCompactMaxFiles = Some(2)) },
+
     // STREAMING INGEST — q103's loop driven by the ENGINE's micro-
     // batch cycle instead of a driver for-loop: the probe firehose
     // replays as 3 ordered micro-batches and a `foreachBatch` callback
@@ -1405,15 +1420,79 @@ object Dedup {
       } finally graft.Fs.deleteRecursively(staging,
         s.sparkContext.hadoopConfiguration)
     },
+
+    // RETENTION RETIRE PROPAGATED INTO CLUSTER STATE — q111, the
+    // DECREMENTAL counterpart of q110. Retiring a doc can SPLIT its
+    // cluster (it may be the only bridge between two halves) and must
+    // re-label it when the retired doc was the component min — so the
+    // affected clusters are re-solved, but ONLY those: touched
+    // clusters come from one semi-join against the persisted label
+    // table, their members are bounded by the touched clusters, and
+    // the survivor-induced edge set is the memoized pair relation
+    // restricted to touched survivors (connected components have no
+    // cross-cluster edges, so the restriction loses nothing). The
+    // bounded subgraph re-solves through the components kernel
+    // (typically its local regime), and the label table mutates the
+    // way a 100-TB state table must: retired rows leave via the
+    // partition-local delete, touched survivors' labels land via the
+    // partition-local upsert (partitionFromKey — dbucket is a pure
+    // function of doc_id), buckets holding neither stay byte-identical.
+    // Oracle = q35's full recompute over the survivor population.
+    "q111_cluster_retire" -> { (s, d) =>
+      import graft.plans.IndexMaintenance
+      val src = stageResidentState(s, d)
+      val staging = graft.Fs.createStagingDir(s, "graft-q111")
+      try {
+        val labDir = s"$staging/labels"
+        IndexMaintenance.copyDir(s, src, labDir)
+        val buckets = labelBuckets(s, labDir)
+        val resLab = s.read.parquet(labDir)
+          .select(col("doc_id"), col("label"))
+        // the retention slice: resident docs aged out by policy
+        val retired = resLab.where(pmod(col("doc_id"), lit(17)) === 3)
+          .select(col("doc_id"))
+        val touched = resLab.join(retired, Seq("doc_id"))
+          .select(col("label")).distinct()
+        val survivors = resLab.join(broadcast(touched), Seq("label"))
+          .join(retired, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"))
+        val pairs = minhashPairs(s, d)
+          .join(broadcast(survivors.select(col("doc_id").as("doc_a"))),
+            Seq("doc_a"), "left_semi")
+          .join(broadcast(survivors.select(col("doc_id").as("doc_b"))),
+            Seq("doc_b"), "left_semi")
+          .select(col("doc_a"), col("doc_b"))
+        val comp = minLabelComponents(pairs,
+          survivors.select(col("doc_id").as("node")))
+        IndexMaintenance.deletePartitioned(s, labDir,
+          Seq("dbucket"), "doc_id", retired)
+        IndexMaintenance.upsertPartitioned(s, labDir,
+          Seq("dbucket"), "doc_id",
+          comp.select(col("node").as("doc_id"), col("label"))
+            .withColumn("dbucket",
+              pmod(col("doc_id"), lit(buckets)).cast("int")),
+          partitionFromKey = true)
+        Materialize.release(comp)
+        Materialize.cut(
+          s.read.parquet(labDir)
+            .select(col("doc_id"), col("label").as("cluster_id")))
+          .orderBy(col("doc_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
-  /** The three-batch incremental ingest loop behind q103/q103b: clone
-    * the resident index, then per batch — admit, materialize the
+  /** The three-batch incremental ingest loop behind q103/q103b/q112:
+    * clone the resident index, then per batch — admit, materialize the
     * verdict (the cut is eager, so the verdict is computed BEFORE the
     * append mutates the index its lazy plan reads), append the
-    * admitted docs, optionally compact. */
+    * admitted docs, optionally compact (`compactAfter` = one full
+    * rewrite into a fresh dir after batch k; `autoCompactMaxFiles` =
+    * the threshold-triggered partition-local policy after EVERY
+    * append). */
   private def ingestLoop(s: SparkSession, d: String,
-      compactAfter: Option[Int]): DataFrame = {
+      compactAfter: Option[Int],
+      autoCompactMaxFiles: Option[Int] = None): DataFrame = {
     import graft.plans.MinHashIndex
     val docs = Tables.documents(s, d)
     val residents = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
@@ -1439,6 +1518,8 @@ object Dedup {
             .withColumn("batch", lit(k).cast("int")))
         MinHashIndex.appendRows(s, runDir, batchRows.join(
           v.where(col("admitted")).select(col("doc_id")), Seq("doc_id")))
+        for (mf <- autoCompactMaxFiles)
+          MinHashIndex.compactInPlaceIfFragmented(s, runDir, mf)
         if (compactAfter.contains(k)) {
           val dest = s"$staging/idx_c$k"
           MinHashIndex.compact(s, runDir, dest)
@@ -1903,6 +1984,9 @@ object Dedup {
     "q103b_ingest_compacted" -> ingestLoopOracle,
     // the streamed loop must equal the unrolled batch semantics
     "q103s_stream_ingest" -> ingestLoopOracle,
+    // the partition-local auto-compaction policy is result-neutral at
+    // every point in the loop: same SQL as q103
+    "q112_ingest_autocompact" -> ingestLoopOracle,
     // q99's serve with the deleted slice excluded from the corpus
     "q107_index_delete" ->
       s"""WITH $sigBandCtes,
@@ -2040,6 +2124,25 @@ object Dedup {
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
          |reach(a, b) AS (
          |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // the incremental retire must equal a full recompute over the
+    // SURVIVOR population (residents minus the retention slice) —
+    // components of the survivor-induced subgraph, min surviving id
+    "q111_cluster_retire" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |  WHERE $estSql >= $EstThreshold
+         |    AND doc_a % 10 <> 0 AND doc_a % 17 <> 3
+         |    AND doc_b % 10 <> 0 AND doc_b % 17 <> 3),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  WHERE doc_id % 10 <> 0 AND doc_id % 17 <> 3
          |  UNION
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS doc_id, min(b) AS cluster_id

@@ -129,6 +129,50 @@ object IndexMaintenance {
     } finally graft.Materialize.release(ups)
   }
 
+  /** Threshold-triggered PARTITION-LOCAL compaction — the maintenance
+    * policy a continuously-ingesting index needs. Every append adds a
+    * file per touched partition, so file counts grow linearly with
+    * arrival batches; but a full-table rewrite per batch
+    * ([[compactPartitioned]]) is quadratic total writing. This
+    * rewrites ONLY partitions whose data-file count exceeds
+    * `maxFiles` (one file per directory afterwards) and leaves every
+    * other partition byte-identical — write amplification is bounded
+    * by where the arriving data actually landed, never the table
+    * size. File counts come from the directory listing (the local-FS
+    * nio fast path), no data scan. Integral partition keys only (the
+    * values are parsed back out of the `c=v` path segments, same
+    * contract as the emptied-dir cleanup). Returns the number of
+    * partitions rewritten. */
+  def compactIfFragmented(s: SparkSession, dataDir: String,
+      partitionCols: Seq[String], maxFiles: Int,
+      sortCols: Seq[String] = Nil): Int = {
+    require(partitionCols.nonEmpty && maxFiles >= 1)
+    val data = s.read.parquet(dataDir)
+    requireIntegralPartitions(data, partitionCols, "compactIfFragmented")
+    val conf = s.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(dataDir).toUri.getPath
+    val byPart = graft.Fs.listDataFiles(dataDir, conf).groupBy { f =>
+      val segs = f.getPath.toUri.getPath.stripPrefix(base)
+        .stripPrefix("/").split('/').dropRight(1)
+      partitionCols.map { c =>
+        segs.find(_.startsWith(c + "="))
+          .map(_.substring(c.length + 1).toLong)
+          .getOrElse(throw new IllegalStateException(
+            s"compactIfFragmented: no $c= segment under $dataDir for " +
+              f.getPath))
+      }
+    }
+    val frag: Seq[Seq[Any]] = byPart.collect {
+      case (vs, files) if files.size > maxFiles => vs: Seq[Any]
+    }.toSeq
+    if (frag.isEmpty) return 0
+    val merged = graft.Materialize.cut(
+      data.where(partitionPredicate(frag, partitionCols)))
+    overwriteDynamic(s, merged, dataDir, partitionCols, sortCols)
+    graft.Materialize.release(merged)
+    frag.size
+  }
+
   /** The emptied-partition cleanup reconstructs directory names as
     * "$c=$v" verbatim — correct for the integral partition keys every
     * current index layout uses (band_id/kbucket/cid/zbucket/dbucket),

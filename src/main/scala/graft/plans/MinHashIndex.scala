@@ -151,6 +151,20 @@ object MinHashIndex {
     n
   }
 
+  /** Threshold-triggered partition-local compaction IN PLACE — the
+    * auto-maintenance policy under continuous ingest (q112): only
+    * (band_id, kbucket) directories whose data-file count exceeds
+    * `maxFiles` are rewritten (one file each afterwards), everything
+    * else stays byte-identical, so write amplification tracks where
+    * arrivals actually landed instead of the index size. Rows are
+    * unchanged, so serve/admit results are unaffected by
+    * construction. Returns the number of partitions rewritten. */
+  def compactInPlaceIfFragmented(s: SparkSession, indexDir: String,
+      maxFiles: Int): Int =
+    IndexMaintenance.compactIfFragmented(s,
+      s"${IvfTopK.qualify(s, indexDir)}/bands",
+      Seq("band_id", "kbucket"), maxFiles)
+
   /** File-level copy of a saved index (bands + meta). Mutation-testing
     * convenience: a re-runnable query that APPENDS (the ingest-loop
     * forms q103/q103b) clones the resident index per invocation so

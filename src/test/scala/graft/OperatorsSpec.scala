@@ -560,4 +560,31 @@ class OperatorsSpec extends SparkSpec {
       local(1L) == 1L && local(2L) == 2L,
       s"wrong labeling: $local")
   }
+
+  test("q111: retiring a cluster's min member relabels survivors; " +
+      "retired docs and retired singletons leave the state") {
+    val s = spark
+    import s.implicits._
+    // residents (%10 != 0); the retention slice is %17 == 3:
+    //  {29, 46} text A — no retired member, cluster 29 untouched
+    //  {37, 39, 56} text B — 37 (%17==3) retires AND was the min, so
+    //    survivors {39, 56} must relabel to 39
+    //  {105} text C singleton — retires, vanishes entirely
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight"
+    val C = "north south east west up down left right"
+    val staging = java.nio.file.Files.createTempDirectory("q111_ret").toString
+    try {
+      Seq((29L, A), (46L, A), (37L, B), (39L, B), (56L, B), (105L, C))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.parquet(s"$staging/documents.parquet")
+      val out = Dedup.queries("q111_cluster_retire")(s, staging)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(29L -> 29L, 46L -> 29L, 39L -> 39L, 56L -> 39L),
+        s"got $out")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
 }

@@ -1276,6 +1276,49 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("compactIfFragmented: only over-threshold partitions rewritten, " +
+      "rows identical, file growth capped") {
+    val s = spark
+    import s.implicits._
+    val staging = java.nio.file.Files.createTempDirectory("autocompact").toString
+    try {
+      val dir = s"$staging/data"
+      def append(rows: Seq[(Long, Long, Int)]): Unit =
+        rows.toDF("id", "v", "b").repartition(col("b"))
+          .write.mode("append").partitionBy("b").parquet(dir)
+      // b=0 accumulates 3 files (fragmented); b=1 stays at 2 (under)
+      append(Seq((1L, 10L, 0), (101L, 11L, 1)))
+      append(Seq((2L, 20L, 0), (102L, 21L, 1)))
+      append(Seq((3L, 30L, 0)))
+      val conf = s.sparkContext.hadoopConfiguration
+      def files() = graft.Fs.listDataFiles(dir, conf)
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime))
+        .toMap
+      val before = files()
+      assert(before.keys.count(_.contains("b=0")) == 3 &&
+        before.keys.count(_.contains("b=1")) == 2, s"fixture rot: $before")
+      val n = graft.plans.IndexMaintenance.compactIfFragmented(
+        s, dir, Seq("b"), maxFiles = 2)
+      assert(n == 1, s"expected 1 partition rewritten, got $n")
+      val after = files()
+      // the fragmented partition collapsed to one file...
+      assert(after.keys.count(_.contains("b=0")) == 1,
+        s"b=0 not compacted: ${after.keys.filter(_.contains("b=0"))}")
+      // ...the under-threshold partition survives byte-identical
+      val b1 = after.keys.filter(_.contains("b=1"))
+      assert(b1.size == 2 && b1.forall(p => before.get(p) == after.get(p)),
+        "under-threshold partition was rewritten")
+      val got = s.read.parquet(dir).as[(Long, Long, Int)].collect().toSet
+      assert(got === Set((1L, 10L, 0), (2L, 20L, 0), (3L, 30L, 0),
+        (101L, 11L, 1), (102L, 21L, 1)), s"rows changed: $got")
+      // idempotent: nothing left over threshold
+      assert(graft.plans.IndexMaintenance.compactIfFragmented(
+        s, dir, Seq("b"), maxFiles = 2) == 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("deletePartitioned refuses non-integral partition columns (Hive path escaping)") {
     val s = spark
     import s.implicits._
