@@ -70,7 +70,7 @@ object Bench {
     * same accounting rule as [[cloneStagers]]: the shared save +
     * manifest commit is setup; the append/commit/as-of-serve
     * lifecycle is what gets timed. */
-  val snapStagers = Set("q109")
+  val snapStagers = Set("q109", "q113")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

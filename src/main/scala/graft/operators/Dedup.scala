@@ -1302,6 +1302,50 @@ object Dedup {
         s.sparkContext.hadoopConfiguration)
     },
 
+    // SNAPSHOT-PRESERVING COMPACTION — q109's missing maintenance leg
+    // ([[graft.plans.Snapshots.compactCommit]]): the in-place compact
+    // invalidates older manifests, so a snapshotted index previously
+    // had to choose between time travel and small-file maintenance.
+    // Here the append (which fragments the touched partitions) commits
+    // v2, then compaction merges v2's fragmented (band_id, kbucket)
+    // partitions into NEW sibling files and commits the merged layout
+    // as v3 — old files stay on disk and v1/v2 keep reading their own
+    // sets (the Iceberg/Delta OPTIMIZE shape). ONE probe sketch then
+    // serves as-of ALL THREE versions: v1 must be blind to the append,
+    // and v3 must be row-identical to v2 — compaction is purely
+    // physical. Oracle = q109's CTE with the v2 population repeated
+    // under tag 3. Scale: the rewrite touches only partitions the
+    // append actually fragmented, old versions cost storage (not
+    // write amplification) until expire reclaims them.
+    "q113_snapshot_compact" -> { (s, d) =>
+      import graft.plans.{MinHashIndex, Snapshots}
+      val docs = Tables.documents(s, d)
+      val staging = takeSnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val v1 = Snapshots.current(s, s"$idxDir/bands").get
+        MinHashIndex.append(s, idxDir,
+          docs.where(pmod(col("doc_id"), lit(10)) === 9)
+            .select(col("doc_id"), col("text")))
+        val v2 = Snapshots.commit(s, s"$idxDir/bands")
+        // the appended batch fragmented its touched partitions to 2
+        // files; merge them copy-on-write and commit the result
+        val (v3, _) = MinHashIndex.compactCommitSnapshot(s, idxDir)
+        val probe = MinHashIndex.localize(s,
+          docs.where(pmod(col("doc_id"), lit(10)) === 0)
+            .select(col("doc_id"), col("text")))
+        def leg(v: Int, tag: Int) =
+          MinHashIndex.serveRowsAsOf(s, idxDir, v, probe)
+            .withColumn("version", lit(tag))
+        Materialize.cut(
+          leg(v1, 1).unionByName(leg(v2, 2)).unionByName(leg(v3, 3)))
+          .select(col("version"), col("probe_doc"), col("corpus_doc"),
+            col("est_jaccard"))
+          .orderBy(col("version"), col("probe_doc"), col("corpus_doc"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // INCREMENTAL CLUSTER MAINTENANCE — the landing-pipeline form of
     // q35: resident cluster labels are PERSISTED STATE; an arriving
     // batch contributes its near-dup edges (batch→corpus from the
@@ -1943,6 +1987,31 @@ object Dedup {
          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 9)
          |  UNION
          |  SELECT 2, a.doc_id, b.doc_id, a.sig, b.sig
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         |SELECT version, probe_doc, corpus_doc, $estSql AS est_jaccard
+         |FROM cand WHERE $estSql >= $EstThreshold
+         |ORDER BY version, probe_doc, corpus_doc""".stripMargin,
+    // q109 plus a third as-of leg AFTER the copy-on-write compaction:
+    // tag 3 repeats the v2 population verbatim — the compacted layout
+    // must be row-identical (compaction is purely physical), while v1
+    // stays blind to the append through its preserved file set
+    "q113_snapshot_compact" ->
+      s"""WITH $sigBandCtes,
+         |cand AS (
+         |  SELECT 1 AS version, a.doc_id AS probe_doc, b.doc_id AS corpus_doc,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 9)
+         |  UNION
+         |  SELECT 2, a.doc_id, b.doc_id, a.sig, b.sig
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |  UNION
+         |  SELECT 3, a.doc_id, b.doc_id, a.sig, b.sig
          |  FROM bands a JOIN bands b
          |    ON a.band_id = b.band_id AND a.band_key = b.band_key
          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)

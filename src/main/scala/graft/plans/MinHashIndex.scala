@@ -165,6 +165,19 @@ object MinHashIndex {
       s"${IvfTopK.qualify(s, indexDir)}/bands",
       Seq("band_id", "kbucket"), maxFiles)
 
+  /** Snapshot-PRESERVING compaction for a manifest-committed index
+    * ([[Snapshots.compactCommit]] over the bands dir): fragmented
+    * (band_id, kbucket) partitions of the CURRENT version merge into
+    * new sibling files and the merged layout commits as the next
+    * version, while every older version keeps serving its own file
+    * set — time travel and compaction coexist (q113). Returns
+    * (newVersion, partitionsRewritten). */
+  def compactCommitSnapshot(s: SparkSession, indexDir: String,
+      maxFiles: Int = 1): (Int, Int) =
+    Snapshots.compactCommit(s,
+      s"${IvfTopK.qualify(s, indexDir)}/bands",
+      Seq("band_id", "kbucket"), maxFiles)
+
   /** File-level copy of a saved index (bands + meta). Mutation-testing
     * convenience: a re-runnable query that APPENDS (the ingest-loop
     * forms q103/q103b) clones the resident index per invocation so

@@ -23,10 +23,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    commits can both succeed with the later one's version number
   *    colliding (rename-over fails on HDFS, silently overwrites on
   *    some local FS). An ingest pipeline serializes its maintenance.
-  *  - Rewriting passes (compactPartitioned / deletePartitioned)
-  *    REPLACE files in place, so manifests older than the rewrite
-  *    dangle — run [[expire]] up to the rewrite's commit first. The
-  *    append lifecycle (the hot path) never rewrites.
+  *  - The IN-PLACE rewriting passes (compactPartitioned /
+  *    deletePartitioned) REPLACE files, so manifests older than the
+  *    rewrite dangle — run [[expire]] up to the rewrite's commit
+  *    first. [[compactCommit]] is the snapshot-PRESERVING compaction
+  *    (merged files land as new siblings; old versions keep reading
+  *    their old files until expired). The append lifecycle (the hot
+  *    path) never rewrites.
   *
   * Versions are defined by the manifest files themselves
   * (`_manifests/v{N}.manifest`); there is no mutable CURRENT pointer
@@ -63,24 +66,85 @@ object Snapshots {
     * of data-file additions (save, append). The listing excludes the
     * manifest dir itself and any `_`/`.`-prefixed bookkeeping files
     * (Spark's own convention for non-data files). */
-  def commit(s: SparkSession, dataDir: String): Int = {
-    val f = fs(s, dataDir)
-    val conf = s.sparkContext.hadoopConfiguration
-    val dataFiles = graft.Fs.listDataFiles(dataDir, conf)
+  def commit(s: SparkSession, dataDir: String): Int =
+    writeManifest(s, dataDir, listRel(s, dataDir))
+
+  /** Current on-disk data files of `dataDir`, as dataDir-relative
+    * paths (manifest bookkeeping excluded). */
+  private def listRel(s: SparkSession, dataDir: String): Seq[String] =
+    graft.Fs.listDataFiles(dataDir, s.sparkContext.hadoopConfiguration)
       .map(_.getPath.toString)
       .filterNot(_.contains("/_manifests/"))
       .map(rel(dataDir, _))
-      .sorted
+
+  /** Commit an EXPLICIT dataDir-relative file set as the next version
+    * — the primitive behind both [[commit]] (current listing) and
+    * [[compactCommit]] (listing with compacted partitions' old files
+    * swapped for their merged replacements). */
+  private def writeManifest(s: SparkSession, dataDir: String,
+      relFiles: Seq[String]): Int = {
+    val f = fs(s, dataDir)
     val v = current(s, dataDir).getOrElse(0) + 1
     val dir = new Path(manifestDir(dataDir))
     if (!f.exists(dir)) f.mkdirs(dir)
     val tmp = new Path(dir, s"v$v.manifest.tmp")
     val out = f.create(tmp, true)
-    try out.write(dataFiles.mkString("\n").getBytes("UTF-8"))
+    try out.write(relFiles.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(dir, s"v$v.manifest")
     require(f.rename(tmp, fin), s"snapshot commit: rename $tmp -> $fin failed")
     v
+  }
+
+  /** COPY-ON-WRITE compaction that PRESERVES every committed snapshot
+    * — the snapshot-safe form of the in-place maintenance passes
+    * (whose contract says "rewrites dangle older manifests; expire
+    * first"). Partitions of the CURRENT version holding more than
+    * `maxFiles` data files are merged into ONE NEW file each, written
+    * as a sibling (parquet append never mutates existing files), and
+    * the next manifest references [untouched old files + merged
+    * files] while every OLDER manifest keeps referencing the
+    * pre-compact files — which stay on disk, still resolvable, until
+    * [[expire]] drops the versions that need them. This is the
+    * Iceberg/Delta OPTIMIZE shape: time travel and compaction
+    * coexist, and write amplification stays bounded by where appends
+    * actually landed, never the table size. Integral partition keys
+    * only (values parse back out of the `c=v` path segments, same
+    * contract as the in-place passes). Single-writer, like [[commit]].
+    * Returns (version, partitionsRewritten) — with nothing fragmented
+    * no commit happens and the current version comes back. */
+  def compactCommit(s: SparkSession, dataDir: String,
+      partitionCols: Seq[String], maxFiles: Int = 1): (Int, Int) = {
+    require(partitionCols.nonEmpty && maxFiles >= 1)
+    val v = current(s, dataDir).getOrElse(throw new IllegalArgumentException(
+      s"compactCommit: no committed version under $dataDir"))
+    val old = files(s, dataDir, v)
+    def partOf(file: String): Seq[Long] = {
+      val segs = rel(dataDir, file).split('/').dropRight(1)
+      partitionCols.map(c =>
+        segs.find(_.startsWith(c + "="))
+          .map(_.substring(c.length + 1).toLong)
+          .getOrElse(throw new IllegalStateException(
+            s"compactCommit: no $c= segment in ${rel(dataDir, file)}")))
+    }
+    val frag: Set[Seq[Long]] = old.groupBy(partOf)
+      .collect { case (vs, fl) if fl.size > maxFiles => vs }.toSet
+    if (frag.isEmpty) return (v, 0)
+    val before = listRel(s, dataDir).toSet
+    // read EXACTLY version v's files of the fragmented partitions
+    // (basePath keeps the partition columns through the explicit
+    // listing); one shuffle by the partition key merges each to a
+    // single writer, landed in append mode so no existing file moves
+    val toMerge = old.filter(f => frag(partOf(f)))
+    val merged = graft.Materialize.cut(
+      s.read.option("basePath", dataDir).parquet(toMerge: _*))
+    merged
+      .repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("append").partitionBy(partitionCols: _*).parquet(dataDir)
+    graft.Materialize.release(merged)
+    val newFiles = listRel(s, dataDir).filterNot(before.contains)
+    val keep = old.filterNot(f => frag(partOf(f))).map(rel(dataDir, _))
+    (writeManifest(s, dataDir, keep ++ newFiles), frag.size)
   }
 
   /** The data files of version `v` (absolute paths). */

@@ -1212,6 +1212,76 @@ class ScaleShapeSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("compactCommit: copy-on-write — older snapshots keep their files " +
+      "byte-identical, compacted version row-identical, expire reclaims") {
+    val s = spark
+    import graft.plans.{MinHashIndex, Snapshots}
+    val staging = java.nio.file.Files.createTempDirectory("lsh_cow").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      val idxDir = s"$staging/idx"
+      MinHashIndex.save(s,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0 &&
+            pmod(col("doc_id"), lit(10)) =!= 9)
+          .select(col("doc_id"), col("text")),
+        s"$sf/documents.parquet", idxDir)
+      val bands = s"$idxDir/bands"
+      val v1 = Snapshots.commit(s, bands)
+      MinHashIndex.append(s, idxDir,
+        docs.where(pmod(col("doc_id"), lit(10)) === 9)
+          .select(col("doc_id"), col("text")))
+      val v2 = Snapshots.commit(s, bands)
+      val conf = s.sparkContext.hadoopConfiguration
+      def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      def fileMap() = graft.Fs.listDataFiles(bands, conf)
+        .map(f => norm(f.getPath.toString) ->
+          (f.getLen, f.getModificationTime))
+        .toMap
+      val before = fileMap()
+      val probe = MinHashIndex.localize(s,
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("text")))
+      def served(v: Int) = MinHashIndex.serveRowsAsOf(s, idxDir, v, probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r1 = served(v1)
+      val r2 = served(v2)
+      // the append fragmented its touched partitions to 2 files — the
+      // COW compaction must find work (guard against vacuity)
+      val (v3, nRewritten) = MinHashIndex.compactCommitSnapshot(s, idxDir)
+      assert(v3 == v2 + 1 && nRewritten >= 1,
+        s"expected a fresh version with rewritten partitions, got " +
+          s"(v$v3, $nRewritten)")
+      // every v1- and v2-manifested file survives BYTE-IDENTICAL: the
+      // merged files are new siblings, nothing was moved or rewritten
+      val after = fileMap()
+      val preserved = (Snapshots.files(s, bands, v1) ++
+        Snapshots.files(s, bands, v2)).map(norm).distinct
+      assert(preserved.forall(p => after.get(p) == before.get(p)),
+        "a pre-compact manifested file was rewritten by compactCommit")
+      // old versions still serve their own populations; the compacted
+      // version is row-identical to v2 (compaction is purely physical)
+      assert(served(v1) == r1, "v1 serve changed after compactCommit")
+      assert(served(v2) == r2, "v2 serve changed after compactCommit")
+      assert(served(v3) == r2, "v3 serve differs from v2 — rows changed")
+      // v3's manifest holds ONE file per partition (maxFiles = 1)
+      val v3ByDir = Snapshots.files(s, bands, v3).map(norm)
+        .groupBy(p => p.take(p.lastIndexOf('/')))
+      assert(v3ByDir.values.forall(_.size == 1),
+        s"v3 partitions still fragmented: " +
+          s"${v3ByDir.filter(_._2.size > 1).keys.take(3)}")
+      // idempotent: nothing fragmented in v3 — no new commit
+      assert(MinHashIndex.compactCommitSnapshot(s, idxDir) == (v3, 0))
+      // expire up to v3: the superseded pre-compact files are
+      // reclaimed, everything v3 references survives, serve unchanged
+      val removed = Snapshots.expire(s, bands, keepFrom = v3)
+      assert(removed >= nRewritten,
+        s"expire reclaimed $removed files, expected >= $nRewritten")
+      assert(Snapshots.versions(s, bands) == Seq(v3))
+      assert(served(v3) == r2, "v3 serve changed after expire")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("upsertPartitioned: partition-local merge — untouched buckets survive " +
       "byte-identical, moves empty their source partition") {
     val s = spark
