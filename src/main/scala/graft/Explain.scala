@@ -91,6 +91,7 @@ object Explain {
     "q109_index_timetravel" -> "snapshot-isolated index with time travel (manifest commits): append adds files + commits v2, then ONE probe sketch serves as-of v1 AND v2 — the v1 leg reads the v1 manifest's file set (basePath keeps (band_id, kbucket) pruning), blind to the append by construction",
     "q110_incremental_clusters" -> "incremental cluster maintenance: batch edges from the persisted-index serve + within-batch band join (one shared probe sketch), label propagation on the QUOTIENT graph (batch docs + touched cluster labels only), broadcast label remap back onto the resident state — never a corpus re-cluster",
     "q113_snapshot_compact" -> "snapshot-preserving compaction: append commits v2, copy-on-write merge of v2's fragmented (band_id, kbucket) partitions lands NEW sibling files and commits v3, then one probe sketch serves as-of v1/v2/v3 — v1 blind to the append, v3 row-identical to v2; pinned plan is the three-leg as-of serve union",
+    "q114_cluster_changefeed" -> "change data feed from the incremental cluster step: inserts straight from the quotient propagation, updates from the label table joined against the BROADCAST changed-remap — O(batch + touched members), never a corpus diff of two label snapshots; pinned plan is the feed union",
     "q110s_stream_clusters" -> "q110 through the engine's micro-batch cycle: each foreachBatch serves edges against the index AS IT STANDS, quotient-propagates, upserts the bucket-partitioned label table partition-locally (partitionFromKey — no resident scan), and appends to the index before the next trigger; pinned plan is the final label-table read",
     "q111_cluster_retire" -> "decremental cluster maintenance: touched clusters from one semi-join against the label table, survivor-induced edges from the memoized pair relation restricted to touched survivors, components re-solved on that bounded subgraph only; retired rows leave via partition-local delete, relabels land via partition-local upsert; pinned plan is the final label-table read",
     "q112_ingest_autocompact" -> "q103's ingest loop under the threshold-triggered PARTITION-LOCAL compaction policy: after each append, only (band_id, kbucket) directories whose file count crossed the threshold are rewritten — write amplification bounded by where arrivals landed, never the index size; identical oracle to q103 proves the policy result-neutral at every loop point; pinned plan is the verdict assembly",
@@ -119,7 +120,7 @@ object Explain {
     "q108_cluster_split", "q109_index_timetravel",
     "q110_incremental_clusters", "q110s_stream_clusters",
     "q111_cluster_retire", "q112_ingest_autocompact",
-    "q113_snapshot_compact")
+    "q113_snapshot_compact", "q114_cluster_changefeed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1390,6 +1390,47 @@ object Dedup {
       out.orderBy(col("doc_id"))
     },
 
+    // CHANGE DATA FEED from the incremental maintenance step — what a
+    // downstream consumer (a training-set materializer, a serving
+    // cache, another index) actually subscribes to: not the new label
+    // TABLE but the DELTA the batch caused. Emits one row per
+    // affected doc — 'insert' for the arriving batch (old_label = -1
+    // sentinel), 'update' for every RESIDENT doc whose cluster label
+    // changed (old → new). Unchanged residents never appear, so the
+    // feed is O(batch + touched-cluster members): the inserts come
+    // straight from the quotient propagation and the updates from the
+    // label table joined against the BROADCAST changed-remap — never
+    // a corpus diff of two label snapshots, which is how a naive CDC
+    // (recompute + except) would do it and what this query exists to
+    // avoid at 100 TB. Oracle = two full recomputes (residents-only
+    // vs whole corpus) diffed in SQL — the bounded incremental feed
+    // must equal the exhaustive diff row-for-row.
+    "q114_cluster_changefeed" -> { (s, d) =>
+      import graft.plans.MinHashIndex
+      val docs = Tables.documents(s, d)
+      val h = MinHashIndex.ensureSaved(s,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), col("text")),
+        s"$d/documents.parquet", lshIndexDir(s, d))
+      val resLab = residentLabelsServed(s, d)
+      val probe = MinHashIndex.localize(s,
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("text")))
+      val delta = clusterStep(s, h, resLab, probe)
+      // only remap entries that MOVE a label produce update rows
+      val changed = delta.remap.where(col("new_label") =!= col("old_label"))
+      val updates = resLab
+        .join(broadcast(changed), resLab("label") === changed("old_label"))
+        .select(col("doc_id"), lit("update").as("op"),
+          col("label").as("old_label"), col("new_label"))
+      val inserts = delta.batchLab
+        .select(col("doc_id"), lit("insert").as("op"),
+          lit(-1L).as("old_label"), col("label").as("new_label"))
+      val out = Materialize.cut(inserts.unionByName(updates))
+      Materialize.release(delta.comp)
+      out.orderBy(col("doc_id"))
+    },
+
     // STREAMING INCREMENTAL CLUSTERS — q110 driven by the ENGINE's
     // micro-batch cycle (the q103s pattern applied to CLUSTER state):
     // the arriving corpus slice replays as 3 ordered micro-batches,
@@ -2197,6 +2238,40 @@ object Dedup {
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS doc_id, min(b) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // the bounded incremental change feed must equal the EXHAUSTIVE
+    // diff of two full recomputes: labels over residents only (the
+    // pre-batch state) vs labels over the whole corpus (post-batch) —
+    // inserts are the batch docs, updates the residents whose label
+    // moved, unchanged residents absent
+    "q114_cluster_changefeed" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |fin AS (SELECT a AS doc_id, min(b) AS lab FROM reach GROUP BY a),
+         |redges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |  WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
+         |rreach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 <> 0
+         |  UNION
+         |  SELECT r.a, e.dst FROM rreach r JOIN redges e ON r.b = e.src),
+         |old AS (SELECT a AS doc_id, min(b) AS lab FROM rreach GROUP BY a)
+         |SELECT f.doc_id, 'insert' AS op,
+         |       CAST(-1 AS BIGINT) AS old_label, f.lab AS new_label
+         |FROM fin f WHERE f.doc_id % 10 = 0
+         |UNION ALL
+         |SELECT o.doc_id, 'update', o.lab, f.lab
+         |FROM old o JOIN fin f ON o.doc_id = f.doc_id
+         |WHERE o.lab <> f.lab
+         |ORDER BY doc_id""".stripMargin,
     // the incremental retire must equal a full recompute over the
     // SURVIVOR population (residents minus the retention slice) —
     // components of the survivor-induced subgraph, min surviving id
