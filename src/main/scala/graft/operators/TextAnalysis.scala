@@ -42,6 +42,16 @@ object TextAnalysis {
     * synthetic doc -> ~9-10 docs per sequence. */
   val SeqBudget = 512
 
+  /** Count-min sketch geometry (q115): D independent md5 hash rows ×
+    * W buckets — the whole sketch is D×W counters regardless of
+    * vocabulary size. W is deliberately SMALL relative to the test
+    * corpus's vocabulary so bucket collisions (the thing a CMS
+    * over-estimates through) actually occur and the oracle checks the
+    * collided estimates bit-for-bit; production sizes W = ceil(e/ε)
+    * for additive error ε·n, same plan. */
+  val CmsD = 4
+  val CmsW = 64
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols.
     * Spark SQL string literals eat one level of backslash ('\s' -> 's'),
     * so the Spark-side literal needs the extra escape. */
@@ -458,6 +468,51 @@ object TextAnalysis {
         .withColumnRenamed("n_bpe_tokens", "n_toks"))
     },
 
+    // COUNT-MIN SKETCH frequency estimation — the mergeable fixed-size
+    // sketch a 100-TB pipeline uses where an exact term-frequency
+    // table is unaffordable: the sketch is a D×W count matrix
+    // (D=[[CmsD]] hash rows, W=[[CmsW]] buckets), so the build's
+    // exchange carries AT MOST D×W distinct keys per task no matter
+    // the vocabulary size (map-side partial aggregation collapses each
+    // task's token stream to ≤ D×W cells before any shuffle — compare
+    // q46, whose shuffle is keyed by the unbounded term space), and
+    // estimates are min-over-rows lookups against the BROADCAST
+    // sketch. Point queries run for a deterministic ~3% probe
+    // vocabulary (md5-byte gate, the q16 idiom) next to their exact
+    // counts; the md5 hash family is shared with the oracle, so the
+    // sketch — including its collisions — is bit-reproducible and the
+    // gate hash-checks est alongside exact (est ≥ exact by
+    // construction; equality wherever no bucket collision landed).
+    "q115_cms_freq" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(explode(expr(toksExpr)).as("term"))
+      def bucketed(df: DataFrame): DataFrame = {
+        val withH = (0 until CmsD).foldLeft(df) { (acc, i) =>
+          acc.withColumn(s"h$i", expr(s"md5(concat('cms$i:', term))"))
+        }
+        withH.select(col("term") +: (0 until CmsD).map(i =>
+          expr(s"(${Tokens.hex48(s"h$i")}) % $CmsW").as(s"b$i")): _*)
+      }
+      val cells = bucketed(toks).select(explode(array(
+        (0 until CmsD).map(i => struct(lit(i).as("i"),
+          col(s"b$i").as("bucket"))): _*)).as("c"))
+        .select(col("c.i").as("i"), col("c.bucket").as("bucket"))
+      val sketch = cells.groupBy(col("i"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val probeExact = toks
+        .where(expr(Tokens.mdByteExpr("term")) < 128)
+        .groupBy(col("term")).agg(count(lit(1)).as("exact_freq"))
+      val probeCells = bucketed(probeExact).select(col("term"),
+        explode(array((0 until CmsD).map(i => struct(lit(i).as("i"),
+          col(s"b$i").as("bucket"))): _*)).as("c"))
+        .select(col("term"), col("c.i").as("i"), col("c.bucket").as("bucket"))
+      val est = probeCells.join(broadcast(sketch), Seq("i", "bucket"))
+        .groupBy(col("term")).agg(min(col("c")).as("est_freq"))
+      probeExact.join(est, Seq("term"))
+        .select(col("term"), col("exact_freq"), col("est_freq"))
+        .orderBy(col("term"))
+    },
+
     // Fingerprinting: whole-content digest + winnowed min-hash over
     // 5-token shingles (rolling window), both md5-exact vs the oracle.
     "q43_fingerprint" -> { (s, d) =>
@@ -525,6 +580,35 @@ object TextAnalysis {
            |  (predicted_lang = lang) AS is_correct,
            |  ${profiles.map(p => s"hits_${p._1}").mkString(", ")}
            |FROM p ORDER BY doc_id""".stripMargin,
+      "q115_cms_freq" -> {
+        val cellLegs = (0 until CmsD).map { i =>
+          s"""SELECT $i AS i,
+             |  (${Tokens.hex48(s"md5('cms$i:' || term)")}) % $CmsW AS bucket,
+             |  count(*) AS c FROM t GROUP BY 1, 2""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        val probeLegs = (0 until CmsD).map { i =>
+          s"""SELECT term, $i AS i,
+             |  (${Tokens.hex48(s"md5('cms$i:' || term)")}) % $CmsW AS bucket
+             |FROM probe""".stripMargin
+        }.mkString("\n  UNION ALL ")
+        s"""WITH t AS (
+           |  SELECT u.term FROM (SELECT $toksSql AS toks FROM documents),
+           |    unnest(toks) AS u(term)),
+           |cells AS (
+           |  $cellLegs),
+           |probe AS (
+           |  SELECT term, count(*) AS exact_freq FROM t
+           |  WHERE ${Tokens.mdByteSql("term")} < 128 GROUP BY term),
+           |pc AS (
+           |  $probeLegs),
+           |est AS (
+           |  SELECT pc.term, min(c.c) AS est_freq
+           |  FROM pc JOIN cells c ON pc.i = c.i AND pc.bucket = c.bucket
+           |  GROUP BY pc.term)
+           |SELECT p.term, p.exact_freq, e.est_freq
+           |FROM probe p JOIN est e ON p.term = e.term
+           |ORDER BY p.term""".stripMargin
+      },
       "q41_quality" ->
         s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
            |m AS (SELECT doc_id,

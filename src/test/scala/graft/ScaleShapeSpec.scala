@@ -275,6 +275,28 @@ class ScaleShapeSpec extends SparkSpec {
         s"corpus shuffled by term through a $shuffled:\n${plan.take(1200)}")
   }
 
+  test("q115 CMS estimate is a broadcast lookup; no unbounded-key join in the sketch branch") {
+    val s = spark
+    // the sketch is D×W counters — the estimate joins the probe cells
+    // against the BROADCAST sketch on (i, bucket); what must not
+    // appear is a shuffle-based join (its key space is bounded, but a
+    // shuffled join would still exchange the probe side per lookup)
+    val df = SparkEntry.queries("q115_cms_freq")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [i#"),
+      s"sketch lookup is not broadcast:\n${plan.take(1200)}")
+    for (shuffled <- Seq("SortMergeJoin [i#", "ShuffledHashJoin [i#"))
+      assert(!plan.contains(shuffled),
+        s"sketch lookup shuffled through $shuffled:\n${plan.take(1200)}")
+    // est >= exact pointwise (CMS never under-counts), and the small-W
+    // geometry must actually produce a collision to exercise the
+    // overestimate path (guard against vacuity)
+    val rows = df.collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.forall { case (ex, est) => est >= ex })
+    assert(rows.exists { case (ex, est) => est > ex },
+      "no bucket collision at this W — the overestimate path is untested")
+  }
+
   test("q84 decontamination gate is a stream-static broadcast join, not a plan literal") {
     val s = spark
     import s.implicits._
