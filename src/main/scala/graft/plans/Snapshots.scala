@@ -19,10 +19,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * row-level deletes).
   *
   * Contract boundaries, stated rather than hidden:
-  *  - SINGLE WRITER: commits are not coordinated; two concurrent
-  *    commits can both succeed with the later one's version number
-  *    colliding (rename-over fails on HDFS, silently overwrites on
-  *    some local FS). An ingest pipeline serializes its maintenance.
+  *  - [[commit]] assumes a SINGLE WRITER (an ingest pipeline
+  *    serializes its own maintenance); uncoordinated writers use
+  *    [[commitExpecting]], whose publish rename doubles as a
+  *    compare-and-swap on filesystems that refuse to rename over an
+  *    existing path (HDFS, object-store committers) and detects
+  *    lost updates best-effort elsewhere.
   *  - The IN-PLACE rewriting passes (compactPartitioned /
   *    deletePartitioned) REPLACE files, so manifests older than the
   *    rewrite dangle — run [[expire]] up to the rewrite's commit
@@ -82,17 +84,73 @@ object Snapshots {
     * [[compactCommit]] (listing with compacted partitions' old files
     * swapped for their merged replacements). */
   private def writeManifest(s: SparkSession, dataDir: String,
-      relFiles: Seq[String]): Int = {
+      relFiles: Seq[String]): Int =
+    publish(s, dataDir, current(s, dataDir).getOrElse(0) + 1,
+      relFiles.sorted.mkString("\n"))
+
+  /** Write manifest `v` via temp file + rename. Rename-over semantics
+    * are the FS's: HDFS refuses an existing destination (making the
+    * publish an atomic CAS on the version name), POSIX local replaces
+    * silently — [[commitExpecting]] layers its checks accordingly. */
+  private def publish(s: SparkSession, dataDir: String, v: Int,
+      content: String): Int = {
     val f = fs(s, dataDir)
-    val v = current(s, dataDir).getOrElse(0) + 1
     val dir = new Path(manifestDir(dataDir))
     if (!f.exists(dir)) f.mkdirs(dir)
     val tmp = new Path(dir, s"v$v.manifest.tmp")
     val out = f.create(tmp, true)
-    try out.write(relFiles.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write(content.getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(dir, s"v$v.manifest")
     require(f.rename(tmp, fin), s"snapshot commit: rename $tmp -> $fin failed")
+    v
+  }
+
+  /** A [[commitExpecting]] lost the optimistic-concurrency race:
+    * another writer committed after the caller read its base version.
+    * The caller's data-file additions are untouched (they are
+    * unreferenced until a manifest lands — [[expire]] reclaims them if
+    * abandoned); the standard reaction is re-read, re-validate, retry. */
+  final class SnapshotConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** OPTIMISTIC-CONCURRENCY commit for uncoordinated writers: publish
+    * the current listing as version `expected`+1, failing with
+    * [[SnapshotConflictException]] if any other writer committed
+    * since the caller read `expected` (= [[current]] at read time;
+    * None for a fresh dataset). The protocol is the lakehouse one:
+    * read current → add data files → commitExpecting; on conflict,
+    * re-read and retry (appends are order-independent, so a retry
+    * just re-lists). The version check runs immediately before the
+    * publish rename and the rename targets exactly v(expected+1), so
+    * on filesystems that refuse to rename over an existing path
+    * (HDFS, object-store committers) the publish IS the
+    * compare-and-swap; on POSIX local FS (silent replace) a
+    * post-publish readback narrows the remaining window to the rename
+    * itself — best effort, stated rather than hidden. */
+  def commitExpecting(s: SparkSession, dataDir: String,
+      expected: Option[Int]): Int = {
+    val content = listRel(s, dataDir).sorted.mkString("\n")
+    val cur = current(s, dataDir)
+    if (cur != expected)
+      throw new SnapshotConflictException(
+        s"snapshot commit conflict under $dataDir: expected current " +
+          s"version $expected but found $cur — re-read and retry")
+    val v = expected.getOrElse(0) + 1
+    val f = fs(s, dataDir)
+    val fin = new Path(manifestDir(dataDir), s"v$v.manifest")
+    if (f.exists(fin))
+      throw new SnapshotConflictException(
+        s"snapshot commit conflict under $dataDir: v$v already exists")
+    publish(s, dataDir, v, content)
+    // detect a silent rename-over on local FS: the surviving manifest
+    // must be OURS
+    val got = files(s, dataDir, v).map(rel(dataDir, _)).sorted
+      .mkString("\n")
+    if (got != content)
+      throw new SnapshotConflictException(
+        s"snapshot commit conflict under $dataDir: v$v was replaced " +
+          "by a concurrent writer after publish")
     v
   }
 

@@ -1234,6 +1234,36 @@ class ScaleShapeSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("commitExpecting: a stale writer's commit fails loudly, retry succeeds") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.Snapshots
+    val staging = java.nio.file.Files.createTempDirectory("snap_cas").toString
+    try {
+      val dir = s"$staging/data"
+      Seq((1L, 10L)).toDF("id", "v").write.mode("append").parquet(dir)
+      // two uncoordinated writers read the same base version
+      val baseA = Snapshots.current(s, dir)
+      val baseB = Snapshots.current(s, dir)
+      assert(baseA.isEmpty && baseB.isEmpty)
+      // B publishes first
+      assert(Snapshots.commitExpecting(s, dir, baseB) == 1)
+      // A's stale commit must FAIL (lost-update guard), never silently
+      // replace or renumber B's version
+      intercept[Snapshots.SnapshotConflictException](
+        Snapshots.commitExpecting(s, dir, baseA))
+      assert(Snapshots.versions(s, dir) == Seq(1))
+      // the optimistic protocol: A re-reads, re-adds, retries
+      Seq((2L, 20L)).toDF("id", "v").write.mode("append").parquet(dir)
+      val v2 = Snapshots.commitExpecting(s, dir, Snapshots.current(s, dir))
+      assert(v2 == 2)
+      assert(s.read.parquet(Snapshots.files(s, dir, v2): _*).count() == 2)
+      // B's committed view is untouched by the retry
+      assert(s.read.parquet(Snapshots.files(s, dir, 1): _*).count() == 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("compactCommit: copy-on-write — older snapshots keep their files " +
       "byte-identical, compacted version row-identical, expire reclaims") {
     val s = spark
