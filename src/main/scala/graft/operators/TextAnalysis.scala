@@ -52,6 +52,45 @@ object TextAnalysis {
   val CmsD = 4
   val CmsW = 64
 
+  /** Hash-bucket count for the persisted vocabulary-statistics table
+    * (q116) — a production deployment sizes this to the vocabulary
+    * like the label table's corpus-sized rule. */
+  val VocabBuckets = 16
+
+  /** tbucket — a uniform md5 bucket of the term, a PURE FUNCTION of
+    * the merge key, so upserts derive touched partitions from the
+    * update rows alone (partitionFromKey). */
+  private def vocabBucket =
+    (expr(Tokens.mdByteExpr("term")) % VocabBuckets).cast("int")
+
+  private val vocabStatsDirs = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** The persisted vocabulary-statistics table behind q116 — q46's
+    * aggregate over the RESIDENT corpus (doc_id % 10 != 0),
+    * tbucket-partitioned, derived once per (session, dir) and kept as
+    * FILES (the stageResidentState pattern: in production this table
+    * is maintained batch over batch, never re-derived per job). q116
+    * invocations mutate byte-copies of it. */
+  def stageVocabStats(s: SparkSession, d: String): String =
+    vocabStatsDirs.computeIfAbsent((s, d), _ => {
+      val dir = graft.Fs.createStagingDir(s, "graft-vocab-stats")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)) =!= 0)
+        .withColumn("toks", expr(toksExpr))
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("collection_freq"),
+          countDistinct(col("doc_id")).as("doc_freq"))
+        .withColumn("tbucket", vocabBucket)
+        .repartition(col("tbucket"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$dir/vocab")
+      s"$dir/vocab"
+    })
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols.
     * Spark SQL string literals eat one level of backslash ('\s' -> 's'),
     * so the Spark-side literal needs the extra escape. */
@@ -468,6 +507,56 @@ object TextAnalysis {
         .withColumnRenamed("n_bpe_tokens", "n_toks"))
     },
 
+    // INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — q46's vocabulary
+    // statistics as a PERSISTED TABLE updated per arriving batch, the
+    // incremental-ETL shape every warehouse needs for additive
+    // aggregates: the resident table (built over the resident corpus
+    // once, hash-bucket-partitioned by term) absorbs the batch by
+    // (1) aggregating ONLY the batch's tokens (collection_freq and
+    // doc_freq are additive over disjoint doc sets), (2) a merge join
+    // bounded by the BATCH's vocabulary against the partition-PRUNED
+    // resident rows, and (3) a partition-local upsert that rewrites
+    // only the buckets the batch's terms hash into. The corpus-scale
+    // aggregation never re-runs — at 100 TB the increment costs
+    // O(batch + touched buckets). Oracle = q46's full recompute over
+    // the whole corpus: the path-dependent increment must equal the
+    // one-shot aggregate exactly.
+    "q116_vocab_increment" -> { (s, d) =>
+      import graft.plans.IndexMaintenance
+      val src = stageVocabStats(s, d)
+      val staging = graft.Fs.createStagingDir(s, "graft-q116")
+      try {
+        val tbl = s"$staging/vocab"
+        IndexMaintenance.copyDir(s, src, tbl)
+        val batchAgg = Tables.documents(s, d)
+          .where(pmod(col("doc_id"), lit(10)) === 0)
+          .withColumn("toks", expr(toksExpr))
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("cf_b"), countDistinct(col("doc_id")).as("df_b"))
+          .withColumn("tbucket", vocabBucket)
+        // resident rows for the batch's terms, partition-pruned to the
+        // buckets the batch hashes into (bounded by VocabBuckets)
+        val touched = batchAgg.select(col("tbucket")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val res = s.read.parquet(tbl)
+          .where(col("tbucket").isin(touched: _*))
+          .select(col("term"), col("collection_freq").as("cf_r"),
+            col("doc_freq").as("df_r"))
+        val updates = batchAgg.join(res, Seq("term"), "left")
+          .select(col("term"),
+            (coalesce(col("cf_r"), lit(0L)) + col("cf_b")).as("collection_freq"),
+            (coalesce(col("df_r"), lit(0L)) + col("df_b")).as("doc_freq"),
+            col("tbucket"))
+        IndexMaintenance.upsertPartitioned(s, tbl, Seq("tbucket"), "term",
+          updates, partitionFromKey = true)
+        graft.Materialize.cut(s.read.parquet(tbl)
+          .select(col("term"), col("collection_freq"), col("doc_freq")))
+          .orderBy(col("term"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // COUNT-MIN SKETCH frequency estimation — the mergeable fixed-size
     // sketch a 100-TB pipeline uses where an exact term-frequency
     // table is unaffordable: the sketch is a D×W count matrix
@@ -580,6 +669,16 @@ object TextAnalysis {
            |  (predicted_lang = lang) AS is_correct,
            |  ${profiles.map(p => s"hits_${p._1}").mkString(", ")}
            |FROM p ORDER BY doc_id""".stripMargin,
+      // the increment must equal the one-shot aggregate over the whole
+      // corpus (residents ∪ batch = documents): q46's SQL verbatim
+      "q116_vocab_increment" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, u.term FROM (
+           |    SELECT doc_id, $toksSql AS toks FROM documents),
+           |    unnest(toks) AS u(term))
+           |SELECT term, count(*) AS collection_freq,
+           |  count(DISTINCT doc_id) AS doc_freq
+           |FROM t GROUP BY term ORDER BY term""".stripMargin,
       "q115_cms_freq" -> {
         val cellLegs = (0 until CmsD).map { i =>
           s"""SELECT $i AS i,
