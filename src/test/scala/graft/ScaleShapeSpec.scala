@@ -959,6 +959,52 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter join: the dim side's filter reaches the fact scan " +
+      "as a might_contain runtime filter") {
+    // the shuffle-join sibling of the DPP proof: when the fact side is
+    // too big to broadcast and not partitioned on the join key,
+    // Catalyst's InjectRuntimeFilter ships a bloom filter built from
+    // the SELECTIVE dim side into the fact side's scan stage — rows
+    // that cannot match are dropped BEFORE the corpus-scale exchange.
+    // At 100 TB this is the difference between shuffling the whole
+    // fact table and shuffling the ~matching slice; defaults keep the
+    // thresholds conservative, so the test pins the conf knobs a
+    // deployment turns and the plan shape they buy.
+    val s = spark
+    import s.implicits._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    val dir = Files.createTempDirectory("bloomjoin").toString
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      Tables.events(s, sf)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .write.parquet(s"$dir/fact")
+      Tables.events(s, sf).select(col("user_id")).distinct()
+        .withColumn("score", (col("user_id") % 100).cast("double"))
+        .write.parquet(s"$dir/dim")
+      val dim = s.read.parquet(s"$dir/dim").where($"score" > 95.0)
+      val fact = s.read.parquet(s"$dir/fact")
+      val joined = fact.join(dim.select($"user_id"), Seq("user_id"))
+        .select($"event_id", $"user_id")
+      joined.collect()
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("might_contain"),
+        s"no runtime bloom filter on the fact side:\n${planStr.take(1500)}")
+      assert(planStr.contains("bloom_filter_agg"),
+        s"no bloom_filter_agg on the dim side:\n${planStr.take(1500)}")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("Z-order compaction: fewer files, identical serve, box pruning preserved") {
     val s = spark
     val staging = java.nio.file.Files.createTempDirectory("zorder_compact").toString
