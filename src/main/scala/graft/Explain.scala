@@ -93,6 +93,7 @@ object Explain {
     "q113_snapshot_compact" -> "snapshot-preserving compaction: append commits v2, copy-on-write merge of v2's fragmented (band_id, kbucket) partitions lands NEW sibling files and commits v3, then one probe sketch serves as-of v1/v2/v3 — v1 blind to the append, v3 row-identical to v2; pinned plan is the three-leg as-of serve union",
     "q114_cluster_changefeed" -> "change data feed from the incremental cluster step: inserts straight from the quotient propagation, updates from the label table joined against the BROADCAST changed-remap — O(batch + touched members), never a corpus diff of two label snapshots; pinned plan is the feed union",
     "q110s_stream_clusters" -> "q110 through the engine's micro-batch cycle: each foreachBatch serves edges against the index AS IT STANDS, quotient-propagates, upserts the bucket-partitioned label table partition-locally (partitionFromKey — no resident scan), and appends to the index before the next trigger; pinned plan is the final label-table read",
+    "q111s_stream_retire" -> "q111 through the engine's micro-batch cycle: each foreachBatch touches the clusters of its retirees against the label table AS IT STANDS, re-solves the survivor-induced subgraph, and mutates the table partition-locally before the next trigger — a twice-touched cluster re-solves against its current membership, so the composition equals the one-shot retire; pinned plan is the final label-table read",
     "q111_cluster_retire" -> "decremental cluster maintenance: touched clusters from one semi-join against the label table, survivor-induced edges from the memoized pair relation restricted to touched survivors, components re-solved on that bounded subgraph only; retired rows leave via partition-local delete, relabels land via partition-local upsert; pinned plan is the final label-table read",
     "q112_ingest_autocompact" -> "q103's ingest loop under the threshold-triggered PARTITION-LOCAL compaction policy: after each append, only (band_id, kbucket) directories whose file count crossed the threshold are rewritten — write amplification bounded by where arrivals landed, never the index size; identical oracle to q103 proves the policy result-neutral at every loop point; pinned plan is the verdict assembly",
     "q108_cluster_split" -> "leakage-proof split from the near-dup CLUSTER label: stateless column expression over the memoized cluster relation (pinned plan reads the label cut) — the timed cost in a sweep is the shared minhash-pairs + cluster memo it happens to pay first",
@@ -119,7 +120,8 @@ object Explain {
     "q103s_stream_ingest", "q104_stream_budget", "q107_index_delete",
     "q108_cluster_split", "q109_index_timetravel",
     "q110_incremental_clusters", "q110s_stream_clusters",
-    "q111_cluster_retire", "q112_ingest_autocompact",
+    "q111_cluster_retire", "q111s_stream_retire",
+    "q112_ingest_autocompact",
     "q113_snapshot_compact", "q114_cluster_changefeed")
 
   def main(args: Array[String]): Unit = {

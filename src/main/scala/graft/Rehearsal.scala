@@ -25,10 +25,15 @@ import org.apache.spark.sql.functions._
   * paste into PLANS.md. */
 object Rehearsal {
 
-  /** The heavy family named by the round-12 advice. */
+  /** The heavy family named by the round-12 advice, plus the
+    * round-13 incremental cluster maintenance (its serve + quotient
+    * propagation see the same hit-multiplicity pressure as q99, and
+    * the resident-label derivation rides the q31/q35 memos staged by
+    * the earlier entries). */
   val heavy: Seq[String] = Seq(
     "q31_minhash_pairs", "q35_dup_clusters", "q86_knn_join",
-    "q98_chunk_neardup", "q99_lsh_index_dedup", "q103_ingest_loop")
+    "q98_chunk_neardup", "q99_lsh_index_dedup", "q103_ingest_loop",
+    "q110_incremental_clusters")
 
   private final class TaskMax extends SparkListener {
     val maxInput = new java.util.concurrent.atomic.AtomicLong(0)

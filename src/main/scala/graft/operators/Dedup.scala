@@ -1565,6 +1565,70 @@ object Dedup {
       } finally graft.Fs.deleteRecursively(staging,
         s.sparkContext.hadoopConfiguration)
     },
+
+    // STREAMING RETIRE — q111 driven by the ENGINE's micro-batch
+    // cycle (completing the {incremental, decremental} × {batch,
+    // streaming} maintenance matrix): retention deletes arrive as 3
+    // ordered micro-batches, and each foreachBatch callback touches
+    // the clusters of ITS retirees against the label table AS IT
+    // STANDS (earlier batches already deleted + relabeled), re-solves
+    // the survivor-induced subgraph, and mutates the table partition-
+    // locally before the next trigger. A cluster touched by two
+    // batches is re-solved twice against its CURRENT membership —
+    // which is why the composition equals the one-shot retire: each
+    // step computes exact components of the then-current survivor
+    // graph, so induction carries to the final population. Oracle =
+    // q111's full-recompute SQL verbatim, path-independence proven at
+    // the driver's gate.
+    "q111s_stream_retire" -> { (s, d) =>
+      import graft.plans.IndexMaintenance
+      val src = stageResidentState(s, d)
+      val staging = graft.Fs.createStagingDir(s, "graft-q111s")
+      try {
+        val labDir = s"$staging/labels"
+        IndexMaintenance.copyDir(s, src, labDir)
+        val buckets = labelBuckets(s, labDir)
+        // the retention feed: the same %17 policy slice as q111,
+        // arriving in 3 ordered micro-batches
+        val feed = s.read.parquet(src)
+          .where(pmod(col("doc_id"), lit(17)) === 3)
+          .select(col("doc_id"))
+          .withColumn("batch", (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+        graft.streaming.Replay.runBatchedForeach(s, feed, "batch",
+          batches = 3, stageKey = Some(s"q111s:$d")) { batch =>
+          val lab = s.read.parquet(labDir)
+            .select(col("doc_id"), col("label"))
+          val retiredB = batch.select(col("doc_id"))
+          val touched = lab.join(retiredB, Seq("doc_id"))
+            .select(col("label")).distinct()
+          val survivors = lab.join(broadcast(touched), Seq("label"))
+            .join(retiredB, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"))
+          val pairs = minhashPairs(s, d)
+            .join(broadcast(survivors.select(col("doc_id").as("doc_a"))),
+              Seq("doc_a"), "left_semi")
+            .join(broadcast(survivors.select(col("doc_id").as("doc_b"))),
+              Seq("doc_b"), "left_semi")
+            .select(col("doc_a"), col("doc_b"))
+          val comp = minLabelComponents(pairs,
+            survivors.select(col("doc_id").as("node")))
+          IndexMaintenance.deletePartitioned(s, labDir,
+            Seq("dbucket"), "doc_id", retiredB)
+          IndexMaintenance.upsertPartitioned(s, labDir,
+            Seq("dbucket"), "doc_id",
+            comp.select(col("node").as("doc_id"), col("label"))
+              .withColumn("dbucket",
+                pmod(col("doc_id"), lit(buckets)).cast("int")),
+            partitionFromKey = true)
+          Materialize.release(comp)
+        }
+        Materialize.cut(
+          s.read.parquet(labDir)
+            .select(col("doc_id"), col("label").as("cluster_id")))
+          .orderBy(col("doc_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
   /** The three-batch incremental ingest loop behind q103/q103b/q112:
@@ -2272,6 +2336,24 @@ object Dedup {
          |FROM old o JOIN fin f ON o.doc_id = f.doc_id
          |WHERE o.lab <> f.lab
          |ORDER BY doc_id""".stripMargin,
+    // q111's oracle VERBATIM: the streamed, path-dependent retire
+    // batches must compose to exactly the one-shot survivor recompute
+    "q111s_stream_retire" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |  WHERE $estSql >= $EstThreshold
+         |    AND doc_a % 10 <> 0 AND doc_a % 17 <> 3
+         |    AND doc_b % 10 <> 0 AND doc_b % 17 <> 3),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  WHERE doc_id % 10 <> 0 AND doc_id % 17 <> 3
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         |SELECT a AS doc_id, min(b) AS cluster_id
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     // the incremental retire must equal a full recompute over the
     // SURVIVOR population (residents minus the retention slice) —
     // components of the survivor-induced subgraph, min surviving id

@@ -561,6 +561,36 @@ class OperatorsSpec extends SparkSpec {
       s"wrong labeling: $local")
   }
 
+  test("q111s: cross-batch double-touch — a cluster losing members in two " +
+      "micro-batches (min in the later one) composes to the one-shot retire") {
+    val s = spark
+    import s.implicits._
+    // residents; retention slice is %17 == 3, batch = doc_id%3 + 1:
+    //  {29, 46} text A — untouched cluster 29
+    //  {37, 39, 54, 56} text B, label 37 — 54 retires in batch 1
+    //    (cluster keeps min 37), then 37 retires in batch 2 (the
+    //    CURRENT min leaves a cluster already re-solved once →
+    //    survivors {39, 56} must relabel to 39)
+    //  {71} text D singleton — retires in batch 3, vanishes
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight"
+    val D = "north south east west up down left right"
+    val staging = java.nio.file.Files.createTempDirectory("q111s_ret").toString
+    try {
+      Seq((29L, A), (46L, A), (37L, B), (39L, B), (54L, B), (56L, B),
+          (71L, D))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.parquet(s"$staging/documents.parquet")
+      val out = Dedup.queries("q111s_stream_retire")(s, staging)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out === Map(29L -> 29L, 46L -> 29L, 39L -> 39L, 56L -> 39L),
+        s"got $out")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("q111: retiring a cluster's min member relabels survivors; " +
       "retired docs and retired singletons leave the state") {
     val s = spark
