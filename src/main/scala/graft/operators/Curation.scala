@@ -734,6 +734,171 @@ object Curation {
         .orderBy(col("doc_id"))
     },
 
+    // BIGRAM-LM PERPLEXITY FILTER — the full CCNet shape: a LANGUAGE
+    // MODEL trained on a REFERENCE corpus (here the doc_id%10==0
+    // slice standing in for the curated wiki dump; in production the
+    // model ships as an artifact) scores every document by mean
+    // negative log-likelihood under per-language add-k-smoothed
+    // BIGRAM probabilities, and the filter keeps docs more fluent
+    // than their language's mean. This is context-sensitive where
+    // q82/q82b are bag-of-words: a doc of common words in improbable
+    // ORDER scores badly here and fine there.
+    //
+    // Model = three tiny relations (bigram counts, context counts,
+    // per-lang vocab), all BROADCAST — an n-gram LM is MBs against a
+    // 100 TB corpus. Scoring is: one corpus scan → bigram explode
+    // (native shingle kernel) → four broadcast joins (vocab×2 for
+    // UNK-mapping, counts×2) → per-doc aggregation on the doc_id key
+    // the scan was repartitioned by, so the ONLY corpus-volume
+    // shuffle is that explicit repartition (ScaleShapeSpec asserts no
+    // shuffle join on any model key). Smoothing: p(w2|w1) =
+    // (c2 + 0.5) / (c1 + 0.5·V), V = ref vocab + 1 for <unk>; OOV
+    // tokens map to <unk> BEFORE lookup, so unseen contexts get the
+    // uniform floor rather than ln(0). Determinism: the q82 pattern —
+    // ln rounded to 6 per OCCURRENCE of identical double inputs,
+    // carried as DECIMAL(18,6) so per-doc and per-lang sums are
+    // order-independent; keep threshold = per-lang mean of rounded
+    // nll, bit-identical in both engines. A lang absent from the
+    // reference slice has no model: its docs emit nll NULL /
+    // keep false (the inner join on vocab size states it).
+    "q118_lm_perplexity" -> { (s, d) =>
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = Tables.documents(s, d).withColumn("toks", expr(toksExpr))
+      val bigr = graft.functions.VectorFunctions.shingles(
+        col("toks"), 2, distinct = false)
+      val ref = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val refBi = ref
+        .select(col("lang"), explode(bigr).as("bi"))
+        .select(col("lang"),
+          substring_index(col("bi"), " ", 1).as("w1"),
+          substring_index(col("bi"), " ", -1).as("w2"))
+      val c2 = refBi.groupBy(col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("cnt2"))
+      val c1 = refBi.groupBy(col("lang"), col("w1"))
+        .agg(count(lit(1)).as("cnt1"))
+      val vocab = ref
+        .select(col("lang"), explode(col("toks")).as("term")).distinct()
+      val vsize = vocab.groupBy(col("lang"))
+        .agg((count(lit(1)) + 1).as("v"))
+      val scored = docs
+        .repartition(parts, col("doc_id"))
+        .select(col("doc_id"), col("lang"), explode(bigr).as("bi"))
+        .select(col("doc_id"), col("lang"),
+          substring_index(col("bi"), " ", 1).as("rw1"),
+          substring_index(col("bi"), " ", -1).as("rw2"))
+        .join(broadcast(vocab.select(col("lang"),
+          col("term").as("rw1"), lit(1).as("in1"))), Seq("lang", "rw1"), "left")
+        .join(broadcast(vocab.select(col("lang"),
+          col("term").as("rw2"), lit(1).as("in2"))), Seq("lang", "rw2"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("in1").isNull, lit("<unk>")).otherwise(col("rw1")).as("w1"),
+          when(col("in2").isNull, lit("<unk>")).otherwise(col("rw2")).as("w2"))
+        .join(broadcast(c2), Seq("lang", "w1", "w2"), "left")
+        .join(broadcast(c1), Seq("lang", "w1"), "left")
+        .join(broadcast(vsize), Seq("lang"))
+        .withColumn("nlp", round(-log(
+          (coalesce(col("cnt2"), lit(0L)).cast("double") + lit(0.5)) /
+            (coalesce(col("cnt1"), lit(0L)).cast("double")
+              + lit(0.5) * col("v").cast("double"))), 6)
+          .cast("decimal(18,6)"))
+      val perDoc = scored.groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nlp")).as("snlp"))
+        .withColumn("nll", round(
+          col("snlp").cast("double") / col("n_bigrams").cast("double"), 6))
+      val mu = perDoc.groupBy(col("lang")).agg(
+        (sum(col("nll").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mu"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(perDoc.select(col("doc_id"), col("n_bigrams"), col("nll")),
+          Seq("doc_id"), "left")
+        .join(broadcast(mu), Seq("lang"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("nll"),
+          when(col("nll").isNull, lit(false))
+            .otherwise(col("nll") <= col("mu")).as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
+    // LEARNED QUALITY CLASSIFIER — multinomial Naive Bayes (the
+    // fastText-style quality filter every production curation stack
+    // runs after the heuristic gates): heuristic labels on the train
+    // slice (doc_id%10≠0, label = q81's quality score ≥ 0.5) train
+    // token likelihoods with Laplace smoothing, and EVERY doc is
+    // scored by per-class negative log-likelihood (priors smoothed
+    // +1/+2 so a one-sided corpus can't produce ln 0); pred_keep =
+    // keep-class NLL ≤ drop-class NLL. Training is counts — groupBy
+    // term with map-side partials (exchange bounded at partitions ×
+    // vocab) plus three scalar aggregates; the model (term → two
+    // counts) is MBs and BROADCAST, so scoring is one corpus scan →
+    // token explode → broadcast join → doc_id-partitioned agg, the
+    // q118 shape. Determinism: ln rounded to 6 per occurrence of
+    // identical double inputs, DECIMAL(18,6) sums, one final cast to
+    // double — bit-identical across engines, ties break to keep.
+    "q119_nb_quality" -> { (s, d) =>
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("n_toks", size(col("toks")).cast("long"))
+        .withColumn("stop_hits",
+          expr(TextAnalysis.hitsSpark(TextAnalysis.stopwords)))
+        .withColumn("n_punct",
+          expr("length(regexp_replace(text, '[a-z0-9\\\\s]', ''))"))
+        .withColumn("quality", round(
+          lit(0.4) * least(lit(1.0), col("n_toks").cast("double") / lit(50.0))
+            + lit(0.4) * (col("stop_hits").cast("double") /
+                col("n_toks").cast("double"))
+            + lit(0.2) * (lit(1.0) - col("n_punct").cast("double")
+                / length(col("text")).cast("double")), 6))
+        .withColumn("is_train", pmod(col("doc_id"), lit(10)) =!= 0)
+        .withColumn("label_heur", when(col("is_train"),
+          coalesce(col("quality") >= 0.5, lit(false)))
+          .otherwise(lit(null).cast("boolean")))
+      val train = docs.where(col("is_train"))
+        .withColumn("lab", coalesce(col("quality") >= 0.5, lit(false)))
+      val prior = train.agg(
+        count(when(col("lab"), 1)).as("nd_keep"),
+        count(when(!col("lab"), 1)).as("nd_drop"),
+        count(lit(1)).as("nd"))
+      val trainToks = train.select(col("lab"), explode(col("toks")).as("term"))
+      val termCnt = trainToks.groupBy(col("term")).agg(
+        count(when(col("lab"), 1)).as("cnt_keep"),
+        count(when(!col("lab"), 1)).as("cnt_drop"))
+      val tots = trainToks.agg(
+        count(when(col("lab"), 1)).as("tot_keep"),
+        count(when(!col("lab"), 1)).as("tot_drop"),
+        countDistinct(col("term")).as("v"))
+      def nlp(cnt: org.apache.spark.sql.Column, tot: org.apache.spark.sql.Column) =
+        round(-log((coalesce(cnt, lit(0L)).cast("double") + lit(1.0)) /
+          (tot.cast("double") + col("v").cast("double"))), 6)
+          .cast("decimal(18,6)")
+      val perDoc = docs
+        .repartition(parts, col("doc_id"))
+        .select(col("doc_id"), explode(col("toks")).as("term"))
+        .join(broadcast(termCnt), Seq("term"), "left")
+        .crossJoin(broadcast(tots))
+        .select(col("doc_id"),
+          nlp(col("cnt_keep"), col("tot_keep")).as("nlp_keep"),
+          nlp(col("cnt_drop"), col("tot_drop")).as("nlp_drop"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("nlp_keep")).as("snk"), sum(col("nlp_drop")).as("snd"))
+      def lp(nd: org.apache.spark.sql.Column) =
+        round(-log((nd.cast("double") + lit(1.0)) /
+          (col("nd").cast("double") + lit(2.0))), 6).cast("decimal(18,6)")
+      docs.select(col("doc_id"), col("n_toks"), col("is_train"),
+          col("label_heur"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .crossJoin(broadcast(prior))
+        .withColumn("s_keep",
+          (coalesce(col("snk"), lit(0)) + lp(col("nd_keep"))).cast("double"))
+        .withColumn("s_drop",
+          (coalesce(col("snd"), lit(0)) + lp(col("nd_drop"))).cast("double"))
+        .select(col("doc_id"), col("n_toks"), col("is_train"),
+          col("label_heur"), col("s_keep"), col("s_drop"),
+          (col("s_keep") <= col("s_drop")).as("pred_keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // DATASET SPLIT — the train/val/test assignment every training
     // pipeline runs last, with the subtlety that makes it a curation
     // op and not a one-liner: the split key is the CONTENT digest,
@@ -1136,6 +1301,106 @@ object Curation {
          |  AND tr.quality >= 0.5
          |  AND NOT (tr.frac_dup_3grams > 0.1 OR tr.frac_dup_tokens > 0.6)
          |ORDER BY tr.doc_id""".stripMargin,
+    "q118_lm_perplexity" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |bt AS (SELECT doc_id, lang,
+         |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+         |      i -> [toks[i], toks[i + 1]]) ELSE [] END AS bis
+         |  FROM tk),
+         |refbi AS (SELECT lang, unnest(bis) AS bi FROM bt WHERE doc_id % 10 = 0),
+         |c2 AS (SELECT lang, bi[1] AS w1, bi[2] AS w2, count(*) AS cnt2
+         |  FROM refbi GROUP BY 1, 2, 3),
+         |c1 AS (SELECT lang, bi[1] AS w1, count(*) AS cnt1
+         |  FROM refbi GROUP BY 1, 2),
+         |vocab AS (SELECT DISTINCT lang, unnest(toks) AS term FROM tk
+         |  WHERE doc_id % 10 = 0),
+         |vs AS (SELECT lang, count(*) + 1 AS v FROM vocab GROUP BY lang),
+         |ap AS (SELECT doc_id, lang, unnest(bis) AS bi FROM bt),
+         |apu AS (SELECT a.doc_id, a.lang,
+         |    CASE WHEN v1.term IS NULL THEN '<unk>' ELSE a.bi[1] END AS w1,
+         |    CASE WHEN v2.term IS NULL THEN '<unk>' ELSE a.bi[2] END AS w2
+         |  FROM ap a
+         |  LEFT JOIN vocab v1 ON v1.lang = a.lang AND v1.term = a.bi[1]
+         |  LEFT JOIN vocab v2 ON v2.lang = a.lang AND v2.term = a.bi[2]),
+         |sc AS (SELECT a.doc_id, a.lang,
+         |    CAST(round(-ln((CAST(coalesce(c2.cnt2, 0) AS DOUBLE) + 0.5)
+         |      / (CAST(coalesce(c1.cnt1, 0) AS DOUBLE)
+         |         + 0.5 * CAST(vs.v AS DOUBLE))), 6) AS DECIMAL(18,6)) AS nlp
+         |  FROM apu a
+         |  LEFT JOIN c2 ON c2.lang = a.lang AND c2.w1 = a.w1 AND c2.w2 = a.w2
+         |  LEFT JOIN c1 ON c1.lang = a.lang AND c1.w1 = a.w1
+         |  JOIN vs ON vs.lang = a.lang),
+         |pd AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    round(CAST(sum(nlp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS nll
+         |  FROM sc GROUP BY doc_id, lang),
+         |mu AS (SELECT lang,
+         |    CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS mu
+         |  FROM pd GROUP BY lang)
+         |SELECT d.doc_id, d.lang,
+         |  CAST(coalesce(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams, pd.nll,
+         |  CASE WHEN pd.nll IS NULL THEN false ELSE pd.nll <= mu.mu END AS keep
+         |FROM documents d
+         |LEFT JOIN pd ON pd.doc_id = d.doc_id
+         |LEFT JOIN mu ON mu.lang = d.lang
+         |ORDER BY d.doc_id""".stripMargin,
+    "q119_nb_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |sig AS (SELECT doc_id, text, toks,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    ${TextAnalysis.hitsSql(TextAnalysis.stopwords)} AS stop_hits,
+         |    length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS n_punct
+         |  FROM t),
+         |q AS (SELECT doc_id, toks, n_toks,
+         |    round(0.4 * least(1.0, CAST(n_toks AS DOUBLE) / 50.0)
+         |      + 0.4 * (CAST(stop_hits AS DOUBLE) / CAST(n_toks AS DOUBLE))
+         |      + 0.2 * (1.0 - CAST(n_punct AS DOUBLE)
+         |          / CAST(length(text) AS DOUBLE)), 6) AS quality,
+         |    (doc_id % 10 <> 0) AS is_train
+         |  FROM sig),
+         |lab AS (SELECT doc_id, toks, n_toks, is_train,
+         |    CASE WHEN is_train THEN coalesce(quality >= 0.5, false)
+         |    END AS label_heur
+         |  FROM q),
+         |train AS (SELECT * FROM lab WHERE is_train),
+         |prior AS (SELECT
+         |    count(CASE WHEN label_heur THEN 1 END) AS nd_keep,
+         |    count(CASE WHEN NOT label_heur THEN 1 END) AS nd_drop,
+         |    count(*) AS nd
+         |  FROM train),
+         |tt AS (SELECT label_heur AS lab, unnest(toks) AS term FROM train),
+         |tc AS (SELECT term,
+         |    count(CASE WHEN lab THEN 1 END) AS cnt_keep,
+         |    count(CASE WHEN NOT lab THEN 1 END) AS cnt_drop
+         |  FROM tt GROUP BY term),
+         |tots AS (SELECT
+         |    count(CASE WHEN lab THEN 1 END) AS tot_keep,
+         |    count(CASE WHEN NOT lab THEN 1 END) AS tot_drop,
+         |    count(DISTINCT term) AS v
+         |  FROM tt),
+         |pd AS (SELECT a.doc_id,
+         |    sum(CAST(round(-ln((CAST(coalesce(tc.cnt_keep, 0) AS DOUBLE) + 1.0)
+         |      / (CAST(tots.tot_keep AS DOUBLE) + CAST(tots.v AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6))) AS snk,
+         |    sum(CAST(round(-ln((CAST(coalesce(tc.cnt_drop, 0) AS DOUBLE) + 1.0)
+         |      / (CAST(tots.tot_drop AS DOUBLE) + CAST(tots.v AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6))) AS snd
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM lab) a
+         |  LEFT JOIN tc USING (term) CROSS JOIN tots
+         |  GROUP BY a.doc_id),
+         |pr AS (SELECT
+         |    CAST(round(-ln((CAST(nd_keep AS DOUBLE) + 1.0)
+         |      / (CAST(nd AS DOUBLE) + 2.0)), 6) AS DECIMAL(18,6)) AS lp_keep,
+         |    CAST(round(-ln((CAST(nd_drop AS DOUBLE) + 1.0)
+         |      / (CAST(nd AS DOUBLE) + 2.0)), 6) AS DECIMAL(18,6)) AS lp_drop
+         |  FROM prior)
+         |SELECT l.doc_id, l.n_toks, l.is_train, l.label_heur,
+         |  CAST(coalesce(pd.snk, 0) + pr.lp_keep AS DOUBLE) AS s_keep,
+         |  CAST(coalesce(pd.snd, 0) + pr.lp_drop AS DOUBLE) AS s_drop,
+         |  (CAST(coalesce(pd.snk, 0) + pr.lp_keep AS DOUBLE)
+         |    <= CAST(coalesce(pd.snd, 0) + pr.lp_drop AS DOUBLE)) AS pred_keep
+         |FROM lab l LEFT JOIN pd ON pd.doc_id = l.doc_id CROSS JOIN pr
+         |ORDER BY l.doc_id""".stripMargin,
     "q85_dataset_split" ->
       s"""SELECT doc_id, md5(text) AS digest,
          |  CASE WHEN ${Tokens.mdByteSql("text")} < 205 THEN 'train'

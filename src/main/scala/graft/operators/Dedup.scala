@@ -73,6 +73,15 @@ object Dedup {
     * every pair a near-dup, which is volume without meaning. */
   val EstThreshold: Double = 15.0 / 16.0
 
+  /** Bottom-k size for the q120 cross-source KMV overlap sketches —
+    * deliberately SMALL so the sf0.01 gate already exercises the
+    * (k−1)·2⁴⁸ div h_k estimator path (sources there hold ~25
+    * distinct digests; k=64 would always take the exact-count
+    * fallback and leave the estimator un-oracled). Production sizes
+    * k in the thousands for <2% relative error — the plan shape is
+    * k-independent. */
+  val KmvOverlapK = 16
+
   /** Whitespace tokens, lowercased, empties dropped (multiplicity
     * kept) — the engine-wide tokenization shared with TextAnalysis. */
   private val toksExpr = Tokens.toksExpr
@@ -1431,6 +1440,172 @@ object Dedup {
       out.orderBy(col("doc_id"))
     },
 
+    // CHANGEFEED APPLY — the CONSUMER side of q114, closing the CDC
+    // loop: a downstream system (here a training-set materializer
+    // keeping one canonical doc per near-dup cluster) maintains its
+    // OWN label mirror and keep-list from the feed alone — it never
+    // sees the batch, the index, or the producer's corpus. Apply is
+    // MERGE semantics: feed rows upsert into the mirror partition-
+    // locally (dbucket is a pure function of doc_id, so the touched
+    // buckets derive from the feed — buckets holding no feed doc stay
+    // byte-identical), and the keep-list VIEW recomputes only the
+    // TOUCHED clusters (the feed's new_label set) against the mirror,
+    // while untouched clusters' keep rows come straight from the
+    // pre-batch state (their membership provably didn't change; the
+    // merged-away old_labels are excluded so no stale row survives).
+    // That is O(feed + touched-cluster members) end to end — the
+    // feed-sufficiency contract CDC exists for. Oracle = the full-
+    // corpus recompute's per-cluster keep-list (q35b's selection:
+    // longest member, doc_id tiebreak) with the touched flag derived
+    // from the exhaustive diff — proving the mirror-maintained view
+    // equals what a from-scratch consumer would build.
+    "q117_changefeed_apply" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.plans.{IndexMaintenance, MinHashIndex}
+      val docs = Tables.documents(s, d)
+      val h = MinHashIndex.ensureSaved(s,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), col("text")),
+        s"$d/documents.parquet", lshIndexDir(s, d))
+      val resLab = residentLabelsServed(s, d)
+      val probe = MinHashIndex.localize(s,
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("text")))
+      val delta = clusterStep(s, h, resLab, probe)
+      val changed = delta.remap.where(col("new_label") =!= col("old_label"))
+      val updates = resLab
+        .join(broadcast(changed), resLab("label") === changed("old_label"))
+        .select(col("doc_id"), lit("update").as("op"),
+          col("label").as("old_label"), col("new_label"))
+      val inserts = delta.batchLab
+        .select(col("doc_id"), lit("insert").as("op"),
+          lit(-1L).as("old_label"), col("label").as("new_label"))
+      // the feed is the ONLY producer artifact that crosses over
+      val feed = Materialize.cut(inserts.unionByName(updates))
+      Materialize.release(delta.comp)
+      val staging = graft.Fs.createStagingDir(s, "graft-q117")
+      try {
+        val mirDir = s"$staging/mirror"
+        IndexMaintenance.copyDir(s, stageResidentState(s, d), mirDir)
+        val buckets = labelBuckets(s, mirDir)
+        IndexMaintenance.upsertPartitioned(s, mirDir,
+          Seq("dbucket"), "doc_id",
+          feed.select(col("doc_id"), col("new_label").as("label"))
+            .withColumn("dbucket",
+              pmod(col("doc_id"), lit(buckets)).cast("int")),
+          partitionFromKey = true)
+        val touched = feed.select(col("new_label").as("label")).distinct()
+        // labels merged away by updates must not leave stale keep rows;
+        // derived from the FEED (the only live artifact — delta.comp is
+        // already released, and a real consumer has nothing else anyway)
+        val excl = touched.unionByName(
+          feed.where(col("op") === "update")
+            .select(col("old_label").as("label"))).distinct()
+        val dims = docs.select(col("doc_id"), col("n_chars"))
+        def keepList(lab: DataFrame): DataFrame = {
+          val byLab = Window.partitionBy(col("label"))
+          lab.join(dims, Seq("doc_id"))
+            .withColumn("rnk", row_number().over(
+              byLab.orderBy(col("n_chars").desc, col("doc_id").asc)))
+            .withColumn("n_members", count(lit(1)).over(byLab))
+            .where(col("rnk") === 1)
+            .select(col("label").as("cluster_id"),
+              col("doc_id").as("kept_doc"), col("n_members"))
+        }
+        val untouchedKeep = keepList(
+          resLab.join(broadcast(excl), Seq("label"), "left_anti"))
+          .withColumn("touched", lit(false))
+        val touchedKeep = keepList(
+          s.read.parquet(mirDir).select(col("doc_id"), col("label"))
+            .join(broadcast(touched), Seq("label"), "left_semi"))
+          .withColumn("touched", lit(true))
+        // materialized before the finally reclaims the mirror
+        Materialize.cut(untouchedKeep.unionByName(touchedKeep))
+          .orderBy(col("cluster_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
+    // CROSS-SOURCE OVERLAP ESTIMATION — the dedup PLANNING sketch: how
+    // many documents do two crawl sources share, for every source
+    // pair, WITHOUT joining corpora? Per-source KMV (bottom-k) sketch
+    // of the content digest's 48-bit hash; a pair's union estimate
+    // comes from the bottom-k of the two sketches' union (provably the
+    // true bottom-k of A∪B: a value missing from its source's sketch
+    // has k smaller values in that same sketch, so it can never be
+    // among the union's k smallest), and the intersection follows by
+    // inclusion–exclusion, floored at 0. The q55b estimator verbatim —
+    // (k−1)·2⁴⁸ div h_k, exact-count fallback below k — pure integer
+    // arithmetic, bit-reproducible in both engines, with K sized so
+    // sf0.01 already exercises the estimator path, not just the
+    // fallback. Scale: the per-source sketch aggregation is the only
+    // corpus-volume work (one distinct on (source, hash)); everything
+    // pairwise runs on sketch rows (sources × K — KBs for thousands of
+    // sources), never on documents. The exact_inter leg is the
+    // SELF-EVALUATION (q100's recall pattern): it pays the real
+    // digest-keyed corpus shuffle the sketch exists to avoid, and a
+    // production run drops it.
+    "q120_kmv_source_overlap" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val km = KmvOverlapK
+      val est = s"(${km - 1} * 281474976710656) div h_k"
+      val docs = Tables.documents(s, d)
+      val hashes = docs.select(col("source"), md5(col("text")).as("hx"))
+        .select(col("source"), expr(Tokens.hex48("hx")).as("h"))
+        .distinct()
+      val ranked = hashes.withColumn("rn",
+        row_number().over(Window.partitionBy(col("source")).orderBy(col("h"))))
+      val perSrc = ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("nd"),
+        max(when(col("rn") === km, col("h"))).as("h_k"))
+        .select(col("source"),
+          coalesce(expr(est), col("nd")).cast("long").as("est"))
+      // the sketch relation — the ONLY thing the pairwise stage reads
+      val sk = Materialize.cut(
+        ranked.where(col("rn") <= km).select(col("source"), col("h")))
+      val srcs = sk.select(col("source")).distinct()
+      val pairRel = srcs.select(col("source").as("source_a"))
+        .crossJoin(srcs.select(col("source").as("source_b")))
+        .where(col("source_a") < col("source_b"))
+      val u = pairRel
+        .join(sk.withColumnRenamed("source", "source_a"), Seq("source_a"))
+        .select(col("source_a"), col("source_b"), col("h"))
+        .unionByName(pairRel
+          .join(sk.withColumnRenamed("source", "source_b"), Seq("source_b"))
+          .select(col("source_a"), col("source_b"), col("h")))
+        .distinct()
+      val pairEst = u.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source_a"), col("source_b"))
+            .orderBy(col("h"))))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("nd"),
+          max(when(col("rn") === km, col("h"))).as("h_k"))
+        .select(col("source_a"), col("source_b"),
+          coalesce(expr(est), col("nd")).cast("long").as("est_union"))
+      val sd = docs.select(col("source"), md5(col("text")).as("digest"))
+        .distinct()
+      val exact = sd.select(col("source").as("source_a"), col("digest"))
+        .join(sd.select(col("source").as("source_b"), col("digest")),
+          Seq("digest"))
+        .where(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairEst
+        .join(broadcast(perSrc.select(col("source").as("source_a"),
+          col("est").as("est_a"))), Seq("source_a"))
+        .join(broadcast(perSrc.select(col("source").as("source_b"),
+          col("est").as("est_b"))), Seq("source_b"))
+        .join(exact, Seq("source_a", "source_b"), "left")
+        .withColumn("est_inter", greatest(lit(0L),
+          col("est_a") + col("est_b") - col("est_union")))
+        .select(col("source_a"), col("source_b"), col("est_a"),
+          col("est_b"), col("est_union"), col("est_inter"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+          round(col("est_inter").cast("double") /
+            col("est_union").cast("double"), 6).as("jaccard_est"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // STREAMING INCREMENTAL CLUSTERS — q110 driven by the ENGINE's
     // micro-batch cycle (the q103s pattern applied to CLUSTER state):
     // the arriving corpus slice replays as 3 ordered micro-batches,
@@ -2336,6 +2511,104 @@ object Dedup {
          |FROM old o JOIN fin f ON o.doc_id = f.doc_id
          |WHERE o.lab <> f.lab
          |ORDER BY doc_id""".stripMargin,
+    // the feed-maintained consumer view must equal the keep-list a
+    // from-scratch consumer would build over the full recompute; the
+    // touched flag comes from the exhaustive diff (final clusters
+    // holding a batch doc or a relabeled resident)
+    "q117_changefeed_apply" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |fin AS (SELECT a AS doc_id, min(b) AS lab FROM reach GROUP BY a),
+         |redges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |  WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
+         |rreach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 <> 0
+         |  UNION
+         |  SELECT r.a, e.dst FROM rreach r JOIN redges e ON r.b = e.src),
+         |old AS (SELECT a AS doc_id, min(b) AS lab FROM rreach GROUP BY a),
+         |feedids AS (
+         |  SELECT doc_id FROM fin WHERE doc_id % 10 = 0
+         |  UNION
+         |  SELECT o.doc_id FROM old o JOIN fin f ON o.doc_id = f.doc_id
+         |  WHERE o.lab <> f.lab),
+         |touched AS (
+         |  SELECT DISTINCT f.lab FROM fin f JOIN feedids i ON f.doc_id = i.doc_id),
+         |ranked AS (
+         |  SELECT f.lab AS cluster_id, f.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY f.lab
+         |      ORDER BY d.n_chars DESC, f.doc_id ASC) AS rnk,
+         |    count(*) OVER (PARTITION BY f.lab) AS n_members
+         |  FROM fin f JOIN documents d ON f.doc_id = d.doc_id)
+         |SELECT r.cluster_id, r.doc_id AS kept_doc,
+         |  CAST(r.n_members AS BIGINT) AS n_members,
+         |  (t.lab IS NOT NULL) AS touched
+         |FROM ranked r LEFT JOIN touched t ON t.lab = r.cluster_id
+         |WHERE r.rnk = 1 ORDER BY r.cluster_id""".stripMargin,
+    // the sketch arithmetic is bit-reproducible: both engines build
+    // the same bottom-k hash sets and the same integer estimator, and
+    // the exact_inter self-eval column is the plain digest join
+    "q120_kmv_source_overlap" -> {
+      val k = KmvOverlapK
+      val est = s"(${k - 1} * 281474976710656) // max(CASE WHEN rn = $k THEN h END)"
+      s"""WITH hs AS (
+         |  SELECT DISTINCT source, ${Tokens.hex48("hx")} AS h FROM (
+         |    SELECT source, md5(text) AS hx FROM documents)),
+         |r AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM hs),
+         |per AS (
+         |  SELECT source, CAST(COALESCE($est, count(*)) AS BIGINT) AS est
+         |  FROM r GROUP BY source),
+         |sk AS (SELECT source, h FROM r WHERE rn <= $k),
+         |srcs AS (SELECT DISTINCT source FROM sk),
+         |pr AS (
+         |  SELECT a.source AS source_a, b.source AS source_b
+         |  FROM srcs a, srcs b WHERE a.source < b.source),
+         |u AS (
+         |  SELECT DISTINCT source_a, source_b, h FROM (
+         |    SELECT p.source_a, p.source_b, s.h
+         |    FROM pr p JOIN sk s ON s.source = p.source_a
+         |    UNION ALL
+         |    SELECT p.source_a, p.source_b, s.h
+         |    FROM pr p JOIN sk s ON s.source = p.source_b)),
+         |ur AS (
+         |  SELECT source_a, source_b, h, row_number() OVER (
+         |    PARTITION BY source_a, source_b ORDER BY h) AS rn
+         |  FROM u),
+         |ue AS (
+         |  SELECT source_a, source_b,
+         |    CAST(COALESCE($est, count(*)) AS BIGINT) AS est_union
+         |  FROM ur GROUP BY source_a, source_b),
+         |sd AS (SELECT DISTINCT source, md5(text) AS digest FROM documents),
+         |ex AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS exact_inter
+         |  FROM sd a JOIN sd b ON a.digest = b.digest AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT ue.source_a, ue.source_b, pa.est AS est_a, pb.est AS est_b,
+         |  ue.est_union,
+         |  CAST(greatest(0, pa.est + pb.est - ue.est_union) AS BIGINT)
+         |    AS est_inter,
+         |  CAST(coalesce(ex.exact_inter, 0) AS BIGINT) AS exact_inter,
+         |  round(CAST(greatest(0, pa.est + pb.est - ue.est_union) AS DOUBLE)
+         |    / CAST(ue.est_union AS DOUBLE), 6) AS jaccard_est
+         |FROM ue
+         |JOIN per pa ON pa.source = ue.source_a
+         |JOIN per pb ON pb.source = ue.source_b
+         |LEFT JOIN ex ON ex.source_a = ue.source_a AND ex.source_b = ue.source_b
+         |ORDER BY ue.source_a, ue.source_b""".stripMargin
+    },
     // q111's oracle VERBATIM: the streamed, path-dependent retire
     // batches must compose to exactly the one-shot survivor recompute
     "q111s_stream_retire" ->

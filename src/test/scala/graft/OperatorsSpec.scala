@@ -78,6 +78,42 @@ class OperatorsSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("q117: feed-applied keep-list — merged cluster relabels to the batch id, " +
+      "stale label excluded, untouched clusters pass through") {
+    val s = spark
+    import s.implicits._
+    // q110's constructed corpus: the batch is {10, 30} (doc_id%10==0).
+    // Batch doc 10 (copy of A) merges the resident cluster {11,21}
+    // under the new label 10; batch doc 30 inserts as a touched
+    // singleton. The consumer's keep-list must carry cluster 10
+    // (3 members, touched), must NOT carry a stale row for the
+    // merged-away label 11, and must pass the resident clusters 13/12
+    // through untouched from the pre-batch state.
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight"
+    val C = "red green blue yellow purple orange black white"
+    val D = "north south east west up down left right"
+    val staging = java.nio.file.Files.createTempDirectory("q117_apply").toString
+    try {
+      Seq((11L, A), (21L, A), (13L, B), (23L, B), (30L, C), (12L, D),
+          (10L, A))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.parquet(s"$staging/documents.parquet")
+      val out = Dedup.queries("q117_changefeed_apply")(s, staging)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getBoolean(3)))).toMap
+      assert(out === Map(
+        10L -> ((10L, 3L, true)),
+        13L -> ((13L, 2L, false)),
+        30L -> ((30L, 1L, true)),
+        12L -> ((12L, 1L, false))), s"got $out")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("minhash estimates are within [0,1] and pairs are canonical") {
     val s = spark
     import s.implicits._

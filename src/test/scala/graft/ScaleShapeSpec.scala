@@ -275,6 +275,40 @@ class ScaleShapeSpec extends SparkSpec {
         s"corpus shuffled by term through a $shuffled:\n${plan.take(1200)}")
   }
 
+  test("q118 LM scoring joins are all broadcast — no shuffle join on a model key") {
+    val s = spark
+    // the bigram LM is a model artifact (MBs against a 100 TB corpus):
+    // vocab membership ×2, bigram counts, context counts, and vocab
+    // size must all reach the corpus-scale bigram stream as broadcast
+    // joins (every model join leads with the lang key); the only
+    // corpus-volume exchange is the explicit doc_id repartition the
+    // per-doc aggregation then reuses
+    val df = SparkEntry.queries("q118_lm_perplexity")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [lang"),
+      s"model join is not broadcast:\n${plan.take(1200)}")
+    for (shuffled <- Seq("SortMergeJoin [lang", "ShuffledHashJoin [lang"))
+      assert(!plan.contains(shuffled),
+        s"corpus shuffled through a model join ($shuffled):\n${plan.take(1200)}")
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"q118 lost its explicit pre-explode doc_id repartition:\n${plan.take(800)}")
+  }
+
+  test("q119 NB scoring joins the broadcast model — no shuffle join on term") {
+    val s = spark
+    // same contract as q118 for the NB quality classifier: the term →
+    // (cnt_keep, cnt_drop) model broadcasts; training's groupBy(term)
+    // may exchange map-side partials, but no corpus-scale token stream
+    // may shuffle through a term-keyed JOIN
+    val df = SparkEntry.queries("q119_nb_quality")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [term"),
+      s"model join is not broadcast:\n${plan.take(1200)}")
+    for (shuffled <- Seq("SortMergeJoin [term", "ShuffledHashJoin [term"))
+      assert(!plan.contains(shuffled),
+        s"corpus shuffled by term through a $shuffled:\n${plan.take(1200)}")
+  }
+
   test("q115 CMS estimate is a broadcast lookup; no unbounded-key join in the sketch branch") {
     val s = spark
     // the sketch is D×W counters — the estimate joins the probe cells
