@@ -1036,6 +1036,105 @@ object Similarity {
       graft.plans.IvfTopK.serveTopK(s, dir)
     },
 
+    // STREAMING ONLINE ANN — the {batch, streaming} maintenance matrix
+    // extended to the VECTOR index: embeddings ARRIVE in ordered
+    // micro-batches, and each foreachBatch callback (a) probes the
+    // assignment table AS IT STANDS for its own top-k neighbors
+    // (per-probe NProbe cells under the broadcast centroid table, the
+    // q100 pruning), then (b) assigns itself to the FIXED quantizer
+    // (the exact IvfTopK.append arithmetic) and appends into the cid
+    // partitions before the next trigger. So batch 2's probes can hit
+    // batch 1's vectors but never their own batch — the online
+    // "search then index" shape of an embedding landing pipeline
+    // (retrieval dedup, streaming RAG corpora). The quantizer is
+    // trained ONCE (the production contract: train on a corpus
+    // sample, reuse across arrivals); the resident assignment starts
+    // as the vec_id%10≠0 population. Oracle = per-batch top-k over
+    // residents ∪ strictly-earlier arrivals, path dependence unrolled
+    // in SQL — ranked by the same rounded cosine, so ranks hash-match.
+    // Scale: per batch the work is probes × NProbe cells of
+    // candidates (file-pruned by the cid partition layout) + one
+    // batch-sized cid-shuffled append — never a corpus pass.
+    "q121s_stream_ann_ingest" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dir = indexDir(s, d, "ivf")
+      graft.plans.IvfTopK.ensureSaved(s, d, dir)
+      val staging = graft.Fs.createStagingDir(s, "graft-q121s")
+      try {
+        val assignPath = s"$staging/assignment"
+        val resultsDir = s"$staging/results"
+        org.apache.hadoop.fs.FileSystem.get(new java.net.URI(resultsDir),
+            s.sparkContext.hadoopConfiguration)
+          .mkdirs(new org.apache.hadoop.fs.Path(resultsDir))
+        // resident-only assignment start, write-sized-for-read
+        s.read.parquet(s"$dir/assignment")
+          .where(pmod(col("vec_id"), lit(10)) =!= 0)
+          .repartition(col("cid"))
+          .write.partitionBy("cid").parquet(assignPath)
+        val cents = s.read.parquet(s"$dir/centroids")
+        val embCols = Tables.embeddings(s, d).schema.fieldNames.toSeq
+        val feed = Tables.embeddings(s, d)
+          .where(pmod(col("vec_id"), lit(10)) === 0)
+          .withColumn("batch",
+            (pmod(col("vec_id"), lit(30)) / 10 + 1).cast("int"))
+        val resultSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("probe_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("rnk",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cos",
+            org.apache.spark.sql.types.DoubleType)))
+        graft.streaming.Replay.runBatchedForeach(s, feed, "batch",
+          batches = 3, stageKey = Some(s"q121s:$d")) { batch =>
+          val rows = graft.Materialize.cut(batch.drop("batch"))
+          val probes = rows.select(col("vec_id").as("probe_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"),
+            col("embedding").as("q_embedding"))
+          val cellW = Window.partitionBy(col("probe_id"))
+            .orderBy(col("qdist"), col("cid"))
+          val probedCells = probes.select(col("probe_id"), col("qv"))
+            .crossJoin(broadcast(cents))
+            .withColumn("qdist", VectorFunctions.l2sq(col("qv"), col("cv")))
+            .withColumn("prn", row_number().over(cellW))
+            .where(col("prn") <= NProbe)
+            .select(col("probe_id"), col("cid"))
+          val topW = Window.partitionBy(col("probe_id"))
+            .orderBy(col("cos").desc, col("vec_id").asc)
+          // serve FIRST, against the index as it stands
+          s.read.parquet(assignPath)
+            .join(broadcast(probedCells), Seq("cid"))
+            .join(broadcast(probes.select(col("probe_id"),
+              col("q_embedding"))), Seq("probe_id"))
+            .withColumn("cos", cos6(col("embedding"), col("q_embedding")))
+            .withColumn("rnk", row_number().over(topW))
+            .where(col("rnk") <= RecallK)
+            .select(col("probe_id"), col("rnk"), col("vec_id"), col("cos"))
+            .write.mode("append").parquet(resultsDir)
+          // then absorb the batch: map-side assignment under the
+          // broadcast centroid array, cid-partitioned append
+          val carr = cents.agg(collect_list(struct(
+            col("cid").cast("long").as("cid"), col("cv"))).as("carr"))
+          rows
+            .withColumn("v",
+              expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+            .crossJoin(broadcast(carr))
+            .withColumn("cid", element_at(
+              VectorFunctions.topCells(col("v"), col("carr"), 1), 1)
+              .getField("cid").cast("int"))
+            .select(embCols.map(col) :+ col("cid"): _*)
+            .repartition(col("cid"))
+            .write.mode("append").partitionBy("cid").parquet(assignPath)
+          graft.Materialize.release(rows)
+        }
+        graft.Materialize.cut(
+          s.read.schema(resultSchema).parquet(resultsDir))
+          .orderBy(col("probe_id"), col("rnk"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // IVF-PQ ADC top-k — the full 100 TB retrieval architecture in
     // one query (FAISS IVFADC): coarse-probe the NProbe nearest
     // cells, compute one ADC lookup table PER PROBED CELL from the
@@ -1585,6 +1684,41 @@ object Similarity {
            |  ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
            |GROUP BY e.probe_id
            |ORDER BY e.probe_id""".stripMargin,
+      // streaming online ANN: the path-dependent per-batch serves
+      // unroll as "residents ∪ strictly earlier arrivals" — candidate
+      // cids come from the SAME final quantizer (fin's assignment is
+      // the nearest-final-centroid rule the stream's append applies)
+      "q121s_stream_ann_ingest" ->
+        s"""$base,
+           |$kmeansCtes,
+           |arr AS (
+           |  SELECT f.vec_id, f.v, f.nrm, f.cid,
+           |    CAST((f.vec_id % 30) / 10 + 1 AS INT) AS batch
+           |  FROM fin f WHERE f.vec_id % 10 = 0),
+           |res AS (
+           |  SELECT f.vec_id, f.v, f.nrm, f.cid, 0 AS batch
+           |  FROM fin f WHERE f.vec_id % 10 <> 0),
+           |cand AS (SELECT * FROM res UNION ALL SELECT * FROM arr),
+           |cells AS (
+           |  SELECT probe_id, cid FROM (
+           |    SELECT p.vec_id AS probe_id, c.cid,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY ${distSql("p.v", "c.cv")}, c.cid) AS prn
+           |    FROM cents$KmIters c CROSS JOIN arr p)
+           |  WHERE prn <= $NProbe),
+           |served AS (
+           |  SELECT probe_id, rnk, vec_id, cos FROM (
+           |    SELECT p.vec_id AS probe_id, a.vec_id,
+           |      ${cosSql("a.v", "p.v", "a.nrm", "p.nrm")} AS cos,
+           |      row_number() OVER (PARTITION BY p.vec_id
+           |        ORDER BY ${cosSql("a.v", "p.v", "a.nrm", "p.nrm")} DESC,
+           |          a.vec_id ASC) AS rnk
+           |    FROM arr p
+           |    JOIN cells cl ON cl.probe_id = p.vec_id
+           |    JOIN cand a ON a.cid = cl.cid AND a.batch < p.batch)
+           |  WHERE rnk <= $RecallK)
+           |SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cos
+           |FROM served ORDER BY probe_id, rnk""".stripMargin,
       "q100c_ann_recall_pq" ->
         s"""$base,
            |$pqCtes,
