@@ -429,6 +429,51 @@ object Similarity {
     * the staging root, written once ([[graft.plans.PqIndex
     * .ensureSaved]] / [[graft.plans.IvfTopK.ensureSaved]]), reclaimed
     * at JVM exit. Bounded hooks: at most #kinds × #sfDirs per JVM. */
+  /** ONE IVF refresh step over a cid-partitioned assignment table
+    * (q122's body, package-visible so ScaleShapeSpec can assert the
+    * move locality on its own clone): refreshed centroids = per-cell
+    * dimension means (ivfModel's update arithmetic), map-side
+    * reassignment under the broadcast refreshed centroid array, and a
+    * partition-local MOVE of exactly the reassigned rows (delete from
+    * old cells + cid append) — cells without movers keep their files
+    * byte-identical. The refreshed centroid artifact is written to
+    * `centsOut` BEFORE the assignment mutation (a plan executed after
+    * the rewrite would resolve against a stale file listing). Returns
+    * (vec_id, old_cid, new_cid, moved) with new_cid read back from
+    * the MUTATED table, so an oracle gate on the result proves the
+    * disk state, not just the arithmetic. */
+  private[graft] def refreshAssignment(s: SparkSession, assignPath: String,
+      centsOut: String): DataFrame = {
+    import graft.plans.IndexMaintenance
+    val cur = s.read.parquet(assignPath)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val embCols = cur.schema.fieldNames.filter(c => c != "cid" && c != "v").toSeq
+    val newCents = cur.groupBy(col("cid")).agg(
+      array((0 until 64).map(i =>
+        round(avg(expr(s"v[$i]")), 6)): _*).as("cv"))
+    val carr = newCents.agg(collect_list(struct(
+      col("cid").cast("long").as("cid"), col("cv"))).as("carr"))
+    val delta = graft.Materialize.cut(cur
+      .crossJoin(broadcast(carr))
+      .withColumn("new_cid", element_at(
+        VectorFunctions.topCells(col("v"), col("carr"), 1), 1)
+        .getField("cid").cast("int"))
+      .select((embCols.map(col) :+ col("cid").as("old_cid")
+        :+ col("new_cid")): _*))
+    val moved = delta.where(col("old_cid") =!= col("new_cid"))
+    newCents.write.mode("overwrite").parquet(centsOut)
+    IndexMaintenance.deletePartitioned(s, assignPath,
+      Seq("cid"), "vec_id", moved.select(col("vec_id")))
+    moved.select(embCols.map(col) :+ col("new_cid").as("cid"): _*)
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(assignPath)
+    val after = s.read.parquet(assignPath)
+      .select(col("vec_id"), col("cid").as("new_cid"))
+    graft.Materialize.cut(
+      delta.select(col("vec_id"), col("old_cid")).join(after, Seq("vec_id")))
+      .withColumn("moved", col("old_cid") =!= col("new_cid"))
+  }
+
   private def indexDir(s: SparkSession, d: String, kind: String): String =
     indexDirMemo.computeIfAbsent((s, d, kind), _ => {
       val dir = graft.Fs.createStagingDir(s, s"graft-$kind-index")
@@ -1135,6 +1180,38 @@ object Similarity {
         s.sparkContext.hadoopConfiguration)
     },
 
+    // IVF CENTROID REFRESH — the drift-maintenance leg that completes
+    // the vector-index lifecycle {save, append, delete, compact,
+    // serve, REFRESH}: after enough appends the trained centroids no
+    // longer sit at their cells' means, so recall decays. One Lloyd
+    // round against the CURRENT membership: new centroids = per-cell
+    // dimension means (the exact ivfModel update arithmetic), then a
+    // map-side reassignment under the broadcast refreshed centroids —
+    // and ONLY the vectors whose nearest cell changed move on disk
+    // (partition-local delete from the old cells + cid append into
+    // the new; cells with no movers stay byte-identical, asserted in
+    // ScaleShapeSpec). The output reads new_cid from the REFRESHED
+    // TABLE, so the oracle gate proves the disk mutation equals the
+    // reassignment — not just that the arithmetic matches. Oracle =
+    // the kmeans CTE chain extended by exactly one update+assign
+    // round. Scale: the update is one map-side-combined groupBy(cid)
+    // over (k × 64) partial means; the move volume is the DRIFT, not
+    // the corpus — the production cadence refreshes when moved-share
+    // crosses a threshold, and this query reports that share.
+    "q122_ivf_refresh" -> { (s, d) =>
+      val dir = indexDir(s, d, "ivf")
+      graft.plans.IvfTopK.ensureSaved(s, d, dir)
+      val staging = graft.Fs.createStagingDir(s, "graft-q122")
+      try {
+        val assignPath = s"$staging/assignment"
+        graft.plans.IndexMaintenance.copyDir(s, s"$dir/assignment",
+          assignPath)
+        refreshAssignment(s, assignPath, s"$staging/centroids")
+          .orderBy(col("vec_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // IVF-PQ ADC top-k — the full 100 TB retrieval architecture in
     // one query (FAISS IVFADC): coarse-probe the NProbe nearest
     // cells, compute one ADC lookup table PER PROBED CELL from the
@@ -1719,6 +1796,20 @@ object Similarity {
            |  WHERE rnk <= $RecallK)
            |SELECT probe_id, CAST(rnk AS INTEGER) AS rnk, vec_id, cos
            |FROM served ORDER BY probe_id, rnk""".stripMargin,
+      // one more Lloyd round over the final assignment: refreshed
+      // centroids are fin's per-cell means, the reassignment is the
+      // standard (dist, cid)-tiebroken nearest — and the query's
+      // on-disk move must land exactly there
+      "q122_ivf_refresh" ->
+        s"""$base,
+           |$kmeansCtes,
+           |ncents AS (SELECT cid, [$centDims] AS cv FROM fin GROUP BY cid),
+           |${assignCte("ncents", "ref")}
+           |SELECT f.vec_id, CAST(f.cid AS INTEGER) AS old_cid,
+           |  CAST(r.cid AS INTEGER) AS new_cid,
+           |  (f.cid <> r.cid) AS moved
+           |FROM fin f JOIN ref r ON r.vec_id = f.vec_id
+           |ORDER BY f.vec_id""".stripMargin,
       "q100c_ann_recall_pq" ->
         s"""$base,
            |$pqCtes,

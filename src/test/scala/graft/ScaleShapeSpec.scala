@@ -309,6 +309,52 @@ class ScaleShapeSpec extends SparkSpec {
         s"corpus shuffled by term through a $shuffled:\n${plan.take(1200)}")
   }
 
+  test("q122 IVF refresh moves only drifted vectors — unmoved cells byte-identical") {
+    val s = spark
+    import s.implicits._
+    val staging = java.nio.file.Files.createTempDirectory("ivf_refresh").toString
+    try {
+      val dir = s"$staging/assignment"
+      def vec(x: Float, y: Float): Array[Float] =
+        Array(x, y) ++ Array.fill(62)(0f)
+      // cell 0 holds a STRAY vector that actually sits on cell 1's
+      // cluster; cell 2 is far away and must not be touched at all
+      Seq(
+        (1L, "a", vec(1.0f, 0f), 0), (2L, "a", vec(1.2f, 0f), 0),
+        (9L, "x", vec(0f, 10f), 0), // the drifted row
+        (11L, "b", vec(0f, 10.2f), 1), (12L, "b", vec(0f, 9.8f), 1),
+        (21L, "c", vec(100f, 0f), 2), (22L, "c", vec(100.4f, 0f), 2))
+        .toDF("vec_id", "label", "embedding", "cid")
+        .repartition(col("cid"))
+        .write.partitionBy("cid").parquet(dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      def files() = graft.Fs.listDataFiles(dir, conf)
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime))
+        .toMap
+      val before = files()
+      val out = operators.Similarity.refreshAssignment(s, dir, s"$staging/cents")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+          r.getBoolean(3)))).toMap
+      assert(out(9L) === ((0, 1, true)), s"stray row did not move: $out")
+      assert(out.filterKeys(_ != 9L).values.forall(v => !v._3),
+        s"non-drifted rows moved: $out")
+      val after = files()
+      // cell 2 had no movers in or out — its files survive the refresh
+      // byte-identical (a full-table rewrite would replace them)
+      val untouched = after.keys.filter(_.contains("cid=2"))
+      assert(untouched.nonEmpty &&
+        untouched.forall(p => before.get(p) == after.get(p)),
+        "refresh rewrote a cell with no movers")
+      // the mutated table agrees with the reported delta
+      val cidOf = s.read.parquet(dir).select($"vec_id", $"cid")
+        .as[(Long, Int)].collect().toMap
+      assert(cidOf(9L) === 1 && cidOf(1L) === 0 && cidOf(21L) === 2,
+        s"on-disk assignment wrong after refresh: $cidOf")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("q115 CMS estimate is a broadcast lookup; no unbounded-key join in the sketch branch") {
     val s = spark
     // the sketch is D×W counters — the estimate joins the probe cells
