@@ -10,7 +10,7 @@ object Bench {
     * query that forgets to land here would silently re-absorb its
     * staging cost into sweep 1. */
   val replayStagers = Set("q27s", "q51s", "q75", "q77", "q78", "q84", "q84b",
-    "q102", "q102b", "q103s", "q104", "q110s", "q111s")
+    "q102", "q102b", "q103s", "q104", "q110s", "q111s", "q121s")
 
   /** Query-name prefixes that consume a session-memoized TRAINED
     * model (the IVF/hier/PQ/IVF-PQ quantizers). clearMemos wipes the
@@ -63,7 +63,7 @@ object Bench {
     * just pays the one-time derivation in stage_sec instead of inside
     * whichever q110 run a sweep hits first (in production the label
     * table is maintained batch over batch, never derived per job). */
-  val stateStagers = Set("q110", "q110s", "q111", "q111s", "q114")
+  val stateStagers = Set("q110", "q110s", "q111", "q111s", "q114", "q117")
 
   /** Queries that mutate a per-invocation clone of the COMMITTED-v1
     * snapshot index ([[graft.operators.Dedup.stageSnapClones]]) —

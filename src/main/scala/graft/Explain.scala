@@ -97,12 +97,24 @@ object Explain {
     "q111_cluster_retire" -> "decremental cluster maintenance: touched clusters from one semi-join against the label table, survivor-induced edges from the memoized pair relation restricted to touched survivors, components re-solved on that bounded subgraph only; retired rows leave via partition-local delete, relabels land via partition-local upsert; pinned plan is the final label-table read",
     "q112_ingest_autocompact" -> "q103's ingest loop under the threshold-triggered PARTITION-LOCAL compaction policy: after each append, only (band_id, kbucket) directories whose file count crossed the threshold are rewritten — write amplification bounded by where arrivals landed, never the index size; identical oracle to q103 proves the policy result-neutral at every loop point; pinned plan is the verdict assembly",
     "q108_cluster_split" -> "leakage-proof split from the near-dup CLUSTER label: stateless column expression over the memoized cluster relation (pinned plan reads the label cut) — the timed cost in a sweep is the shared minhash-pairs + cluster memo it happens to pay first",
+    "q115_cms_freq" -> "count-min sketch build: map-side partials collapse the token stream to the fixed D×W geometry before the one exchange (≤ D×W cells per task); estimates are min-over-rows lookups against the BROADCAST sketch — no shuffled join on term anywhere",
+    "q116_vocab_increment" -> "incremental materialized-view maintenance: batch-only aggregation + merge join bounded by the BATCH's vocabulary against partition-pruned resident rows + partition-local upsert — the corpus aggregate never re-runs; pinned plan is the post-increment stats read",
+    "q117_changefeed_apply" -> "CDC consumer: feed rows MERGE into the bucket-partitioned label mirror partition-locally (touched buckets derive from the feed), keep-list view recomputes only the feed's touched clusters, untouched clusters pass through from pre-batch state; pinned plan is the keep-list union",
+    "q118_lm_perplexity" -> "bigram-LM perplexity: the model is three broadcast relations (bigram counts, context counts, vocab); scoring is one corpus scan → shingle explode → four BroadcastHashJoins → per-doc agg on the pre-repartitioned doc_id key — the only corpus-volume shuffle is that one repartition",
+    "q119_nb_quality" -> "Naive Bayes quality gate: training is map-side-combined term counts + three scalar aggs; the (term → two class counts) model is broadcast, so scoring is scan → explode → BroadcastHashJoin → doc_id-partitioned agg — the q118 shape with a learned decision",
+    "q120_kmv_source_overlap" -> "KMV cross-source overlap: corpus contributes one distinct (source, digest-hash) aggregation; bottom-k sketches + all pairwise union/intersection estimates run on sketch rows (sources × k); the exact_inter self-eval leg is the digest join a production run drops",
+    "q121s_stream_ann_ingest" -> "streaming online ANN (search-then-index): each foreachBatch serves its own top-k against the cid-partitioned assignment AS IT STANDS (per-probe NProbe cells under broadcast centroids) then appends itself cid-shuffled; pinned plan is the final staged-results read",
+    "q122_ivf_refresh" -> "IVF centroid refresh: one Lloyd round as a map-side-combined groupBy(cid) over k×64 partial means, map-side reassignment under the broadcast refreshed centroids, and only DRIFTED vectors move on disk (partition-local delete + cid append); pinned plan is the post-refresh assignment read",
   )
 
-  /** The >=1 s set (BENCH_r12 medians, full registry names): every
-    * name here must be pinned in [[headline]] — PlanDocsSpec enforces
-    * it, so an expensive query can't drift out of the plan audit. */
+  /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
+    * queries that landed after it, full registry names): every name
+    * here must be pinned in [[headline]] — PlanDocsSpec enforces it,
+    * so an expensive query can't drift out of the plan audit. */
   val expensive: Seq[String] = Seq(
+    "q115_cms_freq", "q116_vocab_increment", "q117_changefeed_apply",
+    "q118_lm_perplexity", "q119_nb_quality", "q120_kmv_source_overlap",
+    "q121s_stream_ann_ingest", "q122_ivf_refresh",
     "q01_pricing_summary", "q04_multi_join", "q13b_cube",
     "q27_fanin_stateful", "q27s_fanin_stream_replay", "q31_minhash_pairs",
     "q34_ngram_jaccard", "q35_dup_clusters", "q37g_pagerank",

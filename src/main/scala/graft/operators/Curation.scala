@@ -355,6 +355,32 @@ object Curation {
       plain.union(borderline).orderBy(col("doc_id"))
     },
 
+    // DETERMINISTIC EPOCH SHUFFLE — the reproducible training-order
+    // manifest: each epoch's order is the rank of md5(epoch ':'
+    // doc_id), so any worker (or a re-run months later) derives the
+    // same permutation from the corpus alone — no persisted shuffle
+    // files, no RNG state. Planned via GlobalOrder.globalRank with
+    // the hash's leading byte as the bucket: md5 is uniform, so the
+    // 256 buckets are balanced BY CONSTRUCTION (the no-skew instance
+    // of the q124 primitive; the histogram-visible guard still
+    // records the observed max). Per epoch the cost is one bounded
+    // histogram + one partitioned window — never a global sort
+    // through one task. Scale note: epochs are independent; a trainer
+    // materializes only the epoch it needs, and the rank is joinable
+    // back to any doc payload by doc_id.
+    "q126_epoch_shuffle" -> { (s, d) =>
+      val keyed = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("epoch", explode(array(lit(1), lit(2))))
+        .withColumn("ekey", md5(concat_ws(":",
+          col("epoch").cast("string"), col("doc_id").cast("string"))))
+        .withColumn("ebucket", expr(Tokens.hexFold("ekey", 2)))
+      GlobalOrder.globalRank(keyed, Seq("epoch"), "ebucket",
+          Seq(col("ekey"), col("doc_id")), "shuffle_rank",
+          "epoch-shuffle-buckets")
+        .select(col("epoch"), col("doc_id"), col("shuffle_rank"))
+        .orderBy(col("epoch"), col("shuffle_rank"))
+    },
+
     // PII scrubbing: deterministic synthetic PII is injected into
     // slices of documents (the corpus itself is clean), then redacted
     // with the same regexes a real pipeline would run — emails,
@@ -1244,6 +1270,18 @@ object Curation {
          |    '$phoneRe', '<PHONE>', 'g'), '$ipRe', '<IP>', 'g'),
          |    '$cardRe', '<CARD>', 'g'), '$ibanRe', '<IBAN>', 'g') AS scrubbed
          |FROM aug ORDER BY doc_id""".stripMargin,
+    // the oracle states the semantics with the global per-epoch
+    // window the engine's bucketed plan refuses to run
+    "q126_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([1, 2]) AS epoch),
+        |k AS (SELECT e.epoch, d.doc_id,
+        |        md5(CAST(e.epoch AS VARCHAR) || ':' ||
+        |            CAST(d.doc_id AS VARCHAR)) AS ekey
+        |      FROM e CROSS JOIN documents d)
+        |SELECT epoch, doc_id,
+        |  row_number() OVER (PARTITION BY epoch ORDER BY ekey, doc_id)
+        |    AS shuffle_rank
+        |FROM k ORDER BY epoch, shuffle_rank""".stripMargin,
     "q65_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, toks, $grams3Sql AS g3 FROM toks),

@@ -82,6 +82,23 @@ object Dedup {
     * k-independent. */
   val KmvOverlapK = 16
 
+  /** q123 edit-distance verification of LSH candidates: per-pair CPU
+    * is O(EditCap²) regardless of document length (the verify stage
+    * reads a fixed PREFIX, the standard bounded-verify contract), and
+    * a pair is char-confirmed at normalized similarity ≥ the bar.
+    * MinHash estimates Jaccard over token SETS — a reordered or
+    * set-preserving rewrite scores 1.0 there while being a different
+    * document character-wise — so the char-level pass is a second
+    * independent signal, not a recomputation. */
+  val EditCap = 300
+  val CharSimThreshold: Double = 0.8
+
+  /** q125 containment bar: a doc with ≥ this fraction of its distinct
+    * tokens inside the other is "contained" (Broder's asymmetric
+    * containment — catches a paragraph-lift that doc-level Jaccard
+    * dilutes away). */
+  val ContainThreshold: Double = 0.8
+
   /** Whitespace tokens, lowercased, empties dropped (multiplicity
     * kept) — the engine-wide tokenization shared with TextAnalysis. */
   private val toksExpr = Tokens.toksExpr
@@ -1606,6 +1623,86 @@ object Dedup {
         .orderBy(col("source_a"), col("source_b"))
     },
 
+    // EDIT-DISTANCE VERIFICATION of the LSH near-dup candidates — the
+    // second stage of the industrial dedup pipeline: MinHash banding
+    // proposes (token-SET evidence), a bounded character-level pass
+    // confirms (Levenshtein over fixed EditCap prefixes). Scale: the
+    // corpus-volume work is q31's memoized pair relation; TEXT rides a
+    // join only for candidate pairs (two doc_id-keyed joins sized by
+    // the candidate count, broadcast locally / shuffle at scale), and
+    // each verification costs O(EditCap²) CPU independent of document
+    // length — the verify stage is candidate-bounded, never
+    // corpus-bounded. Both engines run the same DP Levenshtein
+    // (`levenshtein`, ASCII corpus — q44 already pins the parity), so
+    // dist, sim and the verdict are hash-exact.
+    "q123_editdist_verify" -> { (s, d) =>
+      val pairs = minhashPairs(s, d)
+      val txt = Tables.documents(s, d)
+        .select(col("doc_id"),
+          substring(col("text"), 1, EditCap).as("prefix"))
+      pairs
+        .join(txt.select(col("doc_id").as("doc_a"),
+          col("prefix").as("pa")), Seq("doc_a"))
+        .join(txt.select(col("doc_id").as("doc_b"),
+          col("prefix").as("pb")), Seq("doc_b"))
+        .withColumn("edit_dist",
+          levenshtein(col("pa"), col("pb")).cast("long"))
+        .withColumn("edit_sim", round(lit(1.0) -
+          col("edit_dist").cast("double") /
+            greatest(length(col("pa")), length(col("pb"))).cast("double"),
+          6))
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+          col("edit_dist"), col("edit_sim"),
+          (col("edit_sim") >= CharSimThreshold).as("char_verified"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // CONTAINMENT SCORING (Broder's asymmetric containment) — the
+    // superset/subset detector doc-level Jaccard structurally misses:
+    // a paragraph lifted from A into a much longer B dilutes
+    // J(A,B) ≈ |A|/|B| below any near-dup bar, while cont(A→B) =
+    // |set(A)∩set(B)| / |set(A)| stays high. Candidates come from the
+    // CHUNK-grain band join (q98's memoized sketch — a lifted
+    // paragraph collides at chunk grain no matter how the documents'
+    // sizes diverge); the full distinct-token sets then ride ONLY the
+    // two candidate-sized doc_id joins to score both directions.
+    // relation classifies the pair: mutual containment = near_dup,
+    // one-sided = a_in_b / b_in_a (drop-the-subset policy input),
+    // else partial. Scale: candidate-bounded like q123 — the corpus
+    // pass is the shared chunk sketch; token sets never self-join.
+    "q125_containment" -> { (s, d) =>
+      val cand = queries("q98_chunk_neardup")(s, d)
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val sets = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(expr(toksExpr)).as("tokset"))
+      val contOf = (common: Column, n: Column) =>
+        when(n === 0L, lit(0.0)).otherwise(
+          round(common.cast("double") / n.cast("double"), 6))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"),
+          col("tokset").as("ta")), Seq("doc_a"))
+        .join(sets.select(col("doc_id").as("doc_b"),
+          col("tokset").as("tb")), Seq("doc_b"))
+        .withColumn("n_common",
+          size(array_intersect(col("ta"), col("tb"))).cast("long"))
+        .withColumn("n_a", size(col("ta")).cast("long"))
+        .withColumn("n_b", size(col("tb")).cast("long"))
+        .withColumn("cont_a", contOf(col("n_common"), col("n_a")))
+        .withColumn("cont_b", contOf(col("n_common"), col("n_b")))
+        .withColumn("jaccard", contOf(col("n_common"),
+          col("n_a") + col("n_b") - col("n_common")))
+        .withColumn("relation",
+          when(col("cont_a") >= ContainThreshold &&
+               col("cont_b") >= ContainThreshold, lit("near_dup"))
+            .when(col("cont_a") >= ContainThreshold, lit("a_in_b"))
+            .when(col("cont_b") >= ContainThreshold, lit("b_in_a"))
+            .otherwise(lit("partial")))
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"),
+          col("n_b"), col("cont_a"), col("cont_b"), col("jaccard"),
+          col("relation"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // STREAMING INCREMENTAL CLUSTERS — q110 driven by the ENGINE's
     // micro-batch cycle (the q103s pattern applied to CLUSTER state):
     // the arriving corpus slice replays as 3 ordered micro-batches,
@@ -2176,6 +2273,48 @@ object Dedup {
        |  $bandKeys)""".stripMargin
   }
 
+  /** Shared oracle CTE chain for the CHUNK-grain sketch (q98/q125):
+    * documents → non-overlapping ChunkGrain token chunks → per-chunk
+    * K-signature + two packed band keys → cross-document candidate
+    * chunk pairs (band-0 join ∪ band-1 join gated on bk0 differing —
+    * the first-collision-band rule, mirroring the Spark plan). Also
+    * defines `t(doc_id, toks)` for downstream token-set consumers. */
+  private def chunkCandCtes: String = {
+    val bandKey = (b: Int) => Tokens.hex48("md5(concat_ws(':', " +
+      (b * RowsPerBand until (b + 1) * RowsPerBand)
+        .map(i => s"CAST(sig$i AS VARCHAR)").mkString(", ") + "))")
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |st AS (
+       |  SELECT doc_id, toks, u.s AS start
+       |  FROM t, unnest(range(1, greatest(len(toks), 1) + 1, $ChunkGrain)) AS u(s)),
+       |ck AS (
+       |  SELECT doc_id,
+       |    CAST(floor((start - 1) / $ChunkGrain.0) AS INTEGER) AS chunk_idx,
+       |    list_distinct(toks[start:start+${ChunkGrain - 1}]) AS tokset
+       |  FROM st),
+       |sigp AS (
+       |  SELECT doc_id, chunk_idx,
+       |         $sigPrefixSqlCols
+       |  FROM ck),
+       |sig0 AS (
+       |  SELECT doc_id, chunk_idx,
+       |         $sigFoldSqlCols
+       |  FROM sigp),
+       |sig AS (SELECT *,
+       |  [${(0 until K).map(i => s"sig$i").mkString(", ")}] AS sig,
+       |  ${bandKey(0)} AS bk0, ${bandKey(1)} AS bk1 FROM sig0),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, a.chunk_idx AS chunk_a,
+       |         b.doc_id AS doc_b, b.chunk_idx AS chunk_b,
+       |         a.sig AS sig_a, b.sig AS sig_b
+       |  FROM sig a JOIN sig b ON a.bk0 = b.bk0 AND a.doc_id < b.doc_id
+       |  UNION ALL
+       |  SELECT a.doc_id, a.chunk_idx, b.doc_id, b.chunk_idx,
+       |         a.sig, b.sig
+       |  FROM sig a JOIN sig b ON a.bk1 = b.bk1 AND a.doc_id < b.doc_id
+       |    AND a.bk0 <> b.bk0)""".stripMargin
+  }
+
   /** Shared oracle CTE chain: [[sigBandCtes]] + distinct candidate
     * pairs from the symmetric band self-join. */
   private def minhashCtes: String =
@@ -2246,6 +2385,25 @@ object Dedup {
          |SELECT doc_a, doc_b, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "q123_editdist_verify" ->
+      s"""WITH $minhashCtes,
+         |nd AS (
+         |  SELECT doc_a, doc_b, $estSql AS est_jaccard
+         |  FROM cand WHERE $estSql >= $EstThreshold),
+         |v AS (
+         |  SELECT nd.doc_a, nd.doc_b, nd.est_jaccard,
+         |    levenshtein(substr(ta.text, 1, $EditCap),
+         |                substr(tb.text, 1, $EditCap)) AS edit_dist,
+         |    greatest(length(substr(ta.text, 1, $EditCap)),
+         |             length(substr(tb.text, 1, $EditCap))) AS ml
+         |  FROM nd JOIN documents ta ON nd.doc_a = ta.doc_id
+         |          JOIN documents tb ON nd.doc_b = tb.doc_id)
+         |SELECT doc_a, doc_b, est_jaccard,
+         |  CAST(edit_dist AS BIGINT) AS edit_dist,
+         |  round(1.0 - CAST(edit_dist AS DOUBLE) / CAST(ml AS DOUBLE), 6) AS edit_sim,
+         |  (round(1.0 - CAST(edit_dist AS DOUBLE) / CAST(ml AS DOUBLE), 6)
+         |     >= $CharSimThreshold) AS char_verified
+         |FROM v ORDER BY doc_a, doc_b""".stripMargin,
     "q99_lsh_index_dedup" ->
       s"""WITH $sigBandCtes,
          |cand AS (
@@ -2349,44 +2507,41 @@ object Dedup {
          |SELECT probe_doc, corpus_doc, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY probe_doc, corpus_doc""".stripMargin,
-    "q98_chunk_neardup" -> {
-      val bandKey = (b: Int) => Tokens.hex48("md5(concat_ws(':', " +
-        (b * RowsPerBand until (b + 1) * RowsPerBand)
-          .map(i => s"CAST(sig$i AS VARCHAR)").mkString(", ") + "))")
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |st AS (
-         |  SELECT doc_id, toks, u.s AS start
-         |  FROM t, unnest(range(1, greatest(len(toks), 1) + 1, $ChunkGrain)) AS u(s)),
-         |ck AS (
-         |  SELECT doc_id,
-         |    CAST(floor((start - 1) / $ChunkGrain.0) AS INTEGER) AS chunk_idx,
-         |    list_distinct(toks[start:start+${ChunkGrain - 1}]) AS tokset
-         |  FROM st),
-         |sigp AS (
-         |  SELECT doc_id, chunk_idx,
-         |         $sigPrefixSqlCols
-         |  FROM ck),
-         |sig0 AS (
-         |  SELECT doc_id, chunk_idx,
-         |         $sigFoldSqlCols
-         |  FROM sigp),
-         |sig AS (SELECT *,
-         |  [${(0 until K).map(i => s"sig$i").mkString(", ")}] AS sig,
-         |  ${bandKey(0)} AS bk0, ${bandKey(1)} AS bk1 FROM sig0),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, a.chunk_idx AS chunk_a,
-         |         b.doc_id AS doc_b, b.chunk_idx AS chunk_b,
-         |         a.sig AS sig_a, b.sig AS sig_b
-         |  FROM sig a JOIN sig b ON a.bk0 = b.bk0 AND a.doc_id < b.doc_id
-         |  UNION ALL
-         |  SELECT a.doc_id, a.chunk_idx, b.doc_id, b.chunk_idx,
-         |         a.sig, b.sig
-         |  FROM sig a JOIN sig b ON a.bk1 = b.bk1 AND a.doc_id < b.doc_id
-         |    AND a.bk0 <> b.bk0)
+    "q98_chunk_neardup" ->
+      s"""WITH $chunkCandCtes
          |SELECT doc_a, chunk_a, doc_b, chunk_b, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
-         |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin
-    },
+         |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin,
+    "q125_containment" ->
+      s"""WITH $chunkCandCtes,
+         |dp AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM cand
+         |  WHERE $estSql >= $EstThreshold),
+         |ts AS (SELECT doc_id, list_distinct(toks) AS tokset FROM t),
+         |j AS (
+         |  SELECT dp.doc_a, dp.doc_b,
+         |    len(list_intersect(ta.tokset, tb.tokset)) AS n_common,
+         |    len(ta.tokset) AS n_a, len(tb.tokset) AS n_b
+         |  FROM dp JOIN ts ta ON dp.doc_a = ta.doc_id
+         |          JOIN ts tb ON dp.doc_b = tb.doc_id),
+         |m AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(n_common AS BIGINT) AS n_common,
+         |    CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |    CASE WHEN n_a = 0 THEN 0.0 ELSE
+         |      round(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END AS cont_a,
+         |    CASE WHEN n_b = 0 THEN 0.0 ELSE
+         |      round(CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END AS cont_b,
+         |    CASE WHEN n_a + n_b - n_common = 0 THEN 0.0 ELSE
+         |      round(CAST(n_common AS DOUBLE)
+         |        / CAST(n_a + n_b - n_common AS DOUBLE), 6) END AS jaccard
+         |  FROM j)
+         |SELECT doc_a, doc_b, n_common, n_a, n_b, cont_a, cont_b, jaccard,
+         |  CASE WHEN cont_a >= $ContainThreshold AND cont_b >= $ContainThreshold THEN 'near_dup'
+         |       WHEN cont_a >= $ContainThreshold THEN 'a_in_b'
+         |       WHEN cont_b >= $ContainThreshold THEN 'b_in_a'
+         |       ELSE 'partial' END AS relation
+         |FROM m ORDER BY doc_a, doc_b""".stripMargin,
     "q37g_pagerank" -> {
       def iter(prev: String, cur: String) =
         s"""$cur AS (

@@ -616,6 +616,43 @@ object TextAnalysis {
         .select(col("doc_id"), col("content_md5"), col("shingle_min"))
         .orderBy(col("doc_id"))
     },
+
+    // GLOBAL CURRICULUM RANK — a total order over the corpus (shortest
+    // documents first, the classic curriculum-learning schedule)
+    // WITHOUT the single-partition window a naive
+    // `row_number() OVER (ORDER BY ...)` plans: Spark's WindowExec
+    // with an empty partition spec funnels the whole corpus through
+    // ONE task (the exact shape ScaleShapeSpec's global guard bans).
+    // Scalable form: (1) bucket rows by the leading sort key — here
+    // the difficulty value n_tokens itself, a bounded integer domain;
+    // for an unbounded/continuous key use fixed-width ranges of it —
+    // (2) ONE bounded driver aggregate (count per bucket, rows =
+    // |value domain|) yields exclusive prefix offsets, (3) the
+    // within-bucket rank runs as an ordinary PARTITIONED window
+    // (parallel across buckets), and global_rank = offset + local
+    // rank. The only serial piece is the prefix sum over the bucket
+    // histogram — O(buckets) on the driver, never O(rows). Skew: a
+    // single hot difficulty value serializes its own bucket; the
+    // histogram is driver-visible, so a production run re-splits hot
+    // values by tie-key (doc_id) quantiles computed over just the hot
+    // buckets — the observed max bucket is recorded via SkewStats so
+    // a rehearsal reports the pressure. phase = the 3-way curriculum
+    // stage cut from the rank (integer arithmetic, exact both
+    // engines).
+    "q124_curriculum_rank" -> { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), size(expr(toksExpr)).as("n_tokens"))
+      // bucket = the difficulty value itself (bounded integer domain —
+      // one histogram row per distinct n_tokens value, not per doc)
+      val total = math.max(1L, scored.count())
+      GlobalOrder.globalRank(scored, Seq.empty, "n_tokens",
+          Seq(col("doc_id")), "global_rank", "curriculum-rank-buckets")
+        .withColumn("phase",
+          expr(s"CAST(((global_rank - 1) * 3) DIV $total AS INT)"))
+        .select(col("doc_id"), col("n_tokens"), col("global_rank"),
+          col("phase"))
+        .orderBy(col("global_rank"))
+    },
   )
 
   def oracle: Map[String, String] = {
@@ -848,6 +885,18 @@ object TextAnalysis {
            |  list_min(list_transform(range(1, len(toks) - 3),
            |    i -> md5(array_to_string(toks[i:i+4], ' ')))) AS shingle_min
            |FROM t ORDER BY doc_id""".stripMargin,
+      // the oracle states the SEMANTICS with the global window the
+      // engine's bucketed form deliberately avoids — the comparison is
+      // exactly "distributed rank ≡ single-partition rank"
+      "q124_curriculum_rank" ->
+        s"""WITH t AS (SELECT doc_id, len($toksSql) AS n_tokens FROM documents),
+           |r AS (SELECT doc_id, n_tokens,
+           |        row_number() OVER (ORDER BY n_tokens, doc_id) AS global_rank,
+           |        count(*) OVER () AS total
+           |      FROM t)
+           |SELECT doc_id, n_tokens, global_rank,
+           |  CAST(((global_rank - 1) * 3) // total AS INT) AS phase
+           |FROM r ORDER BY global_rank""".stripMargin,
     )
   }
 }

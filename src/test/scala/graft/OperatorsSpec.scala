@@ -16,6 +16,42 @@ class OperatorsSpec extends SparkSpec {
     assert(agg === total)
   }
 
+  test("q123: char-level verify separates exact copies from token-set-equal scrambles") {
+    val s = spark
+    import s.implicits._
+    // MinHash scores token SETS: a reversed-token rewrite of a document
+    // has est_jaccard = 1.0 (identical distinct-token set → identical
+    // signature) yet is a different document character-wise. The verify
+    // stage must confirm the exact copy and REJECT the scramble — the
+    // two-signal contract q123 exists for.
+    val toks = (0 until 24).map(i => s"tok$i%02d".format(i))
+    val base = toks.mkString(" ")
+    val scrambled = toks.reverse.mkString(" ")
+    val staging = java.nio.file.Files.createTempDirectory("q123_verify").toString
+    try {
+      Seq(
+        (1L, base, "en", "crawl-a", base.length.toLong),
+        (2L, scrambled, "en", "crawl-a", scrambled.length.toLong),
+        (3L, base, "en", "crawl-b", base.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$staging/documents.parquet")
+      val out = operators.Dedup.queries("q123_editdist_verify")(s, staging)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getDouble(2), r.getLong(3), r.getBoolean(5)))).toMap
+      assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+        s"candidate set: ${out.keySet}")
+      // every pair is token-set identical → est 1.0 (all are candidates)
+      assert(out.values.forall(_._1 === 1.0))
+      // exact copy: zero edits, confirmed
+      assert(out((1L, 3L))._2 === 0L && out((1L, 3L))._3 === true)
+      // scramble: high char distance, rejected by the verify bar
+      assert(out((1L, 2L))._2 > 0L && out((1L, 2L))._3 === false)
+      assert(out((2L, 3L))._3 === false)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("q108: near-dup cluster members never straddle splits, ~80/10/10 over clusters") {
     val s = spark
     import s.implicits._

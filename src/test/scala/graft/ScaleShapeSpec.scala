@@ -109,6 +109,30 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"single-partition exchange:\n$plan")
   }
 
+  test("q124 global rank plans no single-partition window; offsets ride a broadcast") {
+    // the naive total order — row_number() OVER (ORDER BY n_tokens,
+    // doc_id) — plans Exchange SinglePartition + a one-partition
+    // WindowExec; q124's bucketed form must keep the rank window
+    // PARTITIONED (parallel across difficulty values) and join the
+    // driver-computed prefix offsets as a broadcast.
+    val q = graft.operators.TextAnalysis
+      .queries("q124_curriculum_rank")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the presentation orderBy plans a RANGE exchange (sort, not
+    // window); nothing in the plan may funnel to one partition
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset join not broadcast:\n${plan.take(1200)}")
+    // rank is a contiguous total order 1..N
+    import org.apache.spark.sql.functions._
+    val n = q.count()
+    val stats = q.agg(min(col("global_rank")), max(col("global_rank")),
+      countDistinct(col("global_rank"))).head()
+    assert(stats.getLong(0) === 1L && stats.getLong(1) === n &&
+      stats.getLong(2) === n, s"rank not contiguous: $stats over $n rows")
+  }
+
   test("partitioned writes prune to the filtered partition at scan time") {
     val s = spark
     val out = Files.createTempDirectory("part_docs").toString
