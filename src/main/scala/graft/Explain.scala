@@ -105,6 +105,12 @@ object Explain {
     "q120_kmv_source_overlap" -> "KMV cross-source overlap: corpus contributes one distinct (source, digest-hash) aggregation; bottom-k sketches + all pairwise union/intersection estimates run on sketch rows (sources × k); the exact_inter self-eval leg is the digest join a production run drops",
     "q121s_stream_ann_ingest" -> "streaming online ANN (search-then-index): each foreachBatch serves its own top-k against the cid-partitioned assignment AS IT STANDS (per-probe NProbe cells under broadcast centroids) then appends itself cid-shuffled; pinned plan is the final staged-results read",
     "q122_ivf_refresh" -> "IVF centroid refresh: one Lloyd round as a map-side-combined groupBy(cid) over k×64 partial means, map-side reassignment under the broadcast refreshed centroids, and only DRIFTED vectors move on disk (partition-local delete + cid append); pinned plan is the post-refresh assignment read",
+    "q123_editdist_verify" -> "edit-distance verification of LSH candidates: prefix projections ride broadcast joins onto the memoized pair relation, the BANDED thresholded Levenshtein (equality short-circuit, -1 beyond LevBand) runs map-side on the pair stream's partitioning — no full O(n²) DP, no extra shuffle",
+    "q124_curriculum_rank" -> "global curriculum rank via GlobalOrder: bounded difficulty-value histogram prefix-summed driver-side, broadcast offset join, within-bucket rank as a PARTITIONED window — no SinglePartition exchange anywhere",
+    "q125_containment" -> "asymmetric containment scoring: distinct doc pairs from the chunk-grain candidate join, distinct-token sets ride only the two candidate-sized doc_id joins, array_intersect arithmetic map-side",
+    "q126_epoch_shuffle" -> "deterministic epoch shuffle: md5 rank through GlobalOrder with the hash's leading byte as the bucket — uniform buckets by construction, partitioned rank window, broadcast offsets",
+    "q127_fuzzy_decontaminate" -> "fuzzy decontamination: benchmark band rows BROADCAST (eval-suite sized), train side map-side from the memoized signature relation, est verification joins sigs on the candidate-sized pairs only — the corpus never shuffles by band key",
+    "q128_epoch_pack" -> "epoch pack manifest: GlobalOrder.globalRunningSum — per-bucket token totals prefix-summed driver-side, within-bucket running sum as a partitioned window, pack assignment map-side — the global concat order with no SinglePartition exchange",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -115,6 +121,8 @@ object Explain {
     "q115_cms_freq", "q116_vocab_increment", "q117_changefeed_apply",
     "q118_lm_perplexity", "q119_nb_quality", "q120_kmv_source_overlap",
     "q121s_stream_ann_ingest", "q122_ivf_refresh",
+    "q123_editdist_verify", "q124_curriculum_rank", "q125_containment",
+    "q126_epoch_shuffle", "q127_fuzzy_decontaminate", "q128_epoch_pack",
     "q01_pricing_summary", "q04_multi_join", "q13b_cube",
     "q27_fanin_stateful", "q27s_fanin_stream_replay", "q31_minhash_pairs",
     "q34_ngram_jaccard", "q35_dup_clusters", "q37g_pagerank",

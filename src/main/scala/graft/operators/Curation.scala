@@ -58,6 +58,12 @@ object Curation {
     * benchmark/eval set for decontamination. */
   val BenchmarkMod = 97
 
+  /** q128 pack size in tokens — deliberately small so the sf0.01
+    * gate exercises many pack boundaries (including docs that
+    * straddle them); production packs are context-length sized and
+    * the plan shape is budget-independent. */
+  val EpochPackBudget = 512
+
   /** q63b bloom geometry: m = [[BloomBitsPerGram]] bits per distinct
     * benchmark gram (floored at 64) with [[BloomK]] double-hash
     * probes — m/n = 8, k = 5 is the classic ~2% false-positive
@@ -379,6 +385,37 @@ object Curation {
           "epoch-shuffle-buckets")
         .select(col("epoch"), col("doc_id"), col("shuffle_rank"))
         .orderBy(col("epoch"), col("shuffle_rank"))
+    },
+
+    // EPOCH PACK MANIFEST — q126's shuffle composed with
+    // concat-then-chunk sequence packing: in each epoch's shuffled
+    // order, documents concatenate into a token stream and pack p
+    // owns tokens [p·B, (p+1)·B); the manifest assigns each doc to
+    // the pack its FIRST token lands in (a doc may overflow into the
+    // next pack — that is chunked-concat semantics, the trainer reads
+    // on). The running token offset comes from
+    // GlobalOrder.globalRunningSum — the WEIGHTED generalization of
+    // the q124/q126 primitive (per-bucket token totals prefix-summed
+    // on the driver, within-bucket running sum as a partitioned
+    // window) — so the global concat order needs no single-partition
+    // window and no persisted shuffle state. Deterministic end to
+    // end: any worker derives the same manifest from the corpus.
+    "q128_epoch_pack" -> { (s, d) =>
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(expr(toksExpr)).cast("long").as("n_toks"))
+        .withColumn("epoch", explode(array(lit(1), lit(2))))
+        .withColumn("ekey", md5(concat_ws(":",
+          col("epoch").cast("string"), col("doc_id").cast("string"))))
+        .withColumn("ebucket", expr(Tokens.hexFold("ekey", 2)))
+      GlobalOrder.globalRunningSum(keyed, Seq("epoch"), "ebucket",
+          Seq(col("ekey"), col("doc_id")), "n_toks", "cum_toks",
+          "epoch-pack-buckets")
+        .withColumn("pack_id", expr(
+          s"CAST((cum_toks - n_toks) DIV $EpochPackBudget AS INT)"))
+        .select(col("epoch"), col("doc_id"), col("n_toks"),
+          col("cum_toks"), col("pack_id"))
+        .orderBy(col("epoch"), col("cum_toks"), col("doc_id"))
     },
 
     // PII scrubbing: deterministic synthetic PII is injected into
@@ -1282,6 +1319,21 @@ object Curation {
         |  row_number() OVER (PARTITION BY epoch ORDER BY ekey, doc_id)
         |    AS shuffle_rank
         |FROM k ORDER BY epoch, shuffle_rank""".stripMargin,
+    "q128_epoch_pack" ->
+      s"""WITH e AS (SELECT unnest([1, 2]) AS epoch),
+         |t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |      FROM documents),
+         |k AS (SELECT e.epoch, t.doc_id, t.n_toks,
+         |        md5(CAST(e.epoch AS VARCHAR) || ':' ||
+         |            CAST(t.doc_id AS VARCHAR)) AS ekey
+         |      FROM e CROSS JOIN t),
+         |c AS (SELECT epoch, doc_id, n_toks,
+         |        CAST(sum(n_toks) OVER (PARTITION BY epoch ORDER BY ekey, doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+         |      FROM k)
+         |SELECT epoch, doc_id, n_toks, cum_toks,
+         |  CAST((cum_toks - n_toks) // $EpochPackBudget AS INT) AS pack_id
+         |FROM c ORDER BY epoch, cum_toks, doc_id""".stripMargin,
     "q65_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (SELECT doc_id, toks, $grams3Sql AS g3 FROM toks),

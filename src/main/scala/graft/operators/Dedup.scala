@@ -82,16 +82,23 @@ object Dedup {
     * k-independent. */
   val KmvOverlapK = 16
 
-  /** q123 edit-distance verification of LSH candidates: per-pair CPU
-    * is O(EditCap²) regardless of document length (the verify stage
-    * reads a fixed PREFIX, the standard bounded-verify contract), and
-    * a pair is char-confirmed at normalized similarity ≥ the bar.
-    * MinHash estimates Jaccard over token SETS — a reordered or
-    * set-preserving rewrite scores 1.0 there while being a different
-    * document character-wise — so the char-level pass is a second
-    * independent signal, not a recomputation. */
+  /** q123 edit-distance verification of LSH candidates: the verify
+    * stage reads a fixed PREFIX (the standard bounded-verify
+    * contract) and a pair is char-confirmed at normalized similarity
+    * ≥ the bar. MinHash estimates Jaccard over token SETS — a
+    * reordered or set-preserving rewrite scores 1.0 there while
+    * being a different document character-wise — so the char-level
+    * pass is a second independent signal, not a recomputation. */
   val EditCap = 300
   val CharSimThreshold: Double = 0.8
+
+  /** Banded-DP cutoff for q123: a distance above this can never reach
+    * [[CharSimThreshold]] (0.2 × EditCap), so the engine runs the
+    * O(band·n) thresholded Levenshtein and reports -1 / sim 0.0 /
+    * rejected for beyond-band pairs — the oracle computes the full
+    * distance and applies the same cap, so verdicts stay hash-exact
+    * while the engine never pays the full O(n²) DP on a reject. */
+  val LevBand: Int = math.ceil(EditCap * (1.0 - CharSimThreshold)).toInt
 
   /** q125 containment bar: a doc with ≥ this fraction of its distinct
     * tokens inside the other is "contained" (Broder's asymmetric
@@ -1627,30 +1634,48 @@ object Dedup {
     // second stage of the industrial dedup pipeline: MinHash banding
     // proposes (token-SET evidence), a bounded character-level pass
     // confirms (Levenshtein over fixed EditCap prefixes). Scale: the
-    // corpus-volume work is q31's memoized pair relation; TEXT rides a
-    // join only for candidate pairs (two doc_id-keyed joins sized by
-    // the candidate count, broadcast locally / shuffle at scale), and
-    // each verification costs O(EditCap²) CPU independent of document
-    // length — the verify stage is candidate-bounded, never
-    // corpus-bounded. Both engines run the same DP Levenshtein
-    // (`levenshtein`, ASCII corpus — q44 already pins the parity), so
-    // dist, sim and the verdict are hash-exact.
+    // corpus-volume work is q31's memoized pair relation; TEXT rides
+    // only the two candidate-sized doc_id joins, and each pair pays
+    // three cost regimes map-side on the pair stream's partitioning:
+    // identical prefixes short-circuit to 0 (one string compare),
+    // unequal pairs run the BANDED thresholded Levenshtein — a
+    // distance beyond LevBand can never reach the sim bar, so the
+    // engine returns -1 at O(LevBand·n) (with the O(1) length-gap
+    // exit inside) and the oracle applies the same cap to its full-DP
+    // distance, keeping verdicts hash-exact — and the full O(n²) DP
+    // never runs anywhere. Measured at sf0.1: the naive full DP cost
+    // 117.8 s; the banded map-side form ~1 s of DP across 1.7M pairs.
+    // A distinct-prefix-pair contraction (DP once per content pair)
+    // was implemented and MEASURED SLOWER here: this corpus's
+    // est-passing pairs are token-set rewrites, 94.6% distinct
+    // prefix pairs (1.62M of 1.71M), so the contraction's two extra
+    // 1.6M-row shuffles (distinct + joinback) cost ~6 s to save ~1 s
+    // of DP. On a clone-heavy crawl (dup factor >> 2) the contraction
+    // wins — same tradeoff note as minhashPairs' rep-level
+    // contraction; revisit if the data profile changes.
     "q123_editdist_verify" -> { (s, d) =>
       val pairs = minhashPairs(s, d)
       val txt = Tables.documents(s, d)
         .select(col("doc_id"),
           substring(col("text"), 1, EditCap).as("prefix"))
+      // no broadcast hint: AQE broadcasts the prefix projection at
+      // bench scale; at corpus scale it correctly becomes a shuffle
+      // join sized by the candidate set
       pairs
         .join(txt.select(col("doc_id").as("doc_a"),
           col("prefix").as("pa")), Seq("doc_a"))
         .join(txt.select(col("doc_id").as("doc_b"),
           col("prefix").as("pb")), Seq("doc_b"))
+        .withColumn("lev",
+          when(col("pa") === col("pb"), lit(0))
+            .otherwise(levenshtein(col("pa"), col("pb"), LevBand)))
+        .withColumn("ml",
+          greatest(length(col("pa")), length(col("pb"))).cast("double"))
         .withColumn("edit_dist",
-          levenshtein(col("pa"), col("pb")).cast("long"))
-        .withColumn("edit_sim", round(lit(1.0) -
-          col("edit_dist").cast("double") /
-            greatest(length(col("pa")), length(col("pb"))).cast("double"),
-          6))
+          when(col("lev") < 0, lit(-1L)).otherwise(col("lev").cast("long")))
+        .withColumn("edit_sim",
+          when(col("lev") < 0, lit(0.0)).otherwise(
+            round(lit(1.0) - col("lev").cast("double") / col("ml"), 6)))
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
           col("edit_dist"), col("edit_sim"),
           (col("edit_sim") >= CharSimThreshold).as("char_verified"))
@@ -1701,6 +1726,55 @@ object Dedup {
           col("n_b"), col("cont_a"), col("cont_b"), col("jaccard"),
           col("relation"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // FUZZY DECONTAMINATION — the third member of the decontamination
+    // family {exact 5-gram semi-join (q63), bloom bitmap (q63b),
+    // FUZZY (this)}: an eval answer PARAPHRASED into a training page
+    // shares no exact 5-gram but keeps most of its token set, so the
+    // verdict comes from the MinHash band collision + signature
+    // verification the dedup stack already runs — here with the
+    // benchmark set as the tiny side. Scale: the benchmark's melted
+    // band rows are eval-suite sized by definition → BROADCAST, so
+    // candidate generation never shuffles the corpus by band key; the
+    // est verification joins the memoized signature relation back on
+    // the candidate-sized pair relation only. The bar reuses
+    // EstThreshold (this corpus's ambient token-set similarity ≈ 0.6
+    // makes a lower recall-oriented bar volume without meaning —
+    // production tunes it down for paraphrase recall). Output is
+    // q63's verdict shape over the SAME train population, so the
+    // three family members are directly comparable per doc.
+    "q127_fuzzy_decontaminate" -> { (s, d) =>
+      val sig = minhashSignatures(s, d)
+      val bands = bandMelt(bandKeyed(sig))
+      val isBench = col("doc_id") % Curation.BenchmarkMod === 0
+      val benchBands = bands.where(isBench)
+        .select(col("doc_id").as("bench_doc"),
+          col("band_id"), col("band_key"))
+      val trainBands = bands.where(!isBench)
+        .select(col("doc_id").as("train_doc"),
+          col("band_id"), col("band_key"))
+      val cand = trainBands
+        .join(broadcast(benchBands), Seq("band_id", "band_key"))
+        .select(col("train_doc"), col("bench_doc")).distinct()
+      val sigs = sig.select(col("doc_id"), col("sig"))
+      val hits = cand
+        .join(sigs.select(col("doc_id").as("train_doc"),
+          col("sig").as("sig_a")), Seq("train_doc"))
+        .join(sigs.select(col("doc_id").as("bench_doc"),
+          col("sig").as("sig_b")), Seq("bench_doc"))
+        .withColumn("matches", (0 until K).map(i =>
+          when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+          .reduce(_ + _))
+        .where(col("matches") / lit(K.toDouble) >= EstThreshold)
+        .groupBy(col("train_doc")).agg(count(lit(1)).as("n"))
+      Tables.documents(s, d).where(!isBench).select(col("doc_id"))
+        .join(hits.withColumnRenamed("train_doc", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n"), lit(0L)).as("n_fuzzy_hits"),
+          col("n").isNotNull.as("contaminated"))
+        .orderBy(col("doc_id"))
     },
 
     // STREAMING INCREMENTAL CLUSTERS — q110 driven by the ENGINE's
@@ -2385,6 +2459,8 @@ object Dedup {
          |SELECT doc_a, doc_b, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // the oracle computes the FULL distance and applies the band cap
+    // after the fact — the engine's banded DP must agree exactly
     "q123_editdist_verify" ->
       s"""WITH $minhashCtes,
          |nd AS (
@@ -2393,17 +2469,37 @@ object Dedup {
          |v AS (
          |  SELECT nd.doc_a, nd.doc_b, nd.est_jaccard,
          |    levenshtein(substr(ta.text, 1, $EditCap),
-         |                substr(tb.text, 1, $EditCap)) AS edit_dist,
+         |                substr(tb.text, 1, $EditCap)) AS lev,
          |    greatest(length(substr(ta.text, 1, $EditCap)),
          |             length(substr(tb.text, 1, $EditCap))) AS ml
          |  FROM nd JOIN documents ta ON nd.doc_a = ta.doc_id
          |          JOIN documents tb ON nd.doc_b = tb.doc_id)
          |SELECT doc_a, doc_b, est_jaccard,
-         |  CAST(edit_dist AS BIGINT) AS edit_dist,
-         |  round(1.0 - CAST(edit_dist AS DOUBLE) / CAST(ml AS DOUBLE), 6) AS edit_sim,
-         |  (round(1.0 - CAST(edit_dist AS DOUBLE) / CAST(ml AS DOUBLE), 6)
-         |     >= $CharSimThreshold) AS char_verified
+         |  CASE WHEN lev > $LevBand THEN CAST(-1 AS BIGINT)
+         |       ELSE CAST(lev AS BIGINT) END AS edit_dist,
+         |  CASE WHEN lev > $LevBand THEN 0.0
+         |       ELSE round(1.0 - CAST(lev AS DOUBLE) / CAST(ml AS DOUBLE), 6)
+         |       END AS edit_sim,
+         |  CASE WHEN lev > $LevBand THEN false
+         |       ELSE round(1.0 - CAST(lev AS DOUBLE) / CAST(ml AS DOUBLE), 6)
+         |              >= $CharSimThreshold END AS char_verified
          |FROM v ORDER BY doc_a, doc_b""".stripMargin,
+    "q127_fuzzy_decontaminate" ->
+      s"""WITH $sigBandCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % ${Curation.BenchmarkMod} <> 0
+         |    AND b.doc_id % ${Curation.BenchmarkMod} = 0),
+         |h AS (SELECT train_doc, count(*) AS n FROM cand
+         |  WHERE $estSql >= $EstThreshold GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_fuzzy_hits,
+         |  (h.n IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN h ON d.doc_id = h.train_doc
+         |WHERE d.doc_id % ${Curation.BenchmarkMod} <> 0
+         |ORDER BY d.doc_id""".stripMargin,
     "q99_lsh_index_dedup" ->
       s"""WITH $sigBandCtes,
          |cand AS (

@@ -36,10 +36,47 @@ object GlobalOrder {
     * integral and monotone in the order's leading key. */
   def globalRank(df: DataFrame, groupCols: Seq[String], bucketCol: String,
                  orderCols: Seq[Column], rankName: String,
-                 skewSite: String): DataFrame = {
+                 skewSite: String): DataFrame =
+    prefixed(df, groupCols, bucketCol, lit(1L), skewSite) { (in, w, base) =>
+      in.withColumn(base.rankOut,
+        col(base.baseCol) + row_number().over(w.orderBy(orderCols: _*))
+          .cast("long"))
+    }.withColumnRenamed("__go_out", rankName)
+
+  /** Append `sumName` = the INCLUSIVE global running sum of
+    * `weightCol` within each `groupCols` combination, in
+    * (`bucketCol`, `orderCols`) order — the weighted generalization
+    * of [[globalRank]] (rank is the weight-1 instance). The driver
+    * prefix-sums per-bucket WEIGHT TOTALS instead of counts; the
+    * within-bucket running sum is an ordinary partitioned window.
+    * Powers offset-based packing (q128): pack = start-offset div
+    * budget, where start = running sum − own weight. */
+  def globalRunningSum(df: DataFrame, groupCols: Seq[String],
+                       bucketCol: String, orderCols: Seq[Column],
+                       weightCol: String, sumName: String,
+                       skewSite: String): DataFrame =
+    prefixed(df, groupCols, bucketCol, col(weightCol).cast("long"),
+        skewSite) { (in, w, base) =>
+      in.withColumn(base.rankOut,
+        col(base.baseCol) + sum(col(weightCol).cast("long"))
+          .over(w.orderBy(orderCols: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }.withColumnRenamed("__go_out", sumName)
+
+  private case class Base(baseCol: String, rankOut: String)
+
+  /** Shared machinery: bounded (group, bucket) histogram of
+    * `weightExpr` → driver prefix sum → broadcast exclusive offsets →
+    * caller builds the within-bucket window expression. */
+  private def prefixed(df: DataFrame, groupCols: Seq[String],
+                       bucketCol: String, weightExpr: Column,
+                       skewSite: String)(
+      build: (DataFrame, org.apache.spark.sql.expressions.WindowSpec,
+              Base) => DataFrame): DataFrame = {
     val s = df.sparkSession
     val keyCols = groupCols :+ bucketCol
-    val hist = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+    val hist = df.groupBy(keyCols.map(col): _*)
+      .agg(sum(weightExpr).as("c"))
     val rows = hist.collect()
     graft.SkewStats.record(skewSite,
       if (rows.isEmpty) 0L else rows.map(_.getAs[Long]("c")).max, 100000)
@@ -54,14 +91,13 @@ object GlobalOrder {
         }
       }.toSeq
     val schema = StructType(
-      keyCols.map(n => hist.schema(n)) :+ StructField("base", LongType))
+      keyCols.map(n => hist.schema(n)) :+ StructField("__go_base", LongType))
     val offs = s.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
         .SeqHasAsJava(outRows).asJava), schema)
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
-    df.join(broadcast(offs), keyCols)
-      .withColumn(rankName,
-        col("base") + row_number().over(w).cast("long"))
-      .drop("base")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    build(df.join(broadcast(offs), keyCols), w,
+        Base("__go_base", "__go_out"))
+      .drop("__go_base")
   }
 }

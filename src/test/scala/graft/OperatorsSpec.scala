@@ -44,8 +44,9 @@ class OperatorsSpec extends SparkSpec {
       assert(out.values.forall(_._1 === 1.0))
       // exact copy: zero edits, confirmed
       assert(out((1L, 3L))._2 === 0L && out((1L, 3L))._3 === true)
-      // scramble: high char distance, rejected by the verify bar
-      assert(out((1L, 2L))._2 > 0L && out((1L, 2L))._3 === false)
+      // scramble: far beyond the banded cutoff (a distance past
+      // LevBand can never reach the sim bar) → sentinel -1, rejected
+      assert(out((1L, 2L))._2 === -1L && out((1L, 2L))._3 === false)
       assert(out((2L, 3L))._3 === false)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))

@@ -133,6 +133,37 @@ class ScaleShapeSpec extends SparkSpec {
       stats.getLong(2) === n, s"rank not contiguous: $stats over $n rows")
   }
 
+  test("q128 pack manifest: no single-partition window, exact running sum, monotone packs") {
+    val q = graft.operators.Curation
+      .queries("q128_epoch_pack")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition exchange:\n${plan.take(1200)}")
+    import org.apache.spark.sql.functions._
+    val out = q.cache()
+    try {
+      // the bucketed running sum must equal the true total per epoch
+      val agg = out.groupBy(col("epoch"))
+        .agg(sum(col("n_toks")).as("tot"), max(col("cum_toks")).as("mx"),
+          min(col("cum_toks") - col("n_toks")).as("first_start"),
+          countDistinct(col("pack_id")).as("n_packs"))
+        .collect()
+      assert(agg.nonEmpty)
+      agg.foreach { r =>
+        assert(r.getAs[Long]("tot") === r.getAs[Long]("mx"),
+          s"running sum drifted: $r")
+        assert(r.getAs[Long]("first_start") === 0L, s"first doc not at offset 0: $r")
+        assert(r.getAs[Long]("n_packs") > 1, s"budget never crossed — fixture rot? $r")
+      }
+      // pack_id is non-decreasing along the shuffled order (cum_toks)
+      val inversions = out.as("a").join(out.as("b"),
+        col("a.epoch") === col("b.epoch") &&
+          col("a.cum_toks") < col("b.cum_toks") &&
+          col("a.pack_id") > col("b.pack_id")).count()
+      assert(inversions === 0L, s"$inversions pack-order inversions")
+    } finally out.unpersist()
+  }
+
   test("partitioned writes prune to the filtered partition at scan time") {
     val s = spark
     val out = Files.createTempDirectory("part_docs").toString
