@@ -29,11 +29,17 @@ object Rehearsal {
     * round-13 incremental cluster maintenance (its serve + quotient
     * propagation see the same hit-multiplicity pressure as q99, and
     * the resident-label derivation rides the q31/q35 memos staged by
-    * the earlier entries). */
+    * the earlier entries), plus the round-13 candidate-bounded
+    * verification stages (q123/q125 — their claim is that cost
+    * follows the CANDIDATE set, which under self-union grows
+    * quadratically in the clone factor: the adversarial direction)
+    * and fuzzy decontamination (q127 — broadcast-side benchmark
+    * growth). */
   val heavy: Seq[String] = Seq(
     "q31_minhash_pairs", "q35_dup_clusters", "q86_knn_join",
     "q98_chunk_neardup", "q99_lsh_index_dedup", "q103_ingest_loop",
-    "q110_incremental_clusters")
+    "q110_incremental_clusters", "q123_editdist_verify",
+    "q125_containment", "q127_fuzzy_decontaminate")
 
   private final class TaskMax extends SparkListener {
     val maxInput = new java.util.concurrent.atomic.AtomicLong(0)

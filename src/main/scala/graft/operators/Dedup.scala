@@ -1661,7 +1661,7 @@ object Dedup {
       // no broadcast hint: AQE broadcasts the prefix projection at
       // bench scale; at corpus scale it correctly becomes a shuffle
       // join sized by the candidate set
-      pairs
+      val verdicts = Materialize.cut(pairs
         .join(txt.select(col("doc_id").as("doc_a"),
           col("prefix").as("pa")), Seq("doc_a"))
         .join(txt.select(col("doc_id").as("doc_b"),
@@ -1678,8 +1678,11 @@ object Dedup {
             round(lit(1.0) - col("lev").cast("double") / col("ml"), 6)))
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
           col("edit_dist"), col("edit_sim"),
-          (col("edit_sim") >= CharSimThreshold).as("char_verified"))
-        .orderBy(col("doc_a"), col("doc_b"))
+          (col("edit_sim") >= CharSimThreshold).as("char_verified")))
+      // cut BEFORE the presentation sort (the q99 pattern): the range
+      // partitioner's sampling pass would otherwise re-execute the
+      // join + DP pipeline a second time for the sort boundaries
+      verdicts.orderBy(col("doc_a"), col("doc_b"))
     },
 
     // CONTAINMENT SCORING (Broder's asymmetric containment) — the
