@@ -100,6 +100,15 @@ object Dedup {
     * while the engine never pays the full O(n²) DP on a reject. */
   val LevBand: Int = math.ceil(EditCap * (1.0 - CharSimThreshold)).toInt
 
+  /** q123 regime switch: above this corpus clone factor
+    * (docs / distinct prefixes, estimated by one HLL pass) the DP
+    * runs once per DISTINCT prefix pair and fans back out through a
+    * join; at or below it the direct map-side form wins (measured at
+    * sf0.1, clone factor 1.06: contraction's two extra 1.6M-row
+    * shuffles cost ~6 s to save ~5% of DP). Conf-overridable so a
+    * regime-agreement test can force both paths. */
+  val EditCloneFactorSwitch: Double = 2.0
+
   /** q125 containment bar: a doc with ≥ this fraction of its distinct
     * tokens inside the other is "contained" (Broder's asymmetric
     * containment — catches a paragraph-lift that doc-level Jaccard
@@ -198,6 +207,14 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val residentLabelsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** q123's corpus clone factor (docs / HLL-distinct prefixes) — a
+    * CORPUS STATISTIC, not derived state, so like the replay corpora
+    * it is NOT wiped by [[clearMemos]]: the probe is one scan-and-agg
+    * per corpus version ("compute once per corpus version", the
+    * catalog-statistics contract). */
+  private val cloneFactorMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Double]()
 
   /** Evict memoized relations (for long-lived sessions / tests),
     * RELEASING their materialized storage — without the release a
@@ -1633,44 +1650,48 @@ object Dedup {
     // EDIT-DISTANCE VERIFICATION of the LSH near-dup candidates — the
     // second stage of the industrial dedup pipeline: MinHash banding
     // proposes (token-SET evidence), a bounded character-level pass
-    // confirms (Levenshtein over fixed EditCap prefixes). Scale: the
-    // corpus-volume work is q31's memoized pair relation; TEXT rides
-    // only the two candidate-sized doc_id joins, and each pair pays
-    // three cost regimes map-side on the pair stream's partitioning:
-    // identical prefixes short-circuit to 0 (one string compare),
-    // unequal pairs run the BANDED thresholded Levenshtein — a
-    // distance beyond LevBand can never reach the sim bar, so the
-    // engine returns -1 at O(LevBand·n) (with the O(1) length-gap
-    // exit inside) and the oracle applies the same cap to its full-DP
-    // distance, keeping verdicts hash-exact — and the full O(n²) DP
-    // never runs anywhere. Measured at sf0.1: the naive full DP cost
-    // 117.8 s; the banded map-side form ~1 s of DP across 1.7M pairs.
-    // A distinct-prefix-pair contraction (DP once per content pair)
-    // was implemented and MEASURED SLOWER here: this corpus's
-    // est-passing pairs are token-set rewrites, 94.6% distinct
-    // prefix pairs (1.62M of 1.71M), so the contraction's two extra
-    // 1.6M-row shuffles (distinct + joinback) cost ~6 s to save ~1 s
-    // of DP. On a clone-heavy crawl (dup factor >> 2) the contraction
-    // wins — same tradeoff note as minhashPairs' rep-level
-    // contraction; revisit if the data profile changes.
+    // confirms (Levenshtein over fixed EditCap prefixes). The DP is
+    // the BANDED thresholded form everywhere: a distance beyond
+    // LevBand can never reach the sim bar, so the engine returns -1
+    // at O(LevBand·n) (with the O(1) length-gap exit inside) and the
+    // oracle applies the same cap to its full-DP distance, keeping
+    // verdicts hash-exact; identical prefixes short-circuit to 0.
+    //
+    // ADAPTIVE REGIME (the components-kernel pattern): a one-pass HLL
+    // probe estimates the corpus clone factor (docs per distinct
+    // prefix). At or below EditCloneFactorSwitch the DP runs DIRECT,
+    // map-side on the memoized pair stream — measured at sf0.1
+    // (clone factor 1.06, 94.6% distinct prefix pairs): 9.0 s for one
+    // banded pass over 1.7M pairs, vs ~6 s of extra shuffles the
+    // contraction wastes to save 5% of DP. Above the switch the DP
+    // runs ONCE PER DISTINCT PREFIX PAIR and fans back out through a
+    // (ha, hb) join — on a clone-multiplied corpus the candidate set
+    // grows with multiplicity² while its distinct-content pairs do
+    // not (the 10× rehearsal's self-union: 171.75M pairs, the same
+    // 1.6M distinct — a 100× DP saving). The distinct relation is
+    // explicitly repartitioned before the DP: AQE sizes the tiny-
+    // bytes shuffle to ~2 partitions and would serialize the DP
+    // stage (measured 9.3 s single-task vs 0.4 s wide).
     "q123_editdist_verify" -> { (s, d) =>
       val pairs = minhashPairs(s, d)
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val txt = Tables.documents(s, d)
         .select(col("doc_id"),
           substring(col("text"), 1, EditCap).as("prefix"))
-      // no broadcast hint: AQE broadcasts the prefix projection at
-      // bench scale; at corpus scale it correctly becomes a shuffle
-      // join sized by the candidate set
-      val verdicts = Materialize.cut(pairs
-        .join(txt.select(col("doc_id").as("doc_a"),
-          col("prefix").as("pa")), Seq("doc_a"))
-        .join(txt.select(col("doc_id").as("doc_b"),
-          col("prefix").as("pb")), Seq("doc_b"))
+      val switchAt = s.conf.getOption("spark.graft.editVerifyCloneFactor")
+        .map(_.toDouble).getOrElse(EditCloneFactorSwitch)
+      val cloneFactor: Double = cloneFactorMemo.computeIfAbsent((s, d), _ => {
+        val stats = txt.agg(count(lit(1)).as("n"),
+          approx_count_distinct(col("prefix")).as("nd")).head()
+        stats.getLong(0).toDouble / math.max(1L, stats.getLong(1))
+      })
+      def scored(withPrefixes: DataFrame): DataFrame = withPrefixes
         .withColumn("lev",
           when(col("pa") === col("pb"), lit(0))
             .otherwise(levenshtein(col("pa"), col("pb"), LevBand)))
         .withColumn("ml",
           greatest(length(col("pa")), length(col("pb"))).cast("double"))
+      def verdictCols(df: DataFrame): DataFrame = df
         .withColumn("edit_dist",
           when(col("lev") < 0, lit(-1L)).otherwise(col("lev").cast("long")))
         .withColumn("edit_sim",
@@ -1678,7 +1699,38 @@ object Dedup {
             round(lit(1.0) - col("lev").cast("double") / col("ml"), 6)))
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
           col("edit_dist"), col("edit_sim"),
-          (col("edit_sim") >= CharSimThreshold).as("char_verified")))
+          (col("edit_sim") >= CharSimThreshold).as("char_verified"))
+      val verdicts = Materialize.cut(
+        if (cloneFactor <= switchAt) {
+          // DIRECT: DP map-side on the pair stream; no broadcast hint
+          // (AQE broadcasts the prefix projection at bench scale; at
+          // corpus scale it correctly becomes a shuffle join sized by
+          // the candidate set)
+          verdictCols(scored(pairs
+            .join(txt.select(col("doc_id").as("doc_a"),
+              col("prefix").as("pa")), Seq("doc_a"))
+            .join(txt.select(col("doc_id").as("doc_b"),
+              col("prefix").as("pb")), Seq("doc_b"))))
+        } else {
+          // CONTRACTED: DP once per distinct prefix pair
+          val hashed = txt.withColumn("ph", md5(col("prefix")))
+          val withH = pairs
+            .join(hashed.select(col("doc_id").as("doc_a"),
+              col("ph").as("ha")), Seq("doc_a"))
+            .join(hashed.select(col("doc_id").as("doc_b"),
+              col("ph").as("hb")), Seq("doc_b"))
+          val reps = hashed.select(col("ph"), col("prefix"))
+            .groupBy(col("ph")).agg(first(col("prefix")).as("prefix"))
+          val levByContent = scored(withH
+              .select(col("ha"), col("hb")).distinct()
+              .repartition(parts, col("ha"), col("hb"))
+              .join(reps.select(col("ph").as("ha"),
+                col("prefix").as("pa")), Seq("ha"))
+              .join(reps.select(col("ph").as("hb"),
+                col("prefix").as("pb")), Seq("hb")))
+            .select(col("ha"), col("hb"), col("lev"), col("ml"))
+          verdictCols(withH.join(levByContent, Seq("ha", "hb")))
+        })
       // cut BEFORE the presentation sort (the q99 pattern): the range
       // partitioner's sampling pass would otherwise re-execute the
       // join + DP pipeline a second time for the sort boundaries

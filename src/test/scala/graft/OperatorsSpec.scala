@@ -53,6 +53,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q123 regime agreement: direct and contracted DP paths give identical verdicts") {
+    val s = spark
+    val conf = "spark.graft.editVerifyCloneFactor"
+    def run(): Array[String] =
+      operators.Dedup.queries("q123_editdist_verify")(s, sf)
+        .collect().map(_.mkString("|")).sorted
+    val prev = s.conf.getOption(conf)
+    try {
+      s.conf.set(conf, "1e9") // force DIRECT
+      val direct = run()
+      s.conf.set(conf, "0")   // force CONTRACTED
+      val contracted = run()
+      assert(direct.nonEmpty, "no candidate pairs — fixture rot?")
+      assert(direct.sameElements(contracted),
+        s"regime outputs differ: direct=${direct.length} rows, " +
+          s"contracted=${contracted.length} rows")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None => s.conf.unset(conf)
+      }
+    }
+  }
+
   test("q108: near-dup cluster members never straddle splits, ~80/10/10 over clusters") {
     val s = spark
     import s.implicits._
