@@ -364,6 +364,23 @@ class ScaleShapeSpec extends SparkSpec {
         s"corpus shuffled by term through a $shuffled:\n${plan.take(1200)}")
   }
 
+  test("q127 fuzzy decontamination broadcasts the benchmark bands — no corpus shuffle by band key") {
+    val s = spark
+    // the benchmark slice is eval-suite sized by definition: its
+    // melted (band_id, band_key) rows must reach the train side as a
+    // BROADCAST join, so candidate generation never shuffles the
+    // corpus by band key; the only corpus-scale exchanges are the
+    // signature relation's own doc_id layout and the verdict
+    // aggregation
+    val df = SparkEntry.queries("q127_fuzzy_decontaminate")(s, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin [band_id"),
+      s"benchmark band join is not broadcast:\n${plan.take(1200)}")
+    for (shuffled <- Seq("SortMergeJoin [band_id", "ShuffledHashJoin [band_id"))
+      assert(!plan.contains(shuffled),
+        s"corpus shuffled by band key ($shuffled):\n${plan.take(1200)}")
+  }
+
   test("q122 IVF refresh moves only drifted vectors — unmoved cells byte-identical") {
     val s = spark
     import s.implicits._
