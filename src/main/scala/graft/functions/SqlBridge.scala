@@ -27,6 +27,14 @@ object GraftSqlBridge {
     * frames that are not local checkpoints. The caller must be done
     * with the frame: a truncated-lineage RDD cannot recompute freed
     * blocks. */
+  def unpersistLocalCheckpoint(df: Dataset[Row]): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Unload every lingering state-store provider (private[sql] in
     * Spark 4). A stopped streaming query's providers stay registered —
     * holding the last ~2 versions of each partition's state map, or
@@ -37,12 +45,4 @@ object GraftSqlBridge {
     * checkpoint on next access. */
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
-
-  def unpersistLocalCheckpoint(df: Dataset[Row]): Unit =
-    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
-      .queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
 }

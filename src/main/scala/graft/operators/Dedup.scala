@@ -625,6 +625,42 @@ object Dedup {
     s.conf.get("spark.graft.localComponentsMaxPairs", (2L << 20).toString)
       .toLong
 
+  /** Row ceiling for BROADCASTING the touched-survivor doc set in the
+    * retire path (q111/q111s). The survivor set is bounded by the
+    * touched clusters' membership — usually batch-sized — but retiring
+    * one member of a mega-cluster makes it cluster-sized, and an
+    * unconditional `broadcast()` hint would OOM the driver rather than
+    * degrade (the one unguarded scale edge round 13's audit found).
+    * Same size-regime idea as [[localComponentsMaxPairs]]: broadcast
+    * under the bound (4M longs ≈ 32 MB, the bound every broadcast join
+    * here already accepts), shuffle semi-join above it.
+    * Conf-overridable so tests can force either regime on one retire
+    * and assert the labelings agree. */
+  private def survivorBroadcastMaxRows(s: SparkSession): Long =
+    s.conf.get("spark.graft.survivorBroadcastMaxRows", (4L << 20).toString)
+      .toLong
+
+  /** The memoized pair relation restricted to edges with BOTH
+    * endpoints in `survivors` (column `doc_id`, MATERIALIZED by the
+    * caller; `nSurvivors` its counted size) — the retire path's
+    * subgraph extraction, complete by the no-cross-cluster-edge
+    * argument. Regime-guarded per [[survivorBroadcastMaxRows]]: small
+    * survivor sets ride broadcast semi-joins (no shuffle of the pair
+    * relation), mega-cluster retirements degrade to shuffle semi-joins
+    * instead of a driver OOM. */
+  private[graft] def survivorPairs(s: SparkSession, d: String,
+      survivors: DataFrame, nSurvivors: Long): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (nSurvivors <= survivorBroadcastMaxRows(s)) df => broadcast(df)
+      else identity
+    minhashPairs(s, d)
+      .join(hint(survivors.select(col("doc_id").as("doc_a"))),
+        Seq("doc_a"), "left_semi")
+      .join(hint(survivors.select(col("doc_id").as("doc_b"))),
+        Seq("doc_b"), "left_semi")
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** Iterative min-label propagation over an undirected pair graph —
     * the connected-components kernel shared by q35 (near-dup doc
     * clusters), q92b (within-video scene groups), and the
@@ -1939,15 +1975,14 @@ object Dedup {
           .select(col("doc_id"))
         val touched = resLab.join(retired, Seq("doc_id"))
           .select(col("label")).distinct()
-        val survivors = resLab.join(broadcast(touched), Seq("label"))
-          .join(retired, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"))
-        val pairs = minhashPairs(s, d)
-          .join(broadcast(survivors.select(col("doc_id").as("doc_a"))),
-            Seq("doc_a"), "left_semi")
-          .join(broadcast(survivors.select(col("doc_id").as("doc_b"))),
-            Seq("doc_b"), "left_semi")
-          .select(col("doc_a"), col("doc_b"))
+        // materialized: consumed by the size probe, both semi-joins
+        // and the components node universe (and the probe's count is
+        // what picks the broadcast-vs-shuffle regime in survivorPairs)
+        val survivors = Materialize(
+          resLab.join(broadcast(touched), Seq("label"))
+            .join(retired, Seq("doc_id"), "left_anti")
+            .select(col("doc_id")))
+        val pairs = survivorPairs(s, d, survivors, survivors.count())
         val comp = minLabelComponents(pairs,
           survivors.select(col("doc_id").as("node")))
         IndexMaintenance.deletePartitioned(s, labDir,
@@ -1959,6 +1994,7 @@ object Dedup {
               pmod(col("doc_id"), lit(buckets)).cast("int")),
           partitionFromKey = true)
         Materialize.release(comp)
+        Materialize.release(survivors)
         Materialize.cut(
           s.read.parquet(labDir)
             .select(col("doc_id"), col("label").as("cluster_id")))
@@ -2002,15 +2038,12 @@ object Dedup {
           val retiredB = batch.select(col("doc_id"))
           val touched = lab.join(retiredB, Seq("doc_id"))
             .select(col("label")).distinct()
-          val survivors = lab.join(broadcast(touched), Seq("label"))
-            .join(retiredB, Seq("doc_id"), "left_anti")
-            .select(col("doc_id"))
-          val pairs = minhashPairs(s, d)
-            .join(broadcast(survivors.select(col("doc_id").as("doc_a"))),
-              Seq("doc_a"), "left_semi")
-            .join(broadcast(survivors.select(col("doc_id").as("doc_b"))),
-              Seq("doc_b"), "left_semi")
-            .select(col("doc_a"), col("doc_b"))
+          // same regime-guarded restriction as the batch twin (q111)
+          val survivors = Materialize(
+            lab.join(broadcast(touched), Seq("label"))
+              .join(retiredB, Seq("doc_id"), "left_anti")
+              .select(col("doc_id")))
+          val pairs = survivorPairs(s, d, survivors, survivors.count())
           val comp = minLabelComponents(pairs,
             survivors.select(col("doc_id").as("node")))
           IndexMaintenance.deletePartitioned(s, labDir,
@@ -2022,6 +2055,7 @@ object Dedup {
                 pmod(col("doc_id"), lit(buckets)).cast("int")),
             partitionFromKey = true)
           Materialize.release(comp)
+          Materialize.release(survivors)
         }
         Materialize.cut(
           s.read.parquet(labDir)

@@ -92,25 +92,57 @@ object Bm25Index {
     * relation to a fresh sibling path, then swap via two renames
     * (rename is atomic per path on HDFS and the local FS). A crash
     * before the first rename leaves the live artifact untouched; a
-    * crash between the renames leaves a `.old` sibling the next swap
-    * reclaims. delete()'s multi-artifact update therefore degrades to
-    * at most ONE stale artifact — and because its tombstones land
-    * FIRST, every crash window is conservative: deleted docs are
-    * already invisible to serve while df/stats at worst lag one
-    * decrement (vs the previous in-place overwrite, where a crash
-    * mid-write left a torn artifact requiring an index rebuild). */
+    * crash BETWEEN the renames leaves nothing live at `path` — only
+    * the `.old` sibling holds the good copy, so recovery (here at
+    * entry, and in every artifact reader via [[recoverSwap]]) renames
+    * it BACK before anything is deleted. delete()'s multi-artifact
+    * update therefore degrades to at most ONE stale artifact — and
+    * because its tombstones land FIRST, every crash window is
+    * conservative: deleted docs are already invisible to serve while
+    * df/stats at worst lag one decrement (vs the previous in-place
+    * overwrite, where a crash mid-write left a torn artifact requiring
+    * an index rebuild). */
   private def swapIn(s: SparkSession, path: String)(
       write: String => Unit): Unit = {
     val (fs, p) = graft.Fs.resolve(path, s.sparkContext.hadoopConfiguration)
     val fresh = new org.apache.hadoop.fs.Path(path + ".swap")
     val old = new org.apache.hadoop.fs.Path(path + ".old")
+    // CRASH RECOVERY FIRST: if `path` is missing but `.old` exists,
+    // the previous swap died between its two renames and `.old` is the
+    // ONLY good copy — deleting it upfront (the pre-r14 behavior)
+    // would destroy the artifact instead of restoring it.
+    recoverSwap(s, path)
     if (fs.exists(fresh)) fs.delete(fresh, true)
-    if (fs.exists(old)) fs.delete(old, true)
+    // `.old` is reclaimable only when a live artifact exists at `path`
+    if (fs.exists(p) && fs.exists(old)) fs.delete(old, true)
     write(fresh.toString)
     if (fs.exists(p))
       require(fs.rename(p, old), s"swap: rename $p -> $old failed")
     require(fs.rename(fresh, p), s"swap: rename $fresh -> $p failed")
     fs.delete(old, true)
+  }
+
+  /** Restore a [[swapIn]] interrupted between its two publish renames:
+    * `path` missing + `.old` present means the crash landed after
+    * rename(path -> .old) and before rename(.swap -> path), so the
+    * `.old` sibling is the only good copy — rename it back. Invoked at
+    * swapIn entry AND by every reader of a swapped artifact
+    * (append/delete/serve/compact read `path` before any swap runs, so
+    * without the read-side hook they would fail on the missing path
+    * before recovery could happen). Idempotent, two exists() calls on
+    * the happy path. */
+  private def recoverSwap(s: SparkSession, path: String): Unit = {
+    val (fs, p) = graft.Fs.resolve(path, s.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"swap recovery: rename $old -> $p failed")
+  }
+
+  /** Read-side crash recovery for the two swap-replaced artifacts of
+    * an index base dir (terms, stats). */
+  private def recoverArtifacts(s: SparkSession, base: String): Unit = {
+    recoverSwap(s, s"$base/terms")
+    recoverSwap(s, s"$base/stats")
   }
 
   private val savedDirs = new java.util.concurrent.ConcurrentHashMap[
@@ -134,6 +166,7 @@ object Bm25Index {
     * appended documents. */
   def append(s: SparkSession, indexDir: String, newDocs: DataFrame): Long = {
     val base = IvfTopK.qualify(s, indexDir)
+    recoverArtifacts(s, base)
     // materialize the batch ONCE: the returned count, the postings
     // write and the stats update come from the same evaluation
     val staged = graft.Materialize.cut(newDocs)
@@ -197,6 +230,7 @@ object Bm25Index {
   def delete(s: SparkSession, indexDir: String,
       deletedDocs: DataFrame): Long = {
     val base = IvfTopK.qualify(s, indexDir)
+    recoverArtifacts(s, base)
     val staged = graft.Materialize.cut(deletedDocs
       .select(col("doc_id"), col("text")))
     val delPost = graft.Materialize.cut(TextAnalysis.postingsOf(staged))
@@ -240,6 +274,7 @@ object Bm25Index {
     * postings file count. */
   def compact(s: SparkSession, srcDir: String, destDir: String): Int = {
     val src = IvfTopK.qualify(s, srcDir)
+    recoverArtifacts(s, src)
     val dest = IvfTopK.qualify(s, destDir)
     // compaction is where merge-on-read tombstones are PURGED: the
     // rewrite drops tombstoned rows and the compacted index carries no
@@ -274,6 +309,7 @@ object Bm25Index {
   /** Reconstruct a handle from saved artifacts. */
   def load(s: SparkSession, indexDir: String): Handle = {
     val base = IvfTopK.qualify(s, indexDir)
+    recoverArtifacts(s, base)
     val docsPath = s.read.parquet(s"$base/meta").head().getString(0)
     Handle(docsPath, s"$base/postings", s"$base/terms", s"$base/stats")
   }
@@ -287,6 +323,8 @@ object Bm25Index {
     * the fresh [[TextAnalysis.bm25Agg]]. */
   def serve(s: SparkSession, h: Handle,
       queryTerms: Seq[String]): DataFrame = {
+    recoverSwap(s, h.termsPath)
+    recoverSwap(s, h.statsPath)
     // driver-side twin of the save-time tbucket column: CRC32 of the
     // UTF-8 term bytes (exactly Spark's crc32 over a string cast),
     // non-negative, so % equals pmod

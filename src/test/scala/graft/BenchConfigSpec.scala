@@ -114,6 +114,35 @@ class BenchConfigSpec extends AnyFunSuite {
       "Bench's stage block never calls Dedup.stageResidentState")
   }
 
+  test("Bench.vocabStagers matches the stageVocabStats consumers in TextAnalysis") {
+    // q116's persisted vocabulary-stats table is derived once per
+    // session (files, like the label state table); a consumer missing
+    // from vocabStagers pays the one-time resident-corpus aggregate
+    // inside whichever sweep times it first (the r13 advice item)
+    val text = Files.readString(Paths.get(
+      "src", "main", "scala", "graft", "operators", "TextAnalysis.scala"))
+    val entry = """"(q[0-9]+[a-z]*)_[a-z0-9_]*"\s*->""".r
+    val ms = entry.findAllMatchIn(text).toList
+    assert(ms.nonEmpty, "no query entries found in TextAnalysis — pattern rot?")
+    def bodyEnd(from: Int, nextStart: Int): Int = {
+      val close = text.indexOf("\n  )\n", from)
+      if (close == -1) nextStart else math.min(close, nextStart)
+    }
+    val consumers = ms.zipWithIndex.flatMap { case (m, i) =>
+      val next = if (i + 1 < ms.size) ms(i + 1).start else text.length
+      val body = text.substring(m.end, bodyEnd(m.end, next))
+      if (body.contains("stageVocabStats(")) Some(m.group(1)) else None
+    }.toSet
+    assert(consumers.nonEmpty, "no stageVocabStats consumers found — pattern rot?")
+    assert(consumers === Bench.vocabStagers,
+      s"Bench.vocabStagers=${Bench.vocabStagers.toSeq.sorted} but TextAnalysis " +
+        s"queries consuming vocab stats are ${consumers.toSeq.sorted}")
+    val bench = Files.readString(
+      Paths.get("src", "main", "scala", "graft", "Bench.scala"))
+    assert(bench.contains("TextAnalysis.stageVocabStats("),
+      "Bench's stage block never calls TextAnalysis.stageVocabStats")
+  }
+
   test("Bench sweep loop clears every module that defines clearMemos") {
     // The sweep loop's blanket unpersist of ALL persistent RDDs is
     // only safe because every cross-query memo was released by a

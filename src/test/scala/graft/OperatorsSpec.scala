@@ -714,4 +714,38 @@ class OperatorsSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(staging))
   }
+
+  test("q111 survivor restriction: broadcast and shuffle semi-join " +
+      "regimes agree on the same retire (regime boundary)") {
+    // the retire path's survivor set is usually batch-sized (broadcast
+    // regime), but a mega-cluster retirement makes it cluster-sized —
+    // survivorPairs then degrades to shuffle semi-joins instead of an
+    // unconditional driver-OOM broadcast hint. Force both regimes on
+    // one fixture and assert identical labelings.
+    val s = spark
+    import s.implicits._
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight"
+    val C = "north south east west up down left right"
+    val staging = java.nio.file.Files.createTempDirectory("q111_reg").toString
+    try {
+      Seq((29L, A), (46L, A), (37L, B), (39L, B), (56L, B), (105L, C))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text").cast("long"))
+        .write.parquet(s"$staging/documents.parquet")
+      def run(): Map[Long, Long] =
+        Dedup.queries("q111_cluster_retire")(s, staging)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaBroadcast = run() // 4 survivors — far under the default bound
+      s.conf.set("spark.graft.survivorBroadcastMaxRows", "0")
+      val viaShuffle = try run()
+        finally s.conf.unset("spark.graft.survivorBroadcastMaxRows")
+      assert(viaBroadcast === viaShuffle,
+        s"regimes disagree: broadcast=$viaBroadcast shuffle=$viaShuffle")
+      assert(viaBroadcast === Map(29L -> 29L, 46L -> 29L, 39L -> 39L,
+        56L -> 39L), s"got $viaBroadcast")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
 }

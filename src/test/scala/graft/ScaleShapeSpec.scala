@@ -1325,6 +1325,48 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("BM25 swap crash recovery: a .old-only artifact is restored, not destroyed") {
+    // simulate a crash between swapIn's two publish renames: the live
+    // artifact is gone and only the `.old` sibling holds the good copy.
+    // Pre-r14 the next swap DELETED `.old` upfront (destroying the only
+    // copy) and readers failed on the missing path before any reclaim;
+    // now every entry point restores it first (r13 advice, medium).
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("bm25_crash").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      docs.write.parquet(s"$staging/corpus/documents.parquet")
+      val src = s"$staging/idx"
+      graft.plans.Bm25Index.save(s, s"$staging/corpus", src)
+      def served() = graft.plans.Bm25Index.serve(s,
+          graft.plans.Bm25Index.load(s, src),
+          operators.TextAnalysis.Bm25QueryTerms)
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+      val before = served()
+      assert(before.nonEmpty, "fixture served nothing — rot?")
+      val (fs, terms) = graft.Fs.resolve(s"$src/terms",
+        s.sparkContext.hadoopConfiguration)
+      val old = new org.apache.hadoop.fs.Path(s"$src/terms.old")
+      // the crash window: terms -> terms.old done, .swap -> terms not
+      assert(fs.rename(terms, old), "test setup rename failed")
+      assert(!fs.exists(terms) && fs.exists(old))
+      // read-side recovery: serve restores the artifact and answers
+      assert(served() == before,
+        "post-crash serve diverges from the pre-crash index")
+      assert(fs.exists(terms) && !fs.exists(old),
+        "recovery did not restore terms from the .old sibling")
+      // write-side recovery at swapIn entry: crash again, then run a
+      // delete (whose terms swap would have deleted .old upfront)
+      assert(fs.rename(terms, old), "test setup rename failed")
+      val n = graft.plans.Bm25Index.delete(s, src,
+        docs.where(pmod(col("doc_id"), lit(7)) === 0))
+      assert(n > 0 && fs.exists(terms),
+        "delete after a simulated swap crash lost the terms artifact")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("BM25 re-ingest rule: tombstoned id un-appendable until compact purges it") {
     val s = spark
     val staging = java.nio.file.Files.createTempDirectory("bm25_reingest").toString
