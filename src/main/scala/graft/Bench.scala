@@ -72,6 +72,25 @@ object Bench {
     * lifecycle is what gets timed. */
   val snapStagers = Set("q109", "q113")
 
+  /** Queries that mutate a per-invocation clone of the committed-v1
+    * BM25 snapshot index ([[graft.operators.TextAnalysis
+    * .stageBm25SnapClones]]) — the lexical twin of [[snapStagers]]:
+    * the corpus index build + v1 commit is shared setup; the
+    * append/delete/compact commits and as-of serves are what gets
+    * timed. */
+  val bm25SnapStagers = Set("q129")
+
+  /** Queries that mutate a per-invocation clone of the committed-v1
+    * IVF snapshot index ([[graft.operators.Similarity
+    * .stageIvfSnapClones]]) — the vector twin of [[snapStagers]]. */
+  val ivfSnapStagers = Set("q130")
+
+  /** Queries that mutate a per-invocation clone of the committed-v1
+    * PQ snapshot index ([[graft.operators.Similarity
+    * .stagePqSnapClones]]) — same accounting, product-quantized
+    * family. */
+  val pqSnapStagers = Set("q131")
+
   /** Queries that consume the PERSISTED vocabulary-statistics table
     * ([[graft.operators.TextAnalysis.stageVocabStats]]) — q116's
     * materialized view. Files like the label state table, staged once
@@ -193,6 +212,12 @@ object Bench {
       stateStagers.exists(p => n.startsWith(p + "_")) }
     val stageVocab = names.exists { case (n, _) =>
       vocabStagers.exists(p => n.startsWith(p + "_")) }
+    val bm25SnapCount = names.count { case (n, _) =>
+      bm25SnapStagers.exists(p => n.startsWith(p + "_")) }
+    val ivfSnapCount = names.count { case (n, _) =>
+      ivfSnapStagers.exists(p => n.startsWith(p + "_")) }
+    val pqSnapCount = names.count { case (n, _) =>
+      pqSnapStagers.exists(p => n.startsWith(p + "_")) }
     // Per-sweep wall-clock stamps + a cheap load probe (1-minute system
     // load average at sweep start/end): round 13's sweep 2 carried
     // simultaneous 30 s+ spikes on unrelated queries (q114/q113/q123/
@@ -278,6 +303,27 @@ object Bench {
         try graft.operators.TextAnalysis.stageVocabStats(spark, sfDir)
         catch { case e: Throwable =>
           System.err.println(s"[bench] vocab stage failed (sweep $sweep): " +
+            e.getMessage)
+        }
+      if (bm25SnapCount > 0)
+        try graft.operators.TextAnalysis.stageBm25SnapClones(spark, sfDir,
+          bm25SnapCount)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] bm25 snap stage failed (sweep $sweep): " +
+            e.getMessage)
+        }
+      if (ivfSnapCount > 0)
+        try graft.operators.Similarity.stageIvfSnapClones(spark, sfDir,
+          ivfSnapCount)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ivf snap stage failed (sweep $sweep): " +
+            e.getMessage)
+        }
+      if (pqSnapCount > 0)
+        try graft.operators.Similarity.stagePqSnapClones(spark, sfDir,
+          pqSnapCount)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] pq snap stage failed (sweep $sweep): " +
             e.getMessage)
         }
       stageSecs += (System.nanoTime() - st0) / 1e9

@@ -111,6 +111,11 @@ object Explain {
     "q126_epoch_shuffle" -> "deterministic epoch shuffle: md5 rank through GlobalOrder with the hash's leading byte as the bucket — uniform buckets by construction, partitioned rank window, broadcast offsets",
     "q127_fuzzy_decontaminate" -> "fuzzy decontamination: benchmark band rows BROADCAST (eval-suite sized), train side map-side from the memoized signature relation, est verification joins sigs on the candidate-sized pairs only — the corpus never shuffles by band key",
     "q128_epoch_pack" -> "epoch pack manifest: GlobalOrder.globalRunningSum — per-bucket token totals prefix-summed driver-side, within-bucket running sum as a partitioned window, pack assignment map-side — the global concat order with no SinglePartition exchange",
+    "q13_rollup" -> "ROLLUP = one Expand (3 grouping combos) feeding a single two-phase aggregate — one shuffle total, same Expand family as q13b/q13c; grouping() indicators are plain projections over the spread id",
+    "q28_pipeline_e2e" -> "NEEL pipeline end-to-end: to_json → from_json parse → dictionary-NER/NEL under broadcast KB joins → result-event assembly — one tweet scan, every model relation broadcast, the only shuffle is the per-tweet entity regroup",
+    "q129_bm25_timetravel" -> "BM25 snapshot time travel: four as-of serves from one query — each leg's postings scan is the version's manifested file set with tbucket pruning (basePath) + pushed term predicate, tombstones broadcast-anti-joined, terms/stats manifest-selected; pinned plan is the four-leg union",
+    "q130_ivf_timetravel" -> "IVF snapshot time travel: append assigned map-side under broadcast centroids (only its cid partitions gain files), then q39's probed top-10 as-of v1 AND v2 — each leg a static cid IN (...) scan of its version's manifested assignment files; pinned plan is the two-leg union",
+    "q131_pq_timetravel" -> "PQ snapshot time travel: append encoded map-side under the broadcast codebooks and packed to the 8-byte layout, then the ADC top-10 as-of v1 AND v2 — each leg unpacks exactly its version's manifested code files map-side and rides the broadcast-ADC join; pinned plan is the two-leg union",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -142,7 +147,9 @@ object Explain {
     "q110_incremental_clusters", "q110s_stream_clusters",
     "q111_cluster_retire", "q111s_stream_retire",
     "q112_ingest_autocompact",
-    "q113_snapshot_compact", "q114_cluster_changefeed")
+    "q113_snapshot_compact", "q114_cluster_changefeed",
+    "q13_rollup", "q28_pipeline_e2e",
+    "q129_bm25_timetravel", "q130_ivf_timetravel", "q131_pq_timetravel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

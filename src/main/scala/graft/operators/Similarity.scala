@@ -1378,7 +1378,191 @@ object Similarity {
     // probing — is what the sf0.01 oracle gate actually executes and
     // hash-checks, rather than a branch that only fires on skew.
     "q76b_semantic_dedup_capped" -> { (s, d) => semanticKept(s, d, CellCapGate) },
+
+    // IVF INDEX TIME TRAVEL — the vector family's snapshot lifecycle
+    // (q109's shape, per the round-13 advice): the committed-v1 index
+    // is trained on the resident population (vec_id % 10 ≠ 9, a
+    // pre-staged clone), the % 10 = 9 slice is APPENDED — assigned
+    // map-side to the FIXED quantizer, landing only in its cid
+    // partitions — and committed as v2; ONE query vector then serves
+    // q39's probed top-10 as-of BOTH versions. The v1 leg must be
+    // blind to the appended vectors even though their files sit in the
+    // same cid directories — the manifest, not the listing, defines
+    // the scan. Oracle: the k-means chain over the v1 population, the
+    // appended slice assigned to the final centroids, one probed
+    // top-10 per version. Scale: an as-of read is a manifest listing
+    // choice; both legs keep the cid partition pruning (basePath), and
+    // the append itself is the dynamic-partition file addition.
+    "q130_ivf_timetravel" -> { (s, d) =>
+      import graft.plans.{IvfTopK, Snapshots}
+      val staging = takeIvfSnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val v1 = Snapshots.current(s, s"$idxDir/assignment").get
+        IvfTopK.appendTo(s, idxDir,
+          Tables.embeddings(s, d)
+            .where(pmod(col("vec_id"), lit(10)) === 9))
+        val v2 = Snapshots.commit(s, s"$idxDir/assignment")
+        def leg(v: Int, tag: Int) =
+          IvfTopK.serveTopKAsOf(s, idxDir, v)
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2)))
+          .select(col("version"), col("vec_id"), col("label"), col("cos"))
+          .orderBy(col("version"), col("cos").desc, col("vec_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
+    // PQ INDEX TIME TRAVEL — q130's shape for the PRODUCT-QUANTIZED
+    // family, completing snapshot isolation across all four persisted
+    // index families (MinHash q109/q113, BM25 q129, IVF q130, PQ
+    // here): the committed-v1 codes table (codebooks trained on the
+    // resident slice) absorbs an append — new vectors ENCODED under
+    // the existing codebooks map-side, packed to the 8-byte layout,
+    // landing as new files — and commits v2; the ADC top-10 then
+    // serves as-of both versions. The codes table is the one
+    // corpus-sized artifact, so version pinning is exactly a file-set
+    // choice over it; codebooks/meta never change on append. Oracle:
+    // the PQ training chain over the v1 population, the appended slice
+    // encoded against the final codebooks, one ADC top-10 per version.
+    "q131_pq_timetravel" -> { (s, d) =>
+      import graft.plans.{PqIndex, Snapshots}
+      val staging = takePqSnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val v1 = Snapshots.current(s, s"$idxDir/codes").get
+        PqIndex.append(s, idxDir,
+          Tables.embeddings(s, d)
+            .where(pmod(col("vec_id"), lit(10)) === 9)
+            .select(col("vec_id"), col("embedding")))
+        val v2 = Snapshots.commit(s, s"$idxDir/codes")
+        def leg(v: Int, tag: Int) =
+          PqIndex.serveAsOf(s, idxDir, v).withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2)))
+          .select(col("version"), col("vec_id"), col("adc_dist"))
+          .orderBy(col("version"), col("adc_dist"), col("vec_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
+
+  /** The RESIDENT embeddings slice (vec_id % 10 ≠ 9) staged as its own
+    * table ONCE per (session, sfDir) — the shared training population
+    * of the snapshot-lifecycle queries (q130 IVF, q131 PQ); every
+    * snapshot clone's meta points here read-only. */
+  private val residentEmbMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def residentEmbDir(s: SparkSession, d: String): String =
+    residentEmbMemo.computeIfAbsent((s, d), _ => {
+      val dir = graft.Fs.createStagingDir(s, "graft-emb-resident")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      Tables.embeddings(s, d)
+        .where(pmod(col("vec_id"), lit(10)) =!= 9)
+        .write.parquet(s"$dir/embeddings.parquet")
+      dir
+    })
+
+  /** Pristine committed-v1 IVF snapshot index for q130 — trained on
+    * [[residentEmbDir]]'s population, saved + manifest-committed ONCE
+    * per (session, sfDir); q130 invocations mutate byte-copies of it. */
+  private val ivfSnapMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def ivfSnapDir(s: SparkSession, d: String): String =
+    ivfSnapMemo.computeIfAbsent((s, d), _ => {
+      val dir = graft.Fs.createStagingDir(s, "graft-ivf-snapsrc")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      graft.plans.IvfTopK.ensureSaved(s, residentEmbDir(s, d), s"$dir/idx")
+      graft.plans.Snapshots.commit(s, s"$dir/idx/assignment")
+      dir
+    })
+
+  /** Pristine committed-v1 PQ snapshot index for q131 — codebooks
+    * trained on [[residentEmbDir]]'s population, codes saved +
+    * manifest-committed ONCE per (session, sfDir); q131 invocations
+    * mutate byte-copies of it. */
+  private val pqSnapMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def pqSnapDir(s: SparkSession, d: String): String =
+    pqSnapMemo.computeIfAbsent((s, d), _ => {
+      val dir = graft.Fs.createStagingDir(s, "graft-pq-snapsrc")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      graft.plans.PqIndex.ensureSaved(s, residentEmbDir(s, d), s"$dir/idx")
+      graft.plans.Snapshots.commit(s, s"$dir/idx/codes")
+      dir
+    })
+
+  private val stagedIvfSnapClones = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.ConcurrentLinkedQueue[String]]()
+
+  /** Pre-stage `n` byte-copies of the committed-v1 IVF snapshot index
+    * UNTIMED (Bench.ivfSnapStagers): the training + save + v1 commit
+    * is a shared immutable artifact; what q130 demonstrates (and
+    * times) is the append, the v2 commit and the dual as-of serves. */
+  def stageIvfSnapClones(s: SparkSession, d: String, n: Int): Unit = {
+    val src = ivfSnapDir(s, d)
+    val q = stagedIvfSnapClones.computeIfAbsent((s, d),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+    for (_ <- q.size until n) {
+      val staging = graft.Fs.createStagingDir(s, "graft-ivf-snapclone")
+      graft.plans.IndexMaintenance.copyDir(s, s"$src/idx", s"$staging/idx")
+      q.add(staging)
+    }
+  }
+
+  /** Pop a pre-staged snapshot clone or copy inline (Verify /
+    * standalone). The returned root holds `idx/` with manifest v1
+    * already committed. */
+  private def takeIvfSnapClone(s: SparkSession, d: String): String = {
+    val q = stagedIvfSnapClones.get((s, d))
+    val pre = if (q == null) null else q.poll()
+    if (pre != null) pre
+    else {
+      val staging = graft.Fs.createStagingDir(s, "graft-ivf-snapclone")
+      graft.plans.IndexMaintenance.copyDir(s, s"${ivfSnapDir(s, d)}/idx",
+        s"$staging/idx")
+      staging
+    }
+  }
+
+  private val stagedPqSnapClones = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.ConcurrentLinkedQueue[String]]()
+
+  /** Pre-stage `n` byte-copies of the committed-v1 PQ snapshot index
+    * UNTIMED (Bench.pqSnapStagers) — the q130 accounting applied to
+    * the PQ family. */
+  def stagePqSnapClones(s: SparkSession, d: String, n: Int): Unit = {
+    val src = pqSnapDir(s, d)
+    val q = stagedPqSnapClones.computeIfAbsent((s, d),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+    for (_ <- q.size until n) {
+      val staging = graft.Fs.createStagingDir(s, "graft-pq-snapclone")
+      graft.plans.IndexMaintenance.copyDir(s, s"$src/idx", s"$staging/idx")
+      q.add(staging)
+    }
+  }
+
+  /** Pop a pre-staged PQ snapshot clone or copy inline. */
+  private def takePqSnapClone(s: SparkSession, d: String): String = {
+    val q = stagedPqSnapClones.get((s, d))
+    val pre = if (q == null) null else q.poll()
+    if (pre != null) pre
+    else {
+      val staging = graft.Fs.createStagingDir(s, "graft-pq-snapclone")
+      graft.plans.IndexMaintenance.copyDir(s, s"${pqSnapDir(s, d)}/idx",
+        s"$staging/idx")
+      staging
+    }
+  }
 
   def oracle: Map[String, String] = {
     val base =
@@ -2010,6 +2194,95 @@ object Similarity {
            |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.4
            |ORDER BY vec_a, vec_b""".stripMargin,
     )
+    // q130: the k-means CTE chain trains on the v1 POPULATION
+    // (vec_id % 10 <> 9 — `n` is redefined to it, so kmeansCtes
+    // applies verbatim and seeds/k/centroids mirror the staged table
+    // ivfModel trains on); the appended slice is assigned to the FINAL
+    // centroids with the same argmin (appendTo's map-side assignment),
+    // and each version leg is q39's probed top-10 over its own
+    // population — the probe cells are version-independent because an
+    // append never retrains.
+    val timetravelSql =
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $vecSql AS v FROM embeddings),
+         |nall AS (SELECT vec_id, label, v, $nrmSql AS nrm FROM e),
+         |n AS (SELECT * FROM nall WHERE vec_id % 10 <> 9),
+         |$kmeansCtes,
+         |n9 AS (SELECT * FROM nall WHERE vec_id % 10 = 9),
+         |app AS (
+         |  SELECT vec_id, label, v, nrm, cid, dist FROM (
+         |    SELECT e.vec_id, e.label, e.v, e.nrm, c.cid,
+         |      ${distSql("e.v", "c.cv")} AS dist,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${distSql("e.v", "c.cv")}, c.cid) AS arn
+         |    FROM n9 e CROSS JOIN cents$KmIters c) WHERE arn = 1),
+         |vtwo AS (SELECT * FROM fin UNION ALL SELECT * FROM app),
+         |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${distSql("q.qv", "c.cv")}, c.cid) AS prn
+         |    FROM cents$KmIters c CROSS JOIN q) WHERE prn <= $NProbe),
+         |leg1 AS (
+         |  SELECT 1 AS version, a.vec_id, a.label,
+         |    ${cosSql("a.v", "q2.v", "a.nrm", "q2.nrm")} AS cos
+         |  FROM fin a JOIN probed p ON a.cid = p.cid
+         |  CROSS JOIN (SELECT v, nrm FROM nall WHERE vec_id = 0) q2
+         |  WHERE a.vec_id <> 0
+         |  ORDER BY cos DESC, a.vec_id ASC LIMIT 10),
+         |leg2 AS (
+         |  SELECT 2 AS version, a.vec_id, a.label,
+         |    ${cosSql("a.v", "q2.v", "a.nrm", "q2.nrm")} AS cos
+         |  FROM vtwo a JOIN probed p ON a.cid = p.cid
+         |  CROSS JOIN (SELECT v, nrm FROM nall WHERE vec_id = 0) q2
+         |  WHERE a.vec_id <> 0
+         |  ORDER BY cos DESC, a.vec_id ASC LIMIT 10)
+         |SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+         |ORDER BY version, cos DESC, vec_id""".stripMargin
+    // q131: the PQ training chain over the v1 population (`n`
+    // redefined, pqCtes verbatim — seeds/codebooks mirror the staged
+    // table pqModel trains on), the appended slice's subvectors
+    // assigned to the FINAL codebooks with the same (dist, cid) argmin
+    // (PqIndex.append's encoding), one ADC top-10 per version.
+    val pqTimetravelSql =
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $vecSql AS v FROM embeddings),
+         |nall AS (SELECT vec_id, label, v, $nrmSql AS nrm FROM e),
+         |n AS (SELECT * FROM nall WHERE vec_id % 10 <> 9),
+         |$pqCtes,
+         |sv9 AS (
+         |  SELECT vec_id, j, list_slice(v, j * $PqSubDim + 1,
+         |    j * $PqSubDim + $PqSubDim) AS sv
+         |  FROM (SELECT * FROM nall WHERE vec_id % 10 = 9), range(0, $PqM) t(j)),
+         |papp AS (
+         |  SELECT vec_id, j, cid FROM (
+         |    SELECT a.vec_id, a.j, c.cid,
+         |      row_number() OVER (PARTITION BY a.vec_id, a.j
+         |        ORDER BY ${pqDistSql("a.sv", "c.cv")}, c.cid) AS arn
+         |    FROM sv9 a JOIN pc$KmIters c ON a.j = c.j) WHERE arn = 1),
+         |ptwo AS (SELECT vec_id, j, cid FROM pfin
+         |  UNION ALL SELECT vec_id, j, cid FROM papp),
+         |q8 AS (
+         |  SELECT j, list_slice(q.qv, j * $PqSubDim + 1,
+         |    j * $PqSubDim + $PqSubDim) AS qsv
+         |  FROM (SELECT v AS qv FROM n WHERE vec_id = 0) q, range(0, $PqM) t(j)),
+         |dt AS (
+         |  SELECT c.j, c.cid, round(${pqDistSql("q8.qsv", "c.cv")}, 6) AS qd
+         |  FROM pc$KmIters c JOIN q8 ON c.j = q8.j),
+         |leg1 AS (
+         |  SELECT 1 AS version, e.vec_id,
+         |    CAST(sum(CAST(dt.qd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+         |  FROM pfin e JOIN dt ON e.j = dt.j AND e.cid = dt.cid
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10),
+         |leg2 AS (
+         |  SELECT 2 AS version, e.vec_id,
+         |    CAST(sum(CAST(dt.qd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+         |  FROM ptwo e JOIN dt ON e.j = dt.j AND e.cid = dt.cid
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10)
+         |SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+         |ORDER BY version, adc_dist, vec_id""".stripMargin
     // The persisted-index SERVE queries must equal their in-session
     // twins EXACTLY — same deterministic trained model, same query
     // arithmetic, only the model inputs are disk-sourced — so their
@@ -2018,6 +2291,8 @@ object Similarity {
       "q39c_ivf_serve" -> m("q39_ann_ivf"),
       "q89c_pq_serve" -> m("q89b_pq_adc_topk"),
       "q97b_hybrid_served" -> m("q97_hybrid_search"),
+      "q130_ivf_timetravel" -> timetravelSql,
+      "q131_pq_timetravel" -> pqTimetravelSql,
     )
   }
 }

@@ -653,7 +653,104 @@ object TextAnalysis {
           col("phase"))
         .orderBy(col("global_rank"))
     },
+
+    // BM25 INDEX TIME TRAVEL — the lexical family's snapshot lifecycle
+    // (q109's shape extended per the round-13 advice): the committed-v1
+    // index (residents, doc_id % 10 ∈ 1..8 — a pre-staged clone, the
+    // takeSnapClone accounting) absorbs an APPEND (% 10 = 9 → v2), a
+    // TOMBSTONE DELETE (% 7 = 0 of the v2 population → v3: tombstones
+    // land as new files, vocabulary/stats decrements land as manifest-
+    // selected sibling replacements, ONE commit pins all three), and a
+    // COPY-ON-WRITE PURGE COMPACTION (→ v4, row-identical to v3 by
+    // construction). The SAME query then serves as-of all four
+    // versions: v1 must be blind to everything, v3 must equal a fresh
+    // survivors-only computation, v4 must equal v3. Oracle = q48's
+    // BM25 CTE chain instantiated per version population. Scale: an
+    // as-of read is a manifest listing choice — every leg keeps the
+    // tbucket file pruning (basePath) and tombstones ride a broadcast
+    // anti-join; the compaction rewrites only postings files, never
+    // re-tokenizes a document.
+    "q129_bm25_timetravel" -> { (s, d) =>
+      import graft.plans.{Bm25Index, Snapshots}
+      val docs = Tables.documents(s, d)
+      val staging = takeBm25SnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val v1 = Snapshots.current(s, idxDir).get
+        val v2 = Bm25Index.appendCommit(s, idxDir,
+          docs.where(pmod(col("doc_id"), lit(10)) === 9))
+        val v3 = Bm25Index.deleteCommit(s, idxDir,
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 0 &&
+            pmod(col("doc_id"), lit(7)) === 0))
+        val v4 = Bm25Index.compactCommitSnapshot(s, idxDir)
+        def leg(v: Int, tag: Int) =
+          Bm25Index.serveAsOf(s, idxDir, v, Bm25QueryTerms)
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2))
+            .unionByName(leg(v3, 3)).unionByName(leg(v4, 4)))
+          .select(col("version"), col("doc_id"), col("bm25"),
+            col("n_matched"))
+          .orderBy(col("version"), col("doc_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
+
+  /** Pristine committed-v1 BM25 snapshot index for q129 — the v1
+    * population (doc_id % 10 ∈ 1..8) staged as its own corpus dir,
+    * indexed and manifest-committed ONCE per (session, sfDir); q129
+    * invocations mutate byte-copies of it (the snapIndexDir pattern
+    * from the MinHash family). */
+  private val bm25SnapMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def bm25SnapDir(s: SparkSession, d: String): String =
+    bm25SnapMemo.computeIfAbsent((s, d), _ => {
+      val dir = graft.Fs.createStagingDir(s, "graft-bm25-snapsrc")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(10)).between(1, 8))
+        .write.parquet(s"$dir/corpus/documents.parquet")
+      graft.plans.Bm25Index.save(s, s"$dir/corpus", s"$dir/idx")
+      graft.plans.Bm25Index.commitSnapshot(s, s"$dir/idx")
+      dir
+    })
+
+  private val stagedBm25SnapClones = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String),
+    java.util.concurrent.ConcurrentLinkedQueue[String]]()
+
+  /** Pre-stage `n` byte-copies of the committed-v1 BM25 snapshot index
+    * UNTIMED (Bench.bm25SnapStagers): the initial save + v1 commit is
+    * a shared immutable artifact; what q129 demonstrates (and times)
+    * is the append/delete/compact commits and the four as-of serves. */
+  def stageBm25SnapClones(s: SparkSession, d: String, n: Int): Unit = {
+    val src = bm25SnapDir(s, d)
+    val q = stagedBm25SnapClones.computeIfAbsent((s, d),
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+    for (_ <- q.size until n) {
+      val staging = graft.Fs.createStagingDir(s, "graft-bm25-snapclone")
+      graft.plans.IndexMaintenance.copyDir(s, s"$src/idx", s"$staging/idx")
+      q.add(staging)
+    }
+  }
+
+  /** Pop a pre-staged snapshot clone or copy inline (Verify /
+    * standalone). The returned root holds `idx/` with manifest v1
+    * already committed. */
+  private def takeBm25SnapClone(s: SparkSession, d: String): String = {
+    val q = stagedBm25SnapClones.get((s, d))
+    val pre = if (q == null) null else q.poll()
+    if (pre != null) pre
+    else {
+      val staging = graft.Fs.createStagingDir(s, "graft-bm25-snapclone")
+      graft.plans.IndexMaintenance.copyDir(s, s"${bm25SnapDir(s, d)}/idx",
+        s"$staging/idx")
+      staging
+    }
+  }
 
   def oracle: Map[String, String] = {
     val hitCols = profiles.map { case (l, ws) =>
@@ -867,6 +964,44 @@ object TextAnalysis {
            |SELECT doc_id, round(sum(score_t), 6) AS bm25, count(*) AS n_matched
            |FROM scored GROUP BY doc_id
            |ORDER BY bm25 DESC, doc_id ASC LIMIT 20""".stripMargin,
+      // q129: one q48 CTE chain per snapshot version, instantiated
+      // over that version's document population — v1 the initial
+      // residents, v2 after the append, v3 after the tombstone delete,
+      // v4 after the purge compaction (identical to v3 by
+      // construction: compaction is purely physical)
+      "q129_bm25_timetravel" -> {
+        val termsIn = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+        def leg(tag: Int, popWhere: String) =
+          s"""SELECT * FROM (
+             |WITH pop AS (SELECT * FROM documents WHERE $popWhere),
+             |t AS (
+             |  SELECT doc_id, len(toks) AS dl, u.term FROM (
+             |    SELECT doc_id, $toksSql AS toks FROM pop),
+             |    unnest(toks) AS u(term)),
+             |dls AS (SELECT doc_id, max(dl) AS dl FROM t GROUP BY 1),
+             |stats AS (
+             |  SELECT (SELECT count(*) FROM pop) AS n_docs,
+             |         (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM dls) AS avgdl),
+             |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+             |  FROM t WHERE term IN ($termsIn) GROUP BY 1, 2),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df
+             |  FROM t WHERE term IN ($termsIn) GROUP BY 1),
+             |scored AS (
+             |  SELECT tf.doc_id,
+             |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+             |      * (tf * 2.2)
+             |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score_t
+             |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats)
+             |SELECT $tag AS version, doc_id, round(sum(score_t), 6) AS bm25,
+             |  count(*) AS n_matched
+             |FROM scored GROUP BY doc_id)""".stripMargin
+        Seq(
+          leg(1, "doc_id % 10 BETWEEN 1 AND 8"),
+          leg(2, "doc_id % 10 <> 0"),
+          leg(3, "doc_id % 10 <> 0 AND doc_id % 7 <> 0"),
+          leg(4, "doc_id % 10 <> 0 AND doc_id % 7 <> 0"))
+          .mkString("\nUNION ALL\n") + "\nORDER BY version, doc_id"
+      },
       "q44_fuzzy_match" ->
         """WITH names AS (
           |  SELECT DISTINCT p_name,

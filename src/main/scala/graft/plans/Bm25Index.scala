@@ -298,6 +298,184 @@ object Bm25Index {
     n
   }
 
+  // --------------------------------------------------------------------
+  // SNAPSHOT LIFECYCLE (manifest-committed form, q129): one manifest
+  // spans the WHOLE base dir — postings, terms, stats, meta, deletes —
+  // so a single version number pins every artifact consistently and
+  // "as-of" serves need no copy at all. The in-place lifecycle above
+  // swaps terms/stats destructively (older manifests would dangle);
+  // here every mutation lands ONLY new sibling files and the manifest
+  // swaps the SELECTION ([[Snapshots.commitReplacing]]), so time
+  // travel, tombstone deletes and purge compaction coexist — the full
+  // lakehouse shape the MinHash family got in q109/q113, extended to
+  // the lexical index per the round-13 advice.
+  // --------------------------------------------------------------------
+
+  /** Commit the current artifact listing (a fresh [[save]], or the
+    * state after an external mutation) as the next snapshot version. */
+  def commitSnapshot(s: SparkSession, indexDir: String): Int =
+    Snapshots.commit(s, IvfTopK.qualify(s, indexDir))
+
+  /** Version `v`'s files under `base/name/` (absolute paths). */
+  private def pieceOf(s: SparkSession, base: String, v: Int,
+      name: String): Seq[String] =
+    Snapshots.files(s, base, v).filter(_.startsWith(s"$base/$name/"))
+
+  /** The current committed version, required. */
+  private def currentVersion(s: SparkSession, base: String): Int =
+    Snapshots.current(s, base).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot under $base — commitSnapshot after save first"))
+
+  /** [[append]] under snapshot isolation. Postings append as usual
+    * (new files in the touched tbuckets only); the vocabulary merge
+    * and stats update read VERSION-v inputs and land as NEW SIBLING
+    * files the next manifest selects — no swap, no crash window (a
+    * crash before the commit leaves the current version fully intact
+    * and only expire()-reclaimable orphans behind). Returns the
+    * committed version. */
+  def appendCommit(s: SparkSession, indexDir: String,
+      newDocs: DataFrame): Int = {
+    val base = IvfTopK.qualify(s, indexDir)
+    val v = currentVersion(s, base)
+    val staged = graft.Materialize.cut(newDocs)
+    // RE-INGEST RULE against the CURRENT version's tombstones (same
+    // contract as the in-place append)
+    val tomb = pieceOf(s, base, v, "deletes")
+    if (tomb.nonEmpty) {
+      val clash = staged.select(col("doc_id")).distinct()
+        .join(broadcast(s.read.parquet(tomb: _*)), Seq("doc_id"), "left_semi")
+        .count()
+      require(clash == 0L,
+        s"appendCommit: $clash doc_id(s) are tombstoned as of v$v — " +
+          "a purge compaction must land first")
+    }
+    val newPost = graft.Materialize.cut(
+      TextAnalysis.postingsOf(staged)
+        .withColumn("tbucket", tbucket(col("term"))))
+    newPost.write.mode("append").partitionBy("tbucket")
+      .parquet(s"$base/postings")
+    val newTerms = newPost.groupBy(col("term")).agg(count(lit(1)).as("df_new"))
+    val merged = graft.Materialize.cut(
+      s.read.parquet(pieceOf(s, base, v, "terms"): _*)
+        .join(newTerms, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) +
+            coalesce(col("df_new"), lit(0L))).as("df")))
+    merged.coalesce(1).write.mode("append").parquet(s"$base/terms")
+    val old = s.read.parquet(pieceOf(s, base, v, "stats"): _*).head()
+    val inc = newPost.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("t"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .head()
+    val nNew = staged.count()
+    import s.implicits._
+    Seq((old.getLong(0) + nNew, old.getLong(1) + inc.getLong(0),
+        old.getLong(2) + inc.getLong(1)))
+      .toDF("n_docs", "n_tok_docs", "sum_dl")
+      .coalesce(1).write.mode("append").parquet(s"$base/stats")
+    graft.Materialize.release(merged)
+    graft.Materialize.release(newPost)
+    graft.Materialize.release(staged)
+    Snapshots.commitReplacing(s, base, v, Seq("terms", "stats"))
+  }
+
+  /** [[delete]] under snapshot isolation: tombstones APPEND (readers
+    * of older versions never see them), the vocabulary decrement and
+    * stats subtraction land as sibling replacements, and ONE commit
+    * pins all three — the multi-artifact crash windows of the swap
+    * form disappear entirely. Returns the committed version. */
+  def deleteCommit(s: SparkSession, indexDir: String,
+      deletedDocs: DataFrame): Int = {
+    val base = IvfTopK.qualify(s, indexDir)
+    val v = currentVersion(s, base)
+    val staged = graft.Materialize.cut(deletedDocs
+      .select(col("doc_id"), col("text")))
+    val delPost = graft.Materialize.cut(TextAnalysis.postingsOf(staged))
+    staged.select(col("doc_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$base/deletes")
+    val delDf = delPost.groupBy(col("term")).agg(count(lit(1)).as("df_del"))
+    val merged = graft.Materialize.cut(
+      s.read.parquet(pieceOf(s, base, v, "terms"): _*)
+        .join(delDf, Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
+        .where(col("df") > 0))
+    merged.coalesce(1).write.mode("append").parquet(s"$base/terms")
+    val dec = delPost.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("t"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .head()
+    val n = staged.select(col("doc_id")).distinct().count()
+    val old = s.read.parquet(pieceOf(s, base, v, "stats"): _*).head()
+    import s.implicits._
+    Seq((old.getLong(0) - n, old.getLong(1) - dec.getLong(0),
+        old.getLong(2) - dec.getLong(1)))
+      .toDF("n_docs", "n_tok_docs", "sum_dl")
+      .coalesce(1).write.mode("append").parquet(s"$base/stats")
+    graft.Materialize.release(merged)
+    graft.Materialize.release(delPost)
+    graft.Materialize.release(staged)
+    Snapshots.commitReplacing(s, base, v, Seq("terms", "stats"))
+  }
+
+  /** Copy-on-write TOMBSTONE-PURGE compaction for a committed index:
+    * the current version's postings minus its tombstones rewrite
+    * (merged, one file per tbucket) as NEW sibling files, and the next
+    * manifest drops the old postings AND the tombstone list — the
+    * in-place [[compact]]'s "new directory + pointer flip" becomes a
+    * manifest swap, older versions keep time-traveling over their own
+    * files until [[Snapshots.expire]]. Scores are unchanged by
+    * construction (terms/stats were already decremented at delete
+    * time). Returns the committed version. */
+  def compactCommitSnapshot(s: SparkSession, indexDir: String): Int = {
+    val base = IvfTopK.qualify(s, indexDir)
+    val v = currentVersion(s, base)
+    val posts = pieceOf(s, base, v, "postings")
+    val tomb = pieceOf(s, base, v, "deletes")
+    val cur = s.read.option("basePath", s"$base/postings").parquet(posts: _*)
+    val purged =
+      if (tomb.isEmpty) cur
+      else cur.join(broadcast(s.read.parquet(tomb: _*)),
+        Seq("doc_id"), "left_anti")
+    val merged = graft.Materialize.cut(purged)
+    merged.repartition(col("tbucket"))
+      .write.mode("append").partitionBy("tbucket").parquet(s"$base/postings")
+    graft.Materialize.release(merged)
+    Snapshots.commitReplacing(s, base, v, Seq("postings", "deletes"))
+  }
+
+  /** [[serve]] AS OF a committed snapshot version: every relation is
+    * the manifested file subset — postings `basePath`-read so the
+    * tbucket pruning survives the explicit listing, tombstones of THAT
+    * version anti-joined, the version's own terms/stats selection fed
+    * to the shared scorer. A reader pinned to version N is
+    * byte-for-byte unaffected by any later append, delete or
+    * compaction. */
+  def serveAsOf(s: SparkSession, indexDir: String, version: Int,
+      queryTerms: Seq[String]): DataFrame = {
+    val base = IvfTopK.qualify(s, indexDir)
+    val buckets = queryTerms.map { t =>
+      val c = new java.util.zip.CRC32()
+      c.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Integer.valueOf((c.getValue % Buckets).toInt)
+    }.distinct
+    val tf0 = s.read.option("basePath", s"$base/postings")
+      .parquet(pieceOf(s, base, version, "postings"): _*)
+      .where(col("tbucket").isin(buckets: _*))
+      .where(col("term").isin(queryTerms: _*))
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
+    val tomb = pieceOf(s, base, version, "deletes")
+    val tf =
+      if (tomb.isEmpty) tf0
+      else tf0.join(broadcast(s.read.parquet(tomb: _*)),
+        Seq("doc_id"), "left_anti")
+    val df = s.read.parquet(pieceOf(s, base, version, "terms"): _*)
+      .where(col("term").isin(queryTerms: _*))
+    val stats = s.read.parquet(pieceOf(s, base, version, "stats"): _*)
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") /
+          col("n_tok_docs").cast("double")).as("avgdl"))
+    TextAnalysis.bm25ScoreFrom(tf, df, stats)
+  }
+
   /** The tombstone list under an index base dir, if any. */
   private def tombstones(s: SparkSession, base: String): Option[DataFrame] = {
     val delDir = s"$base/deletes"

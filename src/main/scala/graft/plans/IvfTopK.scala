@@ -73,7 +73,7 @@ object IvfTopK {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, IvfIndex]()
 
-  private[plans] def qualify(s: SparkSession, path: String): String = {
+  private[graft] def qualify(s: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).makeQualified(p).toString
   }
@@ -147,8 +147,43 @@ object IvfTopK {
     * partition filter — at 100 TB the unprobed cells' files are never
     * opened. The embeddings table is touched only for the query row. */
   def serveTopK(s: SparkSession, indexDir: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, expr}
     val base = qualify(s, indexDir)
+    serveTopKOn(s, base, assignmentRelation(s, base))
+  }
+
+  /** [[serveTopK]] AS OF a committed snapshot version
+    * ([[Snapshots.commit]] over `indexDir/assignment`): the scan is
+    * exactly the manifested file set, `basePath`-read so the cid
+    * partition column (and the probe's file-level pruning) survives
+    * the explicit listing. Centroids/meta are train-time artifacts an
+    * append never touches, so one version number pins the whole serve
+    * (q130). */
+  def serveTopKAsOf(s: SparkSession, indexDir: String,
+      version: Int): org.apache.spark.sql.DataFrame = {
+    val base = qualify(s, indexDir)
+    serveTopKOn(s, base,
+      Snapshots.read(s, s"$base/assignment", version))
+  }
+
+  /** The LIVE assignment relation: a plain directory read for an
+    * uncommitted index; the CURRENT manifest's file set for a
+    * committed one (a direct read would double-count rows once a
+    * copy-on-write compaction lands merged siblings — the same guard
+    * as MinHashIndex's bands read). */
+  private def assignmentRelation(s: SparkSession,
+      base: String): org.apache.spark.sql.DataFrame =
+    Snapshots.current(s, s"$base/assignment") match {
+      case Some(v) => Snapshots.read(s, s"$base/assignment", v)
+      case None => s.read.parquet(s"$base/assignment")
+    }
+
+  /** The serve body over an arbitrary assignment RELATION (live dir or
+    * a snapshot file set): q39's probe arithmetic from the saved
+    * centroids, static `cid IN (...)` pruning, broadcast query row. */
+  private def serveTopKOn(s: SparkSession, base: String,
+      assignRel: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
     val embPath = s.read.parquet(s"$base/meta").head().getString(0)
     val cArr = s.read.parquet(s"$base/centroids").collect().map { r =>
       (r.getAs[Number]("cid").intValue(),
@@ -159,7 +194,7 @@ object IvfTopK {
     val qvec = q.select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")
       .as("qv")).head().getSeq[Double](0).toArray
     val probed = idx.probe(qvec)
-    s.read.parquet(idx.assignPath)
+    assignRel
       .where(col("cid").isin(probed.map(Int.box): _*))
       .where(col("vec_id") =!= 0)
       .crossJoin(broadcast(q.select(col("embedding").as("q_embedding"))))
@@ -223,16 +258,38 @@ object IvfTopK {
     * table). Returns the number of appended rows. */
   def append(s: SparkSession, sfDir: String, newRows:
       org.apache.spark.sql.DataFrame): Long = {
-    import org.apache.spark.sql.functions.{broadcast, collect_list, element_at, expr, struct}
     val embPath = qualify(s, s"$sfDir/embeddings.parquet")
     val idx = Option(registry.get(embPath)).getOrElse(throw
       new IllegalStateException(s"no IVF index registered for $embPath — " +
         "registerIndex or load first"))
+    appendAssigned(s, idx, newRows)
+  }
+
+  /** [[append]] addressed by index DIRECTORY instead of the session
+    * registry: the trained centroids are read back from the saved
+    * artifacts and the batch lands on `indexDir/assignment` — the form
+    * a cloned or snapshot-committed index mutates (q130), where the
+    * registry's embPath-keyed entry would point at the WRONG
+    * assignment dir. Returns the appended row count. */
+  def appendTo(s: SparkSession, indexDir: String, newRows:
+      org.apache.spark.sql.DataFrame): Long = {
+    val base = qualify(s, indexDir)
+    val embPath = s.read.parquet(s"$base/meta").head().getString(0)
+    val cArr = s.read.parquet(s"$base/centroids").collect().map { r =>
+      (r.getAs[Number]("cid").intValue(),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray)
+    }.sortBy(_._1)
+    appendAssigned(s, IvfIndex(embPath, s"$base/assignment", cArr), newRows)
+  }
+
+  private def appendAssigned(s: SparkSession, idx: IvfIndex, newRows:
+      org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.{broadcast, collect_list, element_at, expr, struct}
     import s.implicits._
     val carr = idx.centroids.toSeq.toDF("cid", "cv")
       .agg(collect_list(
         struct(col("cid").cast("long").as("cid"), col("cv"))).as("carr"))
-    val cols = s.read.parquet(embPath).schema.fieldNames.toSeq
+    val cols = s.read.parquet(idx.embPath).schema.fieldNames.toSeq
     // materialize the batch ONCE: the returned count and the written
     // rows come from the same evaluation, so a non-deterministic
     // source can't make them diverge

@@ -281,7 +281,21 @@ object MinHashIndex {
     * admission verdict can reuse one probe sketch for both its legs. */
   private def serveFrom(s: SparkSession, h: Handle,
       probeRows: DataFrame): DataFrame =
-    serveOn(s.read.parquet(h.bandsPath), probeRows)
+    serveOn(bandsRelation(s, h.bandsPath), probeRows)
+
+  /** The LIVE bands relation of an index dir. For an uncommitted index
+    * this is a plain directory read; for a MANIFEST-COMMITTED index
+    * ([[Snapshots]]) it is the CURRENT version's exact file set — a
+    * direct directory read would silently DOUBLE-COUNT rows after a
+    * copy-on-write compaction ([[compactCommitSnapshot]]), because the
+    * merged files land as siblings of the files older versions still
+    * reference and both stay on disk until [[Snapshots.expire]]. One
+    * manifest-dir existence check on the happy path. */
+  private def bandsRelation(s: SparkSession, bandsPath: String): DataFrame =
+    Snapshots.current(s, bandsPath) match {
+      case Some(v) => Snapshots.read(s, bandsPath, v)
+      case None => s.read.parquet(bandsPath)
+    }
 
   /** The serve join against an arbitrary bands RELATION (live dir or
     * a snapshot file set) — bucket-set pruning, broadcast probe,

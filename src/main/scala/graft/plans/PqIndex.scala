@@ -118,8 +118,36 @@ object PqIndex {
     * layout by a map-side shift/mask projection (8 skinny rows per
     * vector exist only inside the scan stage, never on disk). The
     * embeddings table is touched only for the one query row. */
-  def serve(s: SparkSession, h: Handle): DataFrame = {
-    val unpacked = s.read.parquet(h.codesPath)
+  def serve(s: SparkSession, h: Handle): DataFrame =
+    serveOn(s, h, codesRelation(s, h.codesPath))
+
+  /** [[serve]] AS OF a committed snapshot version ([[Snapshots.commit]]
+    * over `indexDir/codes`): the codes scan is exactly the manifested
+    * file set, so a reader pinned to version N is unaffected by later
+    * appends (q131). Codebooks/meta are train-time artifacts an append
+    * never touches. */
+  def serveAsOf(s: SparkSession, indexDir: String, version: Int): DataFrame = {
+    val base = IvfTopK.qualify(s, indexDir)
+    val h = load(s, indexDir)
+    serveOn(s, h, Snapshots.read(s, s"$base/codes", version))
+  }
+
+  /** The LIVE codes relation: a plain directory read for an
+    * uncommitted index; the CURRENT manifest's file set for a
+    * committed one (the same double-count guard as the MinHash/IVF
+    * families). */
+  private def codesRelation(s: SparkSession, codesPath: String): DataFrame =
+    Snapshots.current(s, codesPath) match {
+      case Some(v) => Snapshots.read(s, codesPath, v)
+      case None => s.read.parquet(codesPath)
+    }
+
+  /** The ADC body over an arbitrary codes RELATION (live dir or a
+    * snapshot file set): map-side shift/mask unpack, then the q89b
+    * broadcast-ADC join. */
+  private def serveOn(s: SparkSession, h: Handle,
+      codesRel: DataFrame): DataFrame = {
+    val unpacked = codesRel
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${Similarity.PqM - 1}), j -> " +
           "CAST((CASE WHEN j < 4 THEN shiftright(pq_code_lo, 8 * j) " +

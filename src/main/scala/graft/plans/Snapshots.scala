@@ -205,6 +205,35 @@ object Snapshots {
     (writeManifest(s, dataDir, keep ++ newFiles), frag.size)
   }
 
+  /** Commit the next version as: version `v`'s file set MINUS the
+    * files under `dropPrefixes` (dataDir-relative directory prefixes,
+    * e.g. "terms"), PLUS every on-disk data file that no existing
+    * manifest references — the caller's newly-landed siblings. This is
+    * the primitive behind replacing a WHOLE-REWRITE artifact under
+    * snapshot isolation: the writer lands the replacement as new
+    * sibling files (parquet `append` — nothing existing mutates) and
+    * the manifest swaps the SELECTION, while older versions keep
+    * reading their own files until [[expire]] reclaims them.
+    * [[compactCommit]] is the same shape specialized to partition
+    * merging; [[graft.plans.Bm25Index.appendCommit]] uses this form
+    * for its vocabulary/stats rewrites. SINGLE WRITER (`v` must be the
+    * current version — a stale base is a lost update and is rejected);
+    * unreferenced leftovers from a CRASHED past writer would be swept
+    * into the new version, so after a crash run [[expire]] before
+    * committing further — the standard lakehouse orphan-sweep rule. */
+  def commitReplacing(s: SparkSession, dataDir: String, v: Int,
+      dropPrefixes: Seq[String]): Int = {
+    require(current(s, dataDir).contains(v),
+      s"commitReplacing: base version $v is not current under $dataDir")
+    val vf = files(s, dataDir, v).map(rel(dataDir, _))
+    val referenced: Set[String] = versions(s, dataDir)
+      .flatMap(w => files(s, dataDir, w)).map(rel(dataDir, _)).toSet
+    val fresh = listRel(s, dataDir).filterNot(referenced)
+    val kept = vf.filterNot(f =>
+      dropPrefixes.exists(p => f.startsWith(p + "/")))
+    writeManifest(s, dataDir, kept ++ fresh)
+  }
+
   /** The data files of version `v` (absolute paths). */
   def files(s: SparkSession, dataDir: String, v: Int): Seq[String] = {
     val f = fs(s, dataDir)

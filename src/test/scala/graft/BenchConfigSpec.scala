@@ -143,6 +143,51 @@ class BenchConfigSpec extends AnyFunSuite {
       "Bench's stage block never calls TextAnalysis.stageVocabStats")
   }
 
+  test("Bench.bm25SnapStagers/ivfSnapStagers match the snap-clone consumers") {
+    // the committed-v1 snapshot clones of the BM25 and IVF families
+    // (q129/q130) follow the same accounting as Dedup's snapStagers: a
+    // consumer missing from its set re-absorbs the index build + v1
+    // commit into its timed median
+    def consumersIn(file: String, marker: String): Set[String] = {
+      val text = Files.readString(Paths.get(
+        "src", "main", "scala", "graft", "operators", file))
+      val entry = """"(q[0-9]+[a-z]*)_[a-z0-9_]*"\s*->""".r
+      val ms = entry.findAllMatchIn(text).toList
+      def bodyEnd(from: Int, nextStart: Int): Int = {
+        val close = text.indexOf("\n  )\n", from)
+        if (close == -1) nextStart else math.min(close, nextStart)
+      }
+      ms.zipWithIndex.flatMap { case (m, i) =>
+        val next = if (i + 1 < ms.size) ms(i + 1).start else text.length
+        val body = text.substring(m.end, bodyEnd(m.end, next))
+        if (body.contains(marker)) Some(m.group(1)) else None
+      }.toSet
+    }
+    val bm25 = consumersIn("TextAnalysis.scala", "takeBm25SnapClone(")
+    assert(bm25.nonEmpty, "no takeBm25SnapClone consumers — pattern rot?")
+    assert(bm25 === Bench.bm25SnapStagers,
+      s"Bench.bm25SnapStagers=${Bench.bm25SnapStagers.toSeq.sorted} but " +
+        s"TextAnalysis consumers are ${bm25.toSeq.sorted}")
+    val ivf = consumersIn("Similarity.scala", "takeIvfSnapClone(")
+    assert(ivf.nonEmpty, "no takeIvfSnapClone consumers — pattern rot?")
+    assert(ivf === Bench.ivfSnapStagers,
+      s"Bench.ivfSnapStagers=${Bench.ivfSnapStagers.toSeq.sorted} but " +
+        s"Similarity consumers are ${ivf.toSeq.sorted}")
+    val pq = consumersIn("Similarity.scala", "takePqSnapClone(")
+    assert(pq.nonEmpty, "no takePqSnapClone consumers — pattern rot?")
+    assert(pq === Bench.pqSnapStagers,
+      s"Bench.pqSnapStagers=${Bench.pqSnapStagers.toSeq.sorted} but " +
+        s"Similarity consumers are ${pq.toSeq.sorted}")
+    val bench = Files.readString(
+      Paths.get("src", "main", "scala", "graft", "Bench.scala"))
+    assert(bench.contains("TextAnalysis.stageBm25SnapClones("),
+      "Bench's stage block never calls TextAnalysis.stageBm25SnapClones")
+    assert(bench.contains("Similarity.stageIvfSnapClones("),
+      "Bench's stage block never calls Similarity.stageIvfSnapClones")
+    assert(bench.contains("Similarity.stagePqSnapClones("),
+      "Bench's stage block never calls Similarity.stagePqSnapClones")
+  }
+
   test("Bench sweep loop clears every module that defines clearMemos") {
     // The sweep loop's blanket unpersist of ALL persistent RDDs is
     // only safe because every cross-query memo was released by a

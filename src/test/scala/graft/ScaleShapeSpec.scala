@@ -1367,6 +1367,138 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("BM25 snapshot lifecycle: older versions stay byte-identical through " +
+      "append/delete/purge-compact; as-of serves pin their population") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("bm25_snap").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      docs.where(pmod(col("doc_id"), lit(10)).between(1, 8))
+        .write.parquet(s"$staging/corpus/documents.parquet")
+      val idx = s"$staging/idx"
+      graft.plans.Bm25Index.save(s, s"$staging/corpus", idx)
+      val v1 = graft.plans.Bm25Index.commitSnapshot(s, idx)
+      def served(v: Int) = graft.plans.Bm25Index.serveAsOf(s, idx, v,
+          operators.TextAnalysis.Bm25QueryTerms)
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq
+      val v1Rows = served(v1)
+      assert(v1Rows.nonEmpty, "v1 served nothing — fixture rot?")
+      val conf = s.sparkContext.hadoopConfiguration
+      def fileMeta(v: Int): Map[String, (Long, Long)] = {
+        val (fs, _) = graft.Fs.resolve(idx, conf)
+        graft.plans.Snapshots.files(s, graft.plans.IvfTopK.qualify(s, idx), v)
+          .map { p =>
+            val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+            p -> (st.getLen, st.getModificationTime)
+          }.toMap
+      }
+      val v1Meta = fileMeta(v1)
+      val v2 = graft.plans.Bm25Index.appendCommit(s, idx,
+        docs.where(pmod(col("doc_id"), lit(10)) === 9))
+      val v3 = graft.plans.Bm25Index.deleteCommit(s, idx,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0 &&
+          pmod(col("doc_id"), lit(7)) === 0))
+      val v2Rows = served(v2)
+      val v3Rows = served(v3)
+      val v4 = graft.plans.Bm25Index.compactCommitSnapshot(s, idx)
+      // purge compaction is purely physical: v4 rows == v3 rows
+      assert(served(v4) == v3Rows,
+        "purge compaction changed served rows")
+      // and v4's postings carry no tombstone files in the manifest
+      assert(graft.plans.Snapshots.files(s,
+          graft.plans.IvfTopK.qualify(s, idx), v4)
+        .forall(f => !f.contains("/deletes/")),
+        "v4 manifest still references the tombstone list")
+      // time travel: v1/v2 unchanged by everything after them
+      assert(served(v1) == v1Rows, "v1 serve drifted after append/delete/compact")
+      assert(served(v2) == v2Rows, "v2 serve drifted after delete/compact")
+      // byte identity: every v1-manifested file untouched on disk
+      assert(fileMeta(v1) == v1Meta,
+        "v1's manifested files were rewritten — snapshot isolation broken")
+      // delete visibility: v3 lost exactly the tombstoned docs vs v2
+      assert(v3Rows.size < v2Rows.size,
+        "tombstone delete removed nothing from the served set")
+      // retention: expiring below v4 reclaims superseded files but v4
+      // still serves identically
+      val reclaimed = graft.plans.Snapshots.expire(s,
+        graft.plans.IvfTopK.qualify(s, idx), v4)
+      assert(reclaimed > 0, "expire reclaimed nothing — old files leak")
+      assert(served(v4) == v3Rows, "v4 serve changed after expire")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
+  test("IVF snapshot lifecycle: the v1 leg is blind to an appended slice and " +
+      "the live serve routes through the current manifest") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("ivf_snap").toString
+    try {
+      Tables.embeddings(s, sf)
+        .where(pmod(col("vec_id"), lit(10)) =!= 9)
+        .write.parquet(s"$staging/emb/embeddings.parquet")
+      val idx = s"$staging/idx"
+      graft.plans.IvfTopK.ensureSaved(s, s"$staging/emb", idx)
+      val v1 = graft.plans.Snapshots.commit(s, s"$idx/assignment")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).toSeq
+      val v1Live = rows(graft.plans.IvfTopK.serveTopK(s, idx))
+      assert(v1Live.nonEmpty, "v1 served nothing — fixture rot?")
+      val n = graft.plans.IvfTopK.appendTo(s, idx,
+        Tables.embeddings(s, sf).where(pmod(col("vec_id"), lit(10)) === 9))
+      assert(n > 0, "append added nothing — fixture rot?")
+      val v2 = graft.plans.Snapshots.commit(s, s"$idx/assignment")
+      // as-of v1 is blind to the appended files sharing its cid dirs
+      assert(rows(graft.plans.IvfTopK.serveTopKAsOf(s, idx, v1)) == v1Live,
+        "v1 as-of serve sees appended vectors")
+      // the LIVE serve of a committed index reads the CURRENT manifest
+      assert(rows(graft.plans.IvfTopK.serveTopK(s, idx)) ==
+        rows(graft.plans.IvfTopK.serveTopKAsOf(s, idx, v2)),
+        "live serve diverges from the current manifest's as-of serve")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
+  test("MinHash committed index: the live Handle serve reads the current " +
+      "manifest, so a COW compaction cannot double-count") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("mh_guard").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      val idx = s"$staging/idx"
+      graft.plans.MinHashIndex.save(s,
+        docs.where(pmod(col("doc_id"), lit(10)).between(1, 8))
+          .select(col("doc_id"), col("text")),
+        s"$sf/documents.parquet", idx)
+      graft.plans.Snapshots.commit(s, s"$idx/bands")
+      graft.plans.MinHashIndex.append(s, idx,
+        docs.where(pmod(col("doc_id"), lit(10)) === 9)
+          .select(col("doc_id"), col("text")))
+      val v2 = graft.plans.Snapshots.commit(s, s"$idx/bands")
+      val (v3, rewritten) =
+        graft.plans.MinHashIndex.compactCommitSnapshot(s, idx)
+      assert(rewritten > 0, "compaction rewrote nothing — fixture rot?")
+      val probe = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("text"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("probe_doc"), col("corpus_doc"))
+          .collect().map(_.toString).toSeq
+      val asOf = rows(graft.plans.MinHashIndex.serveAsOf(s, idx, v3, probe))
+      // pre-r14 this read the bands DIRECTORY — old + merged siblings —
+      // and double-counted every row of the compacted partitions
+      val live = rows(graft.plans.MinHashIndex.serve(s,
+        graft.plans.MinHashIndex.load(s, idx), probe))
+      assert(live == asOf,
+        "live Handle serve diverges from the current manifest (double count?)")
+      assert(asOf == rows(
+        graft.plans.MinHashIndex.serveAsOf(s, idx, v2, probe)),
+        "compaction changed served rows")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("BM25 re-ingest rule: tombstoned id un-appendable until compact purges it") {
     val s = spark
     val staging = java.nio.file.Files.createTempDirectory("bm25_reingest").toString
