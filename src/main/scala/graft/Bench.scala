@@ -70,7 +70,7 @@ object Bench {
     * same accounting rule as [[cloneStagers]]: the shared save +
     * manifest commit is setup; the append/commit/as-of-serve
     * lifecycle is what gets timed. */
-  val snapStagers = Set("q109", "q113")
+  val snapStagers = Set("q109", "q113", "q132")
 
   /** Queries that mutate a per-invocation clone of the committed-v1
     * BM25 snapshot index ([[graft.operators.TextAnalysis
@@ -83,7 +83,7 @@ object Bench {
   /** Queries that mutate a per-invocation clone of the committed-v1
     * IVF snapshot index ([[graft.operators.Similarity
     * .stageIvfSnapClones]]) — the vector twin of [[snapStagers]]. */
-  val ivfSnapStagers = Set("q130")
+  val ivfSnapStagers = Set("q130", "q133")
 
   /** Queries that mutate a per-invocation clone of the committed-v1
     * PQ snapshot index ([[graft.operators.Similarity

@@ -1432,6 +1432,40 @@ object Dedup {
         s.sparkContext.hadoopConfiguration)
     },
 
+    // INCREMENTAL CONSUMPTION BETWEEN SNAPSHOTS — the downstream half
+    // of the manifest lifecycle (Iceberg's incremental scan / Delta's
+    // file-level change feed, reduced to a manifest diff): a consumer
+    // that checkpointed version N processes ONLY the files version M
+    // references that N does not — for the append-only commit paths
+    // that is exactly the rows that arrived in between, with zero
+    // bookkeeping beyond the manifests both sides already have. Here
+    // the appended slice commits v2 and the consumer's incremental
+    // read of (v1 → v2] must equal the slice's band rows precisely —
+    // no resident row re-surfaces, none of the arrivals is missed.
+    // Scale: the read cost is the NEW files only (never a diff of two
+    // corpus-sized row sets), and partition pruning survives the
+    // explicit listing via basePath.
+    "q132_snapshot_increment" -> { (s, d) =>
+      import graft.plans.{MinHashIndex, Snapshots}
+      val docs = Tables.documents(s, d)
+      val staging = takeSnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val v1 = Snapshots.current(s, s"$idxDir/bands").get
+        MinHashIndex.append(s, idxDir,
+          docs.where(pmod(col("doc_id"), lit(10)) === 9)
+            .select(col("doc_id"), col("text")))
+        val v2 = Snapshots.commit(s, s"$idxDir/bands")
+        // materialized before the finally reclaims the staging dir
+        Materialize.cut(
+          Snapshots.readIncremental(s, s"$idxDir/bands", v1, v2)
+            .select(col("doc_id"), col("band_id").cast("int").as("band_id"),
+              col("band_key")))
+          .orderBy(col("doc_id"), col("band_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // INCREMENTAL CLUSTER MAINTENANCE — the landing-pipeline form of
     // q35: resident cluster labels are PERSISTED STATE; an arriving
     // batch contributes its near-dup edges (batch→corpus from the
@@ -2616,6 +2650,13 @@ object Dedup {
          |SELECT version, probe_doc, corpus_doc, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY version, probe_doc, corpus_doc""".stripMargin,
+    // q132: the appended population's band rows, exactly — what the
+    // manifest diff between v1 and v2 must surface, no more, no less
+    "q132_snapshot_increment" ->
+      s"""WITH $sigBandCtes
+         |SELECT doc_id, CAST(band_id AS INTEGER) AS band_id, band_key
+         |FROM bands WHERE doc_id % 10 = 9
+         |ORDER BY doc_id, band_id""".stripMargin,
     // q109 plus a third as-of leg AFTER the copy-on-write compaction:
     // tag 3 repeats the v2 population verbatim — the compacted layout
     // must be row-identical (compaction is purely physical), while v1

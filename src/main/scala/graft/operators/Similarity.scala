@@ -474,6 +474,69 @@ object Similarity {
       .withColumn("moved", col("old_cid") =!= col("new_cid"))
   }
 
+  /** [[refreshAssignment]] under SNAPSHOT ISOLATION (q133) — the last
+    * in-place maintenance pass gains a manifest-committed form: the
+    * same Lloyd round + map-side reassignment, but the disk mutation
+    * is COPY-ON-WRITE. Cells that LOSE movers rewrite their surviving
+    * membership as NEW sibling files; movers append into their new
+    * cells as new files; the next manifest selects [unlosing cells'
+    * version-v files + every newly-landed file]
+    * ([[graft.plans.Snapshots.commitReplacing]] with the losing cid
+    * dirs as drop prefixes) — so a reader pinned to version v stays
+    * byte-identical while the refreshed layout commits as v+1, and
+    * write amplification is the TOUCHED cells, never the corpus.
+    * Returns (newVersion, delta (vec_id, old_cid, new_cid, moved));
+    * the refreshed centroids land at `centsOut` (the caller versions
+    * them alongside if it serves across the refresh). */
+  private[graft] def refreshAssignmentCommit(s: SparkSession,
+      assignDir: String, centsOut: String): (Int, DataFrame) = {
+    import graft.plans.Snapshots
+    val v = Snapshots.current(s, assignDir).getOrElse(
+      throw new IllegalStateException(
+        s"refreshAssignmentCommit: no committed version under $assignDir"))
+    val cur = Snapshots.read(s, assignDir, v)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val embCols = cur.schema.fieldNames.filter(c => c != "cid" && c != "v").toSeq
+    val newCents = cur.groupBy(col("cid")).agg(
+      array((0 until 64).map(i =>
+        round(avg(expr(s"v[$i]")), 6)): _*).as("cv"))
+    val carr = newCents.agg(collect_list(struct(
+      col("cid").cast("long").as("cid"), col("cv"))).as("carr"))
+    val delta = graft.Materialize.cut(cur
+      .crossJoin(broadcast(carr))
+      .withColumn("new_cid", element_at(
+        VectorFunctions.topCells(col("v"), col("carr"), 1), 1)
+        .getField("cid").cast("int"))
+      .select((embCols.map(col) :+ col("cid").as("old_cid")
+        :+ col("new_cid")): _*))
+    newCents.write.mode("overwrite").parquet(centsOut)
+    // cells losing movers: bounded by k — a driver list is the right
+    // size for both the rewrite filter and the manifest drop prefixes
+    val losers = delta.where(col("old_cid") =!= col("new_cid"))
+      .select(col("old_cid")).distinct().collect().map(_.getInt(0))
+    if (losers.nonEmpty)
+      delta.where(col("old_cid").isin(losers.map(Int.box): _*) &&
+          col("old_cid") === col("new_cid"))
+        .select(embCols.map(col) :+ col("old_cid").as("cid"): _*)
+        .repartition(col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(assignDir)
+    delta.where(col("old_cid") =!= col("new_cid"))
+      .select(embCols.map(col) :+ col("new_cid").as("cid"): _*)
+      .repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(assignDir)
+    val v2 = Snapshots.commitReplacing(s, assignDir, v,
+      losers.map(c => s"cid=$c").toSeq)
+    // new_cid re-read from the COMMITTED layout, so the gate proves
+    // the manifest mutation, not just the reassignment arithmetic
+    val after = Snapshots.read(s, assignDir, v2)
+      .select(col("vec_id"), col("cid").as("new_cid"))
+    val out = graft.Materialize.cut(
+      delta.select(col("vec_id"), col("old_cid")).join(after, Seq("vec_id"))
+        .withColumn("moved", col("old_cid") =!= col("new_cid")))
+    graft.Materialize.release(delta)
+    (v2, out)
+  }
+
   private def indexDir(s: SparkSession, d: String, kind: String): String =
     indexDirMemo.computeIfAbsent((s, d, kind), _ => {
       val dir = graft.Fs.createStagingDir(s, s"graft-$kind-index")
@@ -1414,6 +1477,30 @@ object Similarity {
         s.sparkContext.hadoopConfiguration)
     },
 
+    // SNAPSHOT-PRESERVING CENTROID REFRESH — q122's drift maintenance
+    // under manifest commits, removing the vector family's last
+    // in-place caveat: the Lloyd round and map-side reassignment are
+    // q122's exactly, but losing cells REWRITE their survivors as new
+    // sibling files and movers append into their new cells, with the
+    // next manifest selecting [unlosing cells' v1 files + the new
+    // files] — version 1 stays byte-identical (tested) while the
+    // refreshed layout commits as version 2, and write amplification
+    // is the touched cells, never the corpus. new_cid is re-read from
+    // the COMMITTED v2 layout, so the oracle gate proves the manifest
+    // mutation composes to exactly one update+assign k-means round.
+    "q133_refresh_timetravel" -> { (s, d) =>
+      val staging = takeIvfSnapClone(s, d)
+      try {
+        val (_, delta) = refreshAssignmentCommit(s,
+          s"$staging/idx/assignment", s"$staging/ncents")
+        // materialized (cut) before the finally reclaims the staging
+        delta.select(col("vec_id"), col("old_cid"), col("new_cid"),
+            col("moved"))
+          .orderBy(col("vec_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // PQ INDEX TIME TRAVEL — q130's shape for the PRODUCT-QUANTIZED
     // family, completing snapshot isolation across all four persisted
     // index families (MinHash q109/q113, BM25 q129, IVF q130, PQ
@@ -2283,6 +2370,22 @@ object Similarity {
          |  GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10)
          |SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
          |ORDER BY version, adc_dist, vec_id""".stripMargin
+    // q133: q122's oracle (kmeans chain + exactly one update+assign
+    // round) instantiated over the v1 population the snapshot clone
+    // was trained on
+    val refreshTimetravelSql =
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $vecSql AS v FROM embeddings),
+         |nall AS (SELECT vec_id, label, v, $nrmSql AS nrm FROM e),
+         |n AS (SELECT * FROM nall WHERE vec_id % 10 <> 9),
+         |$kmeansCtes,
+         |ncents AS (SELECT cid, [$centDims] AS cv FROM fin GROUP BY cid),
+         |${assignCte("ncents", "ref")}
+         |SELECT f.vec_id, CAST(f.cid AS INTEGER) AS old_cid,
+         |  CAST(r.cid AS INTEGER) AS new_cid,
+         |  (f.cid <> r.cid) AS moved
+         |FROM fin f JOIN ref r ON r.vec_id = f.vec_id
+         |ORDER BY f.vec_id""".stripMargin
     // The persisted-index SERVE queries must equal their in-session
     // twins EXACTLY — same deterministic trained model, same query
     // arithmetic, only the model inputs are disk-sourced — so their
@@ -2293,6 +2396,7 @@ object Similarity {
       "q97b_hybrid_served" -> m("q97_hybrid_search"),
       "q130_ivf_timetravel" -> timetravelSql,
       "q131_pq_timetravel" -> pqTimetravelSql,
+      "q133_refresh_timetravel" -> refreshTimetravelSql,
     )
   }
 }

@@ -267,6 +267,46 @@ object Snapshots {
     } else s.read.option("basePath", dataDir).parquet(fl: _*)
   }
 
+  /** INCREMENTAL READ — the data files version `toV` references that
+    * version `fromV` does not, read as one frame (basePath keeps
+    * partition columns and pruning): file-level change capture. For
+    * the APPEND-ONLY commit paths (save/append + [[commit]]) this is
+    * EXACTLY the rows that arrived between the two versions — the
+    * "process only what landed since my last checkpoint" contract
+    * every downstream incremental consumer wants, at zero bookkeeping
+    * beyond the manifests both sides already have (Iceberg's
+    * incremental scan / Delta's file-level change feed, reduced to the
+    * manifest diff). Commits that REPLACE file selections
+    * ([[commitReplacing]], [[compactCommit]]) surface the replacement
+    * files too — file-level, not row-level, semantics there; pair with
+    * a row-level change feed (the q114 shape) when replacements are in
+    * play. `fromV` may be 0 (“from nothing”): the full `toV` set. */
+  def readIncremental(s: SparkSession, dataDir: String, fromV: Int,
+      toV: Int,
+      emptySchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val before: Set[String] =
+      if (fromV == 0) Set.empty else files(s, dataDir, fromV).toSet
+    val fresh = files(s, dataDir, toV).filterNot(before)
+    if (fresh.isEmpty) {
+      val sch = emptySchema.getOrElse(throw new IllegalArgumentException(
+        s"no files were added between v$fromV and v$toV and no " +
+          "emptySchema was supplied"))
+      s.createDataFrame(java.util.Collections.emptyList[
+        org.apache.spark.sql.Row](), sch)
+    } else s.read.option("basePath", dataDir).parquet(fresh: _*)
+  }
+
+  /** ROLLBACK — republish version `toV`'s exact file set as the NEXT
+    * version (the lakehouse undo: nothing is deleted, history stays
+    * linear, every version still references its own files, [[expire]]
+    * reclaims as usual). Readers of the new current version see
+    * precisely what `toV` saw; the rolled-back versions' files remain
+    * resolvable until expired. SINGLE WRITER, like [[commit]]. Returns
+    * the new version number. */
+  def rollback(s: SparkSession, dataDir: String, toV: Int): Int =
+    writeManifest(s, dataDir, files(s, dataDir, toV).map(rel(dataDir, _)))
+
   /** Retention: drop every manifest OLDER than `keepFrom`, then delete
     * any data file referenced by NO surviving manifest — which also
     * reclaims orphans from crashed writers (files that never made it

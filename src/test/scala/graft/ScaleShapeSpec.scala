@@ -1499,6 +1499,118 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("snapshot rollback and incremental read: rollback republishes v1's " +
+      "file set; the manifest diff is exactly the appended rows") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("snap_roll").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      val idx = s"$staging/idx"
+      graft.plans.MinHashIndex.save(s,
+        docs.where(pmod(col("doc_id"), lit(10)).between(1, 8))
+          .select(col("doc_id"), col("text")),
+        s"$sf/documents.parquet", idx)
+      val bands = s"$idx/bands"
+      val v1 = graft.plans.Snapshots.commit(s, bands)
+      val appended = docs.where(pmod(col("doc_id"), lit(10)) === 9)
+        .select(col("doc_id"), col("text"))
+      val nApp = graft.plans.MinHashIndex.append(s, idx, appended)
+      val v2 = graft.plans.Snapshots.commit(s, bands)
+      // incremental read (v1 -> v2] = exactly the appended docs' rows
+      val inc = graft.plans.Snapshots.readIncremental(s, bands, v1, v2)
+      assert(inc.select(col("doc_id")).distinct().count() == nApp,
+        "manifest diff does not cover exactly the appended docs")
+      assert(inc.join(docs.where(pmod(col("doc_id"), lit(10)) =!= 9)
+          .select(col("doc_id")), Seq("doc_id"), "left_semi").count() == 0,
+        "manifest diff resurfaced resident rows")
+      // rollback: v3 republishes v1's exact file set; the live serve
+      // (current-manifest routed) snaps back to the pre-append answer
+      val probe = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id"), col("text"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy(col("probe_doc"), col("corpus_doc"))
+          .collect().map(_.toString).toSeq
+      val v1Rows = rows(graft.plans.MinHashIndex.serveAsOf(s, idx, v1, probe))
+      val v2Rows = rows(graft.plans.MinHashIndex.serveAsOf(s, idx, v2, probe))
+      assert(v1Rows != v2Rows, "append changed nothing — fixture rot?")
+      val v3 = graft.plans.Snapshots.rollback(s, bands, v1)
+      assert(v3 == v2 + 1, "rollback did not publish a NEW version")
+      assert(rows(graft.plans.MinHashIndex.serveAsOf(s, idx, v3, probe))
+        == v1Rows, "rolled-back version diverges from v1")
+      assert(rows(graft.plans.MinHashIndex.serve(s,
+          graft.plans.MinHashIndex.load(s, idx), probe)) == v1Rows,
+        "live serve after rollback still sees the appended rows")
+      // v2 history is intact until expired
+      assert(rows(graft.plans.MinHashIndex.serveAsOf(s, idx, v2, probe))
+        == v2Rows, "rollback destroyed v2's history")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
+  test("snapshot-preserving refresh: v1 files stay byte-identical and " +
+      "unlosing cells' files carry verbatim into v2") {
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("ivf_refresh").toString
+    try {
+      Tables.embeddings(s, sf)
+        .where(pmod(col("vec_id"), lit(10)) =!= 9)
+        .write.parquet(s"$staging/emb/embeddings.parquet")
+      val idx = s"$staging/idx"
+      graft.plans.IvfTopK.ensureSaved(s, s"$staging/emb", idx)
+      val assign = s"$idx/assignment"
+      val v1 = graft.plans.Snapshots.commit(s, assign)
+      val conf = s.sparkContext.hadoopConfiguration
+      def meta(v: Int): Map[String, (Long, Long)] = {
+        val (fs, _) = graft.Fs.resolve(assign, conf)
+        graft.plans.Snapshots.files(s,
+            graft.plans.IvfTopK.qualify(s, assign), v)
+          .map { p =>
+            val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+            p -> (st.getLen, st.getModificationTime)
+          }.toMap
+      }
+      val v1Meta = meta(v1)
+      val (v2, delta) = graft.operators.Similarity.refreshAssignmentCommit(
+        s, assign, s"$staging/ncents")
+      val moved = delta.where(col("moved")).count()
+      assert(moved > 0, "refresh moved nothing — fixture rot?")
+      // snapshot isolation: every v1-manifested file untouched
+      assert(meta(v1) == v1Meta,
+        "v1's manifested files were rewritten — COW refresh broken")
+      // locality contract: EXACTLY the non-losing cells' v1 files carry
+      // verbatim into v2's manifest (at this tiny SF one Lloyd round can
+      // move vectors out of every cell, making the carried set empty —
+      // the equality still pins the contract; at production cell counts
+      // most cells don't lose and their files carry)
+      val losers = delta.where(col("moved"))
+        .select(col("old_cid")).distinct().collect().map(_.getInt(0)).toSet
+      val carried = meta(v2).keySet.intersect(v1Meta.keySet)
+      val expectCarried = v1Meta.keySet
+        .filterNot(p => losers.exists(c => p.contains(s"/cid=$c/")))
+      assert(carried == expectCarried,
+        s"carried-file set diverges from the non-losing cells' v1 files " +
+          s"(carried=${carried.size}, expected=${expectCarried.size})")
+      assert(carried.forall(p => meta(v2)(p) == v1Meta(p)),
+        "a carried file changed size/mtime")
+      // the committed layouts agree with the delta on both sides
+      val v1Rows = graft.plans.Snapshots.read(s, assign, v1)
+        .select(col("vec_id"), col("cid")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val v2Rows = graft.plans.Snapshots.read(s, assign, v2)
+        .select(col("vec_id"), col("cid")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val d = delta.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+      assert(d.forall { case (id, o, n) =>
+        v1Rows(id) == o && v2Rows(id) == n },
+        "delta disagrees with the committed layouts")
+      graft.Materialize.release(delta)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("BM25 re-ingest rule: tombstoned id un-appendable until compact purges it") {
     val s = spark
     val staging = java.nio.file.Files.createTempDirectory("bm25_reingest").toString
