@@ -10,7 +10,7 @@ object Bench {
     * query that forgets to land here would silently re-absorb its
     * staging cost into sweep 1. */
   val replayStagers = Set("q27s", "q51s", "q75", "q77", "q78", "q84", "q84b",
-    "q102", "q102b", "q103s", "q104", "q110s", "q111s", "q121s")
+    "q102", "q102b", "q103s", "q104", "q110s", "q111s", "q121s", "q134s")
 
   /** Query-name prefixes that consume a session-memoized TRAINED
     * model (the IVF/hier/PQ/IVF-PQ quantizers). clearMemos wipes the
@@ -70,7 +70,7 @@ object Bench {
     * same accounting rule as [[cloneStagers]]: the shared save +
     * manifest commit is setup; the append/commit/as-of-serve
     * lifecycle is what gets timed. */
-  val snapStagers = Set("q109", "q113", "q132")
+  val snapStagers = Set("q109", "q113", "q132", "q134s")
 
   /** Queries that mutate a per-invocation clone of the committed-v1
     * BM25 snapshot index ([[graft.operators.TextAnalysis

@@ -118,6 +118,7 @@ object Explain {
     "q131_pq_timetravel" -> "PQ snapshot time travel: append encoded map-side under the broadcast codebooks and packed to the 8-byte layout, then the ADC top-10 as-of v1 AND v2 — each leg unpacks exactly its version's manifested code files map-side and rides the broadcast-ADC join; pinned plan is the two-leg union",
     "q132_snapshot_increment" -> "incremental consumption between snapshots: the manifest DIFF (files v2 references that v1 does not) is the scan — read cost is the new files only, never a diff of two corpus-sized row sets; basePath keeps (band_id, kbucket) pruning through the explicit listing",
     "q133_refresh_timetravel" -> "snapshot-preserving IVF centroid refresh: one map-side-combined Lloyd round + reassignment under the broadcast refreshed centroids; LOSING cells rewrite survivors as new sibling files, movers append into their new cells, the next manifest swaps the selection — v1 stays byte-identical, write amplification = touched cells; pinned plan is the committed-delta join",
+    "q134s_manifest_tail" -> "streaming manifest tailing (the Delta-source shape): per micro-batch the producer appends + commits and the consumer reads the manifest DIFF since its last-seen version into a mirror — new files only per trigger, one integer of consumer state; pinned plan is the final mirror read",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -152,7 +153,8 @@ object Explain {
     "q113_snapshot_compact", "q114_cluster_changefeed",
     "q13_rollup", "q28_pipeline_e2e",
     "q129_bm25_timetravel", "q130_ivf_timetravel", "q131_pq_timetravel",
-    "q132_snapshot_increment", "q133_refresh_timetravel")
+    "q132_snapshot_increment", "q133_refresh_timetravel",
+    "q134s_manifest_tail")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1466,6 +1466,54 @@ object Dedup {
         s.sparkContext.hadoopConfiguration)
     },
 
+    // STREAMING MANIFEST TAILING — q132's incremental read driven by
+    // the ENGINE's micro-batch cycle (the Delta-streaming-source /
+    // Iceberg-incremental-consumer shape): a PRODUCER appends one
+    // arrival slice per micro-batch and commits a new version; the
+    // CONSUMER, holding only its last-seen version number, tails the
+    // manifest diff (lastSeen → current] each trigger and merges
+    // those rows into its own mirror — never re-reading a resident
+    // file, never missing an arrival, across an arbitrary commit
+    // cadence. The mirror after 3 batches must equal the one-shot
+    // appended population EXACTLY (q132's oracle verbatim — path
+    // independence across the commit slicing). Scale: per trigger the
+    // consumer reads the new files only; its bookkeeping is ONE
+    // integer (the version), not an offset log or a row-level
+    // checkpoint.
+    "q134s_manifest_tail" -> { (s, d) =>
+      import graft.plans.{MinHashIndex, Snapshots}
+      val docs = Tables.documents(s, d)
+      val staging = takeSnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val bands = s"$idxDir/bands"
+        val mirror = s"$staging/mirror"
+        // the arrival feed: the %10 = 9 slice in 3 ordered batches
+        val feed = docs.where(pmod(col("doc_id"), lit(10)) === 9)
+          .select(col("doc_id"), col("text"))
+          .withColumn("batch", (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
+        var lastSeen = Snapshots.current(s, bands).get
+        graft.streaming.Replay.runBatchedForeach(s, feed, "batch",
+          batches = 3, stageKey = Some(s"q134s:$d")) { batch =>
+          // producer half: land the arrivals, commit the next version
+          MinHashIndex.append(s, idxDir,
+            batch.select(col("doc_id"), col("text")))
+          val cur = Snapshots.commit(s, bands)
+          // consumer half: tail the manifest diff since lastSeen into
+          // the mirror — new files only, one integer of state
+          Snapshots.readIncremental(s, bands, lastSeen, cur)
+            .select(col("doc_id"), col("band_id").cast("int").as("band_id"),
+              col("band_key"))
+            .write.mode("append").parquet(mirror)
+          lastSeen = cur
+        }
+        // materialized before the finally reclaims the staging dir
+        Materialize.cut(s.read.parquet(mirror))
+          .orderBy(col("doc_id"), col("band_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // INCREMENTAL CLUSTER MAINTENANCE — the landing-pipeline form of
     // q35: resident cluster labels are PERSISTED STATE; an arriving
     // batch contributes its near-dup edges (batch→corpus from the
@@ -2653,6 +2701,14 @@ object Dedup {
     // q132: the appended population's band rows, exactly — what the
     // manifest diff between v1 and v2 must surface, no more, no less
     "q132_snapshot_increment" ->
+      s"""WITH $sigBandCtes
+         |SELECT doc_id, CAST(band_id AS INTEGER) AS band_id, band_key
+         |FROM bands WHERE doc_id % 10 = 9
+         |ORDER BY doc_id, band_id""".stripMargin,
+    // q134s: the consumer's mirror after 3 producer commits must equal
+    // the one-shot appended population — q132's oracle verbatim (path
+    // independence across the commit slicing)
+    "q134s_manifest_tail" ->
       s"""WITH $sigBandCtes
          |SELECT doc_id, CAST(band_id AS INTEGER) AS band_id, band_key
          |FROM bands WHERE doc_id % 10 = 9
