@@ -416,30 +416,61 @@ object Bm25Index {
     Snapshots.commitReplacing(s, base, v, Seq("terms", "stats"))
   }
 
-  /** Copy-on-write TOMBSTONE-PURGE compaction for a committed index:
-    * the current version's postings minus its tombstones rewrite
-    * (merged, one file per tbucket) as NEW sibling files, and the next
-    * manifest drops the old postings AND the tombstone list — the
-    * in-place [[compact]]'s "new directory + pointer flip" becomes a
-    * manifest swap, older versions keep time-traveling over their own
-    * files until [[Snapshots.expire]]. Scores are unchanged by
-    * construction (terms/stats were already decremented at delete
-    * time). Returns the committed version. */
-  def compactCommitSnapshot(s: SparkSession, indexDir: String): Int = {
+  /** Copy-on-write TOMBSTONE-PURGE compaction for a committed index,
+    * PARTITION-LOCAL like every other maintenance pass here: only
+    * tbuckets that (a) hold a tombstoned row — derived from a bounded
+    * probe reading the (tbucket, doc_id) columns against the broadcast
+    * tombstone list — or (b) exceed `maxFiles` data files (append
+    * fragmentation) rewrite their purged membership as NEW sibling
+    * files; every other partition's files carry VERBATIM into the next
+    * manifest, which also drops the tombstone list. Write
+    * amplification tracks where the deleted docs' postings actually
+    * sit plus where appends landed, never the index size (a deleted
+    * doc's terms can hash into every bucket — then the rewrite is
+    * index-wide because the WORK is, not because the pass is blunt).
+    * Older versions keep time-traveling over their own files until
+    * [[Snapshots.expire]]; scores are unchanged by construction
+    * (terms/stats were already decremented at delete time). Returns
+    * the committed version (unchanged if nothing needed rewriting and
+    * no tombstones exist). */
+  def compactCommitSnapshot(s: SparkSession, indexDir: String,
+      maxFiles: Int = 1): Int = {
     val base = IvfTopK.qualify(s, indexDir)
     val v = currentVersion(s, base)
     val posts = pieceOf(s, base, v, "postings")
     val tomb = pieceOf(s, base, v, "deletes")
-    val cur = s.read.option("basePath", s"$base/postings").parquet(posts: _*)
-    val purged =
-      if (tomb.isEmpty) cur
-      else cur.join(broadcast(s.read.parquet(tomb: _*)),
-        Seq("doc_id"), "left_anti")
-    val merged = graft.Materialize.cut(purged)
-    merged.repartition(col("tbucket"))
-      .write.mode("append").partitionBy("tbucket").parquet(s"$base/postings")
-    graft.Materialize.release(merged)
-    Snapshots.commitReplacing(s, base, v, Seq("postings", "deletes"))
+    def bucketOf(f: String): Int = f.split('/')
+      .find(_.startsWith("tbucket="))
+      .map(_.stripPrefix("tbucket=").toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"compactCommitSnapshot: no tbucket= segment in $f"))
+    val fragged: Set[Int] = posts.groupBy(bucketOf)
+      .collect { case (b, fl) if fl.size > maxFiles => b }.toSet
+    val tombed: Set[Int] =
+      if (tomb.isEmpty) Set.empty
+      else s.read.option("basePath", s"$base/postings").parquet(posts: _*)
+        .select(col("tbucket"), col("doc_id"))
+        .join(broadcast(s.read.parquet(tomb: _*)), Seq("doc_id"), "left_semi")
+        .select(col("tbucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+    val touched = fragged ++ tombed
+    if (touched.isEmpty && tomb.isEmpty) return v
+    if (touched.nonEmpty) {
+      val files = posts.filter(f => touched(bucketOf(f)))
+      val cur = s.read.option("basePath", s"$base/postings")
+        .parquet(files: _*)
+      val purged =
+        if (tomb.isEmpty) cur
+        else cur.join(broadcast(s.read.parquet(tomb: _*)),
+          Seq("doc_id"), "left_anti")
+      val merged = graft.Materialize.cut(purged)
+      merged.repartition(col("tbucket"))
+        .write.mode("append").partitionBy("tbucket")
+        .parquet(s"$base/postings")
+      graft.Materialize.release(merged)
+    }
+    Snapshots.commitReplacing(s, base, v,
+      touched.toSeq.sorted.map(b => s"postings/tbucket=$b") :+ "deletes")
   }
 
   /** [[serve]] AS OF a committed snapshot version: every relation is

@@ -1400,10 +1400,21 @@ class ScaleShapeSpec extends SparkSpec {
           pmod(col("doc_id"), lit(7)) === 0))
       val v2Rows = served(v2)
       val v3Rows = served(v3)
+      val v3Meta = fileMeta(v3)
       val v4 = graft.plans.Bm25Index.compactCommitSnapshot(s, idx)
       // purge compaction is purely physical: v4 rows == v3 rows
       assert(served(v4) == v3Rows,
         "purge compaction changed served rows")
+      // partition locality: every carried file is byte-identical, and
+      // the non-postings artifacts (terms/stats/meta) always carry —
+      // only tombstone-holding or fragmented tbuckets rewrite
+      val v4Meta = fileMeta(v4)
+      val carried = v4Meta.keySet.intersect(v3Meta.keySet)
+      assert(carried.forall(p => v4Meta(p) == v3Meta(p)),
+        "a carried file changed size/mtime across the purge compaction")
+      assert(v3Meta.keySet.filterNot(_.contains("/postings/"))
+          .filterNot(_.contains("/deletes/")).subsetOf(carried),
+        "a non-postings artifact was rewritten by the purge compaction")
       // and v4's postings carry no tombstone files in the manifest
       assert(graft.plans.Snapshots.files(s,
           graft.plans.IvfTopK.qualify(s, idx), v4)
