@@ -63,7 +63,7 @@ object Bench {
     * just pays the one-time derivation in stage_sec instead of inside
     * whichever q110 run a sweep hits first (in production the label
     * table is maintained batch over batch, never derived per job). */
-  val stateStagers = Set("q110", "q110s", "q111", "q111s", "q114", "q117")
+  val stateStagers = Set("q110", "q110s", "q111", "q111s", "q114", "q117", "q135")
 
   /** Queries that mutate a per-invocation clone of the COMMITTED-v1
     * snapshot index ([[graft.operators.Dedup.stageSnapClones]]) —

@@ -119,6 +119,7 @@ object Explain {
     "q132_snapshot_increment" -> "incremental consumption between snapshots: the manifest DIFF (files v2 references that v1 does not) is the scan — read cost is the new files only, never a diff of two corpus-sized row sets; basePath keeps (band_id, kbucket) pruning through the explicit listing",
     "q133_refresh_timetravel" -> "snapshot-preserving IVF centroid refresh: one map-side-combined Lloyd round + reassignment under the broadcast refreshed centroids; LOSING cells rewrite survivors as new sibling files, movers append into their new cells, the next manifest swaps the selection — v1 stays byte-identical, write amplification = touched cells; pinned plan is the committed-delta join",
     "q134s_manifest_tail" -> "streaming manifest tailing (the Delta-source shape): per micro-batch the producer appends + commits and the consumer reads the manifest DIFF since its last-seen version into a mirror — new files only per trigger, one integer of consumer state; pinned plan is the final mirror read",
+    "q135_state_timetravel" -> "cluster-state time travel: the q110 quotient increment lands through the COW MERGE-INTO (touched dbuckets rewrite as sibling files, manifest swaps the selection), then one query reads the label table as-of v1 AND v2 — the reproducibility record of a run's own dedup decisions; pinned plan is the two-leg as-of union",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -154,7 +155,7 @@ object Explain {
     "q13_rollup", "q28_pipeline_e2e",
     "q129_bm25_timetravel", "q130_ivf_timetravel", "q131_pq_timetravel",
     "q132_snapshot_increment", "q133_refresh_timetravel",
-    "q134s_manifest_tail")
+    "q134s_manifest_tail", "q135_state_timetravel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

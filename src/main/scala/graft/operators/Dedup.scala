@@ -2025,6 +2025,64 @@ object Dedup {
         s.sparkContext.hadoopConfiguration)
     },
 
+    // CLUSTER-STATE TIME TRAVEL — the snapshot layer applied to the
+    // PERSISTED LABEL TABLE (completing it across state tables, not
+    // just indexes): "which cluster was this doc in AS OF version N"
+    // is the reproducibility record a training run needs about its own
+    // dedup decisions — rerunning yesterday's keep-list requires
+    // yesterday's clusters, not today's. The resident table commits
+    // v1; one arriving batch runs the q110 quotient increment and
+    // lands through the COW MERGE-INTO
+    // (IndexMaintenance.upsertPartitionedCommit — touched dbuckets
+    // rewrite as NEW sibling files, the next manifest swaps the
+    // selection, untouched buckets carry verbatim); the SAME query
+    // then reads the table as-of both versions. Oracle: the
+    // residents-only recompute under tag 1 (the v1 state) and q110's
+    // full recompute under tag 2 — both legs exact, so the COW merge
+    // must neither leak the increment into v1 nor lose it from v2.
+    // Scale: the as-of read is a manifest choice; the merge rewrites
+    // the buckets holding changed labels, never the table.
+    "q135_state_timetravel" -> { (s, d) =>
+      import graft.plans.{IndexMaintenance, MinHashIndex, Snapshots}
+      val docs = Tables.documents(s, d)
+      val h = MinHashIndex.ensureSaved(s,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+          .select(col("doc_id"), col("text")),
+        s"$d/documents.parquet", lshIndexDir(s, d))
+      val staging = graft.Fs.createStagingDir(s, "graft-q135")
+      try {
+        val labDir = s"$staging/labels"
+        IndexMaintenance.copyDir(s, stageResidentState(s, d), labDir)
+        val buckets = labelBuckets(s, labDir)
+        val v1 = Snapshots.commit(s, labDir)
+        val rows = MinHashIndex.localize(s,
+          docs.where(pmod(col("doc_id"), lit(10)) === 0)
+            .select(col("doc_id"), col("text")))
+        val lab = Snapshots.read(s, labDir, v1)
+          .select(col("doc_id"), col("label"))
+        val delta = clusterStep(s, h, lab, rows)
+        val remapB = broadcast(delta.remap)
+        val updates = lab
+          .join(remapB, lab("label") === remapB("old_label"))
+          .select(col("doc_id"), col("new_label").as("label"))
+          .unionByName(delta.batchLab)
+          .withColumn("dbucket",
+            pmod(col("doc_id"), lit(buckets)).cast("int"))
+        val v2 = IndexMaintenance.upsertPartitionedCommit(s, labDir,
+          Seq("dbucket"), "doc_id", updates, partitionFromKey = true)
+        Materialize.release(delta.comp)
+        def leg(v: Int, tag: Int) =
+          Snapshots.read(s, labDir, v)
+            .select(col("doc_id"), col("label").as("cluster_id"))
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2)))
+          .select(col("version"), col("doc_id"), col("cluster_id"))
+          .orderBy(col("version"), col("doc_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // RETENTION RETIRE PROPAGATED INTO CLUSTER STATE — q111, the
     // DECREMENTAL counterpart of q110. Retiring a doc can SPLIT its
     // cluster (it may be the only bridge between two halves) and must
@@ -2914,6 +2972,35 @@ object Dedup {
          |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
          |SELECT a AS doc_id, min(b) AS cluster_id
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    // q135: version 1 must equal the residents-only recompute (the
+    // pre-batch state, byte-for-byte — the COW merge must not leak the
+    // increment backwards), version 2 the full recompute (q110's
+    // oracle — the merge must not lose it forwards)
+    "q135_state_timetravel" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |fin AS (SELECT a AS doc_id, min(b) AS lab FROM reach GROUP BY a),
+         |redges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |  WHERE doc_a % 10 <> 0 AND doc_b % 10 <> 0),
+         |rreach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 <> 0
+         |  UNION
+         |  SELECT r.a, e.dst FROM rreach r JOIN redges e ON r.b = e.src),
+         |old AS (SELECT a AS doc_id, min(b) AS lab FROM rreach GROUP BY a)
+         |SELECT 1 AS version, doc_id, lab AS cluster_id FROM old
+         |UNION ALL
+         |SELECT 2, doc_id, lab FROM fin
+         |ORDER BY version, doc_id""".stripMargin,
     // the bounded incremental change feed must equal the EXHAUSTIVE
     // diff of two full recomputes: labels over residents only (the
     // pre-batch state) vs labels over the whole corpus (post-batch) —

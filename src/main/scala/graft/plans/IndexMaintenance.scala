@@ -129,6 +129,58 @@ object IndexMaintenance {
     } finally graft.Materialize.release(ups)
   }
 
+  /** [[upsertPartitioned]] under SNAPSHOT ISOLATION — the MERGE-INTO
+    * for a manifest-committed STATE TABLE (q135's cluster-lineage
+    * question: which cluster was a doc in AS OF version N — the
+    * reproducibility record a training run needs about its own dedup
+    * decisions). Same touched-partition derivation and merge as the
+    * in-place form, but the merged partitions land as NEW SIBLING
+    * files and the next manifest selects [untouched partitions'
+    * version-v files + the merged files]
+    * ([[Snapshots.commitReplacing]] with the touched partition dirs as
+    * drop prefixes) — a reader pinned to version v keeps the pre-merge
+    * state byte-identical, and partitions a merge empties simply drop
+    * from the new manifest (their files stay for older versions; no
+    * directory cleanup, [[Snapshots.expire]] reclaims). Requires a
+    * committed dataset; `partitionFromKey` contract as in the in-place
+    * form. Returns the committed version. */
+  def upsertPartitionedCommit(s: SparkSession, dataDir: String,
+      partitionCols: Seq[String], keyCol: String,
+      updates: DataFrame, sortCols: Seq[String] = Nil,
+      partitionFromKey: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.broadcast
+    require(partitionCols.nonEmpty)
+    val v = Snapshots.current(s, dataDir).getOrElse(
+      throw new IllegalStateException(
+        s"upsertPartitionedCommit: no committed version under $dataDir"))
+    val data = Snapshots.read(s, dataDir, v)
+    requireIntegralPartitions(data, partitionCols, "upsertPartitionedCommit")
+    val ups = graft.Materialize(updates.select(data.columns.toSeq.map(col): _*))
+    try {
+      val keys = ups.select(col(keyCol)).distinct()
+      val touched = (
+        (if (partitionFromKey) Nil
+         else partitionValues(
+           data.join(broadcast(keys), Seq(keyCol), "left_semi"),
+           partitionCols))
+        ++ partitionValues(ups, partitionCols)).distinct
+      if (touched.isEmpty) return v
+      val pruned = data.where(partitionPredicate(touched, partitionCols))
+      val merged = graft.Materialize.cut(
+        pruned.join(broadcast(keys), Seq(keyCol), "left_anti")
+          .unionByName(ups))
+      merged
+        .repartition(partitionCols.map(col): _*)
+        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+        .write.mode("append").partitionBy(partitionCols: _*)
+        .parquet(dataDir)
+      graft.Materialize.release(merged)
+      Snapshots.commitReplacing(s, dataDir, v,
+        touched.map(vs => partitionCols.zip(vs)
+          .map { case (c, value) => s"$c=$value" }.mkString("/")))
+    } finally graft.Materialize.release(ups)
+  }
+
   /** Threshold-triggered PARTITION-LOCAL compaction — the maintenance
     * policy a continuously-ingesting index needs. Every append adds a
     * file per touched partition, so file counts grow linearly with
