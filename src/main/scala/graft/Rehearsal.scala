@@ -39,7 +39,15 @@ object Rehearsal {
     "q31_minhash_pairs", "q35_dup_clusters", "q86_knn_join",
     "q98_chunk_neardup", "q99_lsh_index_dedup", "q103_ingest_loop",
     "q110_incremental_clusters", "q123_editdist_verify",
-    "q125_containment", "q127_fuzzy_decontaminate")
+    "q125_containment", "q127_fuzzy_decontaminate",
+    // round-14 snapshot lifecycles: the claims under pressure are
+    // (q129) the purge compaction rewrites only tombstone-holding
+    // buckets while append/delete stay batch-bounded, (q132/q135) the
+    // manifest diff and the COW merge-into cost the NEW files /
+    // touched buckets — never the 10x corpus — and (q133) the refresh
+    // moves only drifted vectors
+    "q129_bm25_timetravel", "q132_snapshot_increment",
+    "q133_refresh_timetravel", "q135_state_timetravel")
 
   private final class TaskMax extends SparkListener {
     val maxInput = new java.util.concurrent.atomic.AtomicLong(0)

@@ -1510,6 +1510,44 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("as-of serves keep partition pruning through the manifest read " +
+      "(basePath contract: IVF cid, BM25 tbucket)") {
+    // the scale claim of every as-of read: pinning a version is a
+    // file-LIST choice, and the explicit listing must not cost the
+    // partition pruning a directory read gets for free — basePath
+    // keeps the partition columns, so the static IN predicates still
+    // reach the scan as PartitionFilters
+    val s = spark
+    val staging = java.nio.file.Files.createTempDirectory("asof_prune").toString
+    try {
+      Tables.embeddings(s, sf)
+        .where(pmod(col("vec_id"), lit(10)) =!= 9)
+        .write.parquet(s"$staging/emb/embeddings.parquet")
+      val ivf = s"$staging/ivf"
+      graft.plans.IvfTopK.ensureSaved(s, s"$staging/emb", ivf)
+      val v1 = graft.plans.Snapshots.commit(s, s"$ivf/assignment")
+      val ivfPlan = graft.plans.IvfTopK.serveTopKAsOf(s, ivf, v1)
+        .queryExecution.executedPlan.toString
+      assert(ivfPlan.contains("PartitionFilters: [") &&
+        ivfPlan.contains("cid"),
+        s"cid pruning lost through the manifest read:\n${ivfPlan.take(1200)}")
+      val docs = Tables.documents(s, sf)
+      docs.where(pmod(col("doc_id"), lit(10)).between(1, 8))
+        .write.parquet(s"$staging/corpus/documents.parquet")
+      val bm = s"$staging/bm25"
+      graft.plans.Bm25Index.save(s, s"$staging/corpus", bm)
+      val b1 = graft.plans.Bm25Index.commitSnapshot(s, bm)
+      val bmPlan = graft.plans.Bm25Index.serveAsOf(s, bm, b1,
+          operators.TextAnalysis.Bm25QueryTerms)
+        .queryExecution.executedPlan.toString
+      assert(bmPlan.contains("PartitionFilters: [") &&
+        bmPlan.contains("tbucket"),
+        s"tbucket pruning lost through the manifest read:\n${bmPlan.take(1200)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    }
+  }
+
   test("snapshot rollback and incremental read: rollback republishes v1's " +
       "file set; the manifest diff is exactly the appended rows") {
     val s = spark
