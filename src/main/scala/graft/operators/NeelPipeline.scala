@@ -75,7 +75,66 @@ object NeelPipeline {
     resultEvents(enriched, analysisId, processDate)
   }
 
+  /** The complement of [[parseTweets]]'s silent drop — QUARANTINE with
+    * reasons (dead-letter routing): the reference's flatMap
+    * catch-and-skip (`J/TwitterStreamJob.java:227-307` parse leg)
+    * loses malformed and invalid records without a trace; a production
+    * ingest pipeline routes them to a quarantine relation so drop
+    * rates are observable and replayable. Reasons mirror the parse's
+    * own check order (malformed JSON → non-positive id → empty text →
+    * retweet skip), so quarantine ∪ parsed = the raw feed exactly.
+    * Pure column expressions over the same single scan as the parse —
+    * no second pass at 100 TB. */
+  def quarantine(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
+    val t = from_json(col(jsonCol), tweetSchema)
+    raw.withColumn("t", t)
+      .withColumn("reason",
+        // PERMISSIVE from_json yields an ALL-NULL row (not a null
+        // struct) for unparseable input — "malformed" is the case
+        // where nothing at all was recoverable
+        when(col("t").isNull ||
+            (col("t.id").isNull && col("t.text").isNull &&
+              col("t.user").isNull), "malformed")
+          .when(col("t.id").isNull || col("t.id") <= 0, "invalid_id")
+          .when(col("t.text").isNull || length(col("t.text")) === 0,
+            "empty_text")
+          .when(coalesce(col("t.retweeted"), lit(false)), "retweet"))
+      .where(col("reason").isNotNull)
+      // -1 stands in for "no id recoverable" (malformed) so the output
+      // never carries a NULL key (engines disagree on NULL sort order)
+      .select(coalesce(col("t.id"), lit(-1L)).as("tweet_id"),
+        col("reason"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DEAD-LETTER QUARANTINE over a deterministically corrupted feed:
+    // the synthetic tweets are damaged in three disjoint classes
+    // (doc_id % 9 = 1 → the JSON truncated to 20 chars, % 9 = 2 → the
+    // id negated, % 9 = 3 → the text emptied) before serialization,
+    // retweets ride along as the fourth routed class; the quarantine
+    // relation must recover exactly the damaged population with the
+    // parse's own precedence. Oracle derives the same classes from
+    // `documents` directly.
+    "q136_parse_quarantine" -> { (s, d) =>
+      val base = Neel.syntheticTweets(s, d)
+        .withColumn("tweet_id",
+          when(pmod(col("tweet_id"), lit(9)) === 2, -col("tweet_id"))
+            .otherwise(col("tweet_id")))
+        .withColumn("text",
+          when(pmod(abs(col("tweet_id")), lit(9)) === 3, lit(""))
+            .otherwise(col("text")))
+      val json = to_json(struct(
+        col("tweet_id").as("id"), col("text"),
+        col("is_retweet").as("retweeted"),
+        struct(col("user_id").as("id"), col("user_name").as("name"),
+          col("screen_name").as("screen_name"),
+          col("user_location").as("location")).as("user")))
+      val raw = base.select(
+        when(pmod(abs(col("tweet_id")), lit(9)) === 1,
+          substring(json, 1, 20)).otherwise(json).as("value"))
+      quarantine(raw).orderBy(col("reason"), col("tweet_id"))
+    },
+
     // The whole pipeline over JSON-serialized synthetic tweets:
     // to_json -> from_json (real #12 parse) -> NER/NEL/resolve ->
     // result events.
@@ -92,6 +151,26 @@ object NeelPipeline {
   )
 
   def oracle: Map[String, String] = Map(
+    // the quarantine must recover exactly the damaged population with
+    // the parse's own precedence (malformed > invalid_id > empty_text
+    // > retweet); -1 stands in for "no id recoverable"
+    "q136_parse_quarantine" ->
+      """SELECT * FROM (
+        |  SELECT CAST(-1 AS BIGINT) AS tweet_id, 'malformed' AS reason
+        |  FROM documents WHERE doc_id % 9 = 1
+        |  UNION ALL
+        |  -- doc_id 0 exists in the corpus: its UNDAMAGED tweet already
+        |  -- fails the id > 0 validity check, which precedes the retweet
+        |  -- skip in the parse's own order
+        |  SELECT -doc_id, 'invalid_id' FROM documents
+        |  WHERE doc_id % 9 = 2 OR doc_id = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'empty_text' FROM documents WHERE doc_id % 9 = 3
+        |  UNION ALL
+        |  SELECT doc_id, 'retweet' FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id % 9 NOT IN (1, 2, 3)
+        |    AND doc_id <> 0
+        |) ORDER BY reason, tweet_id""".stripMargin,
     "q28_pipeline_e2e" -> (Neel.sqlPrefix +
       """, ents AS (
         |  SELECT tweet_id,
