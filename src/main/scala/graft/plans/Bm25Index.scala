@@ -122,6 +122,15 @@ object Bm25Index {
     fs.delete(old, true)
   }
 
+  /** The in-place lifecycle's swap/rewrite forms DESTROY files a
+    * committed manifest still references (swapIn deletes the replaced
+    * terms/stats; compact's source read would double-count siblings) —
+    * a committed index mutates through the *Commit forms only. */
+  private def requireUncommitted(s: SparkSession, base: String,
+      op: String, instead: String): Unit =
+    require(Snapshots.current(s, base).isEmpty,
+      s"Bm25Index.$op: $base is manifest-committed — use $instead")
+
   /** Restore a [[swapIn]] interrupted between its two publish renames:
     * `path` missing + `.old` present means the crash landed after
     * rename(path -> .old) and before rename(.swap -> path), so the
@@ -166,6 +175,7 @@ object Bm25Index {
     * appended documents. */
   def append(s: SparkSession, indexDir: String, newDocs: DataFrame): Long = {
     val base = IvfTopK.qualify(s, indexDir)
+    requireUncommitted(s, base, "append", "appendCommit")
     recoverArtifacts(s, base)
     // materialize the batch ONCE: the returned count, the postings
     // write and the stats update come from the same evaluation
@@ -230,6 +240,7 @@ object Bm25Index {
   def delete(s: SparkSession, indexDir: String,
       deletedDocs: DataFrame): Long = {
     val base = IvfTopK.qualify(s, indexDir)
+    requireUncommitted(s, base, "delete", "deleteCommit")
     recoverArtifacts(s, base)
     val staged = graft.Materialize.cut(deletedDocs
       .select(col("doc_id"), col("text")))
@@ -274,6 +285,7 @@ object Bm25Index {
     * postings file count. */
   def compact(s: SparkSession, srcDir: String, destDir: String): Int = {
     val src = IvfTopK.qualify(s, srcDir)
+    requireUncommitted(s, src, "compact", "compactCommitSnapshot")
     recoverArtifacts(s, src)
     val dest = IvfTopK.qualify(s, destDir)
     // compaction is where merge-on-read tombstones are PURGED: the

@@ -51,6 +51,7 @@ object IndexMaintenance {
       ids: DataFrame, sortCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.broadcast
     require(partitionCols.nonEmpty)
+    requireUncommitted(s, dataDir, "deletePartitioned")
     val data = s.read.parquet(dataDir)
     requireIntegralPartitions(data, partitionCols, "deletePartitioned")
     val keys = ids.select(col(matchCol)).distinct()
@@ -100,6 +101,7 @@ object IndexMaintenance {
       partitionFromKey: Boolean = false): Long = {
     import org.apache.spark.sql.functions.broadcast
     require(partitionCols.nonEmpty)
+    requireUncommitted(s, dataDir, "upsertPartitioned")
     val data = s.read.parquet(dataDir)
     requireIntegralPartitions(data, partitionCols, "upsertPartitioned")
     // the update relation feeds three consumers (key set, touched
@@ -199,6 +201,7 @@ object IndexMaintenance {
       partitionCols: Seq[String], maxFiles: Int,
       sortCols: Seq[String] = Nil): Int = {
     require(partitionCols.nonEmpty && maxFiles >= 1)
+    requireUncommitted(s, dataDir, "compactIfFragmented")
     val data = s.read.parquet(dataDir)
     requireIntegralPartitions(data, partitionCols, "compactIfFragmented")
     val conf = s.sparkContext.hadoopConfiguration
@@ -224,6 +227,21 @@ object IndexMaintenance {
     graft.Materialize.release(merged)
     frag.size
   }
+
+  /** An IN-PLACE rewrite on a manifest-committed dataset deletes files
+    * every committed version still references — the reader holding
+    * version N would fail (or silently mis-read) through no fault of
+    * its own. Refuse loudly: committed datasets mutate through the
+    * snapshot-preserving variants ([[Snapshots.compactCommit]],
+    * [[upsertPartitionedCommit]], the index families' *Commit forms).
+    * One manifest-dir existence check. */
+  private def requireUncommitted(s: SparkSession, dataDir: String,
+      op: String): Unit =
+    require(Snapshots.current(s, dataDir).isEmpty,
+      s"$op: $dataDir is manifest-committed — an in-place rewrite would " +
+        "dangle every committed version; use the snapshot-preserving " +
+        "variant (compactCommit / upsertPartitionedCommit / the index's " +
+        "*Commit form) instead")
 
   /** The emptied-partition cleanup reconstructs directory names as
     * "$c=$v" verbatim — correct for the integral partition keys every

@@ -1505,6 +1505,14 @@ class ScaleShapeSpec extends SparkSpec {
       assert(asOf == rows(
         graft.plans.MinHashIndex.serveAsOf(s, idx, v2, probe)),
         "compaction changed served rows")
+      // an IN-PLACE rewrite on the committed index must refuse loudly —
+      // it would delete files versions v2/v3 still reference
+      val e = intercept[IllegalArgumentException] {
+        graft.plans.MinHashIndex.delete(s, idx,
+          docs.limit(1).select(col("doc_id")))
+      }
+      assert(e.getMessage.contains("manifest-committed"),
+        s"wrong refusal message: ${e.getMessage}")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
     }
