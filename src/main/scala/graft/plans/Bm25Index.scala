@@ -321,6 +321,15 @@ object Bm25Index {
   // travel, tombstone deletes and purge compaction coexist — the full
   // lakehouse shape the MinHash family got in q109/q113, extended to
   // the lexical index per the round-13 advice.
+  //
+  // CRASH PROTOCOL (single writer): a mutation that dies BEFORE its
+  // commit leaves the current version fully intact — but its orphaned
+  // files are on disk, and the next commitReplacing sweeps every
+  // unreferenced file into the new version (duplicate postings rows /
+  // stale tombstones would join silently). After any crashed mutation,
+  // run Snapshots.expire(dataDir, current) FIRST: it reclaims exactly
+  // the unreferenced orphans — the standard lakehouse orphan-sweep
+  // rule, stated here because the failure is silent otherwise.
   // --------------------------------------------------------------------
 
   /** Commit the current artifact listing (a fresh [[save]], or the
@@ -544,6 +553,16 @@ object Bm25Index {
     * the fresh [[TextAnalysis.bm25Agg]]. */
   def serve(s: SparkSession, h: Handle,
       queryTerms: Seq[String]): DataFrame = {
+    // a COMMITTED index's live serve must read the CURRENT manifest's
+    // selection — after appendCommit/deleteCommit the terms/stats dirs
+    // hold the old files next to their manifest-selected replacements,
+    // and a directory read would double-count them (the same routing
+    // guard as the MinHash/IVF/PQ families)
+    val base = h.postingsPath.stripSuffix("/postings")
+    Snapshots.current(s, base) match {
+      case Some(v) => return serveAsOf(s, base, v, queryTerms)
+      case None => ()
+    }
     recoverSwap(s, h.termsPath)
     recoverSwap(s, h.statsPath)
     // driver-side twin of the save-time tbucket column: CRC32 of the

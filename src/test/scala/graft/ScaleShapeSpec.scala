@@ -1429,6 +1429,14 @@ class ScaleShapeSpec extends SparkSpec {
       // delete visibility: v3 lost exactly the tombstoned docs vs v2
       assert(v3Rows.size < v2Rows.size,
         "tombstone delete removed nothing from the served set")
+      // the LIVE Handle serve of a committed index routes through the
+      // CURRENT manifest — a directory read would double-count the
+      // terms/stats replacement siblings landed by append/deleteCommit
+      assert(graft.plans.Bm25Index.serve(s,
+          graft.plans.Bm25Index.load(s, idx),
+          operators.TextAnalysis.Bm25QueryTerms)
+        .orderBy(col("doc_id")).collect().map(_.toString).toSeq == v3Rows,
+        "live serve diverges from the current manifest (double count?)")
       // retention: expiring below v4 reclaims superseded files but v4
       // still serves identically
       val reclaimed = graft.plans.Snapshots.expire(s,
