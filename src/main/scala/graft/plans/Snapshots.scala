@@ -45,6 +45,23 @@ object Snapshots {
 
   private val ManifestName = """v(\d+)\.manifest""".r
 
+  /** Per-manifest content cache. A manifest is immutable once
+    * published, so its parsed line list can be reused forever — BUT a
+    * manifest PATH can be reused (a staging dir deleted and re-created
+    * mints a fresh v1 at the same path), so hits validate against the
+    * file's (modificationTime, length): one getFileStatus per lookup
+    * instead of a content read. This is what keeps the bookkeeping
+    * passes that fold over EVERY version ([[commitReplacing]]'s
+    * referenced-set, [[expire]]'s live-set) at O(current + new)
+    * manifest I/O per call instead of re-reading the whole history —
+    * on a 100-version dir a commit stats 100 tiny files and reads ~1. */
+  private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Seq[String])]()
+
+  /** Manifest CONTENT reads (cache misses) — test instrumentation for
+    * the bookkeeping-scaling guarantee, no production consumer. */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def fs(s: SparkSession, dataDir: String) =
     graft.Fs.resolve(dataDir, s.sparkContext.hadoopConfiguration)._1
 
@@ -154,6 +171,35 @@ object Snapshots {
     v
   }
 
+  /** [[commitExpecting]] with the standard lost-race reaction baked in
+    * — the full optimistic-concurrency loop uncoordinated writers run:
+    * on [[SnapshotConflictException]], re-read the current version and
+    * retry the publish. Sound for APPEND workloads because appends are
+    * order-independent: the loser's data files are already landed
+    * (unreferenced until a manifest selects them), so the retry's
+    * re-listing picks up BOTH writers' files and the committed result
+    * is the union regardless of publish order. Writers whose validity
+    * depends on the base state (a conditional update) must re-VALIDATE
+    * between retries instead of using this helper. Returns
+    * (committedVersion, conflictsObserved). */
+  def commitRetrying(s: SparkSession, dataDir: String,
+      expected: Option[Int], maxRetries: Int = 5): (Int, Int) = {
+    var base = expected
+    var conflicts = 0
+    while (true) {
+      try return (commitExpecting(s, dataDir, base), conflicts)
+      catch { case e: SnapshotConflictException =>
+        conflicts += 1
+        if (conflicts > maxRetries)
+          throw new SnapshotConflictException(
+            s"commitRetrying: still conflicting after $maxRetries " +
+              s"retries under $dataDir — last: ${e.getMessage}")
+        base = current(s, dataDir)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** COPY-ON-WRITE compaction that PRESERVES every committed snapshot
     * — the snapshot-safe form of the in-place maintenance passes
     * (whose contract says "rewrites dangle older manifests; expire
@@ -234,18 +280,40 @@ object Snapshots {
     writeManifest(s, dataDir, kept ++ fresh)
   }
 
-  /** The data files of version `v` (absolute paths). */
+  /** The data files of version `v` (absolute paths). Content comes
+    * from the (modTime, length)-validated [[manifestCache]] when the
+    * manifest was read before — one metadata stat on the hot path. */
   def files(s: SparkSession, dataDir: String, v: Int): Seq[String] = {
     val f = fs(s, dataDir)
     val p = new Path(manifestDir(dataDir), s"v$v.manifest")
-    require(f.exists(p), s"snapshot v$v not found under ${manifestDir(dataDir)}")
-    val in = f.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-      buf.toString("UTF-8")
-    } finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map(l => s"$dataDir/$l").toSeq
+    val st =
+      try f.getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"snapshot v$v not found under ${manifestDir(dataDir)}")
+      }
+    val key = st.getPath.toString
+    val cached = manifestCache.get(key)
+    val rels =
+      if (cached != null && cached._1 == st.getModificationTime &&
+          cached._2 == st.getLen) cached._3
+      else {
+        manifestReads.incrementAndGet()
+        val in = f.open(p)
+        val text = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+          buf.toString("UTF-8")
+        } finally in.close()
+        val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+        // bound the driver-side bookkeeping: the cache is tiny strings,
+        // but a very long session over many staging dirs shouldn't
+        // accumulate forever
+        if (manifestCache.size > 8192) manifestCache.clear()
+        manifestCache.put(key, (st.getModificationTime, st.getLen, lines))
+        lines
+      }
+    rels.map(l => s"$dataDir/$l")
   }
 
   /** Read version `v` AS OF its commit: exactly the manifested files,
@@ -287,11 +355,21 @@ object Snapshots {
       : DataFrame = {
     val before: Set[String] =
       if (fromV == 0) Set.empty else files(s, dataDir, fromV).toSet
-    val fresh = files(s, dataDir, toV).filterNot(before)
+    val toFiles = files(s, dataDir, toV)
+    val fresh = toFiles.filterNot(before)
     if (fresh.isEmpty) {
-      val sch = emptySchema.getOrElse(throw new IllegalArgumentException(
-        s"no files were added between v$fromV and v$toV and no " +
-          "emptySchema was supplied"))
+      // an empty increment is a LEGAL outcome (a producer committed a
+      // no-op batch — zero new files) and must yield an empty frame,
+      // not a crash: derive the schema from any live file of either
+      // endpoint (basePath-read, so partition columns survive), and
+      // only a dataset with NO files anywhere still needs emptySchema
+      val sch = emptySchema.orElse(
+        toFiles.headOption
+          .orElse(if (fromV == 0) None else files(s, dataDir, fromV).headOption)
+          .map(f => s.read.option("basePath", dataDir).parquet(f).schema))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no files were added between v$fromV and v$toV, both versions " +
+            "are file-less, and no emptySchema was supplied"))
       s.createDataFrame(java.util.Collections.emptyList[
         org.apache.spark.sql.Row](), sch)
     } else s.read.option("basePath", dataDir).parquet(fresh: _*)
@@ -304,8 +382,25 @@ object Snapshots {
     * precisely what `toV` saw; the rolled-back versions' files remain
     * resolvable until expired. SINGLE WRITER, like [[commit]]. Returns
     * the new version number. */
-  def rollback(s: SparkSession, dataDir: String, toV: Int): Int =
-    writeManifest(s, dataDir, files(s, dataDir, toV).map(rel(dataDir, _)))
+  def rollback(s: SparkSession, dataDir: String, toV: Int): Int = {
+    // a rollback target must be a LIVE version: rolling back to an
+    // expired one would either fail opaquely inside files() or publish
+    // a manifest referencing reclaimed paths that only fails at read
+    // time — name the likely cause instead
+    require(versions(s, dataDir).contains(toV),
+      s"rollback: v$toV is not a live version under $dataDir — never " +
+        "committed, or dropped by expire(); rollback can only republish " +
+        "a version whose manifest (and therefore file set) still exists")
+    val fl = files(s, dataDir, toV)
+    // cheap survival probe (one stat): a live manifest whose files were
+    // reclaimed out-of-band should fail HERE, not at first read
+    for (f0 <- fl.headOption)
+      require(fs(s, dataDir).exists(new Path(f0)),
+        s"rollback: v$toV's manifest references $f0 which no longer " +
+          "exists on disk — reclaimed out-of-band (expire of a " +
+          "replaced selection, or manual cleanup)")
+    writeManifest(s, dataDir, fl.map(rel(dataDir, _)))
+  }
 
   /** Retention: drop every manifest OLDER than `keepFrom`, then delete
     * any data file referenced by NO surviving manifest — which also
@@ -327,6 +422,24 @@ object Snapshots {
       n += 1
     }
     n
+  }
+
+  /** RETENTION BOUND, version-count form: keep only the newest
+    * `keepLast` versions and [[expire]] everything older. Versions
+    * accumulate one manifest each, and the passes that fold over the
+    * whole history ([[commitReplacing]]'s referenced-set, [[expire]]'s
+    * live-set) stat every surviving manifest per call — so an ingest
+    * pipeline that commits per batch should run this on a cadence
+    * (every N commits) to keep the version count, the reclaimable-file
+    * backlog, and time-travel exposure bounded, exactly as the
+    * lakehouse formats prescribe retention windows. Returns the number
+    * of data files reclaimed. */
+  def expireKeeping(s: SparkSession, dataDir: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 1, "expireKeeping: must keep at least 1 version")
+    val vs = versions(s, dataDir)
+    if (vs.size <= keepLast) 0
+    else expire(s, dataDir, keepFrom = vs(vs.size - keepLast))
   }
 
   /** Path of `file` relative to `dataDir`, tolerant of scheme

@@ -1813,6 +1813,126 @@ class ScaleShapeSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("commitRetrying: the lost race re-reads and retries; the committed " +
+      "result is both writers' union") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.Snapshots
+    val staging = java.nio.file.Files.createTempDirectory("snap_retry").toString
+    try {
+      val dir = s"$staging/data"
+      Seq((1L, 10L)).toDF("id", "v").write.mode("append").parquet(dir)
+      val v1 = Snapshots.commit(s, dir)
+      // writers A and B read the same base, then A wins the race
+      val baseA = Snapshots.current(s, dir)
+      val baseB = Snapshots.current(s, dir)
+      Seq((2L, 20L)).toDF("id", "v").write.mode("append").parquet(dir)
+      val (vA, cA) = Snapshots.commitRetrying(s, dir, baseA)
+      assert(vA == v1 + 1 && cA == 0)
+      // B lands its files, publishes against the stale base: exactly
+      // one conflict, then the retry's re-listing commits the UNION
+      Seq((3L, 30L)).toDF("id", "v").write.mode("append").parquet(dir)
+      val (vB, cB) = Snapshots.commitRetrying(s, dir, baseB)
+      assert(vB == vA + 1 && cB == 1,
+        s"expected one observed conflict then success, got (v$vB, $cB)")
+      val got = s.read.parquet(Snapshots.files(s, dir, vB): _*)
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L)),
+        s"retried commit lost a writer's rows: $got")
+      // A's own committed view never contained B's rows
+      assert(s.read.parquet(Snapshots.files(s, dir, vA): _*).count() == 2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
+  test("manifest bookkeeping: warm history folds cost stats, not reads; " +
+      "a reused path with fresh content is never served stale") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.Snapshots
+    val staging = java.nio.file.Files.createTempDirectory("snap_cache").toString
+    try {
+      val dir = s"$staging/data"
+      // accumulate a 30-version history (append + commit per version)
+      for (i <- 1 to 30) {
+        Seq((i.toLong, i.toLong)).toDF("id", "v")
+          .coalesce(1).write.mode("append").parquet(dir)
+        Snapshots.commit(s, dir)
+      }
+      val cur = Snapshots.current(s, dir).get
+      // warm the per-version cache once (first fold reads the history)
+      Snapshots.commitReplacing(s, dir, cur, Nil)
+      val before = Snapshots.manifestReads.get()
+      // a commit on the 31-version dir must READ O(new) manifests —
+      // the 30-version history is served from the validated cache
+      val cur2 = Snapshots.current(s, dir).get
+      Seq((99L, 99L)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+      Snapshots.commitReplacing(s, dir, cur2, Nil)
+      val delta = Snapshots.manifestReads.get() - before
+      assert(delta <= 2,
+        s"commit on a 31-version dir re-read $delta manifests — the " +
+          "history fold should hit the cache (expected <= 2)")
+      // PATH REUSE: deleting the dataset and minting a fresh v1 at the
+      // SAME path must not serve the old v1's cached listing
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "v")
+        .repartition(3).write.mode("append").parquet(dir)
+      val fresh = Snapshots.commit(s, dir)
+      assert(fresh == 1)
+      assert(s.read.parquet(Snapshots.files(s, dir, 1): _*).count() == 3,
+        "files(v1) served the DELETED dataset's cached manifest")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
+  test("readIncremental: a no-op commit is a LEGAL empty increment " +
+      "(schema derived from the manifest's live files, partition cols kept)") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.Snapshots
+    val staging = java.nio.file.Files.createTempDirectory("snap_empty").toString
+    try {
+      val dir = s"$staging/data"
+      Seq((1L, 0), (2L, 1)).toDF("id", "b")
+        .repartition(col("b")).write.partitionBy("b").parquet(dir)
+      val v1 = Snapshots.commit(s, dir)
+      // producer commits a NO-OP batch: zero new files, new version
+      val v2 = Snapshots.commit(s, dir)
+      val inc = Snapshots.readIncremental(s, dir, v1, v2)
+      assert(inc.isEmpty, "no-op commit yielded a non-empty increment")
+      // the derived schema must keep the PARTITION column — a tailing
+      // consumer selects it on every trigger (the q134s shape)
+      assert(inc.columns.toSet == Set("id", "b"),
+        s"empty increment lost columns: ${inc.columns.mkString(",")}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
+  test("rollback refuses an expired target with an error naming the cause") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.Snapshots
+    val staging = java.nio.file.Files.createTempDirectory("snap_rbexp").toString
+    try {
+      val dir = s"$staging/data"
+      Seq((1L, 10L)).toDF("id", "v").write.mode("append").parquet(dir)
+      val v1 = Snapshots.commit(s, dir)
+      Seq((2L, 20L)).toDF("id", "v").write.mode("append").parquet(dir)
+      val v2 = Snapshots.commit(s, dir)
+      // retention bound: keep only the newest version (drops v1)
+      Snapshots.expireKeeping(s, dir, keepLast = 1)
+      assert(Snapshots.versions(s, dir) == Seq(v2))
+      val e = intercept[IllegalArgumentException](
+        Snapshots.rollback(s, dir, v1))
+      assert(e.getMessage.contains("expire"),
+        s"rollback error does not name expire: ${e.getMessage}")
+      // the live target still works
+      assert(Snapshots.rollback(s, dir, v2) == v2 + 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("compactCommit: copy-on-write — older snapshots keep their files " +
       "byte-identical, compacted version row-identical, expire reclaims") {
     val s = spark
