@@ -348,11 +348,21 @@ object Bm25Index {
       s"no committed snapshot under $base — commitSnapshot after save first"))
 
   /** [[append]] under snapshot isolation. Postings append as usual
-    * (new files in the touched tbuckets only); the vocabulary merge
-    * and stats update read VERSION-v inputs and land as NEW SIBLING
-    * files the next manifest selects — no swap, no crash window (a
-    * crash before the commit leaves the current version fully intact
-    * and only expire()-reclaimable orphans behind). Returns the
+    * (new files in the touched tbuckets only); the one-row stats
+    * update reads the VERSION-v row and lands as a NEW SIBLING file
+    * the next manifest selects — no swap, no crash window (a crash
+    * before the commit leaves the current version fully intact and
+    * only expire()-reclaimable orphans behind).
+    *
+    * VOCABULARY SEGMENTS (r14 verdict #2): df is ADDITIVE, so the
+    * commit lands only the BATCH's (term, df) rows as a new sibling
+    * segment under `terms/` — never a merged rewrite of the resident
+    * vocabulary. Readers sum segments per term ([[serveAsOf]]);
+    * [[compactCommitSnapshot]] folds accumulated segments back to one.
+    * Write amplification per append is O(new terms) — at a 10⁸-term
+    * vocabulary the previous full_outer-merge + single-task rewrite
+    * serialized every ingest commit on the whole vocab; this is the
+    * same segment discipline the postings side always had. Returns the
     * committed version. */
   def appendCommit(s: SparkSession, indexDir: String,
       newDocs: DataFrame): Int = {
@@ -375,14 +385,12 @@ object Bm25Index {
         .withColumn("tbucket", tbucket(col("term"))))
     newPost.write.mode("append").partitionBy("tbucket")
       .parquet(s"$base/postings")
-    val newTerms = newPost.groupBy(col("term")).agg(count(lit(1)).as("df_new"))
-    val merged = graft.Materialize.cut(
-      s.read.parquet(pieceOf(s, base, v, "terms"): _*)
-        .join(newTerms, Seq("term"), "full_outer")
-        .select(col("term"),
-          (coalesce(col("df"), lit(0L)) +
-            coalesce(col("df_new"), lit(0L))).as("df")))
-    merged.coalesce(1).write.mode("append").parquet(s"$base/terms")
+    // df DELTA segment: the batch's own term frequencies, one small
+    // sibling file — the resident vocabulary is neither read nor
+    // rewritten (sum-on-read reconstructs the merged df exactly;
+    // integer sums, no FP drift)
+    newPost.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode("append").parquet(s"$base/terms")
     val old = s.read.parquet(pieceOf(s, base, v, "stats"): _*).head()
     val inc = newPost.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("t"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
@@ -393,34 +401,46 @@ object Bm25Index {
         old.getLong(2) + inc.getLong(1)))
       .toDF("n_docs", "n_tok_docs", "sum_dl")
       .coalesce(1).write.mode("append").parquet(s"$base/stats")
-    graft.Materialize.release(merged)
     graft.Materialize.release(newPost)
     graft.Materialize.release(staged)
-    Snapshots.commitReplacing(s, base, v, Seq("terms", "stats"))
+    Snapshots.commitReplacing(s, base, v, Seq("stats"))
   }
 
   /** [[delete]] under snapshot isolation: tombstones APPEND (readers
-    * of older versions never see them), the vocabulary decrement and
-    * stats subtraction land as sibling replacements, and ONE commit
+    * of older versions never see them), the vocabulary decrement lands
+    * as a NEGATIVE df delta segment (the append segment's mirror —
+    * sum-on-read nets it out, terms reaching 0 drop at read time), the
+    * stats subtraction lands as a sibling replacement, and ONE commit
     * pins all three — the multi-artifact crash windows of the swap
-    * form disappear entirely. Returns the committed version. */
+    * form disappear entirely, and no step rewrites the resident
+    * vocabulary. The docs must be CURRENT residents: an id already
+    * tombstoned as of version v (or re-deleted) would double-decrement
+    * df/n_docs/sum_dl and silently skew every later version's scores,
+    * so the staged set is checked against v's tombstones (broadcast,
+    * tombstone-×-batch-sized) and refused loudly on a clash — the
+    * symmetric guard to [[appendCommit]]'s re-ingest rule. Returns the
+    * committed version. */
   def deleteCommit(s: SparkSession, indexDir: String,
       deletedDocs: DataFrame): Int = {
     val base = IvfTopK.qualify(s, indexDir)
     val v = currentVersion(s, base)
     val staged = graft.Materialize.cut(deletedDocs
       .select(col("doc_id"), col("text")))
+    val tomb0 = pieceOf(s, base, v, "deletes")
+    if (tomb0.nonEmpty) {
+      val clash = staged.select(col("doc_id")).distinct()
+        .join(broadcast(s.read.parquet(tomb0: _*)), Seq("doc_id"), "left_semi")
+        .count()
+      require(clash == 0L,
+        s"deleteCommit: $clash doc_id(s) are already tombstoned as of " +
+          s"v$v — a repeated delete would double-decrement df/stats")
+    }
     val delPost = graft.Materialize.cut(TextAnalysis.postingsOf(staged))
     staged.select(col("doc_id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$base/deletes")
-    val delDf = delPost.groupBy(col("term")).agg(count(lit(1)).as("df_del"))
-    val merged = graft.Materialize.cut(
-      s.read.parquet(pieceOf(s, base, v, "terms"): _*)
-        .join(delDf, Seq("term"), "left")
-        .select(col("term"),
-          (col("df") - coalesce(col("df_del"), lit(0L))).as("df"))
-        .where(col("df") > 0))
-    merged.coalesce(1).write.mode("append").parquet(s"$base/terms")
+    // negative df delta segment — only the deleted docs' own terms
+    delPost.groupBy(col("term")).agg((-count(lit(1))).as("df"))
+      .coalesce(1).write.mode("append").parquet(s"$base/terms")
     val dec = delPost.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("t"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .head()
@@ -431,10 +451,9 @@ object Bm25Index {
         old.getLong(2) - dec.getLong(1)))
       .toDF("n_docs", "n_tok_docs", "sum_dl")
       .coalesce(1).write.mode("append").parquet(s"$base/stats")
-    graft.Materialize.release(merged)
     graft.Materialize.release(delPost)
     graft.Materialize.release(staged)
-    Snapshots.commitReplacing(s, base, v, Seq("terms", "stats"))
+    Snapshots.commitReplacing(s, base, v, Seq("stats"))
   }
 
   /** Copy-on-write TOMBSTONE-PURGE compaction for a committed index,
@@ -451,9 +470,12 @@ object Bm25Index {
     * index-wide because the WORK is, not because the pass is blunt).
     * Older versions keep time-traveling over their own files until
     * [[Snapshots.expire]]; scores are unchanged by construction
-    * (terms/stats were already decremented at delete time). Returns
-    * the committed version (unchanged if nothing needed rewriting and
-    * no tombstones exist). */
+    * (terms/stats were already decremented at delete time). The
+    * vocabulary's accumulated df-delta segments also fold to one
+    * netted relation here (see [[appendCommit]]) — compaction is the
+    * amortization point for both small-file families. Returns the
+    * committed version (unchanged if nothing needed rewriting, no
+    * tombstones exist and the vocabulary is a single segment). */
   def compactCommitSnapshot(s: SparkSession, indexDir: String,
       maxFiles: Int = 1): Int = {
     val base = IvfTopK.qualify(s, indexDir)
@@ -474,8 +496,20 @@ object Bm25Index {
         .join(broadcast(s.read.parquet(tomb: _*)), Seq("doc_id"), "left_semi")
         .select(col("tbucket")).distinct()
         .collect().map(_.getInt(0)).toSet
+    // vocabulary segment fold: the append/delete commits accumulate
+    // one df-delta segment each (sum-on-read) — compaction is where
+    // they fold back to a single netted relation, landed as fresh
+    // sibling files the next manifest selects (the aggregation's own
+    // output partitioning; no single-task vocab write — AQE coalesces
+    // the files at small scale)
+    val termSegs = pieceOf(s, base, v, "terms")
     val touched = fragged ++ tombed
-    if (touched.isEmpty && tomb.isEmpty) return v
+    if (touched.isEmpty && tomb.isEmpty && termSegs.size <= 1) return v
+    if (termSegs.size > 1)
+      s.read.parquet(termSegs: _*)
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .where(col("df") > 0)
+        .write.mode("append").parquet(s"$base/terms")
     if (touched.nonEmpty) {
       val files = posts.filter(f => touched(bucketOf(f)))
       val cur = s.read.option("basePath", s"$base/postings")
@@ -491,7 +525,9 @@ object Bm25Index {
       graft.Materialize.release(merged)
     }
     Snapshots.commitReplacing(s, base, v,
-      touched.toSeq.sorted.map(b => s"postings/tbucket=$b") :+ "deletes")
+      touched.toSeq.sorted.map(b => s"postings/tbucket=$b")
+        ++ (if (termSegs.size > 1) Seq("terms") else Nil)
+        :+ "deletes")
   }
 
   /** [[serve]] AS OF a committed snapshot version: every relation is
@@ -519,8 +555,18 @@ object Bm25Index {
       if (tomb.isEmpty) tf0
       else tf0.join(broadcast(s.read.parquet(tomb: _*)),
         Seq("doc_id"), "left_anti")
+    // SEGMENTED VOCABULARY sum-on-read: each commit since the last
+    // fold left one (term, df-delta) segment (negative for deletes);
+    // the version's df is the per-term sum over ITS manifested
+    // segments. The term predicate pushes below the aggregation, so a
+    // query reads query-terms × segments rows, never the vocabulary;
+    // integer sums make the reconstruction exact, and a term whose
+    // deltas net to 0 (fully deleted) drops here — exactly what a
+    // fresh survivors-only vocabulary would hold.
     val df = s.read.parquet(pieceOf(s, base, version, "terms"): _*)
       .where(col("term").isin(queryTerms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .where(col("df") > 0)
     val stats = s.read.parquet(pieceOf(s, base, version, "stats"): _*)
       .select(col("n_docs"),
         (col("sum_dl").cast("double") /

@@ -1717,6 +1717,107 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("BM25 segmented vocabulary: appendCommit writes O(new terms), " +
+      "amplification flat across commits, fold + serves exact") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{Bm25Index, Snapshots}
+    val staging = java.nio.file.Files.createTempDirectory("bm25_seg").toString
+    try {
+      // controlled corpus (the table fixture's vocabulary is smaller
+      // than one batch's term set, which would make the amplification
+      // assertions vacuous): every doc carries the shared term plus
+      // its own unique word, so |vocab| tracks the corpus and a
+      // batch's term set stays batch-sized
+      def w(i: Int) = "w" + ('a' + i / 26 % 26).toChar + ('a' + i % 26).toChar
+      def mk(ids: Range) = ids.map(i =>
+        (i.toLong, s"common ${w(i)} ${w(i)}")).toDF("doc_id", "text")
+      mk(1 to 100).write.parquet(s"$staging/corpus/documents.parquet")
+      val idx = s"$staging/idx"
+      Bm25Index.save(s, s"$staging/corpus", idx)
+      val base = graft.plans.IvfTopK.qualify(s, idx)
+      val v1 = Bm25Index.commitSnapshot(s, idx)
+      def termFiles(v: Int) = Snapshots.files(s, base, v)
+        .filter(_.startsWith(s"$base/terms/"))
+      val vocabRows = s.read.parquet(termFiles(v1): _*).count()
+      assert(vocabRows == 101, s"fixture vocab: $vocabRows")
+      def distinctTerms(batch: org.apache.spark.sql.DataFrame) =
+        operators.TextAnalysis.postingsOf(batch)
+          .select(col("term")).distinct().count()
+      // two appends: each commit's NEW terms files must hold exactly
+      // the batch's own distinct terms (a merged rewrite would hold
+      // the whole vocabulary) — write amplification flat, not growing
+      // with the resident vocab. Rows, not bytes: at test scale the
+      // parquet footer floor (~1 KB) swamps the data bytes, so the
+      // byte form of this assertion is vacuous here; row count is the
+      // scale-invariant measure.
+      for (r <- Seq(101 to 105, 106 to 110)) {
+        val batch = mk(r)
+        val vPrev = Snapshots.current(s, base).get
+        val v = Bm25Index.appendCommit(s, idx, batch)
+        val fresh = termFiles(v).filterNot(termFiles(vPrev).toSet)
+        val rows = s.read.parquet(fresh: _*).count()
+        assert(rows == distinctTerms(batch) && rows == 6,
+          s"commit v$v's terms segment holds $rows rows, expected the " +
+            s"batch's ${distinctTerms(batch)} distinct terms only")
+        assert(rows < vocabRows,
+          s"terms segment ($rows rows) is not smaller than the resident " +
+            s"vocabulary ($vocabRows rows) — rewrite leaked back in")
+      }
+      val v3 = Snapshots.current(s, base).get
+      // tombstone delete: negative delta segment, then serve(v4) must
+      // equal a FRESH survivors-only index's serve
+      val delIds = (1 to 110).filter(_ % 7 == 0)
+      val v4 = Bm25Index.deleteCommit(s, idx,
+        mk(1 to 110).where(col("doc_id").isin(delIds.map(_.toLong): _*)))
+      // double-delete guard: re-deleting a tombstoned id must refuse
+      val dup = intercept[IllegalArgumentException] {
+        Bm25Index.deleteCommit(s, idx,
+          mk(7 to 7))
+      }
+      assert(dup.getMessage.contains("tombstoned"), dup.getMessage)
+      mk(1 to 110).where(!col("doc_id").isin(delIds.map(_.toLong): _*))
+        .write.parquet(s"$staging/fresh/documents.parquet")
+      Bm25Index.save(s, s"$staging/fresh", s"$staging/fidx")
+      // query the shared term + one survivor-unique + one deleted-only
+      // word (the last must serve no rows and its df must have netted
+      // to zero)
+      val terms = Seq("common", w(3), w(7))
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r =>
+          r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      val freshServe = scores(Bm25Index.serve(s,
+        Bm25Index.load(s, s"$staging/fidx"), terms))
+      val asOf4 = scores(Bm25Index.serveAsOf(s, base, v4, terms))
+      assert(asOf4.keySet == freshServe.keySet && !asOf4.contains(7L),
+        "v4 serve population diverges from the fresh survivors-only index")
+      assert(asOf4.forall { case (id, (b, n)) =>
+        val (fb, fn) = freshServe(id)
+        n == fn && math.abs(b - fb) < 1e-9 },
+        "v4 served scores diverge from the fresh survivors-only index")
+      val asOf3 = scores(Bm25Index.serveAsOf(s, base, v3, terms))
+      // compaction folds the 4 accumulated segments (save + 2 appends
+      // + 1 negative) into fresh netted files; serves are unchanged
+      // and older versions keep their own segment sets
+      assert(termFiles(v4).size >= 4, s"expected >=4 segments, got " +
+        s"${termFiles(v4).size}")
+      val v5 = Bm25Index.compactCommitSnapshot(s, idx)
+      assert(termFiles(v5).intersect(termFiles(v4)).isEmpty,
+        "fold kept old segment files in the new manifest")
+      // the netted fold dropped the fully-deleted terms (df summed to 0)
+      val folded = s.read.parquet(termFiles(v5): _*)
+      assert(folded.where(col("term") === w(7)).count() == 0,
+        s"fully-deleted term ${w(7)} survived the fold")
+      assert(folded.where(col("df") <= 0).count() == 0,
+        "non-positive df rows survived the fold")
+      assert(scores(Bm25Index.serveAsOf(s, base, v5, terms)) == asOf4,
+        "fold changed served scores")
+      assert(scores(Bm25Index.serveAsOf(s, base, v3, terms)) == asOf3,
+        "time travel to v3 broken after the fold")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("snapshot isolation: v1 serve and files untouched by v2 append; expire vacuums orphans") {
     val s = spark
     import graft.plans.{MinHashIndex, Snapshots}
