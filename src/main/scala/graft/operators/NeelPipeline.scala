@@ -28,15 +28,32 @@ object NeelPipeline {
       StructField("screen_name", StringType),
       StructField("location", StringType))))))
 
+  /** [[tweetSchema]] plus the PERMISSIVE parser's corrupt-record
+    * column: malformed-ness is keyed off `_corrupt IS NOT NULL`, not
+    * off which fields came back null — with
+    * `spark.sql.json.enablePartialResults` (default-on in recent
+    * Spark) a truncated record whose leading fields parse before the
+    * cut surfaces them non-null, so field-null heuristics would
+    * misclassify it and, worse, let parse and quarantine disagree
+    * about it. The corrupt column is set by the parser itself for any
+    * record it could not fully decode, under either partial-results
+    * setting, so the parse/quarantine complement is config-independent. */
+  private val tweetSchemaCorrupt: StructType =
+    tweetSchema.add(StructField("_corrupt", StringType))
+  private val corruptOpts = Map(
+    "columnNameOfCorruptRecord" -> "_corrupt", "mode" -> "PERMISSIVE")
+
   /** #12: permissive JSON parse + validity filter + retweet skip.
-    * Invalid JSON yields a null struct -> silently dropped, exactly
-    * like the reference's catch-and-skip flatMap. */
+    * JSON the parser cannot fully decode (corrupt-record column set)
+    * -> silently dropped, exactly like the reference's catch-and-skip
+    * flatMap (twitter4j throws on any truncated/invalid payload, so a
+    * partially-recoverable record is a skip there too). */
   def parseTweets(raw: DataFrame, jsonCol: String = "value",
       skipRetweets: Boolean = true): DataFrame = {
     val parsed = raw
-      .withColumn("t", from_json(col(jsonCol), tweetSchema))
-      .where(col("t").isNotNull && col("t.id") > 0 &&
-        length(col("t.text")) > 0)
+      .withColumn("t", from_json(col(jsonCol), tweetSchemaCorrupt, corruptOpts))
+      .where(col("t").isNotNull && col("t._corrupt").isNull &&
+        col("t.id") > 0 && length(col("t.text")) > 0)
       .select(
         col("t.id").as("tweet_id"),
         col("t.text").as("text"),
@@ -86,23 +103,29 @@ object NeelPipeline {
     * Pure column expressions over the same single scan as the parse —
     * no second pass at 100 TB. */
   def quarantine(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
-    val t = from_json(col(jsonCol), tweetSchema)
+    val t = from_json(col(jsonCol), tweetSchemaCorrupt, corruptOpts)
     raw.withColumn("t", t)
       .withColumn("reason",
-        // PERMISSIVE from_json yields an ALL-NULL row (not a null
-        // struct) for unparseable input — "malformed" is the case
-        // where nothing at all was recoverable
-        when(col("t").isNull ||
-            (col("t.id").isNull && col("t.text").isNull &&
-              col("t.user").isNull), "malformed")
+        // "malformed" keys off the parser's OWN corrupt-record column
+        // (null input string -> null struct rides along), so the
+        // classification is identical under either
+        // spark.sql.json.enablePartialResults setting — field-null
+        // heuristics are not (a truncated record whose id parses
+        // before the cut would leak to the field checks below)
+        when(col("t").isNull || col("t._corrupt").isNotNull, "malformed")
           .when(col("t.id").isNull || col("t.id") <= 0, "invalid_id")
           .when(col("t.text").isNull || length(col("t.text")) === 0,
             "empty_text")
           .when(coalesce(col("t.retweeted"), lit(false)), "retweet"))
       .where(col("reason").isNotNull)
-      // -1 stands in for "no id recoverable" (malformed) so the output
-      // never carries a NULL key (engines disagree on NULL sort order)
-      .select(coalesce(col("t.id"), lit(-1L)).as("tweet_id"),
+      // -1 stands in for MALFORMED unconditionally (under partial
+      // results the parser may have recovered an id before the cut —
+      // surfacing it would make the output config-dependent), and for
+      // "no id recoverable" elsewhere so the output never carries a
+      // NULL key (engines disagree on NULL sort order)
+      .select(
+        when(col("reason") === "malformed", lit(-1L))
+          .otherwise(coalesce(col("t.id"), lit(-1L))).as("tweet_id"),
         col("reason"))
   }
 

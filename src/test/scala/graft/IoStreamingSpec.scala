@@ -316,6 +316,44 @@ class IoStreamingSpec extends SparkSpec {
     assert(out.select($"tweet_id").as[Long].head() === 5L)
   }
 
+  test("parse/quarantine split is independent of JSON partial-results " +
+      "(corrupt-record keyed, not field-null heuristics)") {
+    val s = spark
+    import s.implicits._
+    // the hazard case: a truncated record whose id field parses BEFORE
+    // the cut — under spark.sql.json.enablePartialResults=true a
+    // field-null heuristic sees a non-null id and misroutes it (and
+    // would surface the recovered id instead of the -1 sentinel)
+    val raw = Seq(
+      """{"id": 123456, "text":""",
+      """{"id": 7, "text": "ok", "retweeted": false,
+        | "user": {"id": 1, "name": "n", "screen_name": "sn", "location": null}}""".stripMargin.replace("\n", ""),
+      """{"id": -3, "text": "neg"}""",
+      """{"id": 8, "text": ""}""").toDF("value")
+    def run(): (Seq[Long], Seq[(Long, String)]) = (
+      operators.NeelPipeline.parseTweets(raw)
+        .select($"tweet_id").as[Long].collect().toSeq.sorted,
+      operators.NeelPipeline.quarantine(raw)
+        .as[(Long, String)].collect().toSeq.sorted)
+    val key = "spark.sql.json.enablePartialResults"
+    val prev = s.conf.getOption(key)
+    try {
+      s.conf.set(key, "true")
+      val on = run()
+      s.conf.set(key, "false")
+      val off = run()
+      assert(on == off,
+        s"partial-results setting changed the split: on=$on off=$off")
+      assert(on._1 == Seq(7L), s"parse kept the wrong rows: ${on._1}")
+      assert(on._2 == Seq((-3L, "invalid_id"), (-1L, "malformed"),
+        (8L, "empty_text")).sorted,
+        s"quarantine routing wrong: ${on._2}")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   test("native payload synthesis is byte-identical to the declarative hex form") {
     val s = spark
     import s.implicits._
