@@ -1432,6 +1432,53 @@ object Dedup {
         s.sparkContext.hadoopConfiguration)
     },
 
+    // ROW-LEVEL DELETE UNDER SNAPSHOT ISOLATION — the committed
+    // index's erasure path (q107's retention semantics reproduced
+    // through the tombstone + purge shape, closing the r14 gap: the
+    // in-place delete is REFUSED on a committed dataset, so a
+    // committed index previously had no erasure path at all). The
+    // clone's v1 population (%10 ∈ 1..8) loses its %7 = 0 slice as a
+    // TOMBSTONE commit (v2 — one appended file inside the manifested
+    // tree, one manifest swap; nothing rewritten), then a COW PURGE
+    // commit (v3) rewrites ONLY the partitions holding tombstoned rows
+    // and drops the list. ONE probe sketch serves as-of all three
+    // versions: v1 must still see the deleted docs (time travel
+    // through the delete), v2 must equal a fresh survivors-only index
+    // (merge-on-read), v3 must equal v2 (the purge is purely
+    // physical). Oracle = q109's CTE shape with the survivor predicate
+    // on tags 2/3. Scale: a deleted doc holds exactly Bands band rows,
+    // so the purge touches ≤ Bands × KBuckets partitions regardless of
+    // delete size, and every as-of read stays a manifest listing
+    // choice with (band_id, kbucket) pruning.
+    "q138_snapshot_delete" -> { (s, d) =>
+      import graft.plans.{MinHashIndex, Snapshots}
+      val docs = Tables.documents(s, d)
+      val staging = takeSnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val v1 = Snapshots.current(s, s"$idxDir/bands").get
+        val v2 = MinHashIndex.deleteCommit(s, idxDir,
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 0 &&
+            pmod(col("doc_id"), lit(10)) =!= 9 &&
+            pmod(col("doc_id"), lit(7)) === 0)
+            .select(col("doc_id")))
+        val v3 = MinHashIndex.purgeCommit(s, idxDir)
+        val probe = MinHashIndex.localize(s,
+          docs.where(pmod(col("doc_id"), lit(10)) === 0)
+            .select(col("doc_id"), col("text")))
+        def leg(v: Int, tag: Int) =
+          MinHashIndex.serveRowsAsOf(s, idxDir, v, probe)
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        Materialize.cut(
+          leg(v1, 1).unionByName(leg(v2, 2)).unionByName(leg(v3, 3)))
+          .select(col("version"), col("probe_doc"), col("corpus_doc"),
+            col("est_jaccard"))
+          .orderBy(col("version"), col("probe_doc"), col("corpus_doc"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // INCREMENTAL CONSUMPTION BETWEEN SNAPSHOTS — the downstream half
     // of the manifest lifecycle (Iceberg's incremental scan / Delta's
     // file-level change feed, reduced to a manifest diff): a consumer
@@ -2753,6 +2800,34 @@ object Dedup {
          |  FROM bands a JOIN bands b
          |    ON a.band_id = b.band_id AND a.band_key = b.band_key
          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         |SELECT version, probe_doc, corpus_doc, $estSql AS est_jaccard
+         |FROM cand WHERE $estSql >= $EstThreshold
+         |ORDER BY version, probe_doc, corpus_doc""".stripMargin,
+    // q138: q109's CTE shape with the survivor predicate (%7 <> 0) on
+    // tags 2 and 3 — tag 1 proves time travel THROUGH the delete (the
+    // pre-delete version still sees the deleted docs), tag 2 the
+    // merge-on-read tombstone filter, tag 3 that the physical purge is
+    // result-neutral
+    "q138_snapshot_delete" ->
+      s"""WITH $sigBandCtes,
+         |cand AS (
+         |  SELECT 1 AS version, a.doc_id AS probe_doc, b.doc_id AS corpus_doc,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 9)
+         |  UNION
+         |  SELECT 2, a.doc_id, b.doc_id, a.sig, b.sig
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 9)
+         |    AND b.doc_id % 7 <> 0
+         |  UNION
+         |  SELECT 3, a.doc_id, b.doc_id, a.sig, b.sig
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 9)
+         |    AND b.doc_id % 7 <> 0)
          |SELECT version, probe_doc, corpus_doc, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY version, probe_doc, corpus_doc""".stripMargin,

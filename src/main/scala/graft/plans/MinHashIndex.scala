@@ -27,6 +27,11 @@ import graft.operators.Dedup
   *     distinct shuffle). ~2×(8+8+8+K×8) bytes per document: orders
   *     of magnitude under the text it indexes.
   *   - `meta/`  — one row naming the resident documents path.
+  *   - `bands/deletes/` — MANIFEST-COMMITTED indexes only: the
+  *     tombstone list [[deleteCommit]] appends (inside the manifested
+  *     tree, so one version pins rows + applicable deletes together);
+  *     version-aware readers anti-join it, [[purgeCommit]] folds it
+  *     into a partition-local physical purge.
   *
   * `serve` probes a batch: the batch is sketched map-side with the
   * exact q31 kernel, BROADCAST (the incremental contract is
@@ -101,11 +106,33 @@ object MinHashIndex {
   def append(s: SparkSession, indexDir: String, newDocs: DataFrame): Long = {
     val base = IvfTopK.qualify(s, indexDir)
     val staged = graft.Materialize.cut(newDocs)
+    requireNotTombstoned(s, s"$base/bands",
+      staged.select(col("doc_id")).distinct(), "append")
     withBucket(Dedup.indexBandRows(staged))
       .write.mode("append").partitionBy("band_id", "kbucket")
       .parquet(s"$base/bands")
     staged.count()
   }
+
+  /** RE-INGEST RULE for a committed, tombstoned index (the
+    * [[Bm25Index.append]] contract's band-index twin): a tombstoned
+    * id's PHYSICAL band rows are still on disk — appending it again
+    * would leave duplicate rows that RESURRECT the moment
+    * [[purgeCommit]] drops the tombstone list. Tombstone-×-batch-sized
+    * broadcast check; no-op for uncommitted or tombstone-free indexes
+    * (one manifest-dir stat). */
+  private def requireNotTombstoned(s: SparkSession, bands: String,
+      ids: DataFrame, op: String): Unit =
+    for (v <- Snapshots.current(s, bands)) {
+      val tombF = manifestPieces(s, bands, v)._2
+      if (tombF.nonEmpty) {
+        val clash = ids.join(broadcast(s.read.parquet(tombF: _*)),
+          Seq("doc_id"), "left_semi").count()
+        require(clash == 0L,
+          s"$op: $clash doc_id(s) are tombstoned as of v$v under $bands " +
+            "— re-ingest of a deleted id requires a purgeCommit first")
+      }
+    }
 
   /** DELETION — the retention/right-to-erasure pass that completes
     * the lifecycle (save → append → compact → DELETE): remove the
@@ -170,13 +197,140 @@ object MinHashIndex {
     * (band_id, kbucket) partitions of the CURRENT version merge into
     * new sibling files and the merged layout commits as the next
     * version, while every older version keeps serving its own file
-    * set — time travel and compaction coexist (q113). Returns
-    * (newVersion, partitionsRewritten). */
+    * set — time travel and compaction coexist (q113). Tombstoned
+    * indexes compact through [[purgeCommit]] (which also merges
+    * fragmented partitions) — the generic pass cannot carry the
+    * tombstone list. Returns (newVersion, partitionsRewritten). */
   def compactCommitSnapshot(s: SparkSession, indexDir: String,
-      maxFiles: Int = 1): (Int, Int) =
-    Snapshots.compactCommit(s,
-      s"${IvfTopK.qualify(s, indexDir)}/bands",
-      Seq("band_id", "kbucket"), maxFiles)
+      maxFiles: Int = 1): (Int, Int) = {
+    val bands = s"${IvfTopK.qualify(s, indexDir)}/bands"
+    for (v <- Snapshots.current(s, bands))
+      require(manifestPieces(s, bands, v)._2.isEmpty,
+        "compactCommitSnapshot: tombstones present — use purgeCommit " +
+          "(it merges fragmented partitions AND purges tombstoned rows)")
+    Snapshots.compactCommit(s, bands, Seq("band_id", "kbucket"), maxFiles)
+  }
+
+  /** Version `v`'s manifested files split into (band files, tombstone
+    * files) — the tombstone list lives under `bands/deletes/` INSIDE
+    * the manifested tree, so one version number pins the index rows
+    * and the deletes that apply to them consistently. */
+  private def manifestPieces(s: SparkSession, bands: String,
+      v: Int): (Seq[String], Seq[String]) =
+    Snapshots.files(s, bands, v)
+      .partition(f => !f.startsWith(s"$bands/deletes/"))
+
+  /** Version `v`'s effective bands RELATION: the manifested band files
+    * (basePath keeps (band_id, kbucket) pruning) with that version's
+    * tombstones anti-joined out (broadcast — tombstones are
+    * delete-sized, never corpus-sized). */
+  private def versionRelation(s: SparkSession, bands: String,
+      v: Int): DataFrame = {
+    val (bandF, tombF) = manifestPieces(s, bands, v)
+    val rel =
+      if (bandF.isEmpty)
+        throw new IllegalStateException(
+          s"snapshot v$v under $bands references no band files")
+      else s.read.option("basePath", bands).parquet(bandF: _*)
+    if (tombF.isEmpty) rel
+    else rel.join(broadcast(s.read.parquet(tombF: _*)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Row-level DELETE under snapshot isolation — the tombstone +
+    * purge-compaction shape ([[Bm25Index.deleteCommit]]'s lexical
+    * form) generalized to the band index, closing the committed
+    * index's erasure gap (the in-place [[delete]] is refused on a
+    * committed dataset because its dynamic-partition overwrite would
+    * dangle every older manifest): the doc_ids APPEND as a tombstone
+    * file under the manifested tree and ONE commit pins them, so
+    * readers of version v-and-later anti-join them out (broadcast)
+    * while readers pinned to older versions never see them —
+    * byte-identical time travel through the delete. [[purgeCommit]]
+    * later rewrites exactly the partitions holding tombstoned rows and
+    * drops the list. Ids already tombstoned as of the current version
+    * are refused loudly (a double delete is a caller bug; silently
+    * re-appending the tombstone would bloat every later anti-join).
+    * Returns the committed version. */
+  def deleteCommit(s: SparkSession, indexDir: String,
+      deleteIds: DataFrame): Int = {
+    val bands = s"${IvfTopK.qualify(s, indexDir)}/bands"
+    val v = Snapshots.current(s, bands).getOrElse(
+      throw new IllegalStateException(
+        s"deleteCommit: no committed snapshot under $bands — the " +
+          "in-place lifecycle deletes via delete()"))
+    val staged = graft.Materialize.cut(
+      deleteIds.select(col("doc_id")).distinct())
+    val tombF = manifestPieces(s, bands, v)._2
+    if (tombF.nonEmpty) {
+      val clash = staged
+        .join(broadcast(s.read.parquet(tombF: _*)), Seq("doc_id"), "left_semi")
+        .count()
+      require(clash == 0L,
+        s"deleteCommit: $clash doc_id(s) are already tombstoned as of " +
+          s"v$v — a repeated delete is a caller bug")
+    }
+    staged.coalesce(1).write.mode("append").parquet(s"$bands/deletes")
+    graft.Materialize.release(staged)
+    Snapshots.commitReplacing(s, bands, v, Nil)
+  }
+
+  /** COPY-ON-WRITE tombstone-purge compaction for a committed index,
+    * PARTITION-LOCAL: only (band_id, kbucket) partitions that hold a
+    * tombstoned row (derived from a bounded probe of the (doc_id,
+    * band_id, kbucket) columns against the broadcast tombstone list)
+    * or exceed `maxFiles` data files rewrite their surviving rows as
+    * NEW sibling files; every other partition's files carry VERBATIM
+    * into the next manifest, which also drops the tombstone list.
+    * Write amplification tracks where the deleted docs' band rows sit
+    * (≤ Bands × [[KBuckets]] partitions by construction — a deleted
+    * doc has exactly [[Dedup.Bands]] rows, so unlike BM25's
+    * term-scattered postings the purge here is naturally narrow) plus
+    * where appends fragmented. Older versions keep time-traveling over
+    * their own files until [[Snapshots.expire]]. Returns the committed
+    * version (unchanged when there is nothing to purge or merge). */
+  def purgeCommit(s: SparkSession, indexDir: String,
+      maxFiles: Int = 1): Int = {
+    val bands = s"${IvfTopK.qualify(s, indexDir)}/bands"
+    val v = Snapshots.current(s, bands).getOrElse(
+      throw new IllegalStateException(
+        s"purgeCommit: no committed snapshot under $bands"))
+    val (bandF, tombF) = manifestPieces(s, bands, v)
+    def partOf(f: String): (Int, Int) = {
+      val segs = f.split('/')
+      def seg(c: String) = segs.find(_.startsWith(c + "="))
+        .map(_.drop(c.length + 1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"purgeCommit: no $c= segment in $f"))
+      (seg("band_id"), seg("kbucket"))
+    }
+    val fragged: Set[(Int, Int)] = bandF.groupBy(partOf)
+      .collect { case (p, fl) if fl.size > maxFiles => p }.toSet
+    val tombed: Set[(Int, Int)] =
+      if (tombF.isEmpty) Set.empty
+      else s.read.option("basePath", bands).parquet(bandF: _*)
+        .join(broadcast(s.read.parquet(tombF: _*)), Seq("doc_id"), "left_semi")
+        .select(col("band_id"), col("kbucket")).distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val touched = fragged ++ tombed
+    if (touched.isEmpty && tombF.isEmpty) return v
+    if (touched.nonEmpty) {
+      val files = bandF.filter(f => touched(partOf(f)))
+      val cur = s.read.option("basePath", bands).parquet(files: _*)
+      val purged =
+        if (tombF.isEmpty) cur
+        else cur.join(broadcast(s.read.parquet(tombF: _*)),
+          Seq("doc_id"), "left_anti")
+      val merged = graft.Materialize.cut(purged)
+      merged.repartition(col("band_id"), col("kbucket"))
+        .write.mode("append").partitionBy("band_id", "kbucket")
+        .parquet(bands)
+      graft.Materialize.release(merged)
+    }
+    Snapshots.commitReplacing(s, bands, v,
+      touched.toSeq.sorted.map { case (b, k) => s"band_id=$b/kbucket=$k" }
+        :+ "deletes")
+  }
 
   /** File-level copy of a saved index (bands + meta). Mutation-testing
     * convenience: a re-runnable query that APPENDS (the ingest-loop
@@ -237,6 +391,8 @@ object MinHashIndex {
   def appendRows(s: SparkSession, indexDir: String,
       bandRows: DataFrame): Long = {
     val base = IvfTopK.qualify(s, indexDir)
+    requireNotTombstoned(s, s"$base/bands",
+      bandRows.select(col("doc_id")).distinct(), "appendRows")
     withBucket(bandRows)
       .write.mode("append").partitionBy("band_id", "kbucket")
       .parquet(s"$base/bands")
@@ -264,11 +420,15 @@ object MinHashIndex {
     serveRowsAsOf(s, indexDir, version, localizeProbe(s, probeDocs))
 
   /** [[serveAsOf]] over ALREADY-SKETCHED probe band rows (one probe
-    * sketch shared across several as-of reads — the q109 form). */
+    * sketch shared across several as-of reads — the q109 form). The
+    * relation is the version's manifested band files with ITS
+    * tombstones anti-joined ([[versionRelation]]) — a version
+    * committed before a [[deleteCommit]] still sees the deleted docs,
+    * one committed after does not. */
   def serveRowsAsOf(s: SparkSession, indexDir: String, version: Int,
       probeRows: DataFrame): DataFrame = {
     val base = IvfTopK.qualify(s, indexDir)
-    serveOn(Snapshots.read(s, s"$base/bands", version), probeRows)
+    serveOn(versionRelation(s, s"$base/bands", version), probeRows)
   }
 
   /** [[serve]] over ALREADY-SKETCHED probe band rows (callers that
@@ -293,7 +453,7 @@ object MinHashIndex {
     * manifest-dir existence check on the happy path. */
   private def bandsRelation(s: SparkSession, bandsPath: String): DataFrame =
     Snapshots.current(s, bandsPath) match {
-      case Some(v) => Snapshots.read(s, bandsPath, v)
+      case Some(v) => versionRelation(s, bandsPath, v)
       case None => s.read.parquet(bandsPath)
     }
 

@@ -1884,6 +1884,97 @@ class ScaleShapeSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("MinHash deleteCommit/purgeCommit: pre-delete versions stay " +
+      "byte-identical, the purge is partition-local, re-ingest gated") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{MinHashIndex, Snapshots}
+    val staging = java.nio.file.Files.createTempDirectory("lsh_del").toString
+    try {
+      val docs = Tables.documents(s, sf)
+      val idxDir = s"$staging/idx"
+      MinHashIndex.save(s,
+        docs.where(pmod(col("doc_id"), lit(10)).between(1, 8))
+          .select(col("doc_id"), col("text")),
+        s"$sf/documents.parquet", idxDir)
+      val bands = s"$idxDir/bands"
+      val v1 = Snapshots.commit(s, bands)
+      val conf = s.sparkContext.hadoopConfiguration
+      def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      def fileMap() = graft.Fs.listDataFiles(bands, conf)
+        .map(f => norm(f.getPath.toString) ->
+          (f.getLen, f.getModificationTime)).toMap
+      val probe = MinHashIndex.localize(s,
+        docs.where(pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("text")))
+      def served(v: Int) = MinHashIndex.serveRowsAsOf(s, idxDir, v, probe)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r1 = served(v1)
+      val delIds = docs.where(pmod(col("doc_id"), lit(10)).between(1, 8) &&
+        pmod(col("doc_id"), lit(7)) === 0).select(col("doc_id"))
+      val delSet = delIds.collect().map(_.getLong(0)).toSet
+      assert(r1.exists(p => delSet(p._2)),
+        "fixture rot: no probe hit lands on a to-be-deleted doc")
+      val before = fileMap()
+      val v2 = MinHashIndex.deleteCommit(s, idxDir, delIds)
+      // the tombstone commit REWRITES NOTHING: every pre-delete file
+      // byte-identical, v1's serve (time travel THROUGH the delete)
+      // still sees the deleted docs
+      val afterDel = fileMap()
+      assert(before.forall { case (p, m) => afterDel.get(p).contains(m) },
+        "deleteCommit rewrote an existing file")
+      assert(served(v1) == r1, "v1 serve changed by the tombstone commit")
+      val r2 = served(v2)
+      assert(r2 == r1.filterNot(p => delSet(p._2)) && r2.size < r1.size,
+        "v2 serve is not exactly the survivor hits")
+      // double delete and tombstoned re-ingest both refuse loudly
+      assert(intercept[IllegalArgumentException](
+        MinHashIndex.deleteCommit(s, idxDir, delIds.limit(1)))
+        .getMessage.contains("tombstoned"))
+      assert(intercept[IllegalArgumentException](
+        MinHashIndex.append(s, idxDir,
+          docs.join(delIds.limit(1), Seq("doc_id"))
+            .select(col("doc_id"), col("text"))))
+        .getMessage.contains("tombstoned"))
+      // the purge rewrites ONLY partitions holding tombstoned rows:
+      // every other v2 band file carries into v3 byte-identical
+      val tombed = s.read.option("basePath", bands).parquet(
+          Snapshots.files(s, bands, v2)
+            .filter(!_.startsWith(s"$bands/deletes/")): _*)
+        .join(delIds, Seq("doc_id"), "left_semi")
+        .select(col("band_id"), col("kbucket")).distinct()
+        .collect().map(r => s"band_id=${r.getInt(0)}/kbucket=${r.getInt(1)}")
+      val v3 = MinHashIndex.purgeCommit(s, idxDir)
+      val v3Files = Snapshots.files(s, bands, v3).map(norm)
+      assert(!v3Files.exists(_.contains("/deletes/")),
+        "purge kept the tombstone list in the manifest")
+      val v2Bands = Snapshots.files(s, bands, v2).map(norm)
+        .filterNot(_.contains("/deletes/"))
+      val untouched = v2Bands.filterNot(p => tombed.exists(p.contains))
+      assert(untouched.nonEmpty && untouched.forall(v3Files.contains),
+        "an untombstoned partition's file did not carry into v3")
+      val afterPurge = fileMap()
+      assert(untouched.forall(p => afterPurge.get(p) == before.get(p)),
+        "a carried file changed bytes through the purge")
+      assert(v3Files.forall(p =>
+        untouched.contains(p) || tombed.exists(p.contains)),
+        "v3 references a fresh file outside the tombstoned partitions")
+      assert(served(v3) == r2, "purge changed the served rows")
+      assert(s.read.option("basePath", bands).parquet(
+          Snapshots.files(s, bands, v3): _*)
+        .join(delIds, Seq("doc_id"), "left_semi").count() == 0,
+        "a tombstoned doc's rows survived the purge")
+      // purged ⇒ the id is appendable again
+      MinHashIndex.append(s, idxDir,
+        docs.join(delIds.limit(1), Seq("doc_id"))
+          .select(col("doc_id"), col("text")))
+      // retention: older versions drop, v3 serve unaffected
+      Snapshots.expireKeeping(s, bands, keepLast = 1)
+      assert(served(v3) == r2, "v3 serve changed after expire")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("commitExpecting: a stale writer's commit fails loudly, retry succeeds") {
     val s = spark
     import s.implicits._
