@@ -1432,6 +1432,52 @@ object Dedup {
         s.sparkContext.hadoopConfiguration)
     },
 
+    // OPTIMISTIC-CONCURRENCY COMMIT, END TO END — two UNCOORDINATED
+    // writers against one committed dataset (the lakehouse
+    // multi-writer protocol the single-writer lifecycles above don't
+    // exercise): both read base version v1; writer A lands its slice
+    // and wins the publish (v2); writer B lands its slice, publishes
+    // against the STALE base, takes the SnapshotConflictException, and
+    // runs the standard reaction (Snapshots.commitRetrying: re-read
+    // current, retry — sound for appends because the loser's data
+    // files are already landed and the retry's re-listing picks up
+    // BOTH writers' files). The query REQUIRES the conflict to have
+    // fired exactly once (a vacuous run fails loudly), and the oracle
+    // gates the invariant that matters: the committed result is the
+    // UNION of both writers' rows regardless of publish order — no
+    // lost update, no double write. Scale: conflict detection is one
+    // manifest stat + an atomic rename; a retry re-lists file NAMES,
+    // never re-writes data.
+    "q137_occ_commit_retry" -> { (s, d) =>
+      import graft.plans.Snapshots
+      val docs = Tables.documents(s, d)
+      def slice(m: Int) = docs.where(pmod(col("doc_id"), lit(10)) === m)
+        .select(col("doc_id"))
+      val staging = graft.Fs.createStagingDir(s, "graft-q137")
+      try {
+        val dir = s"$staging/table"
+        slice(5).write.mode("append").parquet(dir)
+        val v1 = Snapshots.commit(s, dir)
+        // both writers read the same base BEFORE either publishes
+        val baseA = Snapshots.current(s, dir)
+        val baseB = Snapshots.current(s, dir)
+        slice(6).write.mode("append").parquet(dir)
+        val (v2, conflictsA) = Snapshots.commitRetrying(s, dir, baseA)
+        slice(7).write.mode("append").parquet(dir)
+        val (v3, conflictsB) = Snapshots.commitRetrying(s, dir, baseB)
+        require(v2 == v1 + 1 && conflictsA == 0,
+          s"writer A should publish cleanly, got (v$v2, $conflictsA)")
+        require(v3 == v2 + 1 && conflictsB == 1,
+          s"writer B should lose exactly one race then succeed, got " +
+            s"(v$v3, $conflictsB)")
+        // materialized before the finally reclaims the staging dir
+        Materialize.cut(Snapshots.read(s, dir, v3)
+          .withColumn("slice", pmod(col("doc_id"), lit(10)).cast("int")))
+          .orderBy(col("doc_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // ROW-LEVEL DELETE UNDER SNAPSHOT ISOLATION — the committed
     // index's erasure path (q107's retention semantics reproduced
     // through the tombstone + purge shape, closing the r14 gap: the
@@ -2803,6 +2849,13 @@ object Dedup {
          |SELECT version, probe_doc, corpus_doc, $estSql AS est_jaccard
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY version, probe_doc, corpus_doc""".stripMargin,
+    // q137: the committed result after the conflict→re-read→retry loop
+    // must be the UNION of both writers' slices plus the seed,
+    // regardless of which writer lost the race (no lost update)
+    "q137_occ_commit_retry" ->
+      """SELECT doc_id, CAST(doc_id % 10 AS INTEGER) AS slice
+        |FROM documents WHERE doc_id % 10 IN (5, 6, 7)
+        |ORDER BY doc_id""".stripMargin,
     // q138: q109's CTE shape with the survivor predicate (%7 <> 0) on
     // tags 2 and 3 — tag 1 proves time travel THROUGH the delete (the
     // pre-delete version still sees the deleted docs), tag 2 the
