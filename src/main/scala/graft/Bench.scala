@@ -116,6 +116,27 @@ object Bench {
   /** Extra untimed prestage executions for [[warmStagers]]. */
   val WarmRuns = 2
 
+  /** CLEAN-SAMPLE selection (r14 verdict #1). Ambient container load
+    * only ever INFLATES a sample — a query's best sweep is its least
+    * polluted measurement — so a sample counts as load-polluted when
+    * it exceeds max(factor × best, best + floor): the factor is the
+    * load-vs-regression ambiguity bound, the absolute floor keeps
+    * sub-second jitter from being called pollution. Per-query medians
+    * are taken over the CLEAN samples only. This is what median-of-N
+    * cannot do when half the sweeps are polluted: r14's official q84
+    * detail [4.27, 12.72, 3.29, 15.58] carried two ~15 s ambient
+    * spikes, the rerun guard's median-of-4 landed on the polluted side
+    * (8.50 s), and the clean median (3.78 s) was sitting in the same
+    * array. A real regression moves the BEST sample too, so this
+    * filter cannot hide one. Returns the CHOSEN sample indices (always
+    * includes the best; recorded in BENCH.json as provenance). */
+  def cleanSamples(ts: List[Double], factor: Double = 1.5,
+      floor: Double = 1.0): List[Int] = {
+    val best = ts.min
+    val thresh = math.max(best * factor, best + floor)
+    ts.zipWithIndex.collect { case (t, i) if t <= thresh => i }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // bench contract is local[32] (the builder prompt); env overrides
@@ -380,20 +401,23 @@ object Bench {
     // AMBIENT-EVENT GUARD: one container-level I/O stall inside a sweep
     // can spike a dozen unrelated queries at once (round 13 sweep 2:
     // q114 4.7→35.9 s, q113 13.6→33.8, q123 9.2→32.5 — all one sweep,
-    // all back to baseline the next), and with 3 sweeps the outlier
-    // sits one sample from the median. When any query's max exceeds
-    // 2× its min by more than 1 s (the absolute floor keeps sub-second
-    // jitter from triggering a 5-minute rerun), run up to
-    // SPARK_GRAFT_MAX_RERUNS (default 1) EXTRA full sweeps — a full
-    // sweep, not a flagged-only subset, because memo payment order
-    // (who pays the shared pair/sig memos) is positional within a
-    // sweep and a subset rerun would time flagged queries against
-    // staging work they never pay in a real sweep. The extra samples
-    // join every query's list, so the median of 4 averages the two
-    // middle sweeps and the outlier drops out.
+    // all back to baseline the next). Medians are taken over
+    // LOAD-CLEAN samples only ([[cleanSamples]] — r14's median-of-4
+    // failed exactly when 2 of 4 sweeps were polluted), so a rerun is
+    // needed ONLY when a query has fewer than 2 clean samples to take
+    // a median over: run up to SPARK_GRAFT_MAX_RERUNS (default 1)
+    // EXTRA full sweeps — a full sweep, not a flagged-only subset,
+    // because memo payment order (who pays the shared pair/sig memos)
+    // is positional within a sweep and a subset rerun would time
+    // flagged queries against staging work they never pay in a real
+    // sweep.
+    val cleanFactor =
+      sys.env.getOrElse("SPARK_GRAFT_CLEAN_FACTOR", "1.5").toDouble
+    val cleanFloor =
+      sys.env.getOrElse("SPARK_GRAFT_CLEAN_FLOOR", "1.0").toDouble
     def flaggedNames: List[String] = timings.toSeq.collect {
       case (k, ts) if ts.size >= 2 && !failedSet(k) &&
-        ts.max > 2 * ts.min && ts.max - ts.min > 1.0 => k
+        cleanSamples(ts, cleanFactor, cleanFloor).size < 2 => k
     }.toList.sorted
     val maxReruns = math.max(0,
       sys.env.getOrElse("SPARK_GRAFT_MAX_RERUNS", "1").toInt)
@@ -422,8 +446,16 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // per-query medians over the CLEAN samples (see cleanSamples);
+    // the chosen indices land in BENCH.json as "median_samples" so the
+    // record carries its own provenance
+    val chosen: Map[String, List[Int]] = timings.toSeq.collect {
+      case (k, ts) if ts.nonEmpty && !failedSet(k) =>
+        k -> cleanSamples(ts, cleanFactor, cleanFloor)
+    }.toMap
     val ok = timings.toSeq.collect {
-      case (k, ts) if ts.nonEmpty && !failedSet(k) => k -> median(ts)
+      case (k, ts) if ts.nonEmpty && !failedSet(k) =>
+        k -> median(chosen(k).map(ts))
     }
     // best-of-sweeps alongside the median: ambient container load can
     // swing a sweep 2-3x on identical code, so a regression call needs
@@ -452,6 +484,13 @@ object Bench {
         BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP))
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // provenance of every median: which detail indices were judged
+    // load-clean and fed the median (always includes the best index)
+    val chosenJson = chosen.toSeq.sortBy(_._1).map { case (k, idx) =>
+      "\"" + k + "\":" + idx.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val cleanPolicyJson =
+      s"""{"factor":$cleanFactor,"floor":$cleanFloor}"""
     // "sf" is the NUMERIC scale factor (the driver's own encoding in
     // BENCH_r*.json), parsed from the conventional .../sfN.NN dir name;
     // a non-conforming dir falls back to the quoted path so the field
@@ -470,7 +509,7 @@ object Bench {
     val rerunTriggerJson = rerunTrigger.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","best_total":$bestTotal,"queries":$qs,"best":$bestFull,"runs":$runs,"rerun_sweeps":$reruns,"rerun_trigger":$rerunTriggerJson,"sweep_wall":$sweepWallJson,"detail":$detail,"gc_detail":$gcDetail,"stage_sec":$stageJson,"storage_bytes":$storageJson,"failed":$failedJson,"sf":$sfJson,"sf_dir":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","best_total":$bestTotal,"queries":$qs,"best":$bestFull,"runs":$runs,"rerun_sweeps":$reruns,"rerun_trigger":$rerunTriggerJson,"sweep_wall":$sweepWallJson,"detail":$detail,"gc_detail":$gcDetail,"median_samples":$chosenJson,"clean_policy":$cleanPolicyJson,"stage_sec":$stageJson,"storage_bytes":$storageJson,"failed":$failedJson,"sf":$sfJson,"sf_dir":${jsonStr(sfDir)}}"""
     // The driver parses the final stdout line from a bounded (2000-char)
     // TAIL capture. At 162 queries even a 2-decimal qNN-keyed median map
     // alone overruns that window (round 13: the capture started mid-JSON

@@ -188,6 +188,37 @@ class BenchConfigSpec extends AnyFunSuite {
       "Bench's stage block never calls Similarity.stagePqSnapClones")
   }
 
+  test("cleanSamples: ambient-polluted sweeps are excluded from the median; " +
+      "jitter and all-clean runs are untouched") {
+    def medianOf(ts: List[Double]): Double = {
+      val cl = Bench.cleanSamples(ts).map(ts).sorted
+      if (cl.size % 2 == 1) cl(cl.size / 2)
+      else (cl(cl.size / 2 - 1) + cl(cl.size / 2)) / 2
+    }
+    // the r14 official record's q84/q84b details — two of four sweeps
+    // polluted, median-of-4 landed on the polluted side (8.50/9.72 s);
+    // the clean median must sit within 1.5x of the best sample (the
+    // verdict's done-criterion, by construction of the threshold)
+    val q84 = List(4.27, 12.72, 3.29, 15.58)
+    assert(Bench.cleanSamples(q84) == List(0, 2), Bench.cleanSamples(q84))
+    assert(medianOf(q84) <= 1.5 * q84.min, s"q84 clean median ${medianOf(q84)}")
+    val q84b = List(13.14, 4.78, 6.30, 14.16)
+    assert(Bench.cleanSamples(q84b) == List(1, 2))
+    assert(medianOf(q84b) <= 1.5 * q84b.min)
+    // an all-clean run keeps every sample (the filter must not bias
+    // ordinary variance)
+    assert(Bench.cleanSamples(List(3.0, 3.3, 2.9)) == List(0, 1, 2))
+    // sub-second jitter is NOT pollution: the absolute floor keeps a
+    // 0.2 s query's 0.9 s sample (4.5x) in the median and out of the
+    // rerun trigger
+    assert(Bench.cleanSamples(List(0.2, 0.9)) == List(0, 1))
+    // fewer than 2 clean samples is the rerun trigger's condition —
+    // [3.3, 12.7, 15.6] keeps only the best and needs another sweep
+    assert(Bench.cleanSamples(List(3.3, 12.7, 15.6)) == List(0))
+    // the best sample is always chosen, whatever the spread
+    assert(Bench.cleanSamples(List(100.0, 1.0, 100.0)) == List(1))
+  }
+
   test("Bench sweep loop clears every module that defines clearMemos") {
     // The sweep loop's blanket unpersist of ALL persistent RDDs is
     // only safe because every cross-query memo was released by a
