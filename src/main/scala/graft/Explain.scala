@@ -120,6 +120,9 @@ object Explain {
     "q133_refresh_timetravel" -> "snapshot-preserving IVF centroid refresh: one map-side-combined Lloyd round + reassignment under the broadcast refreshed centroids; LOSING cells rewrite survivors as new sibling files, movers append into their new cells, the next manifest swaps the selection — v1 stays byte-identical, write amplification = touched cells; pinned plan is the committed-delta join",
     "q134s_manifest_tail" -> "streaming manifest tailing (the Delta-source shape): per micro-batch the producer appends + commits and the consumer reads the manifest DIFF since its last-seen version into a mirror — new files only per trigger, one integer of consumer state; pinned plan is the final mirror read",
     "q135_state_timetravel" -> "cluster-state time travel: the q110 quotient increment lands through the COW MERGE-INTO (touched dbuckets rewrite as sibling files, manifest swaps the selection), then one query reads the label table as-of v1 AND v2 — the reproducibility record of a run's own dedup decisions; pinned plan is the two-leg as-of union",
+    "q136_parse_quarantine" -> "dead-letter quarantine: pure column expressions over ONE scan of the raw feed (no second pass) — reasons keyed off the parser's own corrupt-record column so the parse/quarantine split is independent of the partial-results conf; the only shuffle is the presentation sort",
+    "q137_occ_commit_retry" -> "optimistic-concurrency commit loop: both writers' data land as ordinary parquet appends; conflict detection is one manifest stat + an atomic-rename CAS and the retry re-LISTS file names, never re-writes — pinned plan is the committed-version read (a plain pruned scan of the manifested files)",
+    "q138_snapshot_delete" -> "committed-index row-level delete: the tombstone list rides a BROADCAST anti-join under each version's (band_id, kbucket)-pruned manifested scan (merge-on-read), the purge rewrites only partitions holding tombstoned rows (a doc has exactly Bands band rows, so the touched set is naturally narrow); pinned plan is the three-leg as-of serve union",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -155,7 +158,9 @@ object Explain {
     "q13_rollup", "q28_pipeline_e2e",
     "q129_bm25_timetravel", "q130_ivf_timetravel", "q131_pq_timetravel",
     "q132_snapshot_increment", "q133_refresh_timetravel",
-    "q134s_manifest_tail", "q135_state_timetravel")
+    "q134s_manifest_tail", "q135_state_timetravel",
+    "q136_parse_quarantine", "q137_occ_commit_retry",
+    "q138_snapshot_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -47,7 +47,15 @@ object Rehearsal {
     // touched buckets — never the 10x corpus — and (q133) the refresh
     // moves only drifted vectors
     "q129_bm25_timetravel", "q132_snapshot_increment",
-    "q133_refresh_timetravel", "q135_state_timetravel")
+    "q133_refresh_timetravel", "q135_state_timetravel",
+    // round-15: the committed band index's erasure path — the claims
+    // under pressure are that the tombstone commit rewrites NOTHING
+    // (one appended file + a manifest) and the purge rewrites only
+    // tombstone-holding (band_id, kbucket) partitions, ≤ Bands ×
+    // KBuckets by construction however large the delete; q129 above
+    // now also exercises the segmented vocabulary (per-commit df
+    // deltas, sum-on-read) under the 10x corpus
+    "q138_snapshot_delete")
 
   private final class TaskMax extends SparkListener {
     val maxInput = new java.util.concurrent.atomic.AtomicLong(0)

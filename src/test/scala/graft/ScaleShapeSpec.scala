@@ -1406,15 +1406,24 @@ class ScaleShapeSpec extends SparkSpec {
       assert(served(v4) == v3Rows,
         "purge compaction changed served rows")
       // partition locality: every carried file is byte-identical, and
-      // the non-postings artifacts (terms/stats/meta) always carry —
-      // only tombstone-holding or fragmented tbuckets rewrite
+      // the stats/meta artifacts always carry — only tombstone-holding
+      // or fragmented tbuckets rewrite
       val v4Meta = fileMeta(v4)
       val carried = v4Meta.keySet.intersect(v3Meta.keySet)
       assert(carried.forall(p => v4Meta(p) == v3Meta(p)),
         "a carried file changed size/mtime across the purge compaction")
       assert(v3Meta.keySet.filterNot(_.contains("/postings/"))
-          .filterNot(_.contains("/deletes/")).subsetOf(carried),
-        "a non-postings artifact was rewritten by the purge compaction")
+          .filterNot(_.contains("/deletes/"))
+          .filterNot(_.contains("/terms/")).subsetOf(carried),
+        "a stats/meta artifact was rewritten by the purge compaction")
+      // the vocabulary's df-delta segments (save + append + delete =
+      // 3 of them here) FOLD at compaction into fresh netted files —
+      // v4's terms selection must be entirely new, and v3's segments
+      // stay on disk for time travel until expire
+      val v4Terms = v4Meta.keySet.filter(_.contains("/terms/"))
+      assert(v4Terms.nonEmpty &&
+        v4Terms.intersect(v3Meta.keySet).isEmpty,
+        "terms segments did not fold at the purge compaction")
       // and v4's postings carry no tombstone files in the manifest
       assert(graft.plans.Snapshots.files(s,
           graft.plans.IvfTopK.qualify(s, idx), v4)
