@@ -123,6 +123,7 @@ object Explain {
     "q136_parse_quarantine" -> "dead-letter quarantine: pure column expressions over ONE scan of the raw feed (no second pass) — reasons keyed off the parser's own corrupt-record column so the parse/quarantine split is independent of the partial-results conf; the only shuffle is the presentation sort",
     "q137_occ_commit_retry" -> "optimistic-concurrency commit loop: both writers' data land as ordinary parquet appends; conflict detection is one manifest stat + an atomic-rename CAS and the retry re-LISTS file names, never re-writes — pinned plan is the committed-version read (a plain pruned scan of the manifested files)",
     "q138_snapshot_delete" -> "committed-index row-level delete: the tombstone list rides a BROADCAST anti-join under each version's (band_id, kbucket)-pruned manifested scan (merge-on-read), the purge rewrites only partitions holding tombstoned rows (a doc has exactly Bands band rows, so the touched set is naturally narrow); pinned plan is the three-leg as-of serve union",
+    "q139_tagged_snapshot" -> "tagged snapshot surviving retention: the tag is one ref file and an expire-time manifest exemption — both serve legs are ordinary manifest-listing scans with (band_id, kbucket) pruning, the tag-resolved leg byte-identical to the pre-append version months of retention later; pinned plan is the two-leg as-of serve union",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -160,7 +161,7 @@ object Explain {
     "q132_snapshot_increment", "q133_refresh_timetravel",
     "q134s_manifest_tail", "q135_state_timetravel",
     "q136_parse_quarantine", "q137_occ_commit_retry",
-    "q138_snapshot_delete")
+    "q138_snapshot_delete", "q139_tagged_snapshot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1432,6 +1432,54 @@ object Dedup {
         s.sparkContext.hadoopConfiguration)
     },
 
+    // TAGGED SNAPSHOT SURVIVING RETENTION — the reproducibility pin a
+    // training run keeps about its own inputs ("the exact dataset
+    // version this model trained on"): a bare version number ages out
+    // of any retention cadence, so the baseline version is TAGGED
+    // (Snapshots.tag — Iceberg's snapshot tags as one ref file), an
+    // append commits v2, and retention expires everything below
+    // current — the tagged version SURVIVES with its manifest and
+    // files while untagged history is reclaimed. The query then serves
+    // one probe sketch as-of the TAG-resolved version and as-of
+    // current: the tag leg must be the pre-append population exactly,
+    // months of retention later. Oracle = q109's two-leg CTE (same
+    // populations — what tagging must preserve). Scale: a tag is one
+    // tiny ref file and an expire-time exemption; serves stay
+    // manifest-listing choices with (band_id, kbucket) pruning.
+    "q139_tagged_snapshot" -> { (s, d) =>
+      import graft.plans.{MinHashIndex, Snapshots}
+      val docs = Tables.documents(s, d)
+      val staging = takeSnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val bands = s"$idxDir/bands"
+        val v1 = Snapshots.current(s, bands).get
+        Snapshots.tag(s, bands, "train-baseline", v1)
+        MinHashIndex.append(s, idxDir,
+          docs.where(pmod(col("doc_id"), lit(10)) === 9)
+            .select(col("doc_id"), col("text")))
+        val v2 = Snapshots.commit(s, bands)
+        // retention advances past v1 — only the tag keeps it alive
+        Snapshots.expire(s, bands, keepFrom = v2)
+        require(Snapshots.versions(s, bands).contains(v1),
+          "tagged version was expired — the pin failed")
+        val probe = MinHashIndex.localize(s,
+          docs.where(pmod(col("doc_id"), lit(10)) === 0)
+            .select(col("doc_id"), col("text")))
+        def leg(v: Int, tag: Int) =
+          MinHashIndex.serveRowsAsOf(s, idxDir, v, probe)
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        Materialize.cut(
+          leg(Snapshots.versionOf(s, bands, "train-baseline"), 1)
+            .unionByName(leg(v2, 2)))
+          .select(col("version"), col("probe_doc"), col("corpus_doc"),
+            col("est_jaccard"))
+          .orderBy(col("version"), col("probe_doc"), col("corpus_doc"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // OPTIMISTIC-CONCURRENCY COMMIT, END TO END — two UNCOORDINATED
     // writers against one committed dataset (the lakehouse
     // multi-writer protocol the single-writer lifecycles above don't
@@ -2834,6 +2882,25 @@ object Dedup {
          |FROM cand WHERE $estSql >= $EstThreshold
          |ORDER BY probe_doc, corpus_doc""".stripMargin,
     "q109_index_timetravel" ->
+      s"""WITH $sigBandCtes,
+         |cand AS (
+         |  SELECT 1 AS version, a.doc_id AS probe_doc, b.doc_id AS corpus_doc,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 9)
+         |  UNION
+         |  SELECT 2, a.doc_id, b.doc_id, a.sig, b.sig
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         |SELECT version, probe_doc, corpus_doc, $estSql AS est_jaccard
+         |FROM cand WHERE $estSql >= $EstThreshold
+         |ORDER BY version, probe_doc, corpus_doc""".stripMargin,
+    // q139: the tag-resolved leg must be the pre-append population
+    // EXACTLY after retention reclaimed untagged history — q109's
+    // two-leg CTE verbatim (tagging preserves what time travel sees)
+    "q139_tagged_snapshot" ->
       s"""WITH $sigBandCtes,
          |cand AS (
          |  SELECT 1 AS version, a.doc_id AS probe_doc, b.doc_id AS corpus_doc,

@@ -244,6 +244,18 @@ object Bm25Index {
     recoverArtifacts(s, base)
     val staged = graft.Materialize.cut(deletedDocs
       .select(col("doc_id"), col("text")))
+    // DOUBLE-DELETE GUARD (the deleteCommit guard's in-place twin): an
+    // id already on the tombstone list has had its df/stats
+    // decremented once — decrementing again silently skews every
+    // surviving doc's scores. Tombstone-×-batch-sized broadcast check.
+    tombstones(s, base).foreach { dels =>
+      val clash = staged.select(col("doc_id")).distinct()
+        .join(broadcast(dels), Seq("doc_id"), "left_semi").count()
+      require(clash == 0L,
+        s"delete: $clash doc_id(s) are already tombstoned in " +
+          s"$base/deletes — a repeated delete would double-decrement " +
+          "df/stats")
+    }
     val delPost = graft.Materialize.cut(TextAnalysis.postingsOf(staged))
     staged.select(col("doc_id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$base/deletes")

@@ -402,14 +402,17 @@ object Snapshots {
     writeManifest(s, dataDir, fl.map(rel(dataDir, _)))
   }
 
-  /** Retention: drop every manifest OLDER than `keepFrom`, then delete
-    * any data file referenced by NO surviving manifest — which also
-    * reclaims orphans from crashed writers (files that never made it
-    * into a manifest). Returns the number of data files deleted. */
+  /** Retention: drop every manifest OLDER than `keepFrom` — EXCEPT
+    * versions pinned by a [[tag]], which survive with their files
+    * however far retention advances — then delete any data file
+    * referenced by NO surviving manifest, which also reclaims orphans
+    * from crashed writers (files that never made it into a manifest).
+    * Returns the number of data files deleted. */
   def expire(s: SparkSession, dataDir: String, keepFrom: Int): Int = {
     val f = fs(s, dataDir)
     val conf = s.sparkContext.hadoopConfiguration
-    for (v <- versions(s, dataDir) if v < keepFrom)
+    val pinned: Set[Int] = tags(s, dataDir).values.toSet
+    for (v <- versions(s, dataDir) if v < keepFrom && !pinned(v))
       f.delete(new Path(manifestDir(dataDir), s"v$v.manifest"), false)
     val live: Set[String] = versions(s, dataDir)
       .flatMap(v => files(s, dataDir, v)).toSet
@@ -424,6 +427,74 @@ object Snapshots {
     n
   }
 
+  /** TAGS — NAMED, RETENTION-EXEMPT versions (Iceberg's snapshot
+    * tags, reduced to one tiny ref file): `tag("train-2026-01", v)`
+    * pins version v under a stable name, [[versionOf]] resolves it,
+    * and [[expire]] NEVER drops a tagged version's manifest (so its
+    * files stay resolvable) however far retention advances — the
+    * reproducibility pin a training run needs ("the exact dataset
+    * version this model trained on") that a bare version number plus
+    * a retention cadence cannot give, because the cadence would age
+    * the number out. Tags are IMMUTABLE (re-tagging a name refuses;
+    * [[dropTag]] first), live only under `_manifests/` (excluded from
+    * data listings by the existing `_` convention), and written via
+    * the same temp+rename publish as manifests. */
+  def tag(s: SparkSession, dataDir: String, name: String, v: Int): Unit = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}"),
+      s"tag: name '$name' must be 1-64 chars of [A-Za-z0-9._-] " +
+        "starting alphanumeric (it becomes a filesystem name)")
+    require(versions(s, dataDir).contains(v),
+      s"tag: v$v is not a live version under $dataDir")
+    val f = fs(s, dataDir)
+    val p = new Path(manifestDir(dataDir), s"tag-$name.ref")
+    require(!f.exists(p),
+      s"tag: '$name' already exists under $dataDir — tags are " +
+        "immutable; dropTag it first if re-pinning is really intended")
+    val tmp = new Path(manifestDir(dataDir), s"tag-$name.ref.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8"))
+    finally out.close()
+    require(f.rename(tmp, p), s"tag: rename $tmp -> $p failed")
+  }
+
+  /** All tags of a dataset (name -> pinned version). */
+  def tags(s: SparkSession, dataDir: String): Map[String, Int] = {
+    val f = fs(s, dataDir)
+    val dir = new Path(manifestDir(dataDir))
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case TagName(n) =>
+          val in = f.open(st.getPath)
+          val txt = try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+            buf.toString("UTF-8").trim
+          } finally in.close()
+          Some(n -> txt.toInt)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Resolve a tag to its pinned version, loudly. */
+  def versionOf(s: SparkSession, dataDir: String, name: String): Int =
+    tags(s, dataDir).getOrElse(name, throw new IllegalArgumentException(
+      s"tag '$name' does not exist under $dataDir — tags: " +
+        tags(s, dataDir).keys.toSeq.sorted.mkString(", ")))
+
+  /** Drop a tag (the version becomes ordinary retention fodder on the
+    * next [[expire]]). Refuses an unknown name — a silent no-op here
+    * would mask a typo that leaves the real pin in place. */
+  def dropTag(s: SparkSession, dataDir: String, name: String): Unit = {
+    val f = fs(s, dataDir)
+    val p = new Path(manifestDir(dataDir), s"tag-$name.ref")
+    require(f.exists(p), s"dropTag: tag '$name' does not exist under $dataDir")
+    require(f.delete(p, false), s"dropTag: delete $p failed")
+  }
+
+  private val TagName = """tag-(.+)\.ref""".r
+
   /** RETENTION BOUND, version-count form: keep only the newest
     * `keepLast` versions and [[expire]] everything older. Versions
     * accumulate one manifest each, and the passes that fold over the
@@ -432,7 +503,8 @@ object Snapshots {
     * pipeline that commits per batch should run this on a cadence
     * (every N commits) to keep the version count, the reclaimable-file
     * backlog, and time-travel exposure bounded, exactly as the
-    * lakehouse formats prescribe retention windows. Returns the number
+    * lakehouse formats prescribe retention windows. Versions pinned by
+    * a [[tag]] survive regardless (see [[expire]]). Returns the number
     * of data files reclaimed. */
   def expireKeeping(s: SparkSession, dataDir: String,
       keepLast: Int): Int = {

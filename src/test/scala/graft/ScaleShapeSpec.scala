@@ -1703,6 +1703,12 @@ class ScaleShapeSpec extends SparkSpec {
         graft.plans.Bm25Index.append(s, src, deleted.limit(1))
       }
       assert(clash.getMessage.contains("tombstoned"))
+      // and a REPEATED delete refuses too (it would decrement df/stats
+      // a second time — the deleteCommit guard's in-place twin)
+      val dd = intercept[IllegalArgumentException] {
+        graft.plans.Bm25Index.delete(s, src, deleted.limit(1))
+      }
+      assert(dd.getMessage.contains("already tombstoned"))
       // compact purges the physical postings and clears the list;
       // the id becomes appendable again and scores like a fresh doc
       val dest = s"$staging/idx_c"
@@ -2106,6 +2112,68 @@ class ScaleShapeSpec extends SparkSpec {
       // consumer selects it on every trigger (the q134s shape)
       assert(inc.columns.toSet == Set("id", "b"),
         s"empty increment lost columns: ${inc.columns.mkString(",")}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
+  test("snapshot tags: a tagged version survives retention byte-identical, " +
+      "tags are immutable, dropTag releases it to the next expire") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.Snapshots
+    val staging = java.nio.file.Files.createTempDirectory("snap_tag").toString
+    try {
+      val dir = s"$staging/data"
+      Seq((1L, 10L)).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(dir)
+      val v1 = Snapshots.commit(s, dir)
+      Snapshots.tag(s, dir, "train-baseline", v1)
+      // immutability + validation
+      assert(intercept[IllegalArgumentException](
+        Snapshots.tag(s, dir, "train-baseline", v1))
+        .getMessage.contains("immutable"))
+      assert(intercept[IllegalArgumentException](
+        Snapshots.tag(s, dir, "ghost", 99))
+        .getMessage.contains("not a live version"))
+      assert(intercept[IllegalArgumentException](
+        Snapshots.tag(s, dir, "bad/name", v1))
+        .getMessage.contains("filesystem name"))
+      val conf = s.sparkContext.hadoopConfiguration
+      def meta() = {
+        val (hfs, _) = graft.Fs.resolve(dir, conf)
+        Snapshots.files(s, dir, v1).map { p =>
+          val st = hfs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+          p -> (st.getLen, st.getModificationTime)
+        }.toMap
+      }
+      val v1Meta = meta()
+      for (i <- 2 to 4) {
+        Seq((i.toLong, i * 10L)).toDF("id", "v").coalesce(1)
+          .write.mode("append").parquet(dir)
+        Snapshots.commit(s, dir)
+      }
+      val cur = Snapshots.current(s, dir).get
+      // retention advances past v1 — the tag keeps its manifest AND
+      // files, byte-identical; untagged v2/v3 drop
+      Snapshots.expire(s, dir, keepFrom = cur)
+      assert(Snapshots.versions(s, dir) == Seq(v1, cur),
+        s"expected only the tagged v$v1 + current to survive, got " +
+          Snapshots.versions(s, dir))
+      assert(meta() == v1Meta, "the tagged version's files changed")
+      assert(Snapshots.versionOf(s, dir, "train-baseline") == v1)
+      assert(s.read.parquet(Snapshots.files(s, dir, v1): _*).count() == 1)
+      // the pinned version is a legal rollback target months later
+      val vr = Snapshots.rollback(s, dir,
+        Snapshots.versionOf(s, dir, "train-baseline"))
+      assert(s.read.parquet(Snapshots.files(s, dir, vr): _*).count() == 1)
+      // dropTag releases the pin: the next expire reclaims v1
+      Snapshots.dropTag(s, dir, "train-baseline")
+      assert(intercept[IllegalArgumentException](
+        Snapshots.versionOf(s, dir, "train-baseline"))
+        .getMessage.contains("does not exist"))
+      Snapshots.expire(s, dir, keepFrom = vr)
+      assert(!Snapshots.versions(s, dir).contains(v1),
+        "dropped-tag version survived expire")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(staging))
   }
