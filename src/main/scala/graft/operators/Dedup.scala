@@ -1023,6 +1023,30 @@ object Dedup {
         .orderBy(col("doc_id"))
     },
 
+    // QUALITY-AWARE DUPLICATE REPRESENTATIVE — the keep-list policy a
+    // training pipeline actually runs: q30's canonical rule keeps the
+    // id-MINIMAL member of each near-dup cluster, which is an
+    // arbitrary copy; production keeps the BEST copy (here the
+    // keep-longest heuristic — n_chars descending, id-ascending tie
+    // break for determinism — the standard choice when duplicates are
+    // truncations/extracts of one another). One row_number window
+    // over the memoized cluster relation joined to the doc lengths:
+    // the window PARTITIONS by cluster_id, so there is no global sort
+    // and per-task work is bounded by the largest cluster, never the
+    // corpus — at 100 TB the keep-list costs one shuffle by
+    // cluster_id on skinny (doc_id, cluster_id, n_chars) rows.
+    "q140_cluster_representative" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      dupClusters(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+        .withColumn("rep", row_number().over(w) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("rep"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact character-3-gram Jaccard within (lang, n_chars) blocks.
     "q34_ngram_jaccard" -> { (s, d) =>
       // materialize the gram relation once — the block self-join would
@@ -3382,6 +3406,26 @@ object Dedup {
          |       WHEN ${Tokens.mdByteSql("cluster_id")} < 230 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM cl ORDER BY doc_id""".stripMargin,
+    // q140: the same recursive cluster CTE as q108, with the
+    // keep-longest representative decided by a per-cluster window —
+    // n_chars DESC, doc_id ASC tie break, both engines deterministic
+    "q140_cluster_representative" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM cand WHERE $estSql >= $EstThreshold),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |cl AS (
+         |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+         |SELECT c.doc_id, c.cluster_id, d.n_chars,
+         |  (row_number() OVER (PARTITION BY c.cluster_id
+         |     ORDER BY d.n_chars DESC, c.doc_id ASC) = 1) AS rep
+         |FROM cl c JOIN documents d USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q32_simhash" ->
       s"""WITH $simhashSql
          |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin,
