@@ -78,18 +78,18 @@ object Bench {
     * the corpus index build + v1 commit is shared setup; the
     * append/delete/compact commits and as-of serves are what gets
     * timed. */
-  val bm25SnapStagers = Set("q129")
+  val bm25SnapStagers = Set("q129", "q141")
 
   /** Queries that mutate a per-invocation clone of the committed-v1
     * IVF snapshot index ([[graft.operators.Similarity
     * .stageIvfSnapClones]]) — the vector twin of [[snapStagers]]. */
-  val ivfSnapStagers = Set("q130", "q133")
+  val ivfSnapStagers = Set("q130", "q133", "q143")
 
   /** Queries that mutate a per-invocation clone of the committed-v1
     * PQ snapshot index ([[graft.operators.Similarity
     * .stagePqSnapClones]]) — same accounting, product-quantized
     * family. */
-  val pqSnapStagers = Set("q131")
+  val pqSnapStagers = Set("q131", "q144")
 
   /** Queries that consume the PERSISTED vocabulary-statistics table
     * ([[graft.operators.TextAnalysis.stageVocabStats]]) — q116's

@@ -1533,6 +1533,76 @@ object Similarity {
       } finally graft.Fs.deleteRecursively(staging,
         s.sparkContext.hadoopConfiguration)
     },
+
+    // COMMITTED IVF INDEX ROW-LEVEL DELETE — q138's tombstone + purge
+    // shape for the vector family (r15 verdict #3: the in-place delete
+    // is refused on committed datasets, so a committed IVF index had
+    // no erasure path): the resident % 7 = 0 slice (query vector
+    // exempt) tombstones as ONE appended file inside the manifested
+    // tree (v2 — nothing rewritten, deletion never retrains), then a
+    // COW purge rewrites ONLY the cid partitions holding tombstoned
+    // vectors — locality is even better than the band index's, each
+    // vector lives in exactly one cell — and drops the list (v3). The
+    // probed top-10 serves as-of all three versions: v1 still sees the
+    // deleted vectors (time travel through the delete), v2 = the
+    // survivor index (merge-on-read), v3 ≡ v2 (the purge is purely
+    // physical). Oracle: the k-means chain over the v1 population,
+    // probed top-10 per version population.
+    "q143_ivf_snapshot_delete" -> { (s, d) =>
+      import graft.plans.{IvfTopK, Snapshots}
+      val staging = takeIvfSnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val v1 = Snapshots.current(s, s"$idxDir/assignment").get
+        val v2 = IvfTopK.deleteCommit(s, idxDir,
+          Tables.embeddings(s, d)
+            .where(pmod(col("vec_id"), lit(10)) =!= 9 &&
+              pmod(col("vec_id"), lit(7)) === 0 && col("vec_id") =!= 0)
+            .select(col("vec_id")))
+        val v3 = IvfTopK.purgeCommit(s, idxDir)
+        def leg(v: Int, tag: Int) =
+          IvfTopK.serveTopKAsOf(s, idxDir, v)
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2))
+            .unionByName(leg(v3, 3)))
+          .select(col("version"), col("vec_id"), col("label"), col("cos"))
+          .orderBy(col("version"), col("cos").desc, col("vec_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
+    // COMMITTED PQ INDEX ROW-LEVEL DELETE — the erasure path for the
+    // LAST index family without one: tombstones append under
+    // codes/deletes/ (v2), the COW purge rewrites only the code FILES
+    // holding tombstoned rows (the codes table is flat — file
+    // granularity is the locality unit, the unpartitioned-table MoR
+    // trade) and drops the list (v3). ADC top-10 as-of all three
+    // versions; codebooks never change, so survivor distances are
+    // bit-identical across versions. Oracle: the PQ training chain
+    // over the v1 population, ADC top-10 per version population.
+    "q144_pq_snapshot_delete" -> { (s, d) =>
+      import graft.plans.{PqIndex, Snapshots}
+      val staging = takePqSnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val v1 = Snapshots.current(s, s"$idxDir/codes").get
+        val v2 = PqIndex.deleteCommit(s, idxDir,
+          Tables.embeddings(s, d)
+            .where(pmod(col("vec_id"), lit(10)) =!= 9 &&
+              pmod(col("vec_id"), lit(7)) === 0 && col("vec_id") =!= 0)
+            .select(col("vec_id")))
+        val v3 = PqIndex.purgeCommit(s, idxDir)
+        def leg(v: Int, tag: Int) =
+          PqIndex.serveAsOf(s, idxDir, v).withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2))
+            .unionByName(leg(v3, 3)))
+          .select(col("version"), col("vec_id"), col("adc_dist"))
+          .orderBy(col("version"), col("adc_dist"), col("vec_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
   /** The RESIDENT embeddings slice (vec_id % 10 ≠ 9) staged as its own
@@ -2370,6 +2440,86 @@ object Similarity {
          |  GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10)
          |SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
          |ORDER BY version, adc_dist, vec_id""".stripMargin
+    // q143: the k-means chain over the v1 population; the survivor
+    // population drops the resident % 7 = 0 slice (query vector
+    // exempt); one probed top-10 per version — probe cells are
+    // version-independent because deletion never retrains
+    val ivfDeleteSql =
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $vecSql AS v FROM embeddings),
+         |nall AS (SELECT vec_id, label, v, $nrmSql AS nrm FROM e),
+         |n AS (SELECT * FROM nall WHERE vec_id % 10 <> 9),
+         |$kmeansCtes,
+         |surv AS (SELECT * FROM fin WHERE vec_id % 7 <> 0 OR vec_id = 0),
+         |q AS (SELECT v AS qv, nrm AS qnrm FROM n WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${distSql("q.qv", "c.cv")}, c.cid) AS prn
+         |    FROM cents$KmIters c CROSS JOIN q) WHERE prn <= $NProbe),
+         |leg1 AS (
+         |  SELECT 1 AS version, a.vec_id, a.label,
+         |    ${cosSql("a.v", "q2.v", "a.nrm", "q2.nrm")} AS cos
+         |  FROM fin a JOIN probed p ON a.cid = p.cid
+         |  CROSS JOIN (SELECT v, nrm FROM nall WHERE vec_id = 0) q2
+         |  WHERE a.vec_id <> 0
+         |  ORDER BY cos DESC, a.vec_id ASC LIMIT 10),
+         |leg2 AS (
+         |  SELECT 2 AS version, a.vec_id, a.label,
+         |    ${cosSql("a.v", "q2.v", "a.nrm", "q2.nrm")} AS cos
+         |  FROM surv a JOIN probed p ON a.cid = p.cid
+         |  CROSS JOIN (SELECT v, nrm FROM nall WHERE vec_id = 0) q2
+         |  WHERE a.vec_id <> 0
+         |  ORDER BY cos DESC, a.vec_id ASC LIMIT 10),
+         |leg3 AS (
+         |  SELECT 3 AS version, a.vec_id, a.label,
+         |    ${cosSql("a.v", "q2.v", "a.nrm", "q2.nrm")} AS cos
+         |  FROM surv a JOIN probed p ON a.cid = p.cid
+         |  CROSS JOIN (SELECT v, nrm FROM nall WHERE vec_id = 0) q2
+         |  WHERE a.vec_id <> 0
+         |  ORDER BY cos DESC, a.vec_id ASC LIMIT 10)
+         |SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+         |UNION ALL SELECT * FROM leg3
+         |ORDER BY version, cos DESC, vec_id""".stripMargin
+    // q144: the PQ training chain over the v1 population; survivor
+    // codes drop the same slice; one ADC top-10 per version —
+    // codebooks never change, so survivor distances are bit-identical
+    val pqDeleteSql =
+      s"""WITH e AS (
+         |  SELECT vec_id, label, $vecSql AS v FROM embeddings),
+         |nall AS (SELECT vec_id, label, v, $nrmSql AS nrm FROM e),
+         |n AS (SELECT * FROM nall WHERE vec_id % 10 <> 9),
+         |$pqCtes,
+         |psurv AS (SELECT vec_id, j, cid FROM pfin
+         |  WHERE vec_id % 7 <> 0 OR vec_id = 0),
+         |q8 AS (
+         |  SELECT j, list_slice(q.qv, j * $PqSubDim + 1,
+         |    j * $PqSubDim + $PqSubDim) AS qsv
+         |  FROM (SELECT v AS qv FROM n WHERE vec_id = 0) q, range(0, $PqM) t(j)),
+         |dt AS (
+         |  SELECT c.j, c.cid, round(${pqDistSql("q8.qsv", "c.cv")}, 6) AS qd
+         |  FROM pc$KmIters c JOIN q8 ON c.j = q8.j),
+         |leg1 AS (
+         |  SELECT 1 AS version, e.vec_id,
+         |    CAST(sum(CAST(dt.qd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+         |  FROM pfin e JOIN dt ON e.j = dt.j AND e.cid = dt.cid
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10),
+         |leg2 AS (
+         |  SELECT 2 AS version, e.vec_id,
+         |    CAST(sum(CAST(dt.qd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+         |  FROM psurv e JOIN dt ON e.j = dt.j AND e.cid = dt.cid
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10),
+         |leg3 AS (
+         |  SELECT 3 AS version, e.vec_id,
+         |    CAST(sum(CAST(dt.qd AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+         |  FROM psurv e JOIN dt ON e.j = dt.j AND e.cid = dt.cid
+         |  WHERE e.vec_id <> 0
+         |  GROUP BY e.vec_id ORDER BY adc_dist, e.vec_id LIMIT 10)
+         |SELECT * FROM leg1 UNION ALL SELECT * FROM leg2
+         |UNION ALL SELECT * FROM leg3
+         |ORDER BY version, adc_dist, vec_id""".stripMargin
     // q133: q122's oracle (kmeans chain + exactly one update+assign
     // round) instantiated over the v1 population the snapshot clone
     // was trained on
@@ -2397,6 +2547,8 @@ object Similarity {
       "q130_ivf_timetravel" -> timetravelSql,
       "q131_pq_timetravel" -> pqTimetravelSql,
       "q133_refresh_timetravel" -> refreshTimetravelSql,
+      "q143_ivf_snapshot_delete" -> ivfDeleteSql,
+      "q144_pq_snapshot_delete" -> pqDeleteSql,
     )
   }
 }

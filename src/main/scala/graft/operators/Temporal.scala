@@ -432,6 +432,47 @@ object Temporal {
         s.sparkContext.hadoopConfiguration)
     },
 
+    // Z-ORDER LAYOUT TIME TRAVEL — the TABLE layout joins the
+    // snapshot families (it was the one lifecycle with no manifest
+    // commits, r15 verdict #2: every index derived from the table had
+    // time travel while the biggest artifact of all did not): the even
+    // half clusters and commits v1, the odd half APPENDS under the
+    // saved grid (v2), the % 7 = 0 slice tombstones (v3 — one appended
+    // file inside the manifested tree, nothing rewritten), and a COW
+    // purge rewrites ONLY the zbuckets holding tombstoned rows,
+    // re-z-sorted (v4, row-identical to v3). The SAME box query serves
+    // as-of all four versions; oracle = q101's range SQL per version
+    // population. Scale: every leg keeps the zbucket partition pruning
+    // through the manifest listing (basePath), tombstones ride a
+    // broadcast anti-join, and the purge touches the tombstoned
+    // buckets, never the table.
+    "q142_zorder_timetravel" -> { (s, d) =>
+      import graft.plans.ZOrderLayout
+      val rows = Tables.events(s, d).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val staging = graft.Fs.createStagingDir(s, "graft-zorder-snap")
+      try {
+        val dir = s"$staging/layout"
+        val (_, v1) = ZOrderLayout.saveCommit(s,
+          rows.where(col("event_id") % 2 === 0), dir)
+        val v2 = ZOrderLayout.appendCommit(s, dir,
+          rows.where(col("event_id") % 2 === 1))
+        val v3 = ZOrderLayout.deleteCommit(s, dir,
+          rows.where(col("event_id") % 7 === 0).select(col("event_id")))
+        val v4 = ZOrderLayout.purgeCommit(s, dir)
+        def leg(v: Int, tag: Int) =
+          ZOrderLayout.serveAsOf(s, dir, v, 3L, 7L, 50.0, 150.0)
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the layout files
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2))
+            .unionByName(leg(v3, 3)).unionByName(leg(v4, 4)))
+          .select(col("version"), col("event_id"), col("user_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("version"), col("event_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // WATERMARKED STREAM-STREAM INTERVAL JOIN — the one core
     // Structured Streaming join type the suite didn't yet exercise:
     // every click joined to the same user's purchases within the next
@@ -558,6 +599,22 @@ object Temporal {
         |FROM events
         |WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 50 AND 150
         |ORDER BY event_id""".stripMargin,
+    // q142: q101's range SQL per snapshot-version population — v1 the
+    // clustered evens, v2 everything, v3/v4 the % 7 survivors (the
+    // purge is purely physical, so leg 4 ≡ leg 3)
+    "q142_zorder_timetravel" -> {
+      def leg(tag: Int, popWhere: String) =
+        s"""SELECT $tag AS version, event_id, user_id, event_type, value
+           |FROM events
+           |WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 50 AND 150
+           |  AND ($popWhere)""".stripMargin
+      Seq(
+        leg(1, "event_id % 2 = 0"),
+        leg(2, "TRUE"),
+        leg(3, "event_id % 7 <> 0"),
+        leg(4, "event_id % 7 <> 0"))
+        .mkString("\nUNION ALL\n") + "\nORDER BY version, event_id"
+    },
     // the streaming interval join must equal the batch interval join
     "q102_stream_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,

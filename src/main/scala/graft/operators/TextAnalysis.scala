@@ -695,6 +695,58 @@ object TextAnalysis {
       } finally graft.Fs.deleteRecursively(staging,
         s.sparkContext.hadoopConfiguration)
     },
+
+    // UNCOORDINATED BM25 INGEST — OCC WITH RE-DERIVATION (q137's
+    // protocol extended to a DERIVED-artifact commit, where the blind
+    // append retry is wrong by construction): writers A and B both
+    // read base v1; A appends its batch and publishes v2; B lands its
+    // postings and df deltas (base-independent — order-independent
+    // appends), derives its stats sibling from the STALE v1 totals,
+    // loses the publish race, and runs the re-derive loop
+    // (Bm25Index.appendCommitRetrying): delete the stale stats
+    // sibling, re-read current, re-validate the re-ingest rule against
+    // it, recompute the increment against v2's totals, retry — so
+    // BOTH batches land with the stats incremented exactly once each
+    // (a blind retry would have erased A's increment: a lost update
+    // hiding inside a "successful" commit). The query REQUIRES the
+    // conflict to have fired exactly once (vacuity-proof) and serves
+    // as-of all three versions; the oracle is the q48 BM25 chain per
+    // version population — n_docs and avgdl enter every term's
+    // weight, so score equality at v3 gates the exactly-once stats
+    // invariant, not just the postings union. Scale: conflict
+    // detection is one manifest stat; a retry re-derives ONE one-row
+    // stats sibling — the landed postings are never re-written.
+    "q141_bm25_occ_append" -> { (s, d) =>
+      import graft.plans.{Bm25Index, Snapshots}
+      val docs = Tables.documents(s, d)
+      val staging = takeBm25SnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val v1 = Snapshots.current(s, idxDir).get
+        // writer A wins the race
+        val v2 = Bm25Index.appendCommit(s, idxDir,
+          docs.where(pmod(col("doc_id"), lit(10)) === 9))
+        // writer B publishes against the base it read BEFORE A's
+        // commit — the stale-base re-derive path, forced
+        val (v3, conflicts) = Bm25Index.appendCommitRetrying(s, idxDir,
+          docs.where(pmod(col("doc_id"), lit(10)) === 0),
+          expected = Some(v1))
+        require(conflicts == 1,
+          s"writer B should lose exactly one race then succeed, got " +
+            s"$conflicts conflicts")
+        require(v3 == v2 + 1, s"expected v${v2 + 1}, committed v$v3")
+        def leg(v: Int, tag: Int) =
+          Bm25Index.serveAsOf(s, idxDir, v, Bm25QueryTerms)
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2))
+            .unionByName(leg(v3, 3)))
+          .select(col("version"), col("doc_id"), col("bm25"),
+            col("n_matched"))
+          .orderBy(col("version"), col("doc_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
   /** Pristine committed-v1 BM25 snapshot index for q129 — the v1
@@ -750,6 +802,40 @@ object TextAnalysis {
         s"$staging/idx")
       staging
     }
+  }
+
+  /** One q48 BM25 CTE chain per snapshot version, instantiated over
+    * that version's document POPULATION predicate and unioned with a
+    * version tag — the shared oracle of the as-of lexical queries
+    * (q129's four-version lifecycle, q141's two-writer OCC append). */
+  private def bm25AsOfLegsSql(legs: Seq[(Int, String)]): String = {
+    val termsIn = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+    def leg(tag: Int, popWhere: String) =
+      s"""SELECT * FROM (
+         |WITH pop AS (SELECT * FROM documents WHERE $popWhere),
+         |t AS (
+         |  SELECT doc_id, len(toks) AS dl, u.term FROM (
+         |    SELECT doc_id, $toksSql AS toks FROM pop),
+         |    unnest(toks) AS u(term)),
+         |dls AS (SELECT doc_id, max(dl) AS dl FROM t GROUP BY 1),
+         |stats AS (
+         |  SELECT (SELECT count(*) FROM pop) AS n_docs,
+         |         (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM dls) AS avgdl),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+         |  FROM t WHERE term IN ($termsIn) GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df
+         |  FROM t WHERE term IN ($termsIn) GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * (tf * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score_t
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats)
+         |SELECT $tag AS version, doc_id, round(sum(score_t), 6) AS bm25,
+         |  count(*) AS n_matched
+         |FROM scored GROUP BY doc_id)""".stripMargin
+    legs.map { case (tag, popWhere) => leg(tag, popWhere) }
+      .mkString("\nUNION ALL\n") + "\nORDER BY version, doc_id"
   }
 
   def oracle: Map[String, String] = {
@@ -969,39 +1055,21 @@ object TextAnalysis {
       // residents, v2 after the append, v3 after the tombstone delete,
       // v4 after the purge compaction (identical to v3 by
       // construction: compaction is purely physical)
-      "q129_bm25_timetravel" -> {
-        val termsIn = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
-        def leg(tag: Int, popWhere: String) =
-          s"""SELECT * FROM (
-             |WITH pop AS (SELECT * FROM documents WHERE $popWhere),
-             |t AS (
-             |  SELECT doc_id, len(toks) AS dl, u.term FROM (
-             |    SELECT doc_id, $toksSql AS toks FROM pop),
-             |    unnest(toks) AS u(term)),
-             |dls AS (SELECT doc_id, max(dl) AS dl FROM t GROUP BY 1),
-             |stats AS (
-             |  SELECT (SELECT count(*) FROM pop) AS n_docs,
-             |         (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM dls) AS avgdl),
-             |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
-             |  FROM t WHERE term IN ($termsIn) GROUP BY 1, 2),
-             |df AS (SELECT term, count(DISTINCT doc_id) AS df
-             |  FROM t WHERE term IN ($termsIn) GROUP BY 1),
-             |scored AS (
-             |  SELECT tf.doc_id,
-             |    ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-             |      * (tf * 2.2)
-             |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score_t
-             |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats)
-             |SELECT $tag AS version, doc_id, round(sum(score_t), 6) AS bm25,
-             |  count(*) AS n_matched
-             |FROM scored GROUP BY doc_id)""".stripMargin
-        Seq(
-          leg(1, "doc_id % 10 BETWEEN 1 AND 8"),
-          leg(2, "doc_id % 10 <> 0"),
-          leg(3, "doc_id % 10 <> 0 AND doc_id % 7 <> 0"),
-          leg(4, "doc_id % 10 <> 0 AND doc_id % 7 <> 0"))
-          .mkString("\nUNION ALL\n") + "\nORDER BY version, doc_id"
-      },
+      "q129_bm25_timetravel" -> bm25AsOfLegsSql(Seq(
+        1 -> "doc_id % 10 BETWEEN 1 AND 8",
+        2 -> "doc_id % 10 <> 0",
+        3 -> "doc_id % 10 <> 0 AND doc_id % 7 <> 0",
+        4 -> "doc_id % 10 <> 0 AND doc_id % 7 <> 0")),
+      // q141: the OCC two-writer append — v1 the residents, v2 after
+      // writer A's batch (%10 = 9), v3 after writer B's re-derived
+      // retry lands %10 = 0 too (= the whole corpus). Score equality
+      // at v3 gates the exactly-once stats invariant: a lost update on
+      // n_docs/sum_dl (the blind-retry failure mode) shifts every
+      // term's idf/avgdl weight.
+      "q141_bm25_occ_append" -> bm25AsOfLegsSql(Seq(
+        1 -> "doc_id % 10 BETWEEN 1 AND 8",
+        2 -> "doc_id % 10 <> 0",
+        3 -> "TRUE")),
       "q44_fuzzy_match" ->
         """WITH names AS (
           |  SELECT DISTINCT p_name,

@@ -131,6 +131,27 @@ object Bm25Index {
     require(Snapshots.current(s, base).isEmpty,
       s"Bm25Index.$op: $base is manifest-committed — use $instead")
 
+  /** Every id in `staged` must hold at least one posting in
+    * `postingsRel` — the residency half of the delete contract (the
+    * double-delete guard catches already-tombstoned ids; this catches
+    * NEVER-INGESTED ones, whose df/stats decrements would silently
+    * skew every surviving doc's scores). Cost: a doc_id-column
+    * projection of the postings under a broadcast semi-join against
+    * the delete-sized id set — a maintenance-pass scan, never a
+    * shuffle of the index. */
+  private def requireResidents(s: SparkSession, postingsRel: DataFrame,
+      staged: DataFrame, op: String): Unit = {
+    val ids = staged.select(col("doc_id")).distinct()
+    val n = ids.count()
+    val present = postingsRel.select(col("doc_id"))
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select(col("doc_id")).distinct().count()
+    require(present == n,
+      s"$op: ${n - present} doc_id(s) are not residents of the index " +
+        "(no postings) — deleting them would decrement df/stats for " +
+        "postings that do not exist")
+  }
+
   /** Restore a [[swapIn]] interrupted between its two publish renames:
     * `path` missing + `.old` present means the crash landed after
     * rename(path -> .old) and before rename(.swap -> path), so the
@@ -256,6 +277,14 @@ object Bm25Index {
           s"$base/deletes — a repeated delete would double-decrement " +
           "df/stats")
     }
+    // RESIDENCY: every staged id must hold postings in the live index
+    // — deleting a never-ingested doc_id would land df decrements and
+    // stats subtractions for postings that don't exist, silently
+    // skewing every survivor's scores forever (the tombstone guard
+    // above only catches the already-deleted half). One skinny
+    // doc_id-column scan under the broadcast id set — the same bounded
+    // probe shape as the purge pass.
+    requireResidents(s, s.read.parquet(s"$base/postings"), staged, "delete")
     val delPost = graft.Materialize.cut(TextAnalysis.postingsOf(staged))
     staged.select(col("doc_id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$base/deletes")
@@ -418,6 +447,119 @@ object Bm25Index {
     Snapshots.commitReplacing(s, base, v, Seq("stats"))
   }
 
+  /** [[appendCommit]] for UNCOORDINATED writers — the re-derive OCC
+    * loop a derived-artifact commit needs where
+    * [[Snapshots.commitRetrying]]'s blind retry would be WRONG: the
+    * postings and df-delta segments are base-INDEPENDENT (the batch's
+    * own rows — order-independent appends, landed once), but the
+    * one-row stats sibling is DERIVED from the base version's totals,
+    * so a writer that loses the publish race must not re-land the same
+    * stats file (it encodes the stale totals and would erase the
+    * winner's increment — a lost update hiding inside a "successful"
+    * retry). On [[Snapshots.SnapshotConflictException]]: the stale
+    * stats sibling is deleted, the current version re-read, the
+    * re-ingest rule RE-VALIDATED against it (the winner may have
+    * tombstoned one of this batch's ids — then the append must refuse,
+    * not blindly land), the stats increment re-derived against the new
+    * totals, and the publish retried — so two uncoordinated ingest
+    * writers both land, each batch's postings exactly once and the
+    * stats incremented exactly once per batch (q141's oracle gates
+    * both via the served scores, where n_docs/avgdl enter every
+    * term's weight). The commit is
+    * [[Snapshots.commitSelectingExpecting]] with this writer's TRACKED
+    * files — nothing is swept, so a concurrent writer's half-landed
+    * batch is never absorbed (the single-writer [[appendCommit]] keeps
+    * the simpler sweep form). `expected` is the base version the
+    * caller read (None = read current at entry); file tracking is the
+    * landing-window listing diff — exact when writers' LANDINGS don't
+    * interleave on the same artifact dir within a window, the
+    * committer-manifest seam a warehouse deployment would close with
+    * the task-commit file list. A retry that fails re-validation
+    * leaves the landed postings/df files unreferenced — run
+    * [[Snapshots.expire]], the standard orphan sweep. Returns
+    * (committedVersion, conflictsObserved). */
+  def appendCommitRetrying(s: SparkSession, indexDir: String,
+      newDocs: DataFrame, expected: Option[Int] = None,
+      maxRetries: Int = 5): (Int, Int) = {
+    val base = IvfTopK.qualify(s, indexDir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val baseUri = new org.apache.hadoop.fs.Path(base).toUri.getPath
+    def relOf(abs: String): String = {
+      val fn = new org.apache.hadoop.fs.Path(abs).toUri.getPath
+      require(fn.startsWith(baseUri + "/"),
+        s"appendCommitRetrying: $abs is not under $base")
+      fn.drop(baseUri.length + 1)
+    }
+    def ls(dir: String): Set[String] =
+      graft.Fs.listDataFiles(dir, conf).map(_.getPath.toString).toSet
+    var v = expected.getOrElse(currentVersion(s, base))
+    val staged = graft.Materialize.cut(newDocs)
+    def checkTombstones(w: Int): Unit = {
+      val tomb = pieceOf(s, base, w, "deletes")
+      if (tomb.nonEmpty) {
+        val clash = staged.select(col("doc_id")).distinct()
+          .join(broadcast(s.read.parquet(tomb: _*)), Seq("doc_id"),
+            "left_semi").count()
+        require(clash == 0L,
+          s"appendCommitRetrying: $clash doc_id(s) are tombstoned as " +
+            s"of v$w — a purge compaction must land first (landed " +
+            "postings are unreferenced; expire() reclaims them)")
+      }
+    }
+    checkTombstones(v)
+    val newPost = graft.Materialize.cut(
+      TextAnalysis.postingsOf(staged)
+        .withColumn("tbucket", tbucket(col("term"))))
+    // base-independent landings, exactly once
+    val postBefore = ls(s"$base/postings")
+    newPost.write.mode("append").partitionBy("tbucket")
+      .parquet(s"$base/postings")
+    val myPost = (ls(s"$base/postings") -- postBefore).toSeq
+    val termsBefore = ls(s"$base/terms")
+    newPost.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode("append").parquet(s"$base/terms")
+    val myTerms = (ls(s"$base/terms") -- termsBefore).toSeq
+    val inc = newPost.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("t"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+      .head()
+    val nNew = staged.count()
+    graft.Materialize.release(newPost)
+    graft.Materialize.release(staged)
+    val fsys = graft.Fs.resolve(base, conf)._1
+    var conflicts = 0
+    while (true) {
+      // the CONDITIONAL piece, re-derived per attempt: version v's
+      // totals + this batch's increment, landed as one sibling file
+      val old = s.read.parquet(pieceOf(s, base, v, "stats"): _*).head()
+      val statsBefore = ls(s"$base/stats")
+      import s.implicits._
+      Seq((old.getLong(0) + nNew, old.getLong(1) + inc.getLong(0),
+          old.getLong(2) + inc.getLong(1)))
+        .toDF("n_docs", "n_tok_docs", "sum_dl")
+        .coalesce(1).write.mode("append").parquet(s"$base/stats")
+      val myStats = (ls(s"$base/stats") -- statsBefore).toSeq
+      try {
+        return (Snapshots.commitSelectingExpecting(s, base, v,
+          f => f.startsWith("stats/"),
+          (myPost ++ myTerms ++ myStats).map(relOf)), conflicts)
+      } catch { case e: Snapshots.SnapshotConflictException =>
+        conflicts += 1
+        if (conflicts > maxRetries)
+          throw new Snapshots.SnapshotConflictException(
+            s"appendCommitRetrying: still conflicting after " +
+              s"$maxRetries retries under $base — last: ${e.getMessage}")
+        // the stale sibling encodes the LOSER's totals — remove it
+        // before re-deriving (leaving it would let a later sweep-form
+        // commit absorb two stats rows for one batch)
+        for (p <- myStats)
+          fsys.delete(new org.apache.hadoop.fs.Path(p), false)
+        v = currentVersion(s, base)
+        checkTombstones(v)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** [[delete]] under snapshot isolation: tombstones APPEND (readers
     * of older versions never see them), the vocabulary decrement lands
     * as a NEGATIVE df delta segment (the append segment's mirror —
@@ -447,6 +589,14 @@ object Bm25Index {
         s"deleteCommit: $clash doc_id(s) are already tombstoned as of " +
           s"v$v — a repeated delete would double-decrement df/stats")
     }
+    // RESIDENCY against version v's manifested postings (the committed
+    // twin of the in-place check): a non-resident id's negative df
+    // segments would net every later version's scores wrong — refuse
+    // loudly. Skinny doc_id projection under the broadcast id set.
+    requireResidents(s,
+      s.read.option("basePath", s"$base/postings")
+        .parquet(pieceOf(s, base, v, "postings"): _*),
+      staged, "deleteCommit")
     val delPost = graft.Materialize.cut(TextAnalysis.postingsOf(staged))
     staged.select(col("doc_id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$base/deletes")
@@ -515,13 +665,36 @@ object Bm25Index {
     // output partitioning; no single-task vocab write — AQE coalesces
     // the files at small scale)
     val termSegs = pieceOf(s, base, v, "terms")
+    // FOLD-NEEDED detection via the fold MARKER (one version-pinned
+    // row under `terms_fold/` recording how many files the last fold
+    // landed): "delta segments accumulated" means MORE terms files
+    // than the last fold produced — NOT `size <= 1`, which breaks
+    // permanently the first time a fold's aggregation lands multiple
+    // files (every later compaction would rewrite the whole vocabulary
+    // even with no new deltas). A never-folded index (no marker)
+    // treats >1 file as fold-worthy — one initial fold writes the
+    // marker and the count-based test governs from then on.
+    val foldMark = pieceOf(s, base, v, "terms_fold")
+    val lastFoldFiles: Int =
+      if (foldMark.isEmpty) 1
+      else s.read.parquet(foldMark: _*).head().getInt(0)
+    val needFold = termSegs.size > lastFoldFiles
     val touched = fragged ++ tombed
-    if (touched.isEmpty && tomb.isEmpty && termSegs.size <= 1) return v
-    if (termSegs.size > 1)
+    if (touched.isEmpty && tomb.isEmpty && !needFold) return v
+    if (needFold) {
+      val conf = s.sparkContext.hadoopConfiguration
+      def termFiles = graft.Fs.listDataFiles(s"$base/terms", conf)
+        .map(_.getPath.toString).toSet
+      val before = termFiles
       s.read.parquet(termSegs: _*)
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
         .where(col("df") > 0)
         .write.mode("append").parquet(s"$base/terms")
+      import s.implicits._
+      Seq((termFiles -- before).size)
+        .toDF("fold_segs")
+        .coalesce(1).write.mode("append").parquet(s"$base/terms_fold")
+    }
     if (touched.nonEmpty) {
       val files = posts.filter(f => touched(bucketOf(f)))
       val cur = s.read.option("basePath", s"$base/postings")
@@ -538,7 +711,7 @@ object Bm25Index {
     }
     Snapshots.commitReplacing(s, base, v,
       touched.toSeq.sorted.map(b => s"postings/tbucket=$b")
-        ++ (if (termSegs.size > 1) Seq("terms") else Nil)
+        ++ (if (needFold) Seq("terms", "terms_fold") else Nil)
         :+ "deletes")
   }
 

@@ -155,14 +155,38 @@ object IvfTopK {
     * ([[Snapshots.commit]] over `indexDir/assignment`): the scan is
     * exactly the manifested file set, `basePath`-read so the cid
     * partition column (and the probe's file-level pruning) survives
-    * the explicit listing. Centroids/meta are train-time artifacts an
-    * append never touches, so one version number pins the whole serve
-    * (q130). */
+    * the explicit listing, with that VERSION's tombstones anti-joined
+    * (broadcast — delete-sized). Centroids/meta are train-time
+    * artifacts no append or delete touches, so one version number
+    * pins the whole serve (q130, q143). */
   def serveTopKAsOf(s: SparkSession, indexDir: String,
       version: Int): org.apache.spark.sql.DataFrame = {
     val base = qualify(s, indexDir)
     serveTopKOn(s, base,
-      Snapshots.read(s, s"$base/assignment", version))
+      versionRelation(s, s"$base/assignment", version))
+  }
+
+  /** Version `v`'s manifested files split into (assignment files,
+    * tombstone files) — the tombstone list lives under
+    * `assignment/deletes/` INSIDE the manifested tree, q138's shape. */
+  private def manifestPieces(s: SparkSession, assign: String,
+      v: Int): (Seq[String], Seq[String]) =
+    Snapshots.files(s, assign, v)
+      .partition(f => !f.startsWith(s"$assign/deletes/"))
+
+  /** Version `v`'s effective assignment relation: manifested cid
+    * files (basePath keeps the partition pruning) minus that
+    * version's tombstones (broadcast anti-join). */
+  private def versionRelation(s: SparkSession, assign: String,
+      v: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val (dataF, tombF) = manifestPieces(s, assign, v)
+    require(dataF.nonEmpty,
+      s"snapshot v$v under $assign references no assignment files")
+    val rel = s.read.option("basePath", assign).parquet(dataF: _*)
+    if (tombF.isEmpty) rel
+    else rel.join(broadcast(s.read.parquet(tombF: _*)),
+      Seq("vec_id"), "left_anti")
   }
 
   /** The LIVE assignment relation: a plain directory read for an
@@ -173,9 +197,91 @@ object IvfTopK {
   private def assignmentRelation(s: SparkSession,
       base: String): org.apache.spark.sql.DataFrame =
     Snapshots.current(s, s"$base/assignment") match {
-      case Some(v) => Snapshots.read(s, s"$base/assignment", v)
+      case Some(v) => versionRelation(s, s"$base/assignment", v)
       case None => s.read.parquet(s"$base/assignment")
     }
+
+  /** Row-level DELETE under snapshot isolation — the committed IVF
+    * index's erasure path (q138's tombstone + purge shape; the
+    * in-place [[delete]] is refused on committed datasets): the
+    * vec_ids APPEND as a tombstone file inside the manifested tree
+    * and ONE commit pins them; version-aware serves anti-join them
+    * while readers pinned to older versions still see the deleted
+    * vectors — byte-identical time travel through the delete.
+    * Deletion never retrains (centroids untouched). Double deletes
+    * refuse loudly. Returns the committed version. */
+  def deleteCommit(s: SparkSession, indexDir: String,
+      deleteIds: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.functions.broadcast
+    val assign = s"${qualify(s, indexDir)}/assignment"
+    val v = Snapshots.current(s, assign).getOrElse(
+      throw new IllegalStateException(
+        s"deleteCommit: no committed snapshot under $assign — the " +
+          "in-place lifecycle deletes via delete()"))
+    val staged = graft.Materialize.cut(
+      deleteIds.select(col("vec_id")).distinct())
+    val tombF = manifestPieces(s, assign, v)._2
+    if (tombF.nonEmpty) {
+      val clash = staged
+        .join(broadcast(s.read.parquet(tombF: _*)), Seq("vec_id"),
+          "left_semi").count()
+      require(clash == 0L,
+        s"deleteCommit: $clash vec_id(s) are already tombstoned as of " +
+          s"v$v — a repeated delete is a caller bug")
+    }
+    staged.coalesce(1).write.mode("append").parquet(s"$assign/deletes")
+    graft.Materialize.release(staged)
+    Snapshots.commitReplacing(s, assign, v, Nil)
+  }
+
+  /** COPY-ON-WRITE tombstone-purge compaction for a committed IVF
+    * index, PARTITION-LOCAL on cid — locality here is even better
+    * than the band index's (each vector lives in exactly ONE cid
+    * partition, so the purge touches at most |deleted distinct
+    * cells| partitions): cells holding a tombstoned row or more than
+    * `maxFiles` files rewrite their survivors as new sibling files;
+    * everything else carries verbatim into the next manifest, which
+    * drops the tombstone list. Returns the committed version
+    * (unchanged when there is nothing to purge or merge). */
+  def purgeCommit(s: SparkSession, indexDir: String,
+      maxFiles: Int = 1): Int = {
+    import org.apache.spark.sql.functions.broadcast
+    val assign = s"${qualify(s, indexDir)}/assignment"
+    val v = Snapshots.current(s, assign).getOrElse(
+      throw new IllegalStateException(
+        s"purgeCommit: no committed snapshot under $assign"))
+    val (dataF, tombF) = manifestPieces(s, assign, v)
+    def cellOf(f: String): Int = f.split('/')
+      .find(_.startsWith("cid="))
+      .map(_.stripPrefix("cid=").toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"purgeCommit: no cid= segment in $f"))
+    val fragged: Set[Int] = dataF.groupBy(cellOf)
+      .collect { case (c, fl) if fl.size > maxFiles => c }.toSet
+    val tombed: Set[Int] =
+      if (tombF.isEmpty) Set.empty
+      else s.read.option("basePath", assign).parquet(dataF: _*)
+        .join(broadcast(s.read.parquet(tombF: _*)), Seq("vec_id"),
+          "left_semi")
+        .select(col("cid")).distinct()
+        .collect().map(_.getInt(0)).toSet
+    val touched = fragged ++ tombed
+    if (touched.isEmpty && tombF.isEmpty) return v
+    if (touched.nonEmpty) {
+      val files = dataF.filter(f => touched(cellOf(f)))
+      val cur = s.read.option("basePath", assign).parquet(files: _*)
+      val purged =
+        if (tombF.isEmpty) cur
+        else cur.join(broadcast(s.read.parquet(tombF: _*)),
+          Seq("vec_id"), "left_anti")
+      val merged = graft.Materialize.cut(purged)
+      merged.repartition(col("cid"))
+        .write.mode("append").partitionBy("cid").parquet(assign)
+      graft.Materialize.release(merged)
+    }
+    Snapshots.commitReplacing(s, assign, v,
+      touched.toSeq.sorted.map(c => s"cid=$c") :+ "deletes")
+  }
 
   /** The serve body over an arbitrary assignment RELATION (live dir or
     * a snapshot file set): q39's probe arithmetic from the saved
@@ -294,6 +400,22 @@ object IvfTopK {
     // rows come from the same evaluation, so a non-deterministic
     // source can't make them diverge
     val staged = graft.Materialize.cut(newRows)
+    // RE-INGEST RULE for a committed, tombstoned index (the
+    // MinHash/BM25 contract's vector twin): a tombstoned vec_id's
+    // physical assignment row is still on disk — re-appending it would
+    // resurrect both rows the moment purgeCommit drops the list.
+    // Tombstone-×-batch-sized broadcast check; no-op otherwise.
+    for (v <- Snapshots.current(s, idx.assignPath)) {
+      val tombF = manifestPieces(s, idx.assignPath, v)._2
+      if (tombF.nonEmpty) {
+        val clash = staged.select(col("vec_id")).distinct()
+          .join(broadcast(s.read.parquet(tombF: _*)), Seq("vec_id"),
+            "left_semi").count()
+        require(clash == 0L,
+          s"append: $clash vec_id(s) are tombstoned as of v$v under " +
+            s"${idx.assignPath} — a purgeCommit must land first")
+      }
+    }
     // MAP-SIDE assignment under the centroid broadcast (the TopCells
     // kernel — exact ivfModel arithmetic and tie-breaks); every input
     // row gets its own assignment, so duplicate vec_ids in a batch

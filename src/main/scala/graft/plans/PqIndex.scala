@@ -83,6 +83,21 @@ object PqIndex {
     // materialize the batch ONCE: the returned count and the written
     // rows come from the same evaluation
     val staged = graft.Materialize.cut(newRows)
+    // RE-INGEST RULE for a committed, tombstoned index (the
+    // MinHash/BM25/IVF contract): a tombstoned vec_id's physical code
+    // row is still on disk — re-appending would resurrect both rows
+    // once purgeCommit drops the list. Broadcast, tombstone-sized.
+    for (v <- Snapshots.current(s, s"$base/codes")) {
+      val tombF = pieces(s, s"$base/codes", v)._2
+      if (tombF.nonEmpty) {
+        val clash = staged.select(col("vec_id")).distinct()
+          .join(broadcast(s.read.parquet(tombF: _*)), Seq("vec_id"),
+            "left_semi").count()
+        require(clash == 0L,
+          s"append: $clash vec_id(s) are tombstoned as of v$v under " +
+            s"$base/codes — a purgeCommit must land first")
+      }
+    }
     val sv = staged
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .select(col("vec_id"),
@@ -123,13 +138,110 @@ object PqIndex {
 
   /** [[serve]] AS OF a committed snapshot version ([[Snapshots.commit]]
     * over `indexDir/codes`): the codes scan is exactly the manifested
-    * file set, so a reader pinned to version N is unaffected by later
-    * appends (q131). Codebooks/meta are train-time artifacts an append
-    * never touches. */
+    * file set with that VERSION's tombstones anti-joined (broadcast —
+    * delete-sized), so a reader pinned to version N is unaffected by
+    * later appends or deletes (q131, q144). Codebooks/meta are
+    * train-time artifacts no append or delete touches. */
   def serveAsOf(s: SparkSession, indexDir: String, version: Int): DataFrame = {
     val base = IvfTopK.qualify(s, indexDir)
     val h = load(s, indexDir)
-    serveOn(s, h, Snapshots.read(s, s"$base/codes", version))
+    serveOn(s, h, versionRelation(s, s"$base/codes", version))
+  }
+
+  /** Version `v`'s manifested files split into (code files, tombstone
+    * files) — tombstones live under `codes/deletes/` inside the
+    * manifested tree, q138's shape for the flat codes table. */
+  private def pieces(s: SparkSession, codes: String,
+      v: Int): (Seq[String], Seq[String]) =
+    Snapshots.files(s, codes, v)
+      .partition(f => !f.startsWith(s"$codes/deletes/"))
+
+  /** Version `v`'s effective codes relation: the manifested code
+    * files minus that version's tombstones (broadcast anti-join). */
+  private def versionRelation(s: SparkSession, codes: String,
+      v: Int): DataFrame = {
+    val (dataF, tombF) = pieces(s, codes, v)
+    require(dataF.nonEmpty,
+      s"snapshot v$v under $codes references no code files")
+    val rel = s.read.parquet(dataF: _*)
+    if (tombF.isEmpty) rel
+    else rel.join(broadcast(s.read.parquet(tombF: _*)),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Row-level DELETE under snapshot isolation — the committed PQ
+    * index's erasure path (the last index family without one): the
+    * vec_ids APPEND as a tombstone file under `codes/deletes/` and ONE
+    * commit pins them; version-aware serves anti-join them while
+    * readers pinned to older versions still see the deleted codes.
+    * Deletion never retrains (codebooks untouched — ADC distances of
+    * the survivors are bit-identical). Double deletes refuse loudly.
+    * Returns the committed version. */
+  def deleteCommit(s: SparkSession, indexDir: String,
+      deleteIds: DataFrame): Int = {
+    val codes = s"${IvfTopK.qualify(s, indexDir)}/codes"
+    val v = Snapshots.current(s, codes).getOrElse(
+      throw new IllegalStateException(
+        s"deleteCommit: no committed snapshot under $codes"))
+    val staged = graft.Materialize.cut(
+      deleteIds.select(col("vec_id")).distinct())
+    val tombF = pieces(s, codes, v)._2
+    if (tombF.nonEmpty) {
+      val clash = staged
+        .join(broadcast(s.read.parquet(tombF: _*)), Seq("vec_id"),
+          "left_semi").count()
+      require(clash == 0L,
+        s"deleteCommit: $clash vec_id(s) are already tombstoned as of " +
+          s"v$v — a repeated delete is a caller bug")
+    }
+    staged.coalesce(1).write.mode("append").parquet(s"$codes/deletes")
+    graft.Materialize.release(staged)
+    Snapshots.commitReplacing(s, codes, v, Nil)
+  }
+
+  /** COPY-ON-WRITE tombstone-purge compaction for a committed PQ
+    * index. The codes table is FLAT (8 bytes per vector, no partition
+    * key carries the deletion locality the cid/band layouts have), so
+    * a purge rewrites the files that HOLD tombstoned rows — with the
+    * one-file-per-append layout that is still bounded by where the
+    * deleted vectors' batches landed, never by the append history of
+    * unaffected batches; file granularity is the locality unit here,
+    * the Delta/Iceberg MoR-purge trade for unpartitioned tables.
+    * Survivors land as new sibling files; the next manifest selects
+    * [untouched files + rewrites] and drops the tombstone list
+    * ([[Snapshots.commitReplacingWhere]] with the rewritten files as
+    * the drop set). Returns the committed version (unchanged with
+    * nothing to purge). */
+  def purgeCommit(s: SparkSession, indexDir: String): Int = {
+    val codes = s"${IvfTopK.qualify(s, indexDir)}/codes"
+    val v = Snapshots.current(s, codes).getOrElse(
+      throw new IllegalStateException(
+        s"purgeCommit: no committed snapshot under $codes"))
+    val (dataF, tombF) = pieces(s, codes, v)
+    if (tombF.isEmpty) return v
+    val tomb = broadcast(s.read.parquet(tombF: _*))
+    val baseUri = new org.apache.hadoop.fs.Path(codes).toUri.getPath
+    def relOf(abs: String) =
+      new org.apache.hadoop.fs.Path(abs).toUri.getPath
+        .drop(baseUri.length + 1)
+    // which code FILES hold a tombstoned row — ONE skinny scan with
+    // input_file_name(), bounded by the tombstone count, never a
+    // per-file driver loop
+    val touched: Set[String] = s.read.parquet(dataF: _*)
+      .select(col("vec_id"), input_file_name().as("f"))
+      .join(tomb, Seq("vec_id"), "left_semi")
+      .select(col("f")).distinct()
+      .collect().map(r => relOf(r.getString(0))).toSet
+    if (touched.nonEmpty) {
+      val files = dataF.filter(f => touched(relOf(f)))
+      val merged = graft.Materialize.cut(
+        s.read.parquet(files: _*)
+          .join(tomb, Seq("vec_id"), "left_anti"))
+      merged.write.mode("append").parquet(codes)
+      graft.Materialize.release(merged)
+    }
+    Snapshots.commitReplacingWhere(s, codes, v,
+      f => touched.contains(f) || f.startsWith("deletes/"))
   }
 
   /** The LIVE codes relation: a plain directory read for an
@@ -138,7 +250,7 @@ object PqIndex {
     * families). */
   private def codesRelation(s: SparkSession, codesPath: String): DataFrame =
     Snapshots.current(s, codesPath) match {
-      case Some(v) => Snapshots.read(s, codesPath, v)
+      case Some(v) => versionRelation(s, codesPath, v)
       case None => s.read.parquet(codesPath)
     }
 

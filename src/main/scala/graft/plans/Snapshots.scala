@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** SNAPSHOT ISOLATION for the persisted-index family, lakehouse-style:
-  * a version is an immutable MANIFEST (text file listing the data
+  * a version is an immutable MANIFEST (text file describing the data
   * files that constitute it), committed by atomic rename. Writers add
   * data files (parquet `append` never mutates existing files) and then
   * [[commit]] the new listing; readers resolve a version's manifest to
@@ -15,8 +15,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * in-place caveats documented on the index maintenance passes: the
   * pointer flip is the manifest rename, and "as-of" reads fall out for
   * free (Iceberg/Delta's core idea, reduced to what a file-listing
-  * manifest can carry — single writer, no schema evolution, no
-  * row-level deletes).
+  * manifest can carry — single writer, no schema evolution; row-level
+  * deletes ride as tombstone files the index families commit INSIDE
+  * the manifested tree).
+  *
+  * MANIFEST FORMAT — two forms, chosen per commit by size:
+  *  - FULL: one dataDir-relative path per line, sorted. The fold
+  *    format, and what a fresh dataset's v1 gets.
+  *  - DELTA: a `#base N` header followed by `+path` / `-path` op
+  *    lines — the version is base N's file set with the adds/drops
+  *    applied. This is what keeps commit WRITE amplification O(files
+  *    changed) instead of O(files total): on a 10⁶-file table an
+  *    ingest commit writes a few hundred bytes, not a multi-MB
+  *    re-listing per commit (the same delta-segment discipline the
+  *    BM25 vocabulary uses one level down; Iceberg answers the same
+  *    problem with manifest lists + per-commit manifest segments).
+  *    Deltas FOLD back to full form at [[expire]] (any surviving
+  *    manifest whose base is being dropped is rewritten full —
+  *    content-equivalent, resolved set unchanged), which also bounds
+  *    chain length by the retention cadence. [[commit]] writes
+  *    whichever form is fewer lines, so a selection-replacing commit
+  *    (rollback across a big divergence) degrades gracefully to full.
   *
   * Contract boundaries, stated rather than hidden:
   *  - [[commit]] assumes a SINGLE WRITER (an ingest pipeline
@@ -45,17 +64,29 @@ object Snapshots {
 
   private val ManifestName = """v(\d+)\.manifest""".r
 
-  /** Per-manifest content cache. A manifest is immutable once
-    * published, so its parsed line list can be reused forever — BUT a
-    * manifest PATH can be reused (a staging dir deleted and re-created
-    * mints a fresh v1 at the same path), so hits validate against the
-    * file's (modificationTime, length): one getFileStatus per lookup
-    * instead of a content read. This is what keeps the bookkeeping
-    * passes that fold over EVERY version ([[commitReplacing]]'s
-    * referenced-set, [[expire]]'s live-set) at O(current + new)
-    * manifest I/O per call instead of re-reading the whole history —
-    * on a 100-version dir a commit stats 100 tiny files and reads ~1. */
+  /** Per-manifest content cache (raw parsed lines). A manifest is
+    * immutable once published — and [[publish]] INVALIDATES the cache
+    * entry for any path it (re)writes, so the one in-process writer
+    * can never serve a stale listing even when a dataset is deleted
+    * and re-minted at the same path (the r15-advice hazard: a
+    * same-file-count re-mint yields a same-length manifest within
+    * mtime granularity, which the (modificationTime, length)
+    * validation alone cannot distinguish). Cross-PROCESS rewrites
+    * still validate by (modTime, length) best-effort — the same
+    * boundary the publish CAS has on local FS, stated rather than
+    * hidden. The cache is what keeps the bookkeeping passes that fold
+    * over EVERY version ([[commitReplacing]]'s referenced-set,
+    * [[expire]]'s live-set) at O(current + new) manifest I/O per call
+    * instead of re-reading the whole history — on a 100-version dir a
+    * commit stats 100 tiny files and reads ~1. */
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Seq[String])]()
+
+  /** Resolved-file-set cache (delta chains folded to the sorted full
+    * listing), same key/validation/invalidation discipline as
+    * [[manifestCache]]: resolving a version walks its base chain once
+    * and later reads are one stat. */
+  private val resolvedCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Long, Seq[String])]()
 
   /** Manifest CONTENT reads (cache misses) — test instrumentation for
@@ -99,18 +130,55 @@ object Snapshots {
   /** Commit an EXPLICIT dataDir-relative file set as the next version
     * — the primitive behind both [[commit]] (current listing) and
     * [[compactCommit]] (listing with compacted partitions' old files
-    * swapped for their merged replacements). */
+    * swapped for their merged replacements). Writes the DELTA form vs
+    * the current version whenever it is smaller than the full
+    * re-listing — O(files changed) manifest bytes per commit. */
   private def writeManifest(s: SparkSession, dataDir: String,
-      relFiles: Seq[String]): Int =
-    publish(s, dataDir, current(s, dataDir).getOrElse(0) + 1,
-      relFiles.sorted.mkString("\n"))
+      relFiles: Seq[String]): Int = {
+    val cur = current(s, dataDir)
+    publish(s, dataDir, cur.getOrElse(0) + 1,
+      manifestContent(s, dataDir, cur, relFiles))
+  }
 
-  /** Write manifest `v` via temp file + rename. Rename-over semantics
-    * are the FS's: HDFS refuses an existing destination (making the
-    * publish an atomic CAS on the version name), POSIX local replaces
-    * silently — [[commitExpecting]] layers its checks accordingly. */
+  /** The manifest body for `relFiles` as the successor of `base`:
+    * the `#base`+ops delta when that is fewer lines than the full
+    * sorted listing, the full listing otherwise (or when there is no
+    * base). */
+  private def manifestContent(s: SparkSession, dataDir: String,
+      base: Option[Int], relFiles: Seq[String]): String = {
+    val sorted = relFiles.sorted
+    for (p <- sorted.headOption.toSeq ++ sorted.lastOption)
+      require(!p.startsWith("#") && !p.startsWith("+") && !p.startsWith("-"),
+        s"manifest: data file path '$p' collides with the manifest " +
+          "grammar's line prefixes")
+    base match {
+      case Some(b) =>
+        val prev = resolveRels(s, dataDir, b)
+        val prevSet = prev.toSet
+        val newSet = sorted.toSet
+        val adds = sorted.filterNot(prevSet)
+        val drops = prev.filterNot(newSet)
+        if (1 + adds.size + drops.size < sorted.size)
+          (s"#base $b" +: (adds.map("+" + _) ++ drops.map("-" + _)))
+            .mkString("\n")
+        else sorted.mkString("\n")
+      case None => sorted.mkString("\n")
+    }
+  }
+
+  /** Write manifest `v` via temp file + rename, then INVALIDATE any
+    * cached content/resolution for that path (see [[manifestCache]] —
+    * this is what makes path reuse safe in-process). Rename-over
+    * semantics are the FS's: HDFS refuses an existing destination
+    * (making the publish an atomic CAS on the version name), POSIX
+    * local replaces silently — [[commitExpecting]] layers its checks
+    * accordingly. `overwrite` is for [[expire]]'s content-equivalent
+    * delta→full FOLD only: the destination is deleted first (on a
+    * refusing FS), shrinking the no-manifest crash window to the
+    * delete+rename pair — acceptable for a maintenance pass whose
+    * rewrite is idempotent and content-equivalent. */
   private def publish(s: SparkSession, dataDir: String, v: Int,
-      content: String): Int = {
+      content: String, overwrite: Boolean = false): Int = {
     val f = fs(s, dataDir)
     val dir = new Path(manifestDir(dataDir))
     if (!f.exists(dir)) f.mkdirs(dir)
@@ -119,8 +187,23 @@ object Snapshots {
     try out.write(content.getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(dir, s"v$v.manifest")
-    require(f.rename(tmp, fin), s"snapshot commit: rename $tmp -> $fin failed")
+    if (overwrite && f.exists(fin) && !f.rename(tmp, fin)) {
+      // a refusing FS (HDFS): clear the destination, then retry
+      f.delete(fin, false)
+      require(f.rename(tmp, fin),
+        s"snapshot fold: rename $tmp -> $fin failed after delete")
+    } else if (!overwrite || !f.exists(fin))
+      require(f.rename(tmp, fin),
+        s"snapshot commit: rename $tmp -> $fin failed")
+    invalidate(f, fin)
     v
+  }
+
+  private def invalidate(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Unit = {
+    val key = f.makeQualified(p).toString
+    manifestCache.remove(key)
+    resolvedCache.remove(key)
   }
 
   /** A [[commitExpecting]] lost the optimistic-concurrency race:
@@ -147,7 +230,7 @@ object Snapshots {
     * itself — best effort, stated rather than hidden. */
   def commitExpecting(s: SparkSession, dataDir: String,
       expected: Option[Int]): Int = {
-    val content = listRel(s, dataDir).sorted.mkString("\n")
+    val relFiles = listRel(s, dataDir).sorted
     val cur = current(s, dataDir)
     if (cur != expected)
       throw new SnapshotConflictException(
@@ -159,12 +242,12 @@ object Snapshots {
     if (f.exists(fin))
       throw new SnapshotConflictException(
         s"snapshot commit conflict under $dataDir: v$v already exists")
-    publish(s, dataDir, v, content)
+    publish(s, dataDir, v, manifestContent(s, dataDir, expected, relFiles))
     // detect a silent rename-over on local FS: the surviving manifest
-    // must be OURS
+    // must RESOLVE to our file set (publish invalidated the cache, so
+    // this readback re-reads the file that actually won)
     val got = files(s, dataDir, v).map(rel(dataDir, _)).sorted
-      .mkString("\n")
-    if (got != content)
+    if (got != relFiles)
       throw new SnapshotConflictException(
         s"snapshot commit conflict under $dataDir: v$v was replaced " +
           "by a concurrent writer after publish")
@@ -180,8 +263,10 @@ object Snapshots {
     * re-listing picks up BOTH writers' files and the committed result
     * is the union regardless of publish order. Writers whose validity
     * depends on the base state (a conditional update) must re-VALIDATE
-    * between retries instead of using this helper. Returns
-    * (committedVersion, conflictsObserved). */
+    * between retries instead of using this helper —
+    * [[graft.plans.Bm25Index.appendCommitRetrying]] is the worked
+    * example (its stats increment is re-DERIVED against the new
+    * current per retry). Returns (committedVersion, conflictsObserved). */
   def commitRetrying(s: SparkSession, dataDir: String,
       expected: Option[Int], maxRetries: Int = 5): (Int, Int) = {
     var base = expected
@@ -214,11 +299,15 @@ object Snapshots {
     * coexist, and write amplification stays bounded by where appends
     * actually landed, never the table size. Integral partition keys
     * only (values parse back out of the `c=v` path segments, same
-    * contract as the in-place passes). Single-writer, like [[commit]].
-    * Returns (version, partitionsRewritten) — with nothing fragmented
-    * no commit happens and the current version comes back. */
+    * contract as the in-place passes). `sortCols` re-sorts rows within
+    * each merged partition (sorted layouts — Z-order's `z` — keep
+    * their row-group min/max tightness through the merge).
+    * Single-writer, like [[commit]]. Returns (version,
+    * partitionsRewritten) — with nothing fragmented no commit happens
+    * and the current version comes back. */
   def compactCommit(s: SparkSession, dataDir: String,
-      partitionCols: Seq[String], maxFiles: Int = 1): (Int, Int) = {
+      partitionCols: Seq[String], maxFiles: Int = 1,
+      sortCols: Seq[String] = Nil): (Int, Int) = {
     require(partitionCols.nonEmpty && maxFiles >= 1)
     val v = current(s, dataDir).getOrElse(throw new IllegalArgumentException(
       s"compactCommit: no committed version under $dataDir"))
@@ -244,6 +333,8 @@ object Snapshots {
       s.read.option("basePath", dataDir).parquet(toMerge: _*))
     merged
       .repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(
+        (partitionCols ++ sortCols).map(org.apache.spark.sql.functions.col): _*)
       .write.mode("append").partitionBy(partitionCols: _*).parquet(dataDir)
     graft.Materialize.release(merged)
     val newFiles = listRel(s, dataDir).filterNot(before.contains)
@@ -268,53 +359,181 @@ object Snapshots {
     * into the new version, so after a crash run [[expire]] before
     * committing further — the standard lakehouse orphan-sweep rule. */
   def commitReplacing(s: SparkSession, dataDir: String, v: Int,
-      dropPrefixes: Seq[String]): Int = {
+      dropPrefixes: Seq[String]): Int =
+    commitReplacingWhere(s, dataDir, v,
+      f => dropPrefixes.exists(p => f.startsWith(p + "/")))
+
+  /** [[commitReplacing]] with an arbitrary drop PREDICATE over
+    * dataDir-relative paths — for flat (un-partitioned) artifacts
+    * whose replaced files sit at the dataset root rather than under a
+    * directory prefix (the PQ codes purge drops individual part
+    * files). Same single-writer/orphan-sweep contract. */
+  def commitReplacingWhere(s: SparkSession, dataDir: String, v: Int,
+      drop: String => Boolean): Int = {
     require(current(s, dataDir).contains(v),
       s"commitReplacing: base version $v is not current under $dataDir")
     val vf = files(s, dataDir, v).map(rel(dataDir, _))
     val referenced: Set[String] = versions(s, dataDir)
       .flatMap(w => files(s, dataDir, w)).map(rel(dataDir, _)).toSet
     val fresh = listRel(s, dataDir).filterNot(referenced)
-    val kept = vf.filterNot(f =>
-      dropPrefixes.exists(p => f.startsWith(p + "/")))
+    val kept = vf.filterNot(drop)
     writeManifest(s, dataDir, kept ++ fresh)
   }
 
-  /** The data files of version `v` (absolute paths). Content comes
-    * from the (modTime, length)-validated [[manifestCache]] when the
-    * manifest was read before — one metadata stat on the hot path. */
-  def files(s: SparkSession, dataDir: String, v: Int): Seq[String] = {
+  /** OPTIMISTIC-CONCURRENCY commit with an EXPLICIT file selection —
+    * the multi-writer form of [[commitReplacing]]: the next version is
+    * [version `expected`'s files minus those matching `drop`] plus
+    * `addRel` (dataDir-relative paths the CALLER landed and tracked),
+    * failing with [[SnapshotConflictException]] if any other writer
+    * committed since `expected` was read. Unlike [[commitReplacing]]'s
+    * sweep of every unreferenced on-disk file, nothing is swept here —
+    * so two uncoordinated writers may land data files CONCURRENTLY
+    * without writer A's commit absorbing writer B's half-landed batch;
+    * each commit selects exactly its own tracked additions
+    * ([[graft.plans.Bm25Index.appendCommitRetrying]] is the consumer).
+    * Same CAS + readback discipline as [[commitExpecting]]. */
+  def commitSelectingExpecting(s: SparkSession, dataDir: String,
+      expected: Int, drop: String => Boolean,
+      addRel: Seq[String]): Int = {
+    val kept = files(s, dataDir, expected).map(rel(dataDir, _))
+      .filterNot(drop)
+    val relFiles = (kept ++ addRel).sorted
+    if (!current(s, dataDir).contains(expected))
+      throw new SnapshotConflictException(
+        s"snapshot commit conflict under $dataDir: base version " +
+          s"$expected is no longer current (${current(s, dataDir)}) — " +
+          "re-derive against the new current and retry")
+    val v = expected + 1
+    val f = fs(s, dataDir)
+    val fin = new Path(manifestDir(dataDir), s"v$v.manifest")
+    if (f.exists(fin))
+      throw new SnapshotConflictException(
+        s"snapshot commit conflict under $dataDir: v$v already exists")
+    publish(s, dataDir, v,
+      manifestContent(s, dataDir, Some(expected), relFiles))
+    val got = files(s, dataDir, v).map(rel(dataDir, _)).sorted
+    if (got != relFiles)
+      throw new SnapshotConflictException(
+        s"snapshot commit conflict under $dataDir: v$v was replaced " +
+          "by a concurrent writer after publish")
+    v
+  }
+
+  /** The manifest's parsed shape: a full listing, or base+ops. */
+  private final case class Parsed(base: Option[Int], adds: Seq[String],
+      drops: Seq[String], full: Seq[String])
+
+  private val BaseLine = """#base (\d+)""".r
+
+  private def parseLines(lines: Seq[String], where: String): Parsed = {
+    val base = lines.collectFirst { case BaseLine(b) => b.toInt }
+    val adds = lines.collect { case l if l.startsWith("+") => l.drop(1) }
+    val drops = lines.collect { case l if l.startsWith("-") => l.drop(1) }
+    val full = lines.filterNot(l =>
+      l.startsWith("#") || l.startsWith("+") || l.startsWith("-"))
+    require(base.isDefined || (adds.isEmpty && drops.isEmpty),
+      s"manifest $where has delta ops but no #base header")
+    require(base.isEmpty || full.isEmpty,
+      s"manifest $where mixes a #base header with plain listing lines")
+    Parsed(base, adds, drops, full)
+  }
+
+  private def statOf(s: SparkSession, dataDir: String,
+      v: Int): org.apache.hadoop.fs.FileStatus = {
     val f = fs(s, dataDir)
     val p = new Path(manifestDir(dataDir), s"v$v.manifest")
-    val st =
-      try f.getFileStatus(p)
-      catch { case _: java.io.FileNotFoundException =>
-        throw new IllegalArgumentException(
-          s"snapshot v$v not found under ${manifestDir(dataDir)}")
-      }
+    try f.getFileStatus(p)
+    catch { case _: java.io.FileNotFoundException =>
+      throw new IllegalArgumentException(
+        s"snapshot v$v not found under ${manifestDir(dataDir)}")
+    }
+  }
+
+  /** Raw manifest lines of version `v`, via the validated content
+    * cache (one stat on the hot path, a counted read on miss). */
+  private def linesOf(s: SparkSession, dataDir: String, v: Int,
+      st: org.apache.hadoop.fs.FileStatus): Seq[String] = {
     val key = st.getPath.toString
     val cached = manifestCache.get(key)
-    val rels =
-      if (cached != null && cached._1 == st.getModificationTime &&
-          cached._2 == st.getLen) cached._3
-      else {
-        manifestReads.incrementAndGet()
-        val in = f.open(p)
-        val text = try {
-          val buf = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-          buf.toString("UTF-8")
-        } finally in.close()
-        val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-        // bound the driver-side bookkeeping: the cache is tiny strings,
-        // but a very long session over many staging dirs shouldn't
-        // accumulate forever
-        if (manifestCache.size > 8192) manifestCache.clear()
-        manifestCache.put(key, (st.getModificationTime, st.getLen, lines))
-        lines
-      }
-    rels.map(l => s"$dataDir/$l")
+    if (cached != null && cached._1 == st.getModificationTime &&
+        cached._2 == st.getLen) cached._3
+    else {
+      manifestReads.incrementAndGet()
+      val f = fs(s, dataDir)
+      val in = f.open(st.getPath)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+      val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+      // bound the driver-side bookkeeping: the cache is tiny strings,
+      // but a very long session over many staging dirs shouldn't
+      // accumulate forever
+      if (manifestCache.size > 8192) manifestCache.clear()
+      manifestCache.put(key, (st.getModificationTime, st.getLen, lines))
+      lines
+    }
   }
+
+  /** The `#base` header of version `v`, if it is a delta manifest. */
+  private def baseOf(s: SparkSession, dataDir: String, v: Int): Option[Int] =
+    parseLines(linesOf(s, dataDir, v, statOf(s, dataDir, v)),
+      s"v$v under $dataDir").base
+
+  /** Resolve version `v` to its sorted dataDir-relative file set:
+    * walk the delta chain down to a full manifest (or a cached
+    * resolution), then replay the ops oldest-first. Chain length is
+    * bounded by the retention cadence ([[expire]] folds), and every
+    * level's LINES are cached, so a cold resolution is O(chain) tiny
+    * reads and a warm one is O(chain) stats. */
+  private def resolveRels(s: SparkSession, dataDir: String,
+      v: Int): Seq[String] = {
+    val topStat = statOf(s, dataDir, v)
+    val topKey = topStat.getPath.toString
+    val hit = resolvedCache.get(topKey)
+    if (hit != null && hit._1 == topStat.getModificationTime &&
+        hit._2 == topStat.getLen) return hit._3
+    // descend: ops stack ends ordered oldest-first
+    var stack: List[(Seq[String], Seq[String])] = Nil
+    var cur = v
+    var curStat = topStat
+    var baseSet: Seq[String] = null
+    while (baseSet == null) {
+      val key = curStat.getPath.toString
+      val rc = resolvedCache.get(key)
+      if (rc != null && rc._1 == curStat.getModificationTime &&
+          rc._2 == curStat.getLen) baseSet = rc._3
+      else {
+        val p = parseLines(linesOf(s, dataDir, cur, curStat),
+          s"v$cur under $dataDir")
+        p.base match {
+          case Some(b) =>
+            stack = (p.adds, p.drops) :: stack
+            cur = b
+            curStat = statOf(s, dataDir, cur)
+          case None =>
+            baseSet = p.full.sorted
+            if (resolvedCache.size > 4096) resolvedCache.clear()
+            resolvedCache.put(key,
+              (curStat.getModificationTime, curStat.getLen, baseSet))
+        }
+      }
+    }
+    val set = scala.collection.mutable.TreeSet[String]() ++ baseSet
+    for ((adds, drops) <- stack) { set ++= adds; set --= drops }
+    val res = set.toSeq
+    if (resolvedCache.size > 4096) resolvedCache.clear()
+    resolvedCache.put(topKey,
+      (topStat.getModificationTime, topStat.getLen, res))
+    res
+  }
+
+  /** The data files of version `v` (absolute paths, sorted). Delta
+    * manifests resolve through the validated caches — one metadata
+    * stat per chain level on the hot path. */
+  def files(s: SparkSession, dataDir: String, v: Int): Seq[String] =
+    resolveRels(s, dataDir, v).map(l => s"$dataDir/$l")
 
   /** Read version `v` AS OF its commit: exactly the manifested files,
     * with `basePath` set so Hive-partition columns (and therefore
@@ -407,13 +626,30 @@ object Snapshots {
     * however far retention advances — then delete any data file
     * referenced by NO surviving manifest, which also reclaims orphans
     * from crashed writers (files that never made it into a manifest).
-    * Returns the number of data files deleted. */
+    * This is also where DELTA manifests FOLD: a surviving manifest
+    * whose `#base` is being dropped is rewritten as a full listing
+    * first (content-equivalent — its resolved file set is unchanged,
+    * so every as-of read is byte-identical through the fold), which
+    * bounds delta-chain length by the retention cadence. Returns the
+    * number of data files deleted. */
   def expire(s: SparkSession, dataDir: String, keepFrom: Int): Int = {
     val f = fs(s, dataDir)
     val conf = s.sparkContext.hadoopConfiguration
     val pinned: Set[Int] = tags(s, dataDir).values.toSet
-    for (v <- versions(s, dataDir) if v < keepFrom && !pinned(v))
-      f.delete(new Path(manifestDir(dataDir), s"v$v.manifest"), false)
+    val vs = versions(s, dataDir)
+    val surviving: Set[Int] = vs.filter(v => v >= keepFrom || pinned(v)).toSet
+    // FOLD before any manifest is deleted: ascending order, so a chain
+    // that crosses the drop boundary folds at its lowest survivor and
+    // higher survivors keep valid (surviving) bases
+    for (v <- vs if surviving(v))
+      for (b <- baseOf(s, dataDir, v) if !surviving(b))
+        publish(s, dataDir, v,
+          resolveRels(s, dataDir, v).mkString("\n"), overwrite = true)
+    for (v <- vs if !surviving(v)) {
+      val p = new Path(manifestDir(dataDir), s"v$v.manifest")
+      f.delete(p, false)
+      invalidate(f, p)
+    }
     val live: Set[String] = versions(s, dataDir)
       .flatMap(v => files(s, dataDir, v)).toSet
     val all = graft.Fs.listDataFiles(dataDir, conf)
@@ -438,7 +674,10 @@ object Snapshots {
     * the number out. Tags are IMMUTABLE (re-tagging a name refuses;
     * [[dropTag]] first), live only under `_manifests/` (excluded from
     * data listings by the existing `_` convention), and written via
-    * the same temp+rename publish as manifests. */
+    * the same temp+rename publish as manifests — plus a post-rename
+    * READBACK (POSIX rename silently replaces, so without it a
+    * concurrent tag of the same name could overwrite the pin
+    * undetected; same best-effort narrowing as [[commitExpecting]]). */
   def tag(s: SparkSession, dataDir: String, name: String, v: Int): Unit = {
     require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]{0,63}"),
       s"tag: name '$name' must be 1-64 chars of [A-Za-z0-9._-] " +
@@ -455,6 +694,24 @@ object Snapshots {
     try out.write(v.toString.getBytes("UTF-8"))
     finally out.close()
     require(f.rename(tmp, p), s"tag: rename $tmp -> $p failed")
+    // readback: on a silently-replacing FS the survivor must be OURS —
+    // two concurrent tag() calls racing the same name cannot both pass
+    // the exists() check AND both see their own version here
+    val got = readSmall(f, p).trim
+    require(got == v.toString,
+      s"tag: '$name' was concurrently replaced after publish " +
+        s"(read back '$got', wrote '$v') — tags are single-pin; " +
+        "coordinate writers or use distinct names")
+  }
+
+  private def readSmall(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = f.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      buf.toString("UTF-8")
+    } finally in.close()
   }
 
   /** All tags of a dataset (name -> pinned version). */
@@ -464,14 +721,7 @@ object Snapshots {
     if (!f.exists(dir)) Map.empty
     else f.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case TagName(n) =>
-          val in = f.open(st.getPath)
-          val txt = try {
-            val buf = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
-            buf.toString("UTF-8").trim
-          } finally in.close()
-          Some(n -> txt.toInt)
+        case TagName(n) => Some(n -> readSmall(f, st.getPath).trim.toInt)
         case _ => None
       }
     }.toMap
@@ -502,10 +752,10 @@ object Snapshots {
     * live-set) stat every surviving manifest per call — so an ingest
     * pipeline that commits per batch should run this on a cadence
     * (every N commits) to keep the version count, the reclaimable-file
-    * backlog, and time-travel exposure bounded, exactly as the
-    * lakehouse formats prescribe retention windows. Versions pinned by
-    * a [[tag]] survive regardless (see [[expire]]). Returns the number
-    * of data files reclaimed. */
+    * backlog, the delta-chain length AND time-travel exposure bounded,
+    * exactly as the lakehouse formats prescribe retention windows.
+    * Versions pinned by a [[tag]] survive regardless (see [[expire]]).
+    * Returns the number of data files reclaimed. */
   def expireKeeping(s: SparkSession, dataDir: String,
       keepLast: Int): Int = {
     require(keepLast >= 1, "expireKeeping: must keep at least 1 version")

@@ -229,6 +229,170 @@ object ZOrderLayout {
       s"${IvfTopK.qualify(s, layoutDir)}/data",
       Seq("zbucket"), "event_id", deleteIds, sortCols = Seq("z"))
 
+  // --------------------------------------------------------------------
+  // SNAPSHOT LIFECYCLE (manifest-committed form, q142) — the TABLE
+  // layout was the one lifecycle family with no [[Snapshots]]
+  // integration (its compact even wrote to a destDir with a manual
+  // pointer flip — exactly the hazard the manifest rename removes),
+  // which meant the biggest artifact of all had no time travel while
+  // every index derived FROM it did. One manifest spans `data/` —
+  // the zbucket partitions plus the tombstone list the committed
+  // delete appends under `data/deletes/` — so a single version number
+  // pins rows + applicable deletes together; `meta/` (the quantizer
+  // grid) is a save-time artifact no mutation touches, like IVF's
+  // centroids. Same crash protocol as the other committed families:
+  // a mutation that dies pre-commit leaves the current version intact
+  // and only expire()-reclaimable orphans behind.
+  // --------------------------------------------------------------------
+
+  /** [[save]] + manifest commit: the clustered layout becomes version
+    * 1 of a time-travelable table. Refuses to overwrite an
+    * already-committed layout (the overwrite would destroy files
+    * every manifest references — recluster into a fresh dir instead). */
+  def saveCommit(s: SparkSession, rows: DataFrame,
+      layoutDir: String): (Handle, Int) = {
+    val data = s"${IvfTopK.qualify(s, layoutDir)}/data"
+    require(Snapshots.current(s, data).isEmpty,
+      s"saveCommit: $layoutDir is already manifest-committed — save's " +
+        "overwrite would destroy committed files; recluster into a " +
+        "fresh dir and retarget readers instead")
+    val h = save(s, rows, layoutDir)
+    (h, Snapshots.commit(s, data))
+  }
+
+  /** [[append]] + manifest commit: new rows quantize under the SAVED
+    * grid and land in their zbucket partitions as new files; the next
+    * manifest selects them while readers pinned to older versions stay
+    * byte-identical. Returns the committed version. */
+  def appendCommit(s: SparkSession, layoutDir: String,
+      newRows: DataFrame): Int = {
+    append(s, layoutDir, newRows)
+    Snapshots.commit(s, s"${IvfTopK.qualify(s, layoutDir)}/data")
+  }
+
+  /** Row-level DELETE under snapshot isolation — the tombstone shape
+    * of the committed index families ([[MinHashIndex.deleteCommit]])
+    * applied to the table layout: the event_ids APPEND as a tombstone
+    * file inside the manifested tree and ONE commit pins them;
+    * version-aware reads anti-join them (broadcast — delete-sized)
+    * while readers pinned to older versions never see them.
+    * [[purgeCommit]] later rewrites exactly the zbucket partitions
+    * holding tombstoned rows and drops the list. Ids already
+    * tombstoned as of the current version are refused (a double
+    * delete is a caller bug). Returns the committed version. */
+  def deleteCommit(s: SparkSession, layoutDir: String,
+      deleteIds: DataFrame): Int = {
+    val data = s"${IvfTopK.qualify(s, layoutDir)}/data"
+    val v = Snapshots.current(s, data).getOrElse(
+      throw new IllegalStateException(
+        s"deleteCommit: no committed snapshot under $data — the " +
+          "in-place lifecycle deletes via delete()"))
+    val staged = graft.Materialize.cut(
+      deleteIds.select(col("event_id")).distinct())
+    val tombF = pieces(s, data, v)._2
+    if (tombF.nonEmpty) {
+      val clash = staged
+        .join(org.apache.spark.sql.functions.broadcast(
+          s.read.parquet(tombF: _*)), Seq("event_id"), "left_semi")
+        .count()
+      require(clash == 0L,
+        s"deleteCommit: $clash event_id(s) are already tombstoned as " +
+          s"of v$v — a repeated delete is a caller bug")
+    }
+    staged.coalesce(1).write.mode("append").parquet(s"$data/deletes")
+    graft.Materialize.release(staged)
+    Snapshots.commitReplacing(s, data, v, Nil)
+  }
+
+  /** COPY-ON-WRITE tombstone-purge compaction for a committed layout,
+    * PARTITION-LOCAL ([[MinHashIndex.purgeCommit]]'s shape with the
+    * Z-order twist that rewritten partitions re-sort by the full
+    * Morton code — appends interleave their own z-sorted files with
+    * the residents', so the merge is also where row-group min/max
+    * tightness is restored): only zbuckets holding a tombstoned row
+    * or more than `maxFiles` files rewrite their surviving rows as
+    * new sibling files; every other partition's files carry VERBATIM
+    * into the next manifest, which drops the tombstone list. Older
+    * versions keep time-traveling over their own files until
+    * [[Snapshots.expire]]. Returns the committed version (unchanged
+    * when there is nothing to purge or merge). */
+  def purgeCommit(s: SparkSession, layoutDir: String,
+      maxFiles: Int = 1): Int = {
+    import org.apache.spark.sql.functions.broadcast
+    val data = s"${IvfTopK.qualify(s, layoutDir)}/data"
+    val v = Snapshots.current(s, data).getOrElse(
+      throw new IllegalStateException(
+        s"purgeCommit: no committed snapshot under $data"))
+    val (dataF, tombF) = pieces(s, data, v)
+    def bucketOf(f: String): Int = f.split('/')
+      .find(_.startsWith("zbucket="))
+      .map(_.stripPrefix("zbucket=").toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"purgeCommit: no zbucket= segment in $f"))
+    val fragged: Set[Int] = dataF.groupBy(bucketOf)
+      .collect { case (b, fl) if fl.size > maxFiles => b }.toSet
+    val tombed: Set[Int] =
+      if (tombF.isEmpty) Set.empty
+      else s.read.option("basePath", data).parquet(dataF: _*)
+        .join(broadcast(s.read.parquet(tombF: _*)), Seq("event_id"),
+          "left_semi")
+        .select(col("zbucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+    val touched = fragged ++ tombed
+    if (touched.isEmpty && tombF.isEmpty) return v
+    if (touched.nonEmpty) {
+      val files = dataF.filter(f => touched(bucketOf(f)))
+      val cur = s.read.option("basePath", data).parquet(files: _*)
+      val purged =
+        if (tombF.isEmpty) cur
+        else cur.join(broadcast(s.read.parquet(tombF: _*)),
+          Seq("event_id"), "left_anti")
+      val merged = graft.Materialize.cut(purged)
+      merged.repartition(col("zbucket"))
+        .sortWithinPartitions(col("zbucket"), col("z"))
+        .write.mode("append").partitionBy("zbucket").parquet(data)
+      graft.Materialize.release(merged)
+    }
+    Snapshots.commitReplacing(s, data, v,
+      touched.toSeq.sorted.map(b => s"zbucket=$b") :+ "deletes")
+  }
+
+  /** Version `v`'s manifested files split into (zbucket data files,
+    * tombstone files). */
+  private def pieces(s: SparkSession, data: String,
+      v: Int): (Seq[String], Seq[String]) =
+    Snapshots.files(s, data, v)
+      .partition(f => !f.startsWith(s"$data/deletes/"))
+
+  /** Version `v`'s effective rows: the manifested zbucket files
+    * (basePath keeps the partition column and its pruning) with that
+    * version's tombstones anti-joined out (broadcast). */
+  private def versionRelation(s: SparkSession, data: String,
+      v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val (dataF, tombF) = pieces(s, data, v)
+    require(dataF.nonEmpty,
+      s"snapshot v$v under $data references no data files")
+    val rel = s.read.option("basePath", data).parquet(dataF: _*)
+    if (tombF.isEmpty) rel
+    else rel.join(broadcast(s.read.parquet(tombF: _*)),
+      Seq("event_id"), "left_anti")
+  }
+
+  /** [[serve]] AS OF a committed snapshot version: the scan is the
+    * version's manifested file set with its tombstones anti-joined —
+    * the zbucket partition predicate still prunes at the file level
+    * through the explicit listing (basePath), so time travel keeps
+    * the layout's whole point. The grid comes from meta (save-time,
+    * version-independent). */
+  def serveAsOf(s: SparkSession, layoutDir: String, version: Int,
+      uLo: Long, uHi: Long, vLo: Double, vHi: Double): DataFrame = {
+    val base = IvfTopK.qualify(s, layoutDir)
+    val h = load(s, layoutDir)
+    serveOn(h, versionRelation(s, s"$base/data", version),
+      uLo, uHi, vLo, vHi)
+  }
+
   /** COMPACTION — collapse each zbucket partition back to one file
     * after append accumulation, re-sorting rows by the full Morton
     * code `z` inside each partition (appends interleave their own
@@ -239,6 +403,12 @@ object ZOrderLayout {
     * data file count. */
   def compact(s: SparkSession, srcDir: String, destDir: String): Int = {
     val src = IvfTopK.qualify(s, srcDir)
+    // a committed layout's sibling files (post-COW) would double-count
+    // through this directory read — committed layouts compact via
+    // purgeCommit
+    require(Snapshots.current(s, s"$src/data").isEmpty,
+      s"ZOrderLayout.compact: $srcDir is manifest-committed — use " +
+        "purgeCommit (it merges fragmented partitions snapshot-safely)")
     val dest = IvfTopK.qualify(s, destDir)
     val n = IndexMaintenance.compactPartitioned(s,
       s"$src/data", s"$dest/data", Seq("zbucket"), sortCols = Seq("z"))
@@ -257,8 +427,23 @@ object ZOrderLayout {
   /** The 2-D box query: enumerate the coarse cells intersecting
     * [uLo, uHi] × [vLo, vHi] driver-side (two ranges of ≤ 2^HiBits
     * values each — no data touched), prune the scan to their buckets,
-    * and apply the exact predicate on what remains. */
+    * and apply the exact predicate on what remains. A
+    * manifest-COMMITTED layout serves the CURRENT version's exact file
+    * set (a directory read would double-count merged siblings after a
+    * COW purge — the same routing guard as the index families). */
   def serve(s: SparkSession, h: Handle,
+      uLo: Long, uHi: Long, vLo: Double, vHi: Double): DataFrame = {
+    val rel = Snapshots.current(s, h.dataPath) match {
+      case Some(v) => versionRelation(s, h.dataPath, v)
+      case None => s.read.parquet(h.dataPath)
+    }
+    serveOn(h, rel, uLo, uHi, vLo, vHi)
+  }
+
+  /** The serve body over an arbitrary rows RELATION (live dir or a
+    * snapshot file set): driver-side cell enumeration, static bucket
+    * predicate, exact residual filter. */
+  private def serveOn(h: Handle, rel: DataFrame,
       uLo: Long, uHi: Long, vLo: Double, vHi: Double): DataFrame = {
     val hi = QBits - HiBits
     // widen by one quantum against FP edges — a superset of buckets is
@@ -272,7 +457,7 @@ object ZOrderLayout {
       ha <- (quLo >> hi) to (quHi >> hi)
       hb <- (qvLo >> hi) to (qvHi >> hi)
     } yield interleaveInt(ha, hb, HiBits)
-    s.read.parquet(h.dataPath)
+    rel
       .where(col("zbucket").isin(buckets.distinct: _*))
       .where(col("user_id").between(uLo, uHi) &&
         col("value").between(vLo, vHi))

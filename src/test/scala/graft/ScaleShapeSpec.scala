@@ -2866,6 +2866,141 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("delta manifests: a commit on a 10^4-file dataset writes O(new " +
+      "files) manifest bytes, resolved sets exact") {
+    val s = spark
+    import graft.plans.Snapshots
+    val staging = Files.createTempDirectory("snap_delta").toString
+    try {
+      val dir = s"$staging/data"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      // the manifest layer lists file NAMES; content is never read
+      // here, so empty placeholder part files make a 10^4-file table
+      // cheaply (the write-amplification claim is about manifest
+      // bytes, not parquet bytes)
+      for (i <- 1 to 10000)
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(f"$dir/f$i%05d.parquet"))
+      val v1 = Snapshots.commit(s, dir)
+      def manifestLen(v: Int): Long = java.nio.file.Files.size(
+        java.nio.file.Paths.get(s"$dir/_manifests/v$v.manifest"))
+      val fullLen = manifestLen(v1)
+      assert(fullLen > 100000L,
+        s"v1 full manifest unexpectedly small ($fullLen B) — the " +
+          "write-amplification comparison below would be vacuous")
+      // an ingest batch lands 3 files: the commit must write a DELTA
+      // manifest of O(3) lines, not re-list all 10^4 files
+      for (i <- 1 to 3)
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(f"$dir/g$i%05d.parquet"))
+      val v2 = Snapshots.commit(s, dir)
+      assert(manifestLen(v2) < 512L,
+        s"v2 manifest is ${manifestLen(v2)} B for a 3-file commit — " +
+          "O(files) rewrite is back")
+      assert(Snapshots.files(s, dir, v2).size == 10003)
+      assert(Snapshots.files(s, dir, v1).size == 10000)
+      // a selection-shrinking commit (rollback) is a drops-only delta
+      val v3 = Snapshots.rollback(s, dir, v1)
+      assert(manifestLen(v3) < 512L,
+        s"rollback manifest is ${manifestLen(v3)} B — expected a " +
+          "3-drop delta")
+      assert(Snapshots.files(s, dir, v3).map(_.split('/').last).sorted ==
+        Snapshots.files(s, dir, v1).map(_.split('/').last).sorted)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
+  test("delta manifests fold at expire: resolved sets are unchanged " +
+      "when a chain's base is dropped (tagged survivors included)") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.Snapshots
+    val staging = Files.createTempDirectory("snap_fold").toString
+    try {
+      val dir = s"$staging/data"
+      // v1..v5: one appended row each — v2..v5 are deltas on a chain
+      val vs = (1 to 5).map { i =>
+        Seq((i.toLong, i * 10L)).toDF("id", "v").coalesce(1)
+          .write.mode("append").parquet(dir)
+        Snapshots.commit(s, dir)
+      }
+      Snapshots.tag(s, dir, "pin", vs(1)) // v2, below the cut
+      val beforeSets = Seq(vs(1), vs(3), vs(4))
+        .map(v => v -> Snapshots.files(s, dir, v).sorted).toMap
+      // drop v1/v3: v2 survives by tag, v4/v5 by retention — every
+      // survivor whose #base chain crosses the boundary must FOLD and
+      // keep resolving to the same set
+      Snapshots.expire(s, dir, keepFrom = vs(3))
+      assert(Snapshots.versions(s, dir) == Seq(vs(1), vs(3), vs(4)))
+      for ((v, expect) <- beforeSets) {
+        assert(Snapshots.files(s, dir, v).sorted == expect,
+          s"v$v resolves differently after the fold")
+        assert(s.read.parquet(Snapshots.files(s, dir, v): _*).count() == v,
+          s"v$v row count drifted through the fold")
+        // no surviving manifest may still reference a dropped base
+        val body = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$dir/_manifests/v$v.manifest"))
+        for (b <- "#base (\\d+)".r.findFirstMatchIn(body).map(_.group(1).toInt))
+          assert(Snapshots.versions(s, dir).contains(b),
+            s"v$v still bases dropped v$b after expire")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
+  test("tag vs retention at depth: 20 commits with expireKeeping " +
+      "cadence + interleaved COW compactions never vacuum the pin") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.Snapshots
+    val staging = Files.createTempDirectory("snap_depth").toString
+    try {
+      val dir = s"$staging/data"
+      val conf = s.sparkContext.hadoopConfiguration
+      def append(i: Int): Int = {
+        Seq((i.toLong, i % 4L, i * 10L)).toDF("id", "b", "v")
+          .coalesce(1).write.mode("append").partitionBy("b").parquet(dir)
+        Snapshots.commit(s, dir)
+      }
+      for (i <- 1 to 3) append(i)
+      val vTag = Snapshots.current(s, dir).get
+      Snapshots.tag(s, dir, "train-r16", vTag)
+      def tagMeta() = {
+        val (hfs, _) = graft.Fs.resolve(dir, conf)
+        Snapshots.files(s, dir, vTag).map { p =>
+          val st = hfs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+          p -> (st.getLen, st.getModificationTime)
+        }.toMap
+      }
+      val pinnedMeta = tagMeta()
+      // 17 more commits; every 5th a COW compaction + retention pass —
+      // the compounding cadence the one-expire test (q139) doesn't reach
+      for (i <- 4 to 20) {
+        append(i)
+        if (i % 5 == 0) {
+          Snapshots.compactCommit(s, dir, Seq("b"), maxFiles = 2)
+          Snapshots.expireKeeping(s, dir, keepLast = 3)
+          // the pin holds at every cadence point: manifest resolvable,
+          // files byte-identical, rollback legal
+          assert(Snapshots.versionOf(s, dir, "train-r16") == vTag)
+          assert(tagMeta() == pinnedMeta,
+            s"tagged files changed under the i=$i maintenance cycle")
+        }
+      }
+      assert(s.read.parquet(Snapshots.files(s, dir, vTag): _*)
+        .count() == 3)
+      // months of cadence later the pin is still a legal rollback
+      // target and restores the exact tagged population
+      val vr = Snapshots.rollback(s, dir,
+        Snapshots.versionOf(s, dir, "train-r16"))
+      val ids = Snapshots.read(s, dir, vr).select("id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L),
+        s"rollback to the tag restored $ids")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("HLL cardinality estimate tracks exact distinct within 5%") {
     val s = spark
     import s.implicits._
