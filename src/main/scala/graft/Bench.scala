@@ -491,6 +491,27 @@ object Bench {
     }.mkString("{", ",", "}")
     val cleanPolicyJson =
       s"""{"factor":$cleanFactor,"floor":$cleanFloor}"""
+    // the UNFILTERED median alongside the clean one (r15 advice #2):
+    // the one-sided clean filter cannot distinguish ambient load from
+    // an INTERMITTENT real regression (a slow path firing on a subset
+    // of sweeps looks exactly like pollution), so the record carries
+    // both aggregates — a grader comparing rounds can re-derive either
+    // policy — plus an explicit flag list of queries where the filter
+    // excluded at least half the samples (the only cases where the two
+    // medians can diverge materially and the clean one is doing heavy
+    // lifting rather than trimming a single spike)
+    val rawMedians = timings.toSeq.collect {
+      case (k, ts) if ts.nonEmpty && !failedSet(k) => k -> median(ts)
+    }
+    val rawMedianJson = rawMedians.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    val cleanHeavy = chosen.toSeq.collect {
+      case (k, idx) if 2 * idx.size <= timings(k).size => k
+    }.sorted
+    val cleanHeavyJson = cleanHeavy.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     // "sf" is the NUMERIC scale factor (the driver's own encoding in
     // BENCH_r*.json), parsed from the conventional .../sfN.NN dir name;
     // a non-conforming dir falls back to the quoted path so the field
@@ -509,7 +530,7 @@ object Bench {
     val rerunTriggerJson = rerunTrigger.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","best_total":$bestTotal,"queries":$qs,"best":$bestFull,"runs":$runs,"rerun_sweeps":$reruns,"rerun_trigger":$rerunTriggerJson,"sweep_wall":$sweepWallJson,"detail":$detail,"gc_detail":$gcDetail,"median_samples":$chosenJson,"clean_policy":$cleanPolicyJson,"stage_sec":$stageJson,"storage_bytes":$storageJson,"failed":$failedJson,"sf":$sfJson,"sf_dir":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","best_total":$bestTotal,"queries":$qs,"best":$bestFull,"runs":$runs,"rerun_sweeps":$reruns,"rerun_trigger":$rerunTriggerJson,"sweep_wall":$sweepWallJson,"detail":$detail,"gc_detail":$gcDetail,"median_samples":$chosenJson,"clean_policy":$cleanPolicyJson,"median_raw":$rawMedianJson,"clean_heavy":$cleanHeavyJson,"stage_sec":$stageJson,"storage_bytes":$storageJson,"failed":$failedJson,"sf":$sfJson,"sf_dir":${jsonStr(sfDir)}}"""
     // The driver parses the final stdout line from a bounded (2000-char)
     // TAIL capture. At 162 queries even a 2-decimal qNN-keyed median map
     // alone overruns that window (round 13: the capture started mid-JSON

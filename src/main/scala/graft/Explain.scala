@@ -125,6 +125,11 @@ object Explain {
     "q138_snapshot_delete" -> "committed-index row-level delete: the tombstone list rides a BROADCAST anti-join under each version's (band_id, kbucket)-pruned manifested scan (merge-on-read), the purge rewrites only partitions holding tombstoned rows (a doc has exactly Bands band rows, so the touched set is naturally narrow); pinned plan is the three-leg as-of serve union",
     "q139_tagged_snapshot" -> "tagged snapshot surviving retention: the tag is one ref file and an expire-time manifest exemption — both serve legs are ordinary manifest-listing scans with (band_id, kbucket) pruning, the tag-resolved leg byte-identical to the pre-append version months of retention later; pinned plan is the two-leg as-of serve union",
     "q140_cluster_representative" -> "quality-aware dup representative: row_number window PARTITIONED by cluster_id (no SinglePartition exchange) over the memoized cluster relation joined to doc lengths — the keep-longest keep-list costs one shuffle of skinny rows, per-task work bounded by the largest cluster",
+    "q141_bm25_occ_append" -> "OCC for derived-artifact commits: additive postings/df-delta segments land once, the conditional stats row is re-DERIVED against each new current and re-published via an explicit-selection CAS commit (a concurrent writer's half-landed files are never swept in); pinned plan is the three-leg as-of serve union with tbucket pruning + query-term pushdown",
+    "q142_zorder_timetravel" -> "Z-order snapshot lifecycle: save/append/delete/purge as manifest commits, serves as-of every version with the driver-side coarse-cell zbucket predicate pruning THROUGH the manifested listing (basePath); tombstones broadcast-anti-join, the COW purge re-z-sorts only touched zbuckets; pinned plan is the four-leg as-of serve union",
+    "q143_ivf_snapshot_delete" -> "committed IVF row-level delete: tombstones append under the manifested tree, version-aware serves anti-join their own version's broadcast list under the cid-pruned probe scan, the COW purge rewrites only cid cells holding tombstoned vectors (a vector lives in exactly ONE cell); pinned plan is the three-leg as-of top-k union",
+    "q144_pq_snapshot_delete" -> "committed PQ row-level delete: tombstones under codes/deletes/, ADC serves anti-join the pinned list under the broadcast lookup-table join, the COW purge rewrites only code FILES holding tombstoned rows (flat table — file granularity, commitReplacingWhere); pinned plan is the three-leg as-of ADC union",
+    "q145_stats_skipping" -> "manifest-level file statistics: the 3-day range plans over only the intersecting files of the version (driver-side bounds check against the appended stats segments — non-matching footers never open), then the exact predicate + one partial-aggregated groupBy; pinned plan is the pruned scan's file count vs the version's",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -162,7 +167,9 @@ object Explain {
     "q132_snapshot_increment", "q133_refresh_timetravel",
     "q134s_manifest_tail", "q135_state_timetravel",
     "q136_parse_quarantine", "q137_occ_commit_retry",
-    "q138_snapshot_delete", "q139_tagged_snapshot")
+    "q138_snapshot_delete", "q139_tagged_snapshot",
+    "q141_bm25_occ_append", "q142_zorder_timetravel",
+    "q143_ivf_snapshot_delete", "q144_pq_snapshot_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -566,7 +566,63 @@ object Temporal {
           .orderBy(col("click_id"), col("purchase_id"))
       }
     },
+
+    // MANIFEST-LEVEL FILE STATISTICS — driver-side scan planning from
+    // per-file column bounds (Iceberg's per-file stats / Delta's
+    // add-file minValues, layered on the snapshot manifests): the
+    // events table lands range-clustered by ts and committed, one
+    // stats segment records each file's (ts, value) bounds, and the
+    // 3-day range read plans over ONLY the intersecting files — at
+    // 10⁶ files the non-intersecting ones are never even opened for
+    // their footers, which is the latency that kills object-store
+    // scans before the first task launches. Pruning is conservative
+    // (unknown files stay, the exact predicate still runs), so the
+    // oracle is simply the plain range SQL; the files-opened proof
+    // lives in ScaleShapeSpec.
+    "q145_stats_skipping" -> { (s, d) =>
+      import graft.plans.{FileStats, Snapshots}
+      val dir = s"${statsTableDir(s, d)}/data"
+      val v = Snapshots.current(s, dir).get
+      // canonical-lane bounds derived by the SAME function the stats
+      // were recorded with (unix_micros), so session-timezone handling
+      // cancels out instead of having to be reasoned about twice
+      val b = s.sql(
+        "SELECT unix_micros(TIMESTAMP'2024-01-10 00:00:00'), " +
+          "unix_micros(TIMESTAMP'2024-01-13 00:00:00')").head()
+      FileStats.readPruned(s, dir, v, "ts", b.getLong(0), b.getLong(1))
+        .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(min(col("value")), 6).as("min_value"),
+          round(max(col("value")), 6).as("max_value"))
+        .orderBy(col("event_type"))
+    },
   )
+
+  private val statsTableMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Session-scoped committed events table for q145, range-clustered
+    * by ts (repartitionByRange gives each file a tight disjoint ts
+    * band — the layout stats skipping exists for) with one recorded
+    * stats segment; built once per (session, sfDir). */
+  private def statsTableDir(s: SparkSession, d: String): String =
+    statsTableMemo.computeIfAbsent((s, d), _ => {
+      val dir = graft.Fs.createStagingDir(s, "graft-filestats")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .repartitionByRange(24, col("ts"))
+        .sortWithinPartitions(col("ts"))
+        .write.parquet(s"$dir/data")
+      val v = graft.plans.Snapshots.commit(s, s"$dir/data")
+      graft.plans.FileStats.recordFor(s, s"$dir/data", v,
+        Seq("ts", "value"))
+      dir
+    })
 
   private val zorderDirMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
@@ -583,6 +639,17 @@ object Temporal {
     })
 
   def oracle: Map[String, String] = oracleBase ++ Map(
+    // stats skipping is a pure scan-planning optimization: the pruned
+    // read + exact predicate must answer exactly the plain range scan
+    "q145_stats_skipping" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(min(value), 6) AS min_value,
+        |  round(max(value), 6) AS max_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // the streaming sessionization must equal the batch form exactly
     "q51s_stream_sessionize" -> oracleBase("q51_sessionize"),
     // the clustered layout must answer exactly what the unclustered

@@ -1,0 +1,189 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PER-FILE COLUMN BOUNDS for driver-side scan planning — the second
+  * half of what a lakehouse manifest carries (Iceberg's per-file
+  * column stats; Delta's add-file minValues/maxValues), layered onto
+  * the [[Snapshots]] manifest the same way the delta manifests were:
+  * as append-only segments folded into planning, never a rewrite.
+  *
+  * WHY, at 100 TB: partition pruning covers the partition key and the
+  * Z-order layout covers its two clustered dimensions, but a range
+  * predicate on any OTHER column still plans a scan over every file
+  * of the version. Parquet row-group statistics eventually skip the
+  * bytes — but only after the scan has OPENED every footer, which at
+  * 10⁶ files is 10⁶ metadata round-trips before the first row task
+  * launches (on an object store, minutes of pure latency). File-level
+  * bounds held OUTSIDE the data files let the driver drop
+  * non-intersecting files from the scan plan for free, exactly like
+  * a manifest resolution: pruning cost is one tiny stats read, not
+  * O(files) footer fetches.
+  *
+  * MECHANICS:
+  *  - Stats live under `dataDir/_filestats/` (the `_` prefix keeps
+  *    them out of data listings and manifests, same as `_manifests`).
+  *  - [[recordFor]] appends ONE segment covering exactly the files of
+  *    version v that no earlier segment covers — O(new files) scan
+  *    work per commit, the same incremental discipline as the delta
+  *    manifests. Values canonicalize to two typed lanes (integral →
+  *    long, covering int/long/date/timestamp; fractional → double)
+  *    so one narrow schema serves every column.
+  *  - [[prunedFiles]] keeps a file when its recorded range intersects
+  *    [lo, hi], when it has NO stats row (conservative: unknown =
+  *    keep), and drops it when its bounds miss or the column is
+  *    all-null in that file (a range predicate cannot match null).
+  *    Pruning is therefore SAFE by construction — the exact predicate
+  *    still runs on what remains; stats only shrink the file list.
+  *
+  * Boundaries, stated: files under snapshot isolation are immutable
+  * (every lifecycle here is copy-on-write and part names carry write
+  * UUIDs), so a stats row can never describe stale content; rows for
+  * expired files are dead weight until the segment fold and are
+  * ignored by the version intersection. DecimalType is refused loudly
+  * rather than rounded through double (a rounded bound could wrongly
+  * exclude a file). Single writer per dataset, like [[Snapshots]].
+  */
+object FileStats {
+
+  private def statsDir(dataDir: String) = s"$dataDir/_filestats"
+
+  /** Canonical lane of a column: integral family → ("i", long expr),
+    * fractional → ("f", double expr). Monotonic casts only — bounds
+    * computed on the canonical value equal canonicalized raw bounds. */
+  private def lane(dt: DataType, c: String): (String, Column) = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      ("i", col(c).cast(LongType))
+    case DateType =>
+      ("i", datediff(col(c), to_date(lit("1970-01-01"))).cast(LongType))
+    case TimestampType => ("i", unix_micros(col(c)))
+    case FloatType | DoubleType => ("f", col(c).cast(DoubleType))
+    case other => throw new IllegalArgumentException(
+      s"FileStats: column '$c' has unsupported type $other — integral, " +
+        "date, timestamp, float and double columns carry exact " +
+        "canonical bounds; decimals would round through double and a " +
+        "rounded bound can wrongly exclude a file")
+  }
+
+  /** dataDir-relative path of a scanned file, as an expression over
+    * `input_file_name()` (which reports scheme-qualified URIs — the
+    * anchor is the dir's scheme-free URI PATH, so file:/ vs file:///
+    * spelling differences don't break the match). */
+  private def relExpr(dataDir: String): Column = {
+    val dirPath = new Path(dataDir).toUri.getPath
+    regexp_extract(input_file_name(),
+      java.util.regex.Pattern.quote(dirPath) + "/(.*)$", 1)
+  }
+
+  private def rel(dataDir: String, file: String): String = {
+    val dn = new Path(dataDir).toUri.getPath
+    val fn = new Path(file).toUri.getPath
+    require(fn.startsWith(dn + "/"), s"$file is not under $dataDir")
+    fn.drop(dn.length + 1)
+  }
+
+  /** The set of relative paths any existing stats segment covers. */
+  private def covered(s: SparkSession, dataDir: String): Set[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val segs = graft.Fs.listDataFiles(statsDir(dataDir), conf)
+      .map(_.getPath.toString)
+    if (segs.isEmpty) Set.empty
+    else s.read.parquet(segs: _*).select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** Record bounds of `cols` for every file of version `v` that no
+    * earlier segment covers — one columnar scan of exactly the NEW
+    * files (never the resident table), landed as one appended segment.
+    * Call after each [[Snapshots]] commit; a fresh dataset's first
+    * call scans everything once. Returns the number of files newly
+    * covered. */
+  def recordFor(s: SparkSession, dataDir: String, v: Int,
+      cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "FileStats.recordFor: no columns given")
+    val done = covered(s, dataDir)
+    val fresh = Snapshots.files(s, dataDir, v)
+      .filterNot(f => done(rel(dataDir, f)))
+    if (fresh.isEmpty) return 0
+    val df = s.read.option("basePath", dataDir).parquet(fresh: _*)
+    val lanes = cols.map(c => c -> lane(df.schema(c).dataType, c))
+    // one grouped aggregate keyed by the producing file: 2 bounds per
+    // column per file ride the shuffle, never rows
+    val aggs = lanes.flatMap { case (c, (_, e)) =>
+      Seq(min(e).as(s"__min_$c"), max(e).as(s"__max_$c")) }
+    val wide = df.groupBy(relExpr(dataDir).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    // melt to the narrow stats schema: one row per (file, col), typed
+    // lane filled, the other lane null
+    val narrow = lanes.map { case (c, (k, _)) =>
+      val (mi, ma) = (col(s"__min_$c"), col(s"__max_$c"))
+      wide.select(col("file"), lit(c).as("col"), lit(k).as("kind"),
+        (if (k == "i") mi else lit(null).cast(LongType)).as("min_i"),
+        (if (k == "i") ma else lit(null).cast(LongType)).as("max_i"),
+        (if (k == "f") mi else lit(null).cast(DoubleType)).as("min_f"),
+        (if (k == "f") ma else lit(null).cast(DoubleType)).as("max_f"))
+    }.reduce(_ unionByName _)
+    // O(batch·cols) rows — the coalesce(1) funnels a tiny relation,
+    // same as the manifest/tombstone writers
+    narrow.coalesce(1).write.mode("append").parquet(statsDir(dataDir))
+    fresh.size
+  }
+
+  private def segments(s: SparkSession, dataDir: String): Seq[String] =
+    graft.Fs.listDataFiles(statsDir(dataDir),
+      s.sparkContext.hadoopConfiguration).map(_.getPath.toString)
+
+  /** Version `v`'s files (absolute, sorted) with every file whose
+    * recorded `column` bounds cannot intersect [lo, hi] dropped:
+    * unknown files stay (conservative), all-null files drop (a range
+    * predicate never matches null). `lo`/`hi` are in the column's
+    * canonical lane — raw value for integral columns, epoch DAYS for
+    * dates, epoch MICROS for timestamps. */
+  def prunedFiles(s: SparkSession, dataDir: String, v: Int,
+      column: String, lo: Long, hi: Long): Seq[String] =
+    pruned(s, dataDir, v, column, "i",
+      r => !(r.isNullAt(0) || r.getLong(1) < lo || r.getLong(0) > hi))
+
+  /** Fractional-lane twin of [[prunedFiles]]. */
+  def prunedFilesDouble(s: SparkSession, dataDir: String, v: Int,
+      column: String, lo: Double, hi: Double): Seq[String] =
+    pruned(s, dataDir, v, column, "f",
+      r => !(r.isNullAt(0) || r.getDouble(1) < lo || r.getDouble(0) > hi))
+
+  private def pruned(s: SparkSession, dataDir: String, v: Int,
+      column: String, kind: String,
+      keep: org.apache.spark.sql.Row => Boolean): Seq[String] = {
+    val vf = Snapshots.files(s, dataDir, v)
+    val segs = segments(s, dataDir)
+    if (segs.isEmpty) return vf
+    // the stats relation is O(files·cols) TINY rows — the collect is
+    // the same driver-side footprint as the manifest listing itself,
+    // filtered to the one probed column before it moves
+    val known = s.read.parquet(segs: _*)
+      .where(col("col") === column && col("kind") === kind)
+      .select(col("min_" + kind), col("max_" + kind), col("file"))
+      .collect()
+      .map(r => r.getString(2) -> keep(r)).toMap
+    vf.filter(f => known.getOrElse(rel(dataDir, f), true))
+  }
+
+  /** [[Snapshots.read]] with the scan plan pre-pruned by the recorded
+    * bounds: reads exactly version `v`'s intersecting files (basePath
+    * keeps partition columns). The caller still applies the exact
+    * predicate — stats only shrink the file list, never the rows. An
+    * all-files-pruned version yields an empty frame with the live
+    * schema. */
+  def readPruned(s: SparkSession, dataDir: String, v: Int,
+      column: String, lo: Long, hi: Long): DataFrame = {
+    val fl = prunedFiles(s, dataDir, v, column, lo, hi)
+    if (fl.isEmpty) {
+      val any = Snapshots.files(s, dataDir, v)
+      require(any.nonEmpty,
+        s"readPruned: snapshot v$v under $dataDir has no files")
+      s.read.option("basePath", dataDir).parquet(any.head).limit(0)
+    } else s.read.option("basePath", dataDir).parquet(fl: _*)
+  }
+}

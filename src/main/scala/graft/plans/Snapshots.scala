@@ -119,13 +119,24 @@ object Snapshots {
   def commit(s: SparkSession, dataDir: String): Int =
     writeManifest(s, dataDir, listRel(s, dataDir))
 
+  /** A dataDir-relative path is BOOKKEEPING (not data) when any of
+    * its segments is `_`/`.`-prefixed — Spark's own hidden-file
+    * convention, which its readers also skip. This is what keeps
+    * sidecar trees (`_manifests/`, [[FileStats]]'s `_filestats/`)
+    * out of commits AND out of [[expire]]'s orphan sweep: a stats
+    * segment is referenced by no manifest by design, and sweeping it
+    * as an orphan would silently destroy the scan-planning bounds. */
+  private def isHidden(relPath: String): Boolean =
+    relPath.split('/').exists(seg =>
+      seg.startsWith("_") || seg.startsWith("."))
+
   /** Current on-disk data files of `dataDir`, as dataDir-relative
-    * paths (manifest bookkeeping excluded). */
+    * paths (hidden bookkeeping trees excluded — see [[isHidden]]). */
   private def listRel(s: SparkSession, dataDir: String): Seq[String] =
     graft.Fs.listDataFiles(dataDir, s.sparkContext.hadoopConfiguration)
       .map(_.getPath.toString)
-      .filterNot(_.contains("/_manifests/"))
       .map(rel(dataDir, _))
+      .filterNot(isHidden)
 
   /** Commit an EXPLICIT dataDir-relative file set as the next version
     * — the primitive behind both [[commit]] (current listing) and
@@ -654,7 +665,7 @@ object Snapshots {
       .flatMap(v => files(s, dataDir, v)).toSet
     val all = graft.Fs.listDataFiles(dataDir, conf)
       .map(_.getPath.toString)
-      .filterNot(_.contains("/_manifests/"))
+      .filterNot(p => isHidden(rel(dataDir, p)))
     var n = 0
     for (p <- all if !live.contains(s"$dataDir/${rel(dataDir, p)}")) {
       f.delete(new Path(p), false)

@@ -1043,6 +1043,73 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("Z-order snapshot commits: the manifested as-of scan still prunes " +
+      "zbuckets; pre-append files byte-identical through append + delete " +
+      "+ purge; v1 blind to every later commit") {
+    val s = spark
+    import graft.plans.{Snapshots, ZOrderLayout}
+    val staging = Files.createTempDirectory("zorder_snap").toString
+    try {
+      val dir = s"$staging/layout"
+      val rows = Tables.events(s, sf).select(col("event_id"),
+        col("user_id"), col("event_type"), col("value"))
+      val (_, v1) = ZOrderLayout.saveCommit(s,
+        rows.where(col("event_id") % 2 === 0), dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val (hfs, _) = graft.Fs.resolve(dir, conf)
+      def v1Meta() = Snapshots.files(s, s"$dir/data", v1).map { p =>
+        val st = hfs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+        p -> (st.getLen, st.getModificationTime)
+      }.toMap
+      val pre = v1Meta()
+      val v2 = ZOrderLayout.appendCommit(s, dir,
+        rows.where(col("event_id") % 2 === 1))
+      ZOrderLayout.deleteCommit(s, dir,
+        rows.where(col("event_id") % 7 === 0).select(col("event_id")))
+      val v4 = ZOrderLayout.purgeCommit(s, dir)
+      // copy-on-write all the way down: nothing the lifecycle did
+      // moved or rewrote a single v1 byte
+      assert(v1Meta() == pre, "a later commit mutated v1's files")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().sorted.toSeq
+      // v1 leg is blind to the append even though appended files sit
+      // in the SAME zbucket directories — the manifest defines the scan
+      assert(key(ZOrderLayout.serveAsOf(s, dir, v1, 3L, 7L, 50.0, 150.0)) ==
+        key(rows.where(col("event_id") % 2 === 0 &&
+          col("user_id").between(3, 7) && col("value").between(50.0, 150.0))),
+        "v1 as-of serve does not match the v1 population")
+      // pruning THROUGH the manifested listing (the whole point of
+      // committing the layout): the as-of box scan must open strictly
+      // fewer files than the version references
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val p = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        p.collectLeaves()
+          .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }
+          .sum
+      }
+      val vAll = Snapshots.files(s, s"$dir/data", v4)
+        .count(!_.contains("/deletes/")).toLong
+      val box = filesRead(ZOrderLayout.serveAsOf(s, dir, v4, 3L, 7L, 50.0, 150.0))
+      assert(box > 0 && box < vAll,
+        s"as-of box query read $box of $vAll manifested files — the " +
+          "zbucket predicate is not pruning through the explicit listing")
+      // and the purged current version equals the survivor population
+      assert(key(ZOrderLayout.serveAsOf(s, dir, v4, 3L, 7L, 50.0, 150.0)) ==
+        key(rows.where(col("event_id") % 7 =!= 0 &&
+          col("user_id").between(3, 7) && col("value").between(50.0, 150.0))),
+        "post-purge as-of serve does not match the survivor population")
+      assert(v2 == v1 + 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("q106 typed Aggregator plans with map-side partial aggregation") {
     // the property that makes the custom reservoir safe at scale: the
     // bounded buffer reduces BEFORE the exchange (ObjectHashAggregate
@@ -2864,6 +2931,78 @@ class ScaleShapeSpec extends SparkSpec {
       assert(got.toSet === expected,
         s"pair-set mismatch at profile=$profile t=$threshold g=$groups")
     }
+  }
+
+  test("file stats: recordFor scans only uncovered files, pruning drops " +
+      "non-intersecting files, unknown files stay, answers stay exact") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{FileStats, Snapshots}
+    val staging = Files.createTempDirectory("filestats").toString
+    try {
+      val dir = s"$staging/data"
+      val rows = Tables.events(s, sf).select(col("event_id"), col("ts"),
+        col("event_type"), col("value"))
+      rows.where(col("event_id") % 2 === 0)
+        .repartitionByRange(12, col("ts")).sortWithinPartitions(col("ts"))
+        .write.mode("append").parquet(dir)
+      val v1 = Snapshots.commit(s, dir)
+      val n1 = FileStats.recordFor(s, dir, v1, Seq("ts", "value"))
+      assert(n1 == Snapshots.files(s, dir, v1).size,
+        "first record must cover every file")
+      // an ingest batch lands; the second record call must scan ONLY
+      // the new files — O(new), never the resident table
+      rows.where(col("event_id") % 2 === 1)
+        .repartitionByRange(3, col("ts")).sortWithinPartitions(col("ts"))
+        .write.mode("append").parquet(dir)
+      val v2 = Snapshots.commit(s, dir)
+      val n2 = FileStats.recordFor(s, dir, v2, Seq("ts", "value"))
+      assert(n2 == Snapshots.files(s, dir, v2).size - n1,
+        s"incremental record covered $n2 files, expected only the new ones")
+      assert(FileStats.recordFor(s, dir, v2, Seq("ts", "value")) == 0,
+        "a no-op record call must scan nothing")
+      // pruning on the timestamp lane: a 3-day band of a 30-day table
+      // clustered into 15 range files must drop most of them
+      val b = s.sql(
+        "SELECT unix_micros(TIMESTAMP'2024-01-10 00:00:00'), " +
+          "unix_micros(TIMESTAMP'2024-01-13 00:00:00')").head()
+      val all = Snapshots.files(s, dir, v2).size
+      val kept = FileStats.prunedFiles(s, dir, v2, "ts",
+        b.getLong(0), b.getLong(1))
+      assert(kept.nonEmpty && kept.size < all,
+        s"ts-band pruning kept ${kept.size} of $all files")
+      // exactness: pruned read + exact predicate ≡ full scan + predicate
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().sorted.toSeq
+      val pred = (df: org.apache.spark.sql.DataFrame) => df.where(
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+      assert(key(pred(FileStats.readPruned(s, dir, v2, "ts",
+          b.getLong(0), b.getLong(1)))) ==
+        key(pred(Snapshots.read(s, dir, v2))),
+        "stats-pruned read diverges from the full version scan")
+      // the double lane prunes too (value is uniform per file here, so
+      // only assert safety: full-range keeps everything)
+      assert(FileStats.prunedFilesDouble(s, dir, v2, "value",
+        Double.MinValue, Double.MaxValue).size == all)
+      // conservatism: a file landed WITHOUT a stats row must be kept
+      Seq((999999999L, java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+          "click", 1.0))
+        .toDF("event_id", "ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+      val v3 = Snapshots.commit(s, dir)
+      val keptV3 = FileStats.prunedFiles(s, dir, v3, "ts",
+        b.getLong(0), b.getLong(1))
+      assert(keptV3.size == kept.size + 1,
+        "an unknown (stats-less) file must survive pruning")
+      // unsupported types refuse loudly instead of rounding bounds
+      val e = intercept[IllegalArgumentException](
+        FileStats.recordFor(s, dir, v3, Seq("event_type")))
+      assert(e.getMessage.contains("unsupported type"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
   }
 
   test("delta manifests: a commit on a 10^4-file dataset writes O(new " +
