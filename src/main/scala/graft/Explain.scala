@@ -130,6 +130,7 @@ object Explain {
     "q143_ivf_snapshot_delete" -> "committed IVF row-level delete: tombstones append under the manifested tree, version-aware serves anti-join their own version's broadcast list under the cid-pruned probe scan, the COW purge rewrites only cid cells holding tombstoned vectors (a vector lives in exactly ONE cell); pinned plan is the three-leg as-of top-k union",
     "q144_pq_snapshot_delete" -> "committed PQ row-level delete: tombstones under codes/deletes/, ADC serves anti-join the pinned list under the broadcast lookup-table join, the COW purge rewrites only code FILES holding tombstoned rows (flat table — file granularity, commitReplacingWhere); pinned plan is the three-leg as-of ADC union",
     "q145_stats_skipping" -> "manifest-level file statistics: the 3-day range plans over only the intersecting files of the version (driver-side bounds check against the appended stats segments — non-matching footers never open), then the exact predicate + one partial-aggregated groupBy; pinned plan is the pruned scan's file count vs the version's",
+    "q146_table_delete" -> "corpus-table row-level delete: tombstones land as one file inside the manifested tree (merge-on-read — broadcast anti-join under each version's scan), the COW purge rewrites only files holding tombstoned rows via a skinny (id, input_file_name) probe under the broadcast list; pinned plan is the three-leg as-of union",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -169,7 +170,8 @@ object Explain {
     "q136_parse_quarantine", "q137_occ_commit_retry",
     "q138_snapshot_delete", "q139_tagged_snapshot",
     "q141_bm25_occ_append", "q142_zorder_timetravel",
-    "q143_ivf_snapshot_delete", "q144_pq_snapshot_delete")
+    "q143_ivf_snapshot_delete", "q144_pq_snapshot_delete",
+    "q146_table_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

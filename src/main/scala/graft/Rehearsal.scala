@@ -55,7 +55,21 @@ object Rehearsal {
     // KBuckets by construction however large the delete; q129 above
     // now also exercises the segmented vocabulary (per-commit df
     // deltas, sum-on-read) under the 10x corpus
-    "q138_snapshot_delete")
+    "q138_snapshot_delete",
+    // round-16: the remaining committed lifecycles. The claims under
+    // pressure: (q141) the OCC re-derive retry costs one re-read +
+    // one re-landed stats sibling per conflict — bookkeeping, never a
+    // function of corpus size; (q142) the Z-order
+    // save/append/delete/purge chain under manifest commits touches
+    // only tombstone-holding or fragmented zbuckets on purge and the
+    // as-of serves stay zbucket-pruned through the explicit listing;
+    // (q143/q144) the IVF/PQ committed deletes rewrite only the
+    // deleted vectors' cid cells / code files; (q145) stats recording
+    // scans only uncovered files and range planning stays driver-side
+    // however many files the version references
+    "q141_bm25_occ_append", "q142_zorder_timetravel",
+    "q143_ivf_snapshot_delete", "q144_pq_snapshot_delete",
+    "q145_stats_skipping")
 
   private final class TaskMax extends SparkListener {
     val maxInput = new java.util.concurrent.atomic.AtomicLong(0)
@@ -105,8 +119,13 @@ object Rehearsal {
       }
       val nDocs = selfUnion("documents", "doc_id")
       val nVecs = selfUnion("embeddings", "vec_id")
+      // events multiply under the SAME time range — the adversarial
+      // direction for the layout family: 10x row density per zbucket
+      // and per ts-range file, so fragmentation/purge bounds see real
+      // pressure rather than just a longer timeline
+      val nEvs = selfUnion("events", "event_id")
       println(s"[rehearsal] staged ${factor}x corpus at $dir: " +
-        s"$nDocs documents, $nVecs embeddings")
+        s"$nDocs documents, $nVecs embeddings, $nEvs events")
 
       val listener = new TaskMax
       spark.sparkContext.addSparkListener(listener)

@@ -747,6 +747,42 @@ object TextAnalysis {
       } finally graft.Fs.deleteRecursively(staging,
         s.sparkContext.hadoopConfiguration)
     },
+
+    // ROW-LEVEL DELETE FOR THE CORPUS TABLE ITSELF — the erasure path
+    // every derived index family already has, applied to the committed
+    // documents table (the most common governance operation a training
+    // pipeline runs: "forget these doc_ids"): the delete lands as ONE
+    // tombstone file inside the manifested tree (v2 — merge-on-read,
+    // nothing rewritten, pre-delete files byte-identical), the COW
+    // purge rewrites ONLY the files holding tombstoned rows and drops
+    // the list (v3 — physical erasure, v3 ≡ v2 rows); residency and
+    // double-delete are both enforced loudly, re-ingest of a
+    // tombstoned id refuses until purged. Oracle = the documents
+    // population per version.
+    "q146_table_delete" -> { (s, d) =>
+      import graft.plans.SnapshotTable
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val staging = graft.Fs.createStagingDir(s, "graft-tbl-delete")
+      try {
+        val dir = s"$staging/corpus"
+        val v1 = SnapshotTable.saveCommit(s,
+          docs.repartition(8, col("doc_id")), dir)
+        val v2 = SnapshotTable.deleteCommit(s, dir,
+          docs.where(col("doc_id") % 7 === 0).select(col("doc_id")),
+          "doc_id")
+        val v3 = SnapshotTable.purgeCommit(s, dir, "doc_id")
+        def leg(v: Int, tag: Int) =
+          SnapshotTable.readAsOf(s, dir, v, "doc_id")
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2))
+            .unionByName(leg(v3, 3)))
+          .select(col("version"), col("doc_id"), col("n_chars"))
+          .orderBy(col("version"), col("doc_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
   /** Pristine committed-v1 BM25 snapshot index for q129 — the v1
@@ -1070,6 +1106,16 @@ object TextAnalysis {
         1 -> "doc_id % 10 BETWEEN 1 AND 8",
         2 -> "doc_id % 10 <> 0",
         3 -> "TRUE")),
+      // v1 everything, v2 merge-on-read survivors, v3 post-purge ≡ v2
+      // (the purge is purely physical)
+      "q146_table_delete" -> {
+        def leg(tag: Int, popWhere: String) =
+          s"""SELECT $tag AS version, doc_id, n_chars
+             |FROM documents WHERE $popWhere""".stripMargin
+        Seq(leg(1, "TRUE"), leg(2, "doc_id % 7 <> 0"),
+            leg(3, "doc_id % 7 <> 0"))
+          .mkString("\nUNION ALL\n") + "\nORDER BY version, doc_id"
+      },
       "q44_fuzzy_match" ->
         """WITH names AS (
           |  SELECT DISTINCT p_name,

@@ -170,6 +170,41 @@ object FileStats {
     vf.filter(f => known.getOrElse(rel(dataDir, f), true))
   }
 
+  /** FOLD the stats segments: rewrite every accumulated segment as
+    * ONE netted segment holding only rows for files some LIVE version
+    * still references, then drop the old segments — the same
+    * fold-at-retention discipline as the delta manifests and the BM25
+    * df-delta segments, run after [[Snapshots.expire]] so rows for
+    * vacuumed files don't accumulate forever. Crash-safe by ordering:
+    * the netted segment lands first (duplicate rows are harmless —
+    * stats of an immutable file are deterministic, so every consumer
+    * map-dedups to identical values), old segments are deleted after.
+    * Returns the number of dead rows dropped. */
+  def compactStats(s: SparkSession, dataDir: String): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val old = segments(s, dataDir)
+    if (old.isEmpty) return 0L
+    val live: Set[String] = Snapshots.versions(s, dataDir)
+      .flatMap(v => Snapshots.files(s, dataDir, v))
+      .map(rel(dataDir, _)).toSet
+    val all = s.read.parquet(old: _*)
+    val total = all.count()
+    // live-file filter as a JOIN, not an In-literal: at 10⁶ files the
+    // literal list would sink codegen; the relation form broadcasts
+    import s.implicits._
+    val liveRel = live.toSeq.toDF("file")
+    val kept = all.join(
+        org.apache.spark.sql.functions.broadcast(liveRel), Seq("file"),
+        "left_semi")
+      .dropDuplicates("file", "col")
+    val nKept = kept.count()
+    if (nKept == total && old.size <= 1) return 0L
+    kept.coalesce(1).write.mode("append").parquet(statsDir(dataDir))
+    val (f, _) = graft.Fs.resolve(dataDir, conf)
+    for (p <- old) f.delete(new Path(p), false)
+    total - nKept
+  }
+
   /** [[Snapshots.read]] with the scan plan pre-pruned by the recorded
     * bounds: reads exactly version `v`'s intersecting files (basePath
     * keeps partition columns). The caller still applies the exact

@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ROW-LEVEL DML for a plain committed TABLE — the corpus itself, not
+  * an index over it. Every derived family already has an erasure path
+  * (MinHash bands, BM25 postings, IVF cells, PQ codes, the Z-order
+  * layout), but the most common governance operation in a
+  * training-data pipeline is "delete these doc_ids from the COMMITTED
+  * CORPUS" — and without a first-class form it gets improvised as an
+  * in-place rewrite that dangles every older snapshot. This is the
+  * q138 tombstone shape applied to an arbitrary flat table:
+  *
+  *  - [[deleteCommit]] appends the ids as a tombstone file under
+  *    `deletes/` INSIDE the manifested tree (one version pins rows
+  *    and applicable deletes together; nothing is rewritten, so every
+  *    pre-delete file stays byte-identical), with BOTH halves of the
+  *    delete contract enforced loudly: the ids must be current
+  *    RESIDENTS (a never-ingested id is a caller bug that would
+  *    silently skew downstream row counts) and must not already be
+  *    tombstoned (double deletes corrupt the merge-on-read
+  *    complement).
+  *  - [[readAsOf]] is merge-on-read: the version's data files minus
+  *    its own pinned tombstones (broadcast anti-join — delete-sized,
+  *    never corpus-sized).
+  *  - [[purgeCommit]] is the copy-on-write physical erasure: only the
+  *    FILES holding tombstoned rows rewrite their survivors as new
+  *    siblings, every other file carries verbatim into the next
+  *    manifest, which also drops the tombstone list. A flat table has
+  *    no partition locality, so file granularity is the locality unit
+  *    (the same trade as the PQ codes purge, stated rather than
+  *    hidden; key-clustered tables bound the touched set by keeping
+  *    deletes key-local). Older versions keep serving their own files
+  *    until [[Snapshots.expire]].
+  *  - [[appendCommit]] guards RE-INGEST of a tombstoned id — the
+  *    physical rows would resurrect the moment a purge drops the
+  *    list — mirroring the index families' guard.
+  *
+  * Boundaries: FLAT tables only (no hive-partition dirs — the purge
+  * rewrite could not reconstruct partition spraying generically;
+  * partitioned artifacts use their family's own lifecycle), single
+  * writer per table like [[Snapshots.commit]].
+  */
+object SnapshotTable {
+
+  private def deletesPrefix = "deletes"
+
+  private def requireFlat(s: SparkSession, dataDir: String, v: Int): Unit =
+    for (f <- Snapshots.files(s, dataDir, v)
+         if f.split('/').exists(_.contains("=")))
+      throw new IllegalArgumentException(
+        s"SnapshotTable: $dataDir looks hive-partitioned ($f) — the " +
+          "generic flat-table purge cannot reconstruct partition " +
+          "spraying; use the owning family's lifecycle instead")
+
+  /** Version `v`'s manifested files split into (data, tombstones). */
+  private def pieces(s: SparkSession, dataDir: String,
+      v: Int): (Seq[String], Seq[String]) =
+    Snapshots.files(s, dataDir, v)
+      .partition(f => !f.startsWith(s"$dataDir/$deletesPrefix/"))
+
+  /** Save `rows` as version 1 of a fresh committed table. */
+  def saveCommit(s: SparkSession, rows: DataFrame,
+      dataDir: String): Int = {
+    require(Snapshots.current(s, dataDir).isEmpty,
+      s"saveCommit: $dataDir already has committed versions — append " +
+        "via appendCommit")
+    rows.write.mode("append").parquet(dataDir)
+    Snapshots.commit(s, dataDir)
+  }
+
+  /** Append a batch and commit — refusing ids that are tombstoned as
+    * of the current version (their physical rows would resurrect when
+    * a purge drops the list; purge first, then re-ingest). */
+  def appendCommit(s: SparkSession, dataDir: String, rows: DataFrame,
+      idCol: String): Int = {
+    val v = Snapshots.current(s, dataDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"appendCommit: no committed version under $dataDir"))
+    val tombF = pieces(s, dataDir, v)._2
+    if (tombF.nonEmpty) {
+      val clash = rows.select(col(idCol)).distinct()
+        .join(broadcast(s.read.parquet(tombF: _*)), Seq(idCol),
+          "left_semi").count()
+      require(clash == 0L,
+        s"appendCommit: $clash $idCol(s) are tombstoned as of v$v — " +
+          "run purgeCommit before re-ingesting a deleted id")
+    }
+    rows.write.mode("append").parquet(dataDir)
+    Snapshots.commit(s, dataDir)
+  }
+
+  /** Row-level DELETE under snapshot isolation: land the ids as ONE
+    * tombstone file inside the manifested tree and commit. Both
+    * delete-contract halves are enforced: every id must be a current
+    * RESIDENT (not merely un-tombstoned — deleting a never-ingested
+    * id would silently skew every later count) and not already
+    * tombstoned. Returns the committed version. */
+  def deleteCommit(s: SparkSession, dataDir: String,
+      deleteIds: DataFrame, idCol: String): Int = {
+    val v = Snapshots.current(s, dataDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"deleteCommit: no committed version under $dataDir"))
+    requireFlat(s, dataDir, v)
+    val staged = graft.Materialize.cut(
+      deleteIds.select(col(idCol)).distinct())
+    try {
+      val n = staged.count()
+      val (dataF, tombF) = pieces(s, dataDir, v)
+      if (tombF.nonEmpty) {
+        val clash = staged
+          .join(broadcast(s.read.parquet(tombF: _*)), Seq(idCol),
+            "left_semi").count()
+        require(clash == 0L,
+          s"deleteCommit: $clash $idCol(s) are already tombstoned as " +
+            s"of v$v — a repeated delete is a caller bug")
+      }
+      val resident = staged
+        .join(s.read.parquet(dataF: _*).select(col(idCol)),
+          Seq(idCol), "left_semi").count()
+      require(resident == n,
+        s"deleteCommit: ${n - resident} $idCol(s) are not residents " +
+          s"of v$v — deleting a never-ingested id would silently " +
+          "skew every later version's row accounting")
+      staged.coalesce(1).write.mode("append")
+        .parquet(s"$dataDir/$deletesPrefix")
+      Snapshots.commitReplacing(s, dataDir, v, Nil)
+    } finally graft.Materialize.release(staged)
+  }
+
+  /** MERGE-ON-READ serve of version `v`: its manifested data files
+    * minus its own pinned tombstones. */
+  def readAsOf(s: SparkSession, dataDir: String, v: Int,
+      idCol: String): DataFrame = {
+    val (dataF, tombF) = pieces(s, dataDir, v)
+    val data = s.read.option("basePath", dataDir).parquet(dataF: _*)
+    if (tombF.isEmpty) data
+    else data.join(broadcast(s.read.parquet(tombF: _*)), Seq(idCol),
+      "left_anti")
+  }
+
+  /** COPY-ON-WRITE physical erasure: rewrite ONLY the data files
+    * holding tombstoned rows (survivors land as new siblings), carry
+    * every untouched file verbatim, drop the tombstone list from the
+    * next manifest. Older versions keep reading their own files until
+    * expired. Returns the committed version (unchanged when there is
+    * nothing to purge). */
+  def purgeCommit(s: SparkSession, dataDir: String,
+      idCol: String): Int = {
+    val v = Snapshots.current(s, dataDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"purgeCommit: no committed version under $dataDir"))
+    requireFlat(s, dataDir, v)
+    val (dataF, tombF) = pieces(s, dataDir, v)
+    if (tombF.isEmpty) return v
+    val tombs = s.read.parquet(tombF: _*)
+    // which FILES hold a tombstoned row: a skinny (id, file) scan
+    // under the broadcast delete list — columnar projection makes
+    // this one cheap column + file names, the flat-table MoR trade
+    val touched: Set[String] = s.read.parquet(dataF: _*)
+      .select(col(idCol), input_file_name().as("__f"))
+      .join(broadcast(tombs), Seq(idCol), "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    def hit(f: String) = touched(new Path(f).toUri.getPath)
+    val rewrite = dataF.filter(hit)
+    if (rewrite.nonEmpty) {
+      val survivors = s.read.parquet(rewrite: _*)
+        .join(broadcast(tombs), Seq(idCol), "left_anti")
+      survivors.write.mode("append").parquet(dataDir)
+    }
+    val dn = new Path(dataDir).toUri.getPath
+    def relOf(abs: String) = new Path(abs).toUri.getPath.drop(dn.length + 1)
+    val dropRel = (rewrite ++ tombF).map(relOf).toSet
+    Snapshots.commitReplacingWhere(s, dataDir, v, dropRel.contains)
+  }
+}

@@ -2933,6 +2933,88 @@ class ScaleShapeSpec extends SparkSpec {
     }
   }
 
+  test("corpus-table delete: tombstone commit rewrites nothing, purge " +
+      "touches only files holding tombstoned rows, guards refuse " +
+      "double-delete / non-resident / re-ingest / partitioned tables") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{SnapshotTable, Snapshots}
+    val staging = Files.createTempDirectory("tbl_delete").toString
+    try {
+      val dir = s"$staging/corpus"
+      // 8 doc_id-clustered files so the delete (all ids ≡ 0 mod 7 in
+      // one hash bucket? no — hash spray) touches SOME but not all
+      val docs = Tables.documents(s, sf)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      // range-partition by doc_id so tombstones have file locality
+      // and the purge's "touched files only" claim is non-vacuous
+      val v1 = SnapshotTable.saveCommit(s,
+        docs.repartitionByRange(8, col("doc_id")), dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val (hfs, _) = graft.Fs.resolve(dir, conf)
+      def meta(v: Int) = Snapshots.files(s, dir, v).map { p =>
+        val st = hfs.getFileStatus(new org.apache.hadoop.fs.Path(p))
+        p -> (st.getLen, st.getModificationTime)
+      }.toMap
+      val v1Meta = meta(v1)
+      // delete a doc_id-range slice: resident in few files
+      val lo = docs.agg(min(col("doc_id"))).head().getLong(0)
+      val dels = docs.where(col("doc_id").between(lo, lo + 20))
+        .select(col("doc_id"))
+      val v2 = SnapshotTable.deleteCommit(s, dir, dels, "doc_id")
+      // merge-on-read: nothing rewritten — every v1 file byte-identical
+      assert(meta(v1) == v1Meta, "delete commit mutated v1 files")
+      // double delete refuses
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.deleteCommit(s, dir, dels.limit(1), "doc_id"))
+        .getMessage.contains("already tombstoned"))
+      // non-resident refuses
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.deleteCommit(s, dir,
+          Seq(-99999L).toDF("doc_id"), "doc_id"))
+        .getMessage.contains("not residents"))
+      // re-ingest of a tombstoned id refuses until purged
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.appendCommit(s, dir,
+          docs.where(col("doc_id") === lo), "doc_id"))
+        .getMessage.contains("tombstoned"))
+      val v2Data = Snapshots.files(s, dir, v2)
+        .filterNot(_.contains("/deletes/")).toSet
+      val v3 = SnapshotTable.purgeCommit(s, dir, "doc_id")
+      // locality: untouched files carry VERBATIM into v3 (same paths)
+      val v3Files = Snapshots.files(s, dir, v3).toSet
+      val carried = v2Data.intersect(v3Files)
+      val rewritten = v2Data -- v3Files
+      assert(rewritten.nonEmpty && rewritten.size < v2Data.size,
+        s"purge rewrote ${rewritten.size} of ${v2Data.size} files — " +
+          "expected only the tombstone-holding subset")
+      assert(carried.nonEmpty, "no file carried verbatim through purge")
+      assert(!v3Files.exists(_.contains("/deletes/")),
+        "v3 still references the tombstone list")
+      // physical: v3 rows ≡ v2 merge-on-read rows
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").as[Long].collect().sorted.toSeq
+      assert(ids(SnapshotTable.readAsOf(s, dir, v3, "doc_id")) ==
+        ids(SnapshotTable.readAsOf(s, dir, v2, "doc_id")))
+      // v1 time travel still sees the deleted rows
+      assert(ids(SnapshotTable.readAsOf(s, dir, v1, "doc_id")) ==
+        ids(docs))
+      // post-purge the id is re-ingestable
+      SnapshotTable.appendCommit(s, dir,
+        docs.where(col("doc_id") === lo), "doc_id")
+      // partitioned tables refuse the generic flat lifecycle
+      val pdir = s"$staging/part"
+      Seq((1L, 0), (2L, 1)).toDF("doc_id", "b")
+        .write.partitionBy("b").parquet(pdir)
+      Snapshots.commit(s, pdir)
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.deleteCommit(s, pdir, Seq(1L).toDF("doc_id"),
+          "doc_id"))
+        .getMessage.contains("hive-partitioned"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("file stats: recordFor scans only uncovered files, pruning drops " +
       "non-intersecting files, unknown files stay, answers stay exact") {
     val s = spark
@@ -3001,6 +3083,24 @@ class ScaleShapeSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](
         FileStats.recordFor(s, dir, v3, Seq("event_type")))
       assert(e.getMessage.contains("unsupported type"))
+      // stats FOLD at retention: roll back to v1, expire everything
+      // else — the odd-slice and manual files die, and compactStats
+      // must drop exactly their rows while pruning answers stay put
+      val v4 = Snapshots.rollback(s, dir, 1)
+      Snapshots.expireKeeping(s, dir, keepLast = 1)
+      val dropped = FileStats.compactStats(s, dir)
+      assert(dropped > 0, "no dead stats rows dropped after expire")
+      val keptV4 = FileStats.prunedFiles(s, dir, v4, "ts",
+        b.getLong(0), b.getLong(1))
+      assert(keptV4.nonEmpty &&
+        keptV4.size < Snapshots.files(s, dir, v4).size,
+        "pruning regressed after the stats fold")
+      assert(key(pred(FileStats.readPruned(s, dir, v4, "ts",
+          b.getLong(0), b.getLong(1)))) ==
+        key(pred(Snapshots.read(s, dir, v4))),
+        "stats-pruned read diverges after the fold")
+      assert(FileStats.compactStats(s, dir) == 0L,
+        "a second fold with nothing dead must be a no-op")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(staging))
   }
