@@ -47,9 +47,20 @@ object SnapshotTable {
 
   private def deletesPrefix = "deletes"
 
+  /** `file` relative to `dataDir` (scheme-tolerant, like
+    * [[Snapshots]]'s own rel). */
+  private def relOf(dataDir: String, file: String): String = {
+    val dn = new Path(dataDir).toUri.getPath
+    new Path(file).toUri.getPath.drop(dn.length + 1)
+  }
+
+  /** The hive-partition refusal inspects only the dataDir-RELATIVE
+    * segments: a `key=value` segment in the table's own ancestry
+    * (`.../run=3/corpus`) is the caller's directory naming, not a
+    * partition layout, and must not reject the lifecycle. */
   private def requireFlat(s: SparkSession, dataDir: String, v: Int): Unit =
     for (f <- Snapshots.files(s, dataDir, v)
-         if f.split('/').exists(_.contains("=")))
+         if relOf(dataDir, f).split('/').exists(_.contains("=")))
       throw new IllegalArgumentException(
         s"SnapshotTable: $dataDir looks hive-partitioned ($f) — the " +
           "generic flat-table purge cannot reconstruct partition " +
@@ -89,7 +100,14 @@ object SnapshotTable {
           "run purgeCommit before re-ingesting a deleted id")
     }
     rows.write.mode("append").parquet(dataDir)
-    Snapshots.commit(s, dataDir)
+    // SELECTION commit, never a full disk re-listing: after a purge
+    // the dropped pre-purge files and the tombstone list stay on disk
+    // for the OLDER versions until expire — a listing commit would
+    // sweep them back in (duplicated survivor rows, and a re-pinned
+    // tombstone list that anti-joins away exactly the ids the guard
+    // above just told the caller to purge-then-re-ingest). v's files
+    // plus the newly-landed unreferenced batch is the append.
+    Snapshots.commitReplacing(s, dataDir, v, Nil)
   }
 
   /** Row-level DELETE under snapshot isolation: land the ids as ONE
@@ -171,9 +189,7 @@ object SnapshotTable {
         .join(broadcast(tombs), Seq(idCol), "left_anti")
       survivors.write.mode("append").parquet(dataDir)
     }
-    val dn = new Path(dataDir).toUri.getPath
-    def relOf(abs: String) = new Path(abs).toUri.getPath.drop(dn.length + 1)
-    val dropRel = (rewrite ++ tombF).map(relOf).toSet
+    val dropRel = (rewrite ++ tombF).map(relOf(dataDir, _)).toSet
     Snapshots.commitReplacingWhere(s, dataDir, v, dropRel.contains)
   }
 }

@@ -130,6 +130,20 @@ object Snapshots {
     relPath.split('/').exists(seg =>
       seg.startsWith("_") || seg.startsWith("."))
 
+  /** [[expire]]'s orphan-sweep exemption is by EXPLICIT sidecar name,
+    * not the blanket hidden convention above: the only trees that may
+    * legitimately hold files no manifest references are the ones this
+    * layer itself owns (`_manifests/`, [[FileStats]]'s `_filestats/`).
+    * Exempting every `_`/`.`-prefixed segment would shelter
+    * crashed-write leftovers under Spark's `_temporary/` staging tree
+    * forever — those are exactly the orphans the sweep exists to
+    * reclaim. Commit LISTINGS keep the blanket convention ([[isHidden]])
+    * — an in-flight `_temporary` part must never be committed as data. */
+  private def isOwnedSidecar(relPath: String): Boolean = {
+    val head = relPath.takeWhile(_ != '/')
+    head == "_manifests" || head == "_filestats"
+  }
+
   /** Current on-disk data files of `dataDir`, as dataDir-relative
     * paths (hidden bookkeeping trees excluded — see [[isHidden]]). */
   private def listRel(s: SparkSession, dataDir: String): Seq[String] =
@@ -665,12 +679,18 @@ object Snapshots {
       .flatMap(v => files(s, dataDir, v)).toSet
     val all = graft.Fs.listDataFiles(dataDir, conf)
       .map(_.getPath.toString)
-      .filterNot(p => isHidden(rel(dataDir, p)))
+      .filterNot(p => isOwnedSidecar(rel(dataDir, p)))
     var n = 0
     for (p <- all if !live.contains(s"$dataDir/${rel(dataDir, p)}")) {
       f.delete(new Path(p), false)
       n += 1
     }
+    // fold the stats sidecar on the same retention cadence: rows for
+    // just-vacuumed files are dead weight that would otherwise
+    // accumulate forever (a stats-less dataset pays one directory
+    // stat). Runs after the sweep so the live-file filter nets out
+    // everything this pass reclaimed.
+    FileStats.compactStats(s, dataDir)
     n
   }
 

@@ -1954,9 +1954,19 @@ class ScaleShapeSpec extends SparkSpec {
       val (hfs, _) = graft.Fs.resolve(bands, conf)
       val out = hfs.create(orphan, true)
       out.write(Array[Byte](1, 2, 3)); out.close()
+      // a crashed Spark write's leftover under _temporary/ is an
+      // orphan too — the sidecar exemption is by explicit name
+      // (_manifests/_filestats), not the blanket hidden convention
+      val tempLeft = new org.apache.hadoop.fs.Path(
+        s"$bands/_temporary/0/task_x/part-00000.parquet")
+      hfs.mkdirs(tempLeft.getParent)
+      val out2 = hfs.create(tempLeft, true)
+      out2.write(Array[Byte](9)); out2.close()
       val removed = Snapshots.expire(s, bands, keepFrom = v2)
-      assert(removed >= 1, "expire reclaimed nothing — orphan survived")
+      assert(removed >= 2, "expire reclaimed nothing — orphan survived")
       assert(!hfs.exists(orphan), "crashed-writer orphan survived expire")
+      assert(!hfs.exists(tempLeft),
+        "_temporary crashed-write leftover survived expire")
       assert(Snapshots.versions(s, bands) == Seq(v2))
       assert(served(v2) == r2, "v2 serve changed after expire")
       val v1Gone = intercept[IllegalArgumentException](
@@ -2999,9 +3009,20 @@ class ScaleShapeSpec extends SparkSpec {
       // v1 time travel still sees the deleted rows
       assert(ids(SnapshotTable.readAsOf(s, dir, v1, "doc_id")) ==
         ids(docs))
-      // post-purge the id is re-ingestable
-      SnapshotTable.appendCommit(s, dir,
+      // post-purge the id is re-ingestable — and the append must
+      // commit v3's SELECTION plus the new batch only: a disk-listing
+      // commit would re-sweep the purged pre-v3 files (duplicating
+      // every survivor row of each rewritten file) and the dropped
+      // tombstone list (anti-joining away the freshly re-ingested id)
+      val v4 = SnapshotTable.appendCommit(s, dir,
         docs.where(col("doc_id") === lo), "doc_id")
+      val v4Ids = ids(SnapshotTable.readAsOf(s, dir, v4, "doc_id"))
+      assert(v4Ids ==
+        (ids(SnapshotTable.readAsOf(s, dir, v3, "doc_id")) :+ lo).sorted,
+        "v4 must be exactly v3's survivors plus the re-ingested id — " +
+          "no duplicates, no re-tombstoned ids")
+      assert(!Snapshots.files(s, dir, v4).exists(_.contains("/deletes/")),
+        "the post-purge append re-pinned the dropped tombstone list")
       // partitioned tables refuse the generic flat lifecycle
       val pdir = s"$staging/part"
       Seq((1L, 0), (2L, 1)).toDF("doc_id", "b")
@@ -3011,6 +3032,15 @@ class ScaleShapeSpec extends SparkSpec {
         SnapshotTable.deleteCommit(s, pdir, Seq(1L).toDF("doc_id"),
           "doc_id"))
         .getMessage.contains("hive-partitioned"))
+      // ...but a key=value segment in the table's own ANCESTRY is the
+      // caller's directory naming, not a partition layout — the
+      // refusal inspects dataDir-relative segments only
+      val adir = s"$staging/run=3/corpus"
+      SnapshotTable.saveCommit(s,
+        Seq((1L, "a"), (2L, "b")).toDF("doc_id", "t"), adir)
+      SnapshotTable.deleteCommit(s, adir, Seq(1L).toDF("doc_id"), "doc_id")
+      assert(ids(SnapshotTable.readAsOf(s, adir,
+        Snapshots.current(s, adir).get, "doc_id")) == Seq(2L))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(staging))
   }
