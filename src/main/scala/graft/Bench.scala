@@ -147,7 +147,6 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val tmp = Files.createTempDirectory("graft-bench").toString
     // warmup: pay one-time session/codegen/file-listing/scan setup
     // outside the timings — touch every main table with a real column
     // scan (count() alone reads only row-group stats), so the first
@@ -170,7 +169,7 @@ object Bench {
         .groupBy(col("n_regionkey"))
         .agg(sum(col("n_nationkey").cast("decimal(12,2)")),
           avg(col("n_nationkey")), count(lit(1)))
-        .write.mode("overwrite").parquet(s"$tmp/_warmup.parquet")
+        .write.mode("overwrite").format("noop").save()
     } catch { case _: Throwable => }
     // dev convenience (mirrors Verify): SPARK_GRAFT_ONLY=q31,q32 times a
     // subset; unset (the driver's invocation) times everything
@@ -190,8 +189,12 @@ object Bench {
     // memos (Dedup's pair/cluster relations) cleared between sweeps:
     // within a sweep queries legitimately share memoized work (that is
     // the production shape), but a repeat run must not be timed
-    // against the previous run's materialized results.
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt)
+    // against the previous run's materialized results. Default is 2
+    // sweeps (r16 verdict #1c): at 180+ queries a third sweep buys
+    // little — the clean-sample median already works over 2 samples,
+    // the ambient guard adds a sweep exactly when one is needed — and
+    // costs ~1/3 of the wall budget the driver's window no longer has.
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt)
     val timings = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     // Per-query GC attribution: collector time accumulated DURING each
     // query's timed window (GarbageCollectorMXBean deltas). Written to
@@ -226,8 +229,7 @@ object Bench {
       val times = 1 + (if (warmStagers.exists(p =>
         name.startsWith(p + "_"))) WarmRuns else 0)
       for (_ <- 1 to times)
-        try fn(spark, sfDir).write.mode("overwrite")
-          .parquet(s"$tmp/_prestage_$name.parquet")
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           // a silent prestage failure would leave sweep 1 re-absorbing
           // the staging cost this pass exists to remove — say so
@@ -273,6 +275,195 @@ object Bench {
         .getSystemLoadAverage
     val sweepWall = scala.collection.mutable.ListBuffer[String]()
     var sweepNo = 0
+    var sweepsDone = 0
+    // WALL-CLOCK BUDGET (r16 verdict #1 — the round's one failed gate):
+    // the r16 official bench was KILLED by the driver's time window
+    // (rc=124, parsed:null) because the harness had no notion of a
+    // budget and its ambient guard ADDED a sweep exactly when the
+    // machine was slow. Before sweep N (N >= 2) and before any guard
+    // rerun, require elapsed + lastSweepWall <= budget — else skip and
+    // RECORD the skip; sweep 1 always runs (a record over one sweep
+    // beats no record). Default sits inside the driver's observed
+    // window (r15's passing run ~1,220 s of sweeps; r16's killed run
+    // >= 2,100 s).
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET_S", "1500").toDouble
+    val mainT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - mainT0) / 1e9
+    var lastSweepWall = 0.0
+    var budgetSkipped = List.empty[String]
+    val cleanFactor =
+      sys.env.getOrElse("SPARK_GRAFT_CLEAN_FACTOR", "1.5").toDouble
+    val cleanFloor =
+      sys.env.getOrElse("SPARK_GRAFT_CLEAN_FLOOR", "1.0").toDouble
+    val maxReruns = math.max(0,
+      sys.env.getOrElse("SPARK_GRAFT_MAX_RERUNS", "1").toInt)
+    var rerunTrigger = List.empty[String]
+    var reruns = 0
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def jsonStr(v: String): String = "\"" + v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // "sf" is the NUMERIC scale factor (the driver's own encoding in
+    // BENCH_r*.json), parsed from the conventional .../sfN.NN dir name;
+    // a non-conforming dir falls back to the quoted path so the field
+    // is never silently wrong.
+    val sfJson = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r
+      .findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse(jsonStr(sfDir))
+    // subset runs (SPARK_GRAFT_ONLY) go to BENCH_partial.json so a dev
+    // iteration can't clobber the committed full-suite artifact — even
+    // via an env-given path
+    val defaultOut = if (only.isEmpty) "BENCH.json" else "BENCH_partial.json"
+    val envOut = sys.env.get("SPARK_GRAFT_BENCH_OUT").map { p =>
+      if (only.nonEmpty &&
+          Paths.get(p).getFileName.toString == "BENCH.json") {
+        val redirected =
+          Paths.get(p).resolveSibling("BENCH_partial.json").toString
+        System.err.println(
+          s"[bench] subset run: redirecting $p -> $redirected")
+        redirected
+      } else p
+    }
+    /** Build the CUMULATIVE record from every sample taken so far and
+      * FLUSH it to the output files — called after every completed
+      * sweep (and periodically inside sweep 1), so a kill at any point
+      * leaves a parseable BENCH.json over the sweeps that finished
+      * (r16: the single end-of-run write left rc=124/parsed:null as
+      * the round's only official artifact). Returns the two stdout
+      * lines; main prints the LAST pair after spark.stop(). */
+    def writeRecord(): (String, String) = {
+      val failed = failedSet.toList
+      val stageJson = stageSecs.map(t =>
+        BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+        .mkString("[", ",", "]")
+      val storageJson = sweepStorage.mkString("[", ",", "]")
+      // per-query medians over the CLEAN samples (see cleanSamples);
+      // the chosen indices land in BENCH.json as "median_samples" so
+      // the record carries its own provenance
+      val chosen: Map[String, List[Int]] = timings.toSeq.collect {
+        case (k, ts) if ts.nonEmpty && !failedSet(k) =>
+          k -> cleanSamples(ts, cleanFactor, cleanFloor)
+      }.toMap
+      val ok = timings.toSeq.collect {
+        case (k, ts) if ts.nonEmpty && !failedSet(k) =>
+          k -> median(chosen(k).map(ts))
+      }
+      // best-of-sweeps alongside the median: ambient container load can
+      // swing a sweep 2-3x on identical code, so a regression call needs
+      // BOTH aggregates — a real regression moves the BEST sweep too,
+      // load moves only the median.
+      val best = timings.toSeq.collect {
+        case (k, ts) if ts.nonEmpty && !failedSet(k) => k -> ts.min
+      }
+      val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = ok.map(_._2).sum
+      val bestTotal = best.map(_._2).sum
+      val failedJson = failed.sorted.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      val bestFull = best.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val detail = timings.toSeq.map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(t =>
+          BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val gcDetail = gcTimings.toSeq.map { case (k, ts) =>
+        "\"" + k + "\":" + ts.map(t =>
+          BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+          .mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val chosenJson = chosen.toSeq.sortBy(_._1).map { case (k, idx) =>
+        "\"" + k + "\":" + idx.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val cleanPolicyJson =
+        s"""{"factor":$cleanFactor,"floor":$cleanFloor}"""
+      // the UNFILTERED median alongside the clean one (r15 advice #2):
+      // the one-sided clean filter cannot distinguish ambient load from
+      // an INTERMITTENT real regression, so the record carries both
+      // aggregates, plus the flag list of queries where the filter
+      // excluded at least half the samples.
+      val rawMedians = timings.toSeq.collect {
+        case (k, ts) if ts.nonEmpty && !failedSet(k) => k -> median(ts)
+      }
+      val rawMedianJson = rawMedians.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + BigDecimal(v).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP)
+      }.mkString("{", ",", "}")
+      val cleanHeavy = chosen.toSeq.collect {
+        case (k, idx) if 2 * idx.size <= timings(k).size => k
+      }.sorted
+      val cleanHeavyJson = cleanHeavy.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      val sweepWallJson = sweepWall.mkString("[", ",", "]")
+      val rerunTriggerJson = rerunTrigger.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      val budgetSkippedJson = budgetSkipped.reverse.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      val elapsedJson =
+        BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+      val json =
+        s"""{"metric":"total","value":$total,"unit":"sec","best_total":$bestTotal,"queries":$qs,"best":$bestFull,"runs":$runs,"sweeps_completed":$sweepsDone,"rerun_sweeps":$reruns,"rerun_trigger":$rerunTriggerJson,"budget_s":$budgetS,"budget_skipped":$budgetSkippedJson,"elapsed_s":$elapsedJson,"sink":"noop","sweep_wall":$sweepWallJson,"detail":$detail,"gc_detail":$gcDetail,"median_samples":$chosenJson,"clean_policy":$cleanPolicyJson,"median_raw":$rawMedianJson,"clean_heavy":$cleanHeavyJson,"stage_sec":$stageJson,"storage_bytes":$storageJson,"failed":$failedJson,"sf":$sfJson,"sf_dir":${jsonStr(sfDir)}}"""
+      for (p <- envOut.toList :+ defaultOut) {
+        try Files.writeString(Paths.get(p), json + "\n")
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] write $p failed: ${e.getMessage}")
+        }
+      }
+      // The driver parses the final stdout line from a bounded
+      // (2000-char) TAIL capture, so the stdout protocol is two lines:
+      // the FULL per-query line (best-effort; may exceed the window)
+      // followed by a SHORT summary line guaranteed to fit — tail
+      // capture keeps the LAST bytes, so the final line survives whole.
+      val shortKeys = ok.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+      def roundTo(kvs: Seq[(String, Double)], dp: Int): String =
+        kvs.map { case (k, v) =>
+          "\"" + k + "\":" +
+            BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+        }.mkString("{", ",", "}")
+      val collision = shortKeys.map(_._1).distinct.size != shortKeys.size
+      if (collision)
+        System.err.println(
+          "[bench] qNN key collision — emitting full-name keys; check stdout size")
+      // ONE key function shared by every stdout map: under a collision
+      // the best/median maps must fall back to full names together
+      // with the queries map (r12 advice)
+      val keyOf: String => String =
+        if (collision) identity else (_.takeWhile(_ != '_'))
+      val qsShort =
+        if (collision) roundTo(ok, 2) else roundTo(shortKeys, 2)
+      val totalShort =
+        BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      val bestTotalShort =
+        BigDecimal(bestTotal).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      // the stdout line carries best-of-sweeps for the verdict-changing
+      // subset only: the SLOWEST and the DEVIATION-FLAGGED (median >25%
+      // and >0.3 s above best — the load-vs-regression ambiguity zone);
+      // the complete best map and per-sweep samples are in BENCH.json.
+      val bestShort = best.map { case (k, v) => keyOf(k) -> v }
+      val medShort = ok.map { case (k, v) => keyOf(k) -> v }.toMap
+      val slowest = bestShort.sortBy(-_._2).take(10)
+      val flagged = bestShort.filter { case (k, b) =>
+        val m = medShort.getOrElse(k, b)
+        (m - b) > 0.3 && (m - b) > 0.25 * m
+      }.sortBy { case (k, b) => b - medShort.getOrElse(k, b) }
+      val bestTop = (slowest ++ flagged).distinct.take(16).sortBy(_._1)
+      val jsonLine =
+        s"""{"metric":"total","value":$totalShort,"unit":"sec","best_total":$bestTotalShort,"queries":$qsShort,"best":${roundTo(bestTop, 3)},"failed":$failedJson,"sf":$sfJson}"""
+      val topMed = ok.sortBy(-_._2).take(8)
+        .map { case (k, v) => keyOf(k) -> v }.sortBy(_._1)
+      val summaryLine =
+        s"""{"metric":"total","value":$totalShort,"unit":"sec","best_total":$bestTotalShort,"runs":$runs,"sweeps_completed":$sweepsDone,"rerun_sweeps":$reruns,"queries":${roundTo(topMed, 2)},"failed":$failedJson,"sf":$sfJson}"""
+      (jsonLine, summaryLine)
+    }
     def runSweep(): Unit = {
       val sweep = { sweepNo += 1; sweepNo }
       val wall0 = System.currentTimeMillis() / 1000
@@ -371,14 +562,20 @@ object Bench {
             e.getMessage)
         }
       stageSecs += (System.nanoTime() - st0) / 1e9
+      var qIdx = 0
       for ((name, fn) <- names if !failedSet(name)) {
         val t0 = System.nanoTime()
         val gc0 = gcMillis
-        // Time what Verify's gate does — materialize to parquet — so Catalyst
-        // can't drop presentation sorts or skip column materialization the way
-        // a bare count() lets it.
+        // Materialize through the NOOP sink: a full V2 write that
+        // consumes every output row, so Catalyst can't drop
+        // presentation sorts or skip column materialization the way a
+        // bare count() lets it (BenchConfigSpec asserts the sort
+        // survives in the executed plan) — while the parquet
+        // encode+disk cost of 180 per-query result writes per sweep,
+        // which is harness overhead, not query work, stays out of
+        // both the timings and the sweep wall (r16 verdict #2).
         try {
-          fn(spark, sfDir).write.mode("overwrite").parquet(s"$tmp/$name.parquet")
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           timings(name) = timings.getOrElse(name, Nil) :+
             (System.nanoTime() - t0) / 1e9
           gcTimings(name) = gcTimings.getOrElse(name, Nil) :+
@@ -393,11 +590,37 @@ object Bench {
         // across the sweep and degraded the later streaming queries
         // (r12 q84 sweeps [3.50, 7.19, 8.23] on unchanged code)
         graft.streaming.Replay.releaseOutputs()
+        qIdx += 1
+        // sweep 1 is the longest uncovered window before the first
+        // per-sweep flush — checkpoint a partial record through it so
+        // even a mid-sweep-1 kill leaves a parseable artifact (the
+        // samples cover the queries run so far; sweeps_completed=0
+        // marks it partial)
+        if (sweepsDone == 0 && qIdx % 40 == 0) writeRecord()
       }
       sweepWall += s"""{"start_epoch":$wall0,"end_epoch":${
         System.currentTimeMillis() / 1000},"load_start":$load0,"load_end":$loadAvg}"""
+      lastSweepWall = System.currentTimeMillis() / 1000.0 - wall0
+      sweepsDone += 1
+      // the per-sweep FLUSH: cumulative medians over sweeps-so-far —
+      // a driver kill after any completed sweep now leaves a valid
+      // record instead of rc=124/parsed:null (r16 verdict #1a)
+      writeRecord()
     }
-    for (_ <- 1 to runs) runSweep()
+    // Sweep loop under the wall-clock budget: sweep 1 always runs;
+    // each later sweep requires elapsed + lastSweepWall <= budget
+    // (the best available estimate of what one more sweep costs) —
+    // a skipped sweep is RECORDED, so the artifact says the run
+    // self-truncated rather than silently looking like a short run.
+    for (i <- 1 to runs) {
+      if (i == 1 || elapsedS + lastSweepWall <= budgetS) runSweep()
+      else {
+        budgetSkipped ::= s"sweep$i"
+        System.err.println(f"[bench] budget: skipping sweep $i " +
+          f"(elapsed ${elapsedS}%.0f s + last sweep ${lastSweepWall}%.0f s " +
+          f"> budget ${budgetS}%.0f s)")
+      }
+    }
     // AMBIENT-EVENT GUARD: one container-level I/O stall inside a sweep
     // can spike a dozen unrelated queries at once (round 13 sweep 2:
     // q114 4.7→35.9 s, q113 13.6→33.8, q123 9.2→32.5 — all one sweep,
@@ -410,234 +633,36 @@ object Bench {
     // because memo payment order (who pays the shared pair/sig memos)
     // is positional within a sweep and a subset rerun would time
     // flagged queries against staging work they never pay in a real
-    // sweep.
-    val cleanFactor =
-      sys.env.getOrElse("SPARK_GRAFT_CLEAN_FACTOR", "1.5").toDouble
-    val cleanFloor =
-      sys.env.getOrElse("SPARK_GRAFT_CLEAN_FLOOR", "1.0").toDouble
+    // sweep. The guard is BUDGET-GATED like the sweeps above: r16's
+    // guard reacted to a slow machine by ADDING a 572 s sweep —
+    // converting ambient degradation into record loss, since ambient
+    // degradation is precisely when the driver's window is tightest.
     def flaggedNames: List[String] = timings.toSeq.collect {
       case (k, ts) if ts.size >= 2 && !failedSet(k) &&
         cleanSamples(ts, cleanFactor, cleanFloor).size < 2 => k
     }.toList.sorted
-    val maxReruns = math.max(0,
-      sys.env.getOrElse("SPARK_GRAFT_MAX_RERUNS", "1").toInt)
-    var rerunTrigger = List.empty[String]
-    var reruns = 0
-    while (reruns < maxReruns && flaggedNames.nonEmpty) {
+    while (reruns < maxReruns && flaggedNames.nonEmpty &&
+        (if (elapsedS + lastSweepWall <= budgetS) true
+         else {
+           budgetSkipped ::= "guard"
+           System.err.println(f"[bench] budget: skipping guard rerun " +
+             f"(elapsed ${elapsedS}%.0f s + last sweep " +
+             f"${lastSweepWall}%.0f s > budget ${budgetS}%.0f s)")
+           false
+         })) {
       if (rerunTrigger.isEmpty) rerunTrigger = flaggedNames
-      System.err.println(s"[bench] ambient-event guard: max>2x min on " +
+      System.err.println(s"[bench] ambient-event guard: <2 clean samples on " +
         s"${flaggedNames.take(8).mkString(",")} — running an extra sweep")
       runSweep()
       reruns += 1
     }
     sweepStorage += storageBytes
-    val failed = failedSet.toList
-    val stageJson = stageSecs.map(t =>
-      BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP))
-      .mkString("[", ",", "]")
-    val storageJson = sweepStorage.mkString("[", ",", "]")
-    // the timings no longer need the materialized outputs — reclaim
-    // the temp dir and the staged replay corpora so repeated bench
-    // runs don't fill /tmp
-    Fs.deleteRecursively(tmp)
+    // the final cumulative flush (also picks up the closing storage
+    // sample); its stdout lines print after spark.stop() below
+    val (jsonLine, summaryLine) = writeRecord()
+    // the timings no longer need the staged replay corpora — reclaim
+    // them so repeated bench runs don't fill /tmp
     graft.streaming.Replay.clearStaged()
-    def median(xs: List[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2)
-      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    // per-query medians over the CLEAN samples (see cleanSamples);
-    // the chosen indices land in BENCH.json as "median_samples" so the
-    // record carries its own provenance
-    val chosen: Map[String, List[Int]] = timings.toSeq.collect {
-      case (k, ts) if ts.nonEmpty && !failedSet(k) =>
-        k -> cleanSamples(ts, cleanFactor, cleanFloor)
-    }.toMap
-    val ok = timings.toSeq.collect {
-      case (k, ts) if ts.nonEmpty && !failedSet(k) =>
-        k -> median(chosen(k).map(ts))
-    }
-    // best-of-sweeps alongside the median: ambient container load can
-    // swing a sweep 2-3x on identical code, so a regression call needs
-    // BOTH aggregates — a real regression moves the BEST sweep too,
-    // load moves only the median. (round-6 lesson: 93-query totals
-    // swung 91-123 s across sweeps of the same build.)
-    val best = timings.toSeq.collect {
-      case (k, ts) if ts.nonEmpty && !failedSet(k) => k -> ts.min
-    }
-    val qs = ok.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
-    val bestTotal = best.map(_._2).sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // full-fidelity file form: medians under "queries" (shape-compatible
-    // with earlier rounds), per-query best under "best", plus the raw
-    // per-sweep samples under "detail"
-    val bestFull = best.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val detail = timings.toSeq.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(t =>
-        BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP))
-        .mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val gcDetail = gcTimings.toSeq.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(t =>
-        BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP))
-        .mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    // provenance of every median: which detail indices were judged
-    // load-clean and fed the median (always includes the best index)
-    val chosenJson = chosen.toSeq.sortBy(_._1).map { case (k, idx) =>
-      "\"" + k + "\":" + idx.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val cleanPolicyJson =
-      s"""{"factor":$cleanFactor,"floor":$cleanFloor}"""
-    // the UNFILTERED median alongside the clean one (r15 advice #2):
-    // the one-sided clean filter cannot distinguish ambient load from
-    // an INTERMITTENT real regression (a slow path firing on a subset
-    // of sweeps looks exactly like pollution), so the record carries
-    // both aggregates — a grader comparing rounds can re-derive either
-    // policy — plus an explicit flag list of queries where the filter
-    // excluded at least half the samples (the only cases where the two
-    // medians can diverge materially and the clean one is doing heavy
-    // lifting rather than trimming a single spike)
-    val rawMedians = timings.toSeq.collect {
-      case (k, ts) if ts.nonEmpty && !failedSet(k) => k -> median(ts)
-    }
-    val rawMedianJson = rawMedians.sortBy(_._1).map { case (k, v) =>
-      "\"" + k + "\":" + BigDecimal(v).setScale(3,
-        BigDecimal.RoundingMode.HALF_UP)
-    }.mkString("{", ",", "}")
-    val cleanHeavy = chosen.toSeq.collect {
-      case (k, idx) if 2 * idx.size <= timings(k).size => k
-    }.sorted
-    val cleanHeavyJson = cleanHeavy.map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
-    // "sf" is the NUMERIC scale factor (the driver's own encoding in
-    // BENCH_r*.json), parsed from the conventional .../sfN.NN dir name;
-    // a non-conforming dir falls back to the quoted path so the field
-    // is never silently wrong. Paths are JSON-escaped — a quote or
-    // backslash in the dir name must not produce invalid JSON.
-    def jsonStr(v: String): String = "\"" + v.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val sfJson = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r
-      .findFirstMatchIn(sfDir).map(_.group(1))
-      .getOrElse(jsonStr(sfDir))
-    val sweepWallJson = sweepWall.mkString("[", ",", "]")
-    val rerunTriggerJson = rerunTrigger.map("\"" + _ + "\"")
-      .mkString("[", ",", "]")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","best_total":$bestTotal,"queries":$qs,"best":$bestFull,"runs":$runs,"rerun_sweeps":$reruns,"rerun_trigger":$rerunTriggerJson,"sweep_wall":$sweepWallJson,"detail":$detail,"gc_detail":$gcDetail,"median_samples":$chosenJson,"clean_policy":$cleanPolicyJson,"median_raw":$rawMedianJson,"clean_heavy":$cleanHeavyJson,"stage_sec":$stageJson,"storage_bytes":$storageJson,"failed":$failedJson,"sf":$sfJson,"sf_dir":${jsonStr(sfDir)}}"""
-    // The driver parses the final stdout line from a bounded (2000-char)
-    // TAIL capture. At 162 queries even a 2-decimal qNN-keyed median map
-    // alone overruns that window (round 13: the capture started mid-JSON
-    // and the round's official record had no total — parsed:null), so the
-    // stdout protocol is now two lines: the FULL per-query line below
-    // (best-effort; may exceed the window) followed by a SHORT summary
-    // line that is guaranteed to fit — tail capture always keeps the
-    // LAST bytes, so the final line survives whole. Complete per-query
-    // medians/best/detail are always in the BENCH.json file.
-    val shortKeys = ok.map { case (k, v) => k.takeWhile(_ != '_') -> v }
-    def roundTo(kvs: Seq[(String, Double)], dp: Int): String =
-      kvs.map { case (k, v) =>
-        "\"" + k + "\":" + BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
-      }.mkString("{", ",", "}")
-    def round3(kvs: Seq[(String, Double)]): String = roundTo(kvs, 3)
-    // medians at 2 decimals in the stdout line (the file keeps full
-    // precision): 10 ms resolution is ample for attribution, and the
-    // ~130 freed chars buy room for the deviation-flagged best map
-    // below while keeping the line inside the driver's 2000-char
-    // capture window
-    val collision = shortKeys.map(_._1).distinct.size != shortKeys.size
-    if (collision)
-      // collision: keep full names but KEEP the rounding — the
-      // precision, not the names, is most of the stdout bloat
-      // (full-precision full-name output is what overflowed the
-      // driver's 2000-char capture in rounds 1-3)
-      System.err.println(
-        "[bench] qNN key collision — emitting full-name keys; check stdout size")
-    // ONE key function shared by every stdout map: under a collision
-    // the best/median maps must fall back to full names together with
-    // the queries map, or shortKeys.toMap silently drops duplicates
-    // and the deviation-flagged best map reports wrong medians exactly
-    // when the collision warning fires (r12 advice)
-    val keyOf: String => String =
-      if (collision) identity else (_.takeWhile(_ != '_'))
-    val qsShort =
-      if (collision) roundTo(ok, 2) else roundTo(shortKeys, 2)
-    val totalShort = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val bestTotalShort =
-      BigDecimal(bestTotal).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    // the stdout line must stay under the driver's 2000-char capture:
-    // a full second per-query map won't fit next to the medians, so it
-    // carries best_total plus best-of-sweeps for the queries where the
-    // best changes the verdict — the SLOWEST (is the cost real?) and
-    // the DEVIATION-FLAGGED, any query whose median sits >25% and
-    // >0.3 s above its best sweep (the load-vs-regression ambiguity
-    // zone: r11's q53/q54/q55 medians tripled on unchanged code and
-    // the captured line had no best data to acquit them with). The
-    // complete per-query best map and raw per-sweep samples are in the
-    // BENCH.json file above.
-    val bestShort = best.map { case (k, v) => keyOf(k) -> v }
-    val medShort = ok.map { case (k, v) => keyOf(k) -> v }.toMap
-    // the stdout selection: 142 full best entries cost ~1.5 KB next to
-    // a ~1.5 KB median map — they cannot both fit the 2000-char
-    // capture, so the LINE carries the verdict-changing subset and the
-    // BENCH.json FILE carries the complete best + per-sweep detail.
-    // Flagged queries (median >25% and >0.3 s above best — the
-    // load-vs-regression ambiguity zone) ride along ordered by
-    // deviation; the combined set is capped at 16 entries because the
-    // measured full-suite line sits ~140 chars under the driver's
-    // 2000-char capture — an ambient-noisy run that flagged a dozen
-    // queries would otherwise truncate the line and lose the whole
-    // JSON, which is strictly worse than a truncated flag list (the
-    // complete best map is always in the file).
-    val slowest = bestShort.sortBy(-_._2).take(10)
-    val flagged = bestShort.filter { case (k, b) =>
-      val m = medShort.getOrElse(k, b)
-      (m - b) > 0.3 && (m - b) > 0.25 * m
-    }.sortBy { case (k, b) => b - medShort.getOrElse(k, b) }
-    val bestTop = (slowest ++ flagged).distinct.take(16).sortBy(_._1)
-    val jsonLine =
-      s"""{"metric":"total","value":$totalShort,"unit":"sec","best_total":$bestTotalShort,"queries":$qsShort,"best":${round3(bestTop)},"failed":$failedJson,"sf":$sfJson}"""
-    // sbt appends its own "[success] ..." epilogue to stdout, so the printed
-    // line may not be last. Persist the JSON to known files the driver (or a
-    // human) can always read: an env-given path and the working directory
-    // (repo root when run via sbt).
-    // subset runs (SPARK_GRAFT_ONLY) go to BENCH_partial.json so a dev
-    // iteration can't clobber the committed full-suite artifact
-    val defaultOut = if (only.isEmpty) "BENCH.json" else "BENCH_partial.json"
-    // a subset run must not clobber the committed full-suite artifact
-    // even via an env-given path — redirect it to the partial file
-    val envOut = sys.env.get("SPARK_GRAFT_BENCH_OUT").map { p =>
-      if (only.nonEmpty &&
-          Paths.get(p).getFileName.toString == "BENCH.json") {
-        val redirected =
-          Paths.get(p).resolveSibling("BENCH_partial.json").toString
-        System.err.println(
-          s"[bench] subset run: redirecting $p -> $redirected")
-        redirected
-      } else p
-    }
-    for (p <- envOut.toList :+ defaultOut) {
-      try Files.writeString(Paths.get(p), json + "\n")
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] write $p failed: ${e.getMessage}")
-      }
-    }
-    // THE driver-facing line: totals + failures + the slowest medians
-    // only. Budget: ~120 chars of envelope + 8 map entries (~15 chars
-    // each) + the failed list — comfortably inside the 2000-char tail
-    // capture even with every slow query name at full length. The
-    // "queries" map keeps the contract's shape ({"q1":sec}); readers
-    // needing all 160+ entries read BENCH.json.
-    val topMed = ok.sortBy(-_._2).take(8)
-      .map { case (k, v) => keyOf(k) -> v }.sortBy(_._1)
-    val summaryLine =
-      s"""{"metric":"total","value":$totalShort,"unit":"sec","best_total":$bestTotalShort,"runs":$runs,"rerun_sweeps":$reruns,"queries":${roundTo(topMed, 2)},"failed":$failedJson,"sf":$sfJson}"""
     spark.stop()
     // prints after spark.stop() so no executor/log lines follow them;
     // the short summary is LAST so the driver's tail capture always

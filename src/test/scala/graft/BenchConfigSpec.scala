@@ -219,6 +219,67 @@ class BenchConfigSpec extends AnyFunSuite {
     assert(Bench.cleanSamples(List(100.0, 1.0, 100.0)) == List(1))
   }
 
+  test("Bench flushes the cumulative record per sweep and budget-gates " +
+      "both later sweeps and the guard rerun") {
+    // r16's one failed gate: BENCH.json was written ONCE at the end, so
+    // the driver's rc=124 kill left parsed:null — the harness must
+    // flush after every sweep and never START work it cannot finish
+    // inside SPARK_GRAFT_TIME_BUDGET_S. Assert the structure in source
+    // (the same grep-coupling style as the stager tests): the flush
+    // call sits INSIDE runSweep, and both the sweep loop and the guard
+    // loop consult elapsed + lastSweepWall against the budget.
+    val bench = Files.readString(
+      Paths.get("src", "main", "scala", "graft", "Bench.scala"))
+    assert(bench.contains("SPARK_GRAFT_TIME_BUDGET_S"),
+      "Bench has no wall-clock budget env knob")
+    val sweepBody = bench.substring(bench.indexOf("def runSweep()"))
+    val sweepEnd = sweepBody.indexOf("\n    }")
+    assert(sweepBody.substring(0, sweepEnd + 6).contains("writeRecord()"),
+      "runSweep does not flush the cumulative record — a driver kill " +
+        "mid-run would leave no parseable BENCH.json (the r16 failure)")
+    val gates = "elapsedS \\+ lastSweepWall <= budgetS".r
+      .findAllIn(bench).size
+    assert(gates >= 2,
+      s"expected the budget gate on BOTH the sweep loop and the guard " +
+        s"rerun, found $gates consults")
+    assert(bench.contains("budgetSkipped"),
+      "a budget skip must be recorded in the artifact, not silent")
+  }
+
+  test("noop sink is an honest materialization: the presentation sort " +
+      "survives into the executed plan") {
+    // Bench times fn(...).write.format("noop") — valid only if the
+    // noop write still executes the full plan (a dropped final Sort
+    // would under-time every ORDER BY query). Capture the executed
+    // plan via a QueryExecutionListener and assert the Sort is there.
+    val s = SparkSpec.spark
+    @volatile var plan: String = null
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        if (qe.executedPlan.toString.contains("Noop"))
+          plan = qe.executedPlan.toString
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      import org.apache.spark.sql.functions._
+      s.range(0, 1000).select(col("id"), (col("id") % 7).as("k"))
+        .orderBy(col("k"), col("id"))
+        .write.mode("overwrite").format("noop").save()
+      // the listener fires asynchronously — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (plan == null && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(plan != null, "no executed plan captured for the noop write")
+      assert(plan.contains("Sort"),
+        s"the noop write dropped the presentation sort:\n$plan")
+    } finally s.listenerManager.unregister(listener)
+  }
+
   test("Bench sweep loop clears every module that defines clearMemos") {
     // The sweep loop's blanket unpersist of ALL persistent RDDs is
     // only safe because every cross-query memo was released by a
