@@ -34,7 +34,7 @@ object Bench {
     * disk — the same "build once per corpus version" policy as the
     * replay corpora and trained models. */
   val indexStagers = Set("q39c", "q89c", "q97b", "q99", "q99b", "q101",
-    "q103", "q103b", "q107")
+    "q103", "q103b", "q107", "q145", "q147")
 
   /** Queries that consume the session-memoized benchmark-GRAM relation
     * ([[graft.operators.Curation.stageGrams]]) — the decontamination

@@ -131,6 +131,7 @@ object Explain {
     "q144_pq_snapshot_delete" -> "committed PQ row-level delete: tombstones under codes/deletes/, ADC serves anti-join the pinned list under the broadcast lookup-table join, the COW purge rewrites only code FILES holding tombstoned rows (flat table — file granularity, commitReplacingWhere); pinned plan is the three-leg as-of ADC union",
     "q145_stats_skipping" -> "manifest-level file statistics: the 3-day range plans over only the intersecting files of the version (driver-side bounds check against the appended stats segments — non-matching footers never open), then the exact predicate + one partial-aggregated groupBy; pinned plan is the pruned scan's file count vs the version's",
     "q146_table_delete" -> "corpus-table row-level delete: tombstones land as one file inside the manifested tree (merge-on-read — broadcast anti-join under each version's scan), the COW purge rewrites only files holding tombstoned rows via a skinny (id, input_file_name) probe under the broadcast list; pinned plan is the three-leg as-of union",
+    "q147_pruned_serve" -> "generic pruned serve: the DEFAULT committed-table read path consults the FileStats sidecar — string-lane (16-char truncated, Iceberg-style) bounds drop the non-intersecting files of the source-clustered corpus from the plan before any footer opens, the pinned tombstone list still broadcast-anti-joins merge-on-read; pinned plan is the pruned scan + anti-join + exact predicate",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the

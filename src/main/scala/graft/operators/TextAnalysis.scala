@@ -783,7 +783,55 @@ object TextAnalysis {
       } finally graft.Fs.deleteRecursively(staging,
         s.sparkContext.hadoopConfiguration)
     },
+
+    // GENERIC PRUNED SERVE — the FileStats sidecar consulted by the
+    // DEFAULT table read path, not a bespoke demo: the committed
+    // corpus is clustered by `source`, per-file (doc_id, source)
+    // bounds are recorded once, a slice of ids is tombstoned, and the
+    // serve goes through SnapshotTable.readAsOfPrunedString — the
+    // manifested data-file list shrinks to the source-intersecting
+    // files BEFORE any footer opens (string bounds are 16-char
+    // truncations, Iceberg-style; unknown files kept conservatively),
+    // while the pinned tombstone list still anti-joins merge-on-read.
+    // The exact predicate runs on what remains, so the oracle is the
+    // plain range SQL minus the deleted ids; the files-opened <
+    // files-referenced proof lives in ScaleShapeSpec.
+    "q147_pruned_serve" -> { (s, d) =>
+      import graft.plans.{SnapshotTable, Snapshots}
+      val dir = s"${prunedTableDir(s, d)}/corpus"
+      val v = Snapshots.current(s, dir).get
+      SnapshotTable.readAsOfPrunedString(s, dir, v, "doc_id",
+        "source", "src12", "src14")
+        .where(col("source") >= "src12" && col("source") <= "src14")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
   )
+
+  private val prunedTableMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Session-scoped committed corpus table for q147, source-clustered
+    * (repartitionByRange gives each file a tight source band — the
+    * layout string-bound pruning exists for), with one recorded stats
+    * segment and a tombstoned id slice; built once per (session,
+    * sfDir) — every q147 invocation only SERVES. */
+  private def prunedTableDir(s: SparkSession, d: String): String =
+    prunedTableMemo.computeIfAbsent((s, d), _ => {
+      val dir = graft.Fs.createStagingDir(s, "graft-tbl-pruned")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.Fs.deleteRecursively(dir)))
+      val corpus = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val cdir = s"$dir/corpus"
+      val v1 = graft.plans.SnapshotTable.saveCommit(s,
+        corpus.repartitionByRange(16, col("source"), col("doc_id")), cdir)
+      graft.plans.FileStats.recordFor(s, cdir, v1, Seq("doc_id", "source"))
+      graft.plans.SnapshotTable.deleteCommit(s, cdir,
+        corpus.where(pmod(col("doc_id"), lit(11)) === 3)
+          .select(col("doc_id")), "doc_id")
+      dir
+    })
 
   /** Pristine committed-v1 BM25 snapshot index for q129 — the v1
     * population (doc_id % 10 ∈ 1..8) staged as its own corpus dir,
@@ -1116,6 +1164,15 @@ object TextAnalysis {
             leg(3, "doc_id % 7 <> 0"))
           .mkString("\nUNION ALL\n") + "\nORDER BY version, doc_id"
       },
+      // pruning is a pure scan-planning optimization: the pruned
+      // merge-on-read serve + exact predicate must answer exactly the
+      // plain range scan minus the tombstoned ids
+      "q147_pruned_serve" ->
+        """SELECT doc_id, source, n_chars
+          |FROM documents
+          |WHERE source >= 'src12' AND source <= 'src14'
+          |  AND doc_id % 11 <> 3
+          |ORDER BY doc_id""".stripMargin,
       "q44_fuzzy_match" ->
         """WITH names AS (
           |  SELECT DISTINCT p_name,

@@ -29,8 +29,9 @@ import org.apache.spark.sql.types._
   *  - [[recordFor]] appends ONE segment covering exactly the files of
   *    version v that no earlier segment covers — O(new files) scan
   *    work per commit, the same incremental discipline as the delta
-  *    manifests. Values canonicalize to two typed lanes (integral →
-  *    long, covering int/long/date/timestamp; fractional → double)
+  *    manifests. Values canonicalize to three typed lanes (integral →
+  *    long, covering int/long/date/timestamp; fractional → double;
+  *    string → 16-char TRUNCATED bounds, Iceberg-style — see [[lane]])
   *    so one narrow schema serves every column.
   *  - [[prunedFiles]] keeps a file when its recorded range intersects
   *    [lo, hi], when it has NO stats row (conservative: unknown =
@@ -51,19 +52,55 @@ object FileStats {
 
   private def statsDir(dataDir: String) = s"$dataDir/_filestats"
 
-  /** Canonical lane of a column: integral family → ("i", long expr),
-    * fractional → ("f", double expr). Monotonic casts only — bounds
-    * computed on the canonical value equal canonicalized raw bounds. */
-  private def lane(dt: DataType, c: String): (String, Column) = dt match {
+  /** String bounds are TRUNCATED to this many chars (Iceberg's
+    * write.metadata.metrics truncate(16) default): full values would
+    * put whole documents into the stats relation; a 16-char prefix
+    * bound prunes just as well on the id/url/lang columns pruning is
+    * for. */
+  val StrTrunc = 16
+
+  /** Canonical lane of a column: its kind tag plus the per-file
+    * (lower, upper) BOUND aggregates. Integral family → exact long
+    * bounds; fractional → exact double bounds (monotonic casts only —
+    * bounds computed on the canonical value equal canonicalized raw
+    * bounds). Strings → truncated bounds, Iceberg-style: the LOWER
+    * bound is min over the 16-char truncations (a prefix never sorts
+    * above what it prefixes, so it lower-bounds every value); the
+    * UPPER bound is max over per-row upper bounds — the row itself
+    * when it fits 16 chars, else its truncation with the last char
+    * incremented, which sorts strictly above every string sharing the
+    * prefix. A long row whose 16th char is outside plain ASCII cannot
+    * be incremented portably (SQL chr() wraps at 256), so such a file
+    * records a NULL = UNKNOWN upper bound and pruning keeps it —
+    * conservative, never wrong. */
+  private def lane(dt: DataType, c: String)
+      : (String, Column, Column) = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
-      ("i", col(c).cast(LongType))
+      val e = col(c).cast(LongType); ("i", min(e), max(e))
     case DateType =>
-      ("i", datediff(col(c), to_date(lit("1970-01-01"))).cast(LongType))
-    case TimestampType => ("i", unix_micros(col(c)))
-    case FloatType | DoubleType => ("f", col(c).cast(DoubleType))
+      val e = datediff(col(c), to_date(lit("1970-01-01"))).cast(LongType)
+      ("i", min(e), max(e))
+    case TimestampType =>
+      val e = unix_micros(col(c)); ("i", min(e), max(e))
+    case FloatType | DoubleType =>
+      val e = col(c).cast(DoubleType); ("f", min(e), max(e))
+    case StringType =>
+      val t = col(c)
+      val needsInc = length(t) > StrTrunc
+      val lastC = ascii(substring(t, StrTrunc, 1))
+      val incOk = lastC.between(1, 126)
+      val ub = when(!needsInc, t).otherwise(concat(
+        substring(t, 1, StrTrunc - 1), call_function("chr", lastC + lit(1))))
+      // one non-incrementable long row poisons the file's upper bound
+      // to NULL/unknown (max() would silently IGNORE a null ub and
+      // report a bound that misses that row — wrong exclusions)
+      val poisoned = max(when(needsInc && !incOk, lit(1)).otherwise(lit(0)))
+      val maxAgg = when(poisoned === 1, lit(null).cast(StringType))
+        .otherwise(max(ub))
+      ("s", min(substring(t, 1, StrTrunc)), maxAgg)
     case other => throw new IllegalArgumentException(
       s"FileStats: column '$c' has unsupported type $other — integral, " +
-        "date, timestamp, float and double columns carry exact " +
+        "date, timestamp, float, double and string columns carry " +
         "canonical bounds; decimals would round through double and a " +
         "rounded bound can wrongly exclude a file")
   }
@@ -102,29 +139,37 @@ object FileStats {
     * call scans everything once. Returns the number of files newly
     * covered. */
   def recordFor(s: SparkSession, dataDir: String, v: Int,
-      cols: Seq[String]): Int = {
+      cols: Seq[String], skip: String => Boolean = _ => false): Int = {
     require(cols.nonEmpty, "FileStats.recordFor: no columns given")
     val done = covered(s, dataDir)
+    // `skip` (over dataDir-relative paths) exempts manifested
+    // NON-DATA files from the bounds scan — a SnapshotTable version
+    // pins its tombstone list inside the manifested tree, and reading
+    // it alongside the data files would fail on the missing columns;
+    // skipped files stay uncovered, which pruning already treats
+    // conservatively (unknown = keep)
     val fresh = Snapshots.files(s, dataDir, v)
-      .filterNot(f => done(rel(dataDir, f)))
+      .filterNot(f => { val r = rel(dataDir, f); done(r) || skip(r) })
     if (fresh.isEmpty) return 0
     val df = s.read.option("basePath", dataDir).parquet(fresh: _*)
     val lanes = cols.map(c => c -> lane(df.schema(c).dataType, c))
     // one grouped aggregate keyed by the producing file: 2 bounds per
     // column per file ride the shuffle, never rows
-    val aggs = lanes.flatMap { case (c, (_, e)) =>
-      Seq(min(e).as(s"__min_$c"), max(e).as(s"__max_$c")) }
+    val aggs = lanes.flatMap { case (c, (_, mi, ma)) =>
+      Seq(mi.as(s"__min_$c"), ma.as(s"__max_$c")) }
     val wide = df.groupBy(relExpr(dataDir).as("file"))
       .agg(aggs.head, aggs.tail: _*)
     // melt to the narrow stats schema: one row per (file, col), typed
-    // lane filled, the other lane null
-    val narrow = lanes.map { case (c, (k, _)) =>
+    // lane filled, the other lanes null
+    val narrow = lanes.map { case (c, (k, _, _)) =>
       val (mi, ma) = (col(s"__min_$c"), col(s"__max_$c"))
       wide.select(col("file"), lit(c).as("col"), lit(k).as("kind"),
         (if (k == "i") mi else lit(null).cast(LongType)).as("min_i"),
         (if (k == "i") ma else lit(null).cast(LongType)).as("max_i"),
         (if (k == "f") mi else lit(null).cast(DoubleType)).as("min_f"),
-        (if (k == "f") ma else lit(null).cast(DoubleType)).as("max_f"))
+        (if (k == "f") ma else lit(null).cast(DoubleType)).as("max_f"),
+        (if (k == "s") mi else lit(null).cast(StringType)).as("min_s"),
+        (if (k == "s") ma else lit(null).cast(StringType)).as("max_s"))
     }.reduce(_ unionByName _)
     // O(batch·cols) rows — the coalesce(1) funnels a tiny relation,
     // same as the manifest/tombstone writers
@@ -144,21 +189,44 @@ object FileStats {
     * dates, epoch MICROS for timestamps. */
   def prunedFiles(s: SparkSession, dataDir: String, v: Int,
       column: String, lo: Long, hi: Long): Seq[String] =
-    pruned(s, dataDir, v, column, "i",
-      r => !(r.isNullAt(0) || r.getLong(1) < lo || r.getLong(0) > hi))
+    pruneList(s, dataDir, Snapshots.files(s, dataDir, v), column, lo, hi)
 
   /** Fractional-lane twin of [[prunedFiles]]. */
   def prunedFilesDouble(s: SparkSession, dataDir: String, v: Int,
       column: String, lo: Double, hi: Double): Seq[String] =
-    pruned(s, dataDir, v, column, "f",
+    pruneList2(s, dataDir, Snapshots.files(s, dataDir, v), column, "f",
       r => !(r.isNullAt(0) || r.getDouble(1) < lo || r.getDouble(0) > hi))
 
-  private def pruned(s: SparkSession, dataDir: String, v: Int,
-      column: String, kind: String,
+  /** Prune an EXPLICIT absolute file list by the recorded long-lane
+    * bounds — the hook for serve paths that must prune only a SUBSET
+    * of a version's files ([[SnapshotTable.readAsOfPruned]] prunes the
+    * data files, never the pinned tombstone list). Same semantics as
+    * [[prunedFiles]]: unknown files stay, all-null files drop. */
+  def pruneList(s: SparkSession, dataDir: String, files: Seq[String],
+      column: String, lo: Long, hi: Long): Seq[String] =
+    pruneList2(s, dataDir, files, column, "i",
+      r => !(r.isNullAt(0) || r.getLong(1) < lo || r.getLong(0) > hi))
+
+  /** String-lane pruning over an explicit file list: bounds are the
+    * TRUNCATED prefixes [[lane]] recorded, so the comparison is still
+    * exact — `min_s > hi` can only hold when every value in the file
+    * sorts above `hi`, and a NULL `max_s` (unknown upper) keeps the
+    * file. `lo`/`hi` are raw predicate strings, untruncated. */
+  def pruneListString(s: SparkSession, dataDir: String,
+      files: Seq[String], column: String, lo: String, hi: String)
+      : Seq[String] =
+    pruneList2(s, dataDir, files, column, "s", { r =>
+      val minN = r.isNullAt(0); val maxN = r.isNullAt(1)
+      if (minN && maxN) false // all-null column: a range never matches
+      else (minN || r.getString(0) <= hi) &&
+        (maxN || r.getString(1) >= lo)
+    })
+
+  private def pruneList2(s: SparkSession, dataDir: String,
+      files: Seq[String], column: String, kind: String,
       keep: org.apache.spark.sql.Row => Boolean): Seq[String] = {
-    val vf = Snapshots.files(s, dataDir, v)
     val segs = segments(s, dataDir)
-    if (segs.isEmpty) return vf
+    if (segs.isEmpty) return files
     // the stats relation is O(files·cols) TINY rows — the collect is
     // the same driver-side footprint as the manifest listing itself,
     // filtered to the one probed column before it moves
@@ -167,7 +235,7 @@ object FileStats {
       .select(col("min_" + kind), col("max_" + kind), col("file"))
       .collect()
       .map(r => r.getString(2) -> keep(r)).toMap
-    vf.filter(f => known.getOrElse(rel(dataDir, f), true))
+    files.filter(f => known.getOrElse(rel(dataDir, f), true))
   }
 
   /** FOLD the stats segments: rewrite every accumulated segment as

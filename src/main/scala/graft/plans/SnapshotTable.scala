@@ -151,9 +151,41 @@ object SnapshotTable {
   /** MERGE-ON-READ serve of version `v`: its manifested data files
     * minus its own pinned tombstones. */
   def readAsOf(s: SparkSession, dataDir: String, v: Int,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    servePruned(s, dataDir, v, idCol, identity)
+
+  /** [[readAsOf]] with the DATA-file list pre-pruned by the recorded
+    * [[FileStats]] long-lane bounds on `column` — the generic serve
+    * path consulting the stats sidecar: at 10⁶ files a range predicate
+    * on a clustered column drops the non-intersecting files from the
+    * plan BEFORE any footer opens. Tombstones still apply (the pinned
+    * list is never part of the pruned set), and pruning only shrinks
+    * the scan — the caller still applies the exact predicate, so an
+    * uncovered file degrades to a normal read, never a wrong answer. */
+  def readAsOfPruned(s: SparkSession, dataDir: String, v: Int,
+      idCol: String, column: String, lo: Long, hi: Long): DataFrame =
+    servePruned(s, dataDir, v, idCol,
+      FileStats.pruneList(s, dataDir, _, column, lo, hi))
+
+  /** String-lane twin of [[readAsOfPruned]] (truncated bounds — see
+    * [[FileStats.pruneListString]]). */
+  def readAsOfPrunedString(s: SparkSession, dataDir: String, v: Int,
+      idCol: String, column: String, lo: String, hi: String): DataFrame =
+    servePruned(s, dataDir, v, idCol,
+      FileStats.pruneListString(s, dataDir, _, column, lo, hi))
+
+  private def servePruned(s: SparkSession, dataDir: String, v: Int,
+      idCol: String, prune: Seq[String] => Seq[String]): DataFrame = {
     val (dataF, tombF) = pieces(s, dataDir, v)
-    val data = s.read.option("basePath", dataDir).parquet(dataF: _*)
+    require(dataF.nonEmpty,
+      s"SnapshotTable: v$v under $dataDir has no data files")
+    val kept = prune(dataF)
+    // an all-files-pruned serve yields an empty frame with the live
+    // schema (same convention as FileStats.readPruned)
+    val data =
+      if (kept.isEmpty)
+        s.read.option("basePath", dataDir).parquet(dataF.head).limit(0)
+      else s.read.option("basePath", dataDir).parquet(kept: _*)
     if (tombF.isEmpty) data
     else data.join(broadcast(s.read.parquet(tombF: _*)), Seq(idCol),
       "left_anti")

@@ -3110,16 +3110,31 @@ class ScaleShapeSpec extends SparkSpec {
       assert(keptV3.size == kept.size + 1,
         "an unknown (stats-less) file must survive pruning")
       // unsupported types refuse loudly instead of rounding bounds
+      // (strings gained a truncated-bound lane; decimals stay refused)
+      val ddir = s"$staging/dec"
+      Seq(1L).toDF("id").select(col("id"),
+          col("id").cast("decimal(12,2)").as("amount"))
+        .coalesce(1).write.mode("append").parquet(ddir)
+      val dv = Snapshots.commit(s, ddir)
       val e = intercept[IllegalArgumentException](
-        FileStats.recordFor(s, dir, v3, Seq("event_type")))
+        FileStats.recordFor(s, ddir, dv, Seq("amount")))
       assert(e.getMessage.contains("unsupported type"))
       // stats FOLD at retention: roll back to v1, expire everything
-      // else — the odd-slice and manual files die, and compactStats
-      // must drop exactly their rows while pruning answers stay put
+      // else — the odd-slice and manual files die, and the RETENTION
+      // PASS ITSELF must fold their rows away (expire calls
+      // compactStats; a direct call afterwards is a no-op)
       val v4 = Snapshots.rollback(s, dir, 1)
       Snapshots.expireKeeping(s, dir, keepLast = 1)
-      val dropped = FileStats.compactStats(s, dir)
-      assert(dropped > 0, "no dead stats rows dropped after expire")
+      assert(FileStats.compactStats(s, dir) == 0L,
+        "expire left dead stats rows — the retention fold didn't run")
+      val liveRel = Snapshots.files(s, dir, v4)
+        .map(_.drop(dir.length + 1)).toSet
+      val statFiles = s.read.parquet(s"$dir/_filestats")
+        .select("file").distinct()
+        .as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet
+      assert(statFiles.nonEmpty && statFiles.subsetOf(liveRel),
+        "stats rows survive for vacuumed files after the retention fold")
       val keptV4 = FileStats.prunedFiles(s, dir, v4, "ts",
         b.getLong(0), b.getLong(1))
       assert(keptV4.nonEmpty &&
@@ -3131,6 +3146,92 @@ class ScaleShapeSpec extends SparkSpec {
         "stats-pruned read diverges after the fold")
       assert(FileStats.compactStats(s, dir) == 0L,
         "a second fold with nothing dead must be a no-op")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
+  test("string-lane file stats: truncated bounds prune the source-" +
+      "clustered corpus through the generic serve, non-ASCII 16th " +
+      "char degrades to unknown-upper (kept), answers stay exact") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{FileStats, SnapshotTable, Snapshots}
+    val staging = Files.createTempDirectory("strstats").toString
+    try {
+      // ---- the q147 shape: generic pruned serve over a committed
+      // corpus with tombstones ----
+      val dir = s"$staging/corpus"
+      val docs = Tables.documents(s, sf)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val v1 = SnapshotTable.saveCommit(s,
+        docs.repartitionByRange(10, col("source"), col("doc_id")), dir)
+      FileStats.recordFor(s, dir, v1, Seq("doc_id", "source"))
+      val v2 = SnapshotTable.deleteCommit(s, dir,
+        docs.where(pmod(col("doc_id"), lit(11)) === 3)
+          .select(col("doc_id")), "doc_id")
+      // files-opened < files-referenced through the generic path
+      val dataF = Snapshots.files(s, dir, v2)
+        .filterNot(_.contains("/deletes/"))
+      val kept = FileStats.pruneListString(s, dir, dataF, "source",
+        "src12", "src14")
+      assert(kept.nonEmpty && kept.size < dataF.size,
+        s"string pruning kept ${kept.size} of ${dataF.size} files")
+      val served = SnapshotTable.readAsOfPrunedString(s, dir, v2,
+        "doc_id", "source", "src12", "src14")
+        .where(col("source") >= "src12" && col("source") <= "src14")
+      assert(served.inputFiles.count(!_.contains("/deletes/")) ==
+        kept.size, "the pruned serve still plans over dropped files")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().sorted.toSeq
+      assert(key(served) == key(docs.where(
+          col("source").between("src12", "src14") &&
+            pmod(col("doc_id"), lit(11)) =!= 3)),
+        "pruned merge-on-read serve diverges from the exact scan")
+      // ---- truncation semantics at the 16-char boundary ----
+      val dir2 = s"$staging/trunc"
+      val longA = "a" * 15 + "b" + "suffix" // inc-able 16th char
+      val longB = "z" * 15 + "étail"   // non-ASCII 16th char
+      def landOne(id: Long, t: String): String = {
+        val before = graft.Fs.listDataFiles(dir2,
+          s.sparkContext.hadoopConfiguration)
+          .map(_.getPath.getName).toSet
+        Seq((id, t)).toDF("id", "t").coalesce(1)
+          .write.mode("append").parquet(dir2)
+        (graft.Fs.listDataFiles(dir2, s.sparkContext.hadoopConfiguration)
+          .map(_.getPath.getName).toSet -- before).head
+      }
+      val fA = landOne(1L, longA)
+      val fB = landOne(2L, longB)
+      val fN = landOne(3L, null: String)
+      val tv = Snapshots.commit(s, dir2)
+      FileStats.recordFor(s, dir2, tv, Seq("t"))
+      val allT = Snapshots.files(s, dir2, tv)
+      def names(fl: Seq[String]) = fl.map(_.split('/').last).toSet
+      // point-probe the long-A value: its file must survive (prefix
+      // lower bound <= value <= incremented upper bound), the z-file
+      // must drop (its truncated lower bound sorts above), the
+      // all-null file must drop
+      assert(names(FileStats.pruneListString(s, dir2, allT, "t",
+        longA, longA)) == Set(fA))
+      // point-probe the non-ASCII value: its upper bound is UNKNOWN
+      // (chr() cannot increment past ASCII), so the file is KEPT —
+      // conservative, never wrong — while the a-file's exact upper
+      // bound drops it
+      assert(names(FileStats.pruneListString(s, dir2, allT, "t",
+        longB, longB)) == Set(fB))
+      // the poisoned upper bound really is recorded NULL
+      val bRow = s.read.parquet(s"$dir2/_filestats")
+        .where(col("col") === "t" && col("file") === fN)
+      assert(bRow.count() == 1 && bRow.head().isNullAt(
+        bRow.columns.indexOf("min_s")),
+        "all-null file must record null bounds")
+      val pRow = s.read.parquet(s"$dir2/_filestats")
+        .where(col("col") === "t" && col("file") === fB).head()
+      assert(!pRow.isNullAt(pRow.fieldIndex("min_s")) &&
+        pRow.isNullAt(pRow.fieldIndex("max_s")),
+        "non-ASCII 16th char must poison ONLY the upper bound")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(staging))
   }
