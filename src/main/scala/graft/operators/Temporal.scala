@@ -598,6 +598,50 @@ object Temporal {
           round(max(col("value")), 6).as("max_value"))
         .orderBy(col("event_type"))
     },
+
+    // PARTITIONED-TABLE ROW-LEVEL DML — the q146 tombstone/COW-purge
+    // lifecycle with DECLARED hive partitioning (a plain
+    // date-partitioned corpus table that is neither Z-ordered nor
+    // indexed finally has an erasure path): the events table lands
+    // day-sprayed and committed, the even ids of a 2-day slice are
+    // tombstoned (v2 — merge-on-read, nothing rewritten; a strict
+    // subset, so the purge has survivors to re-spray), and the COW purge
+    // re-sprays ONLY the files holding tombstoned rows back into
+    // their own day dirs (v3 ≡ v2 rows; the touched set is confined
+    // to the 2 tombstoned days by the day clustering — partition-
+    // local erasure, proven in ScaleShapeSpec). Oracle = the events
+    // population per version.
+    "q148_partitioned_delete" -> { (s, d) =>
+      import graft.plans.SnapshotTable
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("value"))
+        .withColumn("day", to_date(col("ts")))
+      val staging = graft.Fs.createStagingDir(s, "graft-part-delete")
+      try {
+        val dir = s"$staging/events"
+        val v1 = SnapshotTable.saveCommit(s,
+          ev.repartition(col("day")), dir, partitionCols = Seq("day"))
+        val dels = ev.where(
+          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+            col("ts") < lit("2024-01-12 00:00:00").cast("timestamp") &&
+            col("event_id") % 2 === 0)
+          .select(col("event_id"))
+        val v2 = SnapshotTable.deleteCommit(s, dir, dels, "event_id",
+          partitionCols = Seq("day"))
+        val v3 = SnapshotTable.purgeCommit(s, dir, "event_id",
+          partitionCols = Seq("day"))
+        def leg(v: Int, tag: Int) =
+          SnapshotTable.readAsOf(s, dir, v, "event_id")
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2))
+            .unionByName(leg(v3, 3)))
+          .select(col("version"), col("event_id"), col("event_type"))
+          .orderBy(col("version"), col("event_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
   private val statsTableMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -650,6 +694,18 @@ object Temporal {
         |  AND ts <  TIMESTAMP '2024-01-13 00:00:00'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    // v1 everything, v2 merge-on-read survivors of the 2-day delete,
+    // v3 post-purge ≡ v2 (the purge is purely physical)
+    "q148_partitioned_delete" -> {
+      def leg(tag: Int, popWhere: String) =
+        s"""SELECT $tag AS version, event_id, event_type
+           |FROM events WHERE $popWhere""".stripMargin
+      val deleted = "ts >= TIMESTAMP '2024-01-10 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-12 00:00:00' AND event_id % 2 = 0"
+      Seq(leg(1, "TRUE"), leg(2, s"NOT ($deleted)"),
+          leg(3, s"NOT ($deleted)"))
+        .mkString("\nUNION ALL\n") + "\nORDER BY version, event_id"
+    },
     // the streaming sessionization must equal the batch form exactly
     "q51s_stream_sessionize" -> oracleBase("q51_sessionize"),
     // the clustered layout must answer exactly what the unclustered

@@ -38,10 +38,14 @@ import org.apache.spark.sql.functions._
   *    physical rows would resurrect the moment a purge drops the
   *    list — mirroring the index families' guard.
   *
-  * Boundaries: FLAT tables only (no hive-partition dirs — the purge
-  * rewrite could not reconstruct partition spraying generically;
-  * partitioned artifacts use their family's own lifecycle), single
-  * writer per table like [[Snapshots.commit]].
+  * Layouts: FLAT tables by default; hive-partitioned tables are
+  * supported by DECLARING `partitionCols` on every lifecycle call —
+  * the layout is validated against the declaration ([[requireLayout]])
+  * and the purge reconstructs the spraying via a partitionBy rewrite
+  * (survivors land as new siblings inside their own partition dirs,
+  * so a key-local delete purges key-locally). An undeclared hive
+  * layout still refuses loudly. Single writer per table like
+  * [[Snapshots.commit]].
   */
 object SnapshotTable {
 
@@ -54,17 +58,33 @@ object SnapshotTable {
     new Path(file).toUri.getPath.drop(dn.length + 1)
   }
 
-  /** The hive-partition refusal inspects only the dataDir-RELATIVE
-    * segments: a `key=value` segment in the table's own ancestry
-    * (`.../run=3/corpus`) is the caller's directory naming, not a
-    * partition layout, and must not reject the lifecycle. */
-  private def requireFlat(s: SparkSession, dataDir: String, v: Int): Unit =
+  /** Layout validation, inspecting only dataDir-RELATIVE segments (a
+    * `key=value` segment in the table's own ancestry — `.../run=3/
+    * corpus` — is the caller's directory naming, not a partition
+    * layout). With no declared partition columns the table must be
+    * FLAT: a hive layout this lifecycle was not told about would make
+    * the purge rewrite lose the spraying. With declared columns every
+    * data file must sit under exactly the declared `c=v` segments in
+    * order (the same path grammar [[Snapshots.compactCommit]] parses),
+    * so the partitionBy rewrite reconstructs the spraying faithfully.
+    * Tombstone files under `deletes/` are bookkeeping, not sprayed
+    * data, and are exempt from the partitioned-shape check. */
+  private def requireLayout(s: SparkSession, dataDir: String, v: Int,
+      partitionCols: Seq[String]): Unit =
     for (f <- Snapshots.files(s, dataDir, v)
-         if relOf(dataDir, f).split('/').exists(_.contains("=")))
-      throw new IllegalArgumentException(
-        s"SnapshotTable: $dataDir looks hive-partitioned ($f) — the " +
-          "generic flat-table purge cannot reconstruct partition " +
-          "spraying; use the owning family's lifecycle instead")
+         if !f.startsWith(s"$dataDir/$deletesPrefix/")) {
+      val kv = relOf(dataDir, f).split('/').dropRight(1)
+        .filter(_.contains("=")).map(_.takeWhile(_ != '=')).toSeq
+      if (partitionCols.isEmpty && kv.nonEmpty)
+        throw new IllegalArgumentException(
+          s"SnapshotTable: $dataDir looks hive-partitioned ($f) — " +
+            "declare partitionCols, or use the owning family's " +
+            "lifecycle instead")
+      if (partitionCols.nonEmpty && kv != partitionCols)
+        throw new IllegalArgumentException(
+          s"SnapshotTable: $f's partition segments [${kv.mkString(",")}]" +
+            s" do not match the declared [${partitionCols.mkString(",")}]")
+    }
 
   /** Version `v`'s manifested files split into (data, tombstones). */
   private def pieces(s: SparkSession, dataDir: String,
@@ -72,13 +92,22 @@ object SnapshotTable {
     Snapshots.files(s, dataDir, v)
       .partition(f => !f.startsWith(s"$dataDir/$deletesPrefix/"))
 
-  /** Save `rows` as version 1 of a fresh committed table. */
-  def saveCommit(s: SparkSession, rows: DataFrame,
-      dataDir: String): Int = {
+  private def writeRows(rows: DataFrame, dataDir: String,
+      partitionCols: Seq[String]): Unit = {
+    val w = rows.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(dataDir)
+  }
+
+  /** Save `rows` as version 1 of a fresh committed table —
+    * hive-sprayed by `partitionCols` when declared (every later
+    * lifecycle call must declare the same columns). */
+  def saveCommit(s: SparkSession, rows: DataFrame, dataDir: String,
+      partitionCols: Seq[String] = Nil): Int = {
     require(Snapshots.current(s, dataDir).isEmpty,
       s"saveCommit: $dataDir already has committed versions — append " +
         "via appendCommit")
-    rows.write.mode("append").parquet(dataDir)
+    writeRows(rows, dataDir, partitionCols)
     Snapshots.commit(s, dataDir)
   }
 
@@ -86,7 +115,7 @@ object SnapshotTable {
     * of the current version (their physical rows would resurrect when
     * a purge drops the list; purge first, then re-ingest). */
   def appendCommit(s: SparkSession, dataDir: String, rows: DataFrame,
-      idCol: String): Int = {
+      idCol: String, partitionCols: Seq[String] = Nil): Int = {
     val v = Snapshots.current(s, dataDir).getOrElse(
       throw new IllegalArgumentException(
         s"appendCommit: no committed version under $dataDir"))
@@ -99,7 +128,7 @@ object SnapshotTable {
         s"appendCommit: $clash $idCol(s) are tombstoned as of v$v — " +
           "run purgeCommit before re-ingesting a deleted id")
     }
-    rows.write.mode("append").parquet(dataDir)
+    writeRows(rows, dataDir, partitionCols)
     // SELECTION commit, never a full disk re-listing: after a purge
     // the dropped pre-purge files and the tombstone list stay on disk
     // for the OLDER versions until expire — a listing commit would
@@ -117,11 +146,16 @@ object SnapshotTable {
     * id would silently skew every later count) and not already
     * tombstoned. Returns the committed version. */
   def deleteCommit(s: SparkSession, dataDir: String,
-      deleteIds: DataFrame, idCol: String): Int = {
+      deleteIds: DataFrame, idCol: String,
+      partitionCols: Seq[String] = Nil): Int = {
     val v = Snapshots.current(s, dataDir).getOrElse(
       throw new IllegalArgumentException(
         s"deleteCommit: no committed version under $dataDir"))
-    requireFlat(s, dataDir, v)
+    require(!partitionCols.contains(idCol),
+      s"deleteCommit: $idCol is a partition column — row-level deletes " +
+        "key on a data column; partition-level erasure is a manifest " +
+        "selection swap, not a tombstone")
+    requireLayout(s, dataDir, v, partitionCols)
     val staged = graft.Materialize.cut(
       deleteIds.select(col(idCol)).distinct())
     try {
@@ -197,18 +231,21 @@ object SnapshotTable {
     * next manifest. Older versions keep reading their own files until
     * expired. Returns the committed version (unchanged when there is
     * nothing to purge). */
-  def purgeCommit(s: SparkSession, dataDir: String,
-      idCol: String): Int = {
+  def purgeCommit(s: SparkSession, dataDir: String, idCol: String,
+      partitionCols: Seq[String] = Nil): Int = {
     val v = Snapshots.current(s, dataDir).getOrElse(
       throw new IllegalArgumentException(
         s"purgeCommit: no committed version under $dataDir"))
-    requireFlat(s, dataDir, v)
+    requireLayout(s, dataDir, v, partitionCols)
     val (dataF, tombF) = pieces(s, dataDir, v)
     if (tombF.isEmpty) return v
     val tombs = s.read.parquet(tombF: _*)
     // which FILES hold a tombstoned row: a skinny (id, file) scan
     // under the broadcast delete list — columnar projection makes
-    // this one cheap column + file names, the flat-table MoR trade
+    // this one cheap column + file names. On a partitioned table the
+    // touched set is naturally confined to the partitions holding
+    // tombstoned rows (file granularity is strictly finer), so a
+    // key-local delete rewrites key-local files only.
     val touched: Set[String] = s.read.parquet(dataF: _*)
       .select(col(idCol), input_file_name().as("__f"))
       .join(broadcast(tombs), Seq(idCol), "left_semi")
@@ -217,9 +254,14 @@ object SnapshotTable {
     def hit(f: String) = touched(new Path(f).toUri.getPath)
     val rewrite = dataF.filter(hit)
     if (rewrite.nonEmpty) {
-      val survivors = s.read.parquet(rewrite: _*)
+      // basePath keeps the partition columns through the explicit
+      // listing, and the partitionBy write re-sprays survivors into
+      // their own partition dirs — new siblings of the files they
+      // replace, exactly like Snapshots.compactCommit's merge
+      val survivors = s.read.option("basePath", dataDir)
+        .parquet(rewrite: _*)
         .join(broadcast(tombs), Seq(idCol), "left_anti")
-      survivors.write.mode("append").parquet(dataDir)
+      writeRows(survivors, dataDir, partitionCols)
     }
     val dropRel = (rewrite ++ tombF).map(relOf(dataDir, _)).toSet
     Snapshots.commitReplacingWhere(s, dataDir, v, dropRel.contains)

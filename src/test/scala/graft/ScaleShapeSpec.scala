@@ -3150,6 +3150,84 @@ class ScaleShapeSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("partitioned-table DML: purge touches only partitions holding " +
+      "tombstoned rows, spraying reconstructed, layout mismatches refuse") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{SnapshotTable, Snapshots}
+    val staging = Files.createTempDirectory("part_dml").toString
+    try {
+      val dir = s"$staging/events"
+      val ev = Tables.events(s, sf)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .withColumn("day", to_date(col("ts")))
+      val v1 = SnapshotTable.saveCommit(s, ev.repartition(col("day")),
+        dir, partitionCols = Seq("day"))
+      // delete a 2-day slice: ids resident in exactly 2 of ~30 day dirs
+      val dels = ev.where(
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-12 00:00:00").cast("timestamp") &&
+          col("event_id") % 2 === 0)
+        .select(col("event_id"))
+      val v2 = SnapshotTable.deleteCommit(s, dir, dels, "event_id",
+        partitionCols = Seq("day"))
+      val v2Data = Snapshots.files(s, dir, v2)
+        .filterNot(_.contains("/deletes/")).toSet
+      val v3 = SnapshotTable.purgeCommit(s, dir, "event_id",
+        partitionCols = Seq("day"))
+      val v3Files = Snapshots.files(s, dir, v3).toSet
+      def dayOf(f: String) = f.split('/').find(_.startsWith("day="))
+        .getOrElse(fail(s"no day= segment in $f"))
+      // partition-local erasure: every REWRITTEN file (dropped or new)
+      // sits in a tombstoned day dir; untouched days carry verbatim
+      val tombDays = Set("day=2024-01-10", "day=2024-01-11")
+      val dropped = v2Data -- v3Files
+      val added = v3Files -- v2Data
+      assert(dropped.nonEmpty && added.nonEmpty,
+        "purge rewrote nothing — the locality claim is vacuous")
+      assert(dropped.forall(f => tombDays(dayOf(f))),
+        s"purge dropped files outside the tombstoned days: " +
+          (dropped.filterNot(f => tombDays(dayOf(f)))).take(3))
+      assert(added.forall(f => tombDays(dayOf(f))),
+        "purge re-sprayed survivors outside the tombstoned days — " +
+          "the partitionBy reconstruction is broken")
+      assert((v2Data -- dropped).subsetOf(v3Files),
+        "an untouched partition's file failed to carry verbatim")
+      // rows: v3 ≡ v2 merge-on-read; v1 sees everything; partition
+      // pruning survives the manifested listing (basePath)
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().sorted.toSeq
+      assert(ids(SnapshotTable.readAsOf(s, dir, v3, "event_id")) ==
+        ids(SnapshotTable.readAsOf(s, dir, v2, "event_id")))
+      assert(ids(SnapshotTable.readAsOf(s, dir, v1, "event_id")) ==
+        ids(ev))
+      val prunedScan = SnapshotTable.readAsOf(s, dir, v3, "event_id")
+        .where(col("day") === lit("2024-01-20").cast("date"))
+      val scanPlan = prunedScan.queryExecution.executedPlan.toString
+      assert(scanPlan.contains("PartitionFilters: [") &&
+        scanPlan.contains("day"),
+        s"day predicate did not reach the manifested scan as a " +
+          s"partition filter:\n${scanPlan.take(1200)}")
+      // layout mismatches refuse loudly in both directions
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.purgeCommit(s, dir, "event_id"))
+        .getMessage.contains("hive-partitioned"))
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.deleteCommit(s, dir, dels.limit(1), "event_id",
+          partitionCols = Seq("hour")))
+        .getMessage.contains("do not match the declared"))
+      // a partition column cannot be the delete key
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.deleteCommit(s, dir,
+          Seq(java.sql.Date.valueOf("2024-01-20")).toDF("day"), "day",
+          partitionCols = Seq("day")))
+        .getMessage.contains("partition column"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("string-lane file stats: truncated bounds prune the source-" +
       "clustered corpus through the generic serve, non-ASCII 16th " +
       "char degrades to unknown-upper (kept), answers stay exact") {
