@@ -70,7 +70,8 @@ object Bench {
     * same accounting rule as [[cloneStagers]]: the shared save +
     * manifest commit is setup; the append/commit/as-of-serve
     * lifecycle is what gets timed. */
-  val snapStagers = Set("q109", "q113", "q132", "q134s", "q138", "q139")
+  val snapStagers = Set("q109", "q113", "q132", "q134s", "q138", "q139",
+    "q149")
 
   /** Queries that mutate a per-invocation clone of the committed-v1
     * BM25 snapshot index ([[graft.operators.TextAnalysis

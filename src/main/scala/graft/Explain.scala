@@ -133,6 +133,7 @@ object Explain {
     "q146_table_delete" -> "corpus-table row-level delete: tombstones land as one file inside the manifested tree (merge-on-read — broadcast anti-join under each version's scan), the COW purge rewrites only files holding tombstoned rows via a skinny (id, input_file_name) probe under the broadcast list; pinned plan is the three-leg as-of union",
     "q147_pruned_serve" -> "generic pruned serve: the DEFAULT committed-table read path consults the FileStats sidecar — string-lane (16-char truncated, Iceberg-style) bounds drop the non-intersecting files of the source-clustered corpus from the plan before any footer opens, the pinned tombstone list still broadcast-anti-joins merge-on-read; pinned plan is the pruned scan + anti-join + exact predicate",
     "q148_partitioned_delete" -> "partitioned-table row-level DML: day-sprayed committed events, tombstones merge-on-read (broadcast anti-join under each version's basePath scan — partition pruning survives the manifested listing), the COW purge re-sprays only files holding tombstoned rows back into their own day dirs via partitionBy (touched set confined to the tombstoned days by the clustering); pinned plan is the three-leg as-of union",
+    "q149_lsh_occ_append" -> "OCC append for the band family (df-free, so every landed artifact is additive): both writers' band files land exactly once as dynamic-partition appends, the loser's retry re-validates only the re-ingest guard and re-publishes an explicit file selection (commitSelectingExpecting — no sweep); pinned plan is the three-leg as-of serve union with (band_id, kbucket) pruning",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -173,7 +174,8 @@ object Explain {
     "q138_snapshot_delete", "q139_tagged_snapshot",
     "q141_bm25_occ_append", "q142_zorder_timetravel",
     "q143_ivf_snapshot_delete", "q144_pq_snapshot_delete",
-    "q146_table_delete", "q148_partitioned_delete")
+    "q146_table_delete", "q148_partitioned_delete",
+    "q149_lsh_occ_append")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -1504,6 +1504,61 @@ object Dedup {
         s.sparkContext.hadoopConfiguration)
     },
 
+    // OCC APPEND FOR THE BAND FAMILY — the q141 re-derive protocol
+    // where the df-free shape makes every landed artifact ADDITIVE
+    // (closing the r16 single-writer asymmetry: BM25 had the
+    // capability, its siblings didn't): writers A and B both read
+    // base v1; A lands its band files and publishes v2; B lands its
+    // files (order-independent parquet appends), loses the publish
+    // race, and the retry re-validates the ONE base-dependent rule —
+    // the re-ingest guard — against the new current before committing
+    // v3 with an EXPLICIT file selection (v2's files + B's tracked
+    // landings; commitSelectingExpecting — a concurrent writer's
+    // half-landed batch is never swept in). The query REQUIRES the
+    // conflict to have fired exactly once (vacuity-proof) and serves
+    // one probe sketch as-of all three versions; the oracle is q109's
+    // CTE per version population — v3 must be the union of both
+    // writers' batches over the residents, no lost update, no double
+    // rows. Scale: conflict detection is one manifest stat; a retry
+    // re-lists file NAMES, never re-lands band rows.
+    "q149_lsh_occ_append" -> { (s, d) =>
+      import graft.plans.{MinHashIndex, Snapshots}
+      val docs = Tables.documents(s, d)
+      val staging = takeSnapClone(s, d)
+      try {
+        val idxDir = s"$staging/idx"
+        val bands = s"$idxDir/bands"
+        val v1 = Snapshots.current(s, bands).get
+        // writer A wins the race
+        val (v2, cA) = MinHashIndex.appendCommitRetrying(s, idxDir,
+          docs.where(pmod(col("doc_id"), lit(20)) === 9)
+            .select(col("doc_id"), col("text")))
+        require(cA == 0, s"writer A should commit clean, got $cA conflicts")
+        // writer B publishes against the base it read BEFORE A's
+        // commit — the stale-base retry path, forced
+        val (v3, cB) = MinHashIndex.appendCommitRetrying(s, idxDir,
+          docs.where(pmod(col("doc_id"), lit(20)) === 19)
+            .select(col("doc_id"), col("text")),
+          expected = Some(v1))
+        require(cB == 1,
+          s"writer B should lose exactly one race then succeed, got $cB")
+        require(v3 == v2 + 1, s"expected v${v2 + 1}, committed v$v3")
+        val probe = MinHashIndex.localize(s,
+          docs.where(pmod(col("doc_id"), lit(10)) === 0)
+            .select(col("doc_id"), col("text")))
+        def leg(v: Int, tag: Int) =
+          MinHashIndex.serveRowsAsOf(s, idxDir, v, probe)
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2))
+            .unionByName(leg(v3, 3)))
+          .select(col("version"), col("probe_doc"), col("corpus_doc"),
+            col("est_jaccard"))
+          .orderBy(col("version"), col("probe_doc"), col("corpus_doc"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
     // OPTIMISTIC-CONCURRENCY COMMIT, END TO END — two UNCOORDINATED
     // writers against one committed dataset (the lakehouse
     // multi-writer protocol the single-writer lifecycles above don't
@@ -2934,6 +2989,33 @@ object Dedup {
          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 9)
          |  UNION
          |  SELECT 2, a.doc_id, b.doc_id, a.sig, b.sig
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)
+         |SELECT version, probe_doc, corpus_doc, $estSql AS est_jaccard
+         |FROM cand WHERE $estSql >= $EstThreshold
+         |ORDER BY version, probe_doc, corpus_doc""".stripMargin,
+    // q149: q109's CTE per version population — v1 the residents, v2
+    // after writer A's batch (%20 = 9), v3 after writer B's retry
+    // lands %20 = 19 too (= all the %10 = 9 docs). The v3 leg gates
+    // the no-lost-update invariant: a swept-in or dropped batch would
+    // change the candidate pair set.
+    "q149_lsh_occ_append" ->
+      s"""WITH $sigBandCtes,
+         |cand AS (
+         |  SELECT 1 AS version, a.doc_id AS probe_doc, b.doc_id AS corpus_doc,
+         |         a.sig AS sig_a, b.sig AS sig_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 NOT IN (0, 9)
+         |  UNION
+         |  SELECT 2, a.doc_id, b.doc_id, a.sig, b.sig
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |  WHERE a.doc_id % 10 = 0 AND
+         |    (b.doc_id % 10 NOT IN (0, 9) OR b.doc_id % 20 = 9)
+         |  UNION
+         |  SELECT 3, a.doc_id, b.doc_id, a.sig, b.sig
          |  FROM bands a JOIN bands b
          |    ON a.band_id = b.band_id AND a.band_key = b.band_key
          |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0)

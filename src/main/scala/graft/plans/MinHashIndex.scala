@@ -332,6 +332,89 @@ object MinHashIndex {
         :+ "deletes")
   }
 
+  /** OPTIMISTIC-CONCURRENCY append for a COMMITTED index — the q141
+    * re-derive protocol ([[Bm25Index.appendCommitRetrying]]) applied
+    * to the band family, where the df-free shape makes every landed
+    * artifact ADDITIVE: a doc's band rows are self-contained (there is
+    * no corpus-level stats sibling to re-derive), so the landing
+    * happens exactly once and only the COMMIT retries. Each attempt
+    * SELECTS this writer's tracked files on top of the version it
+    * validated against ([[Snapshots.commitSelectingExpecting]] — a
+    * concurrent writer's half-landed batch is never swept in), and a
+    * lost race re-VALIDATES the one base-dependent rule — the
+    * re-ingest guard — against the new current before retrying: a
+    * concurrent [[deleteCommit]] may have tombstoned one of this
+    * batch's ids mid-flight, and a blind retry would land physical
+    * rows that resurrect on the next [[purgeCommit]]. A retry that
+    * fails re-validation leaves the landed band files unreferenced —
+    * [[Snapshots.expire]] reclaims them, the standard orphan sweep.
+    * File tracking is the landing-window listing diff, the same
+    * committer-manifest seam as the BM25 form. `expected` is the base
+    * version the caller read (None = read current at entry). Returns
+    * (committedVersion, conflictsObserved). */
+  def appendCommitRetrying(s: SparkSession, indexDir: String,
+      newDocs: DataFrame, expected: Option[Int] = None,
+      maxRetries: Int = 5): (Int, Int) = {
+    val bands = s"${IvfTopK.qualify(s, indexDir)}/bands"
+    val conf = s.sparkContext.hadoopConfiguration
+    val bandsUri = new org.apache.hadoop.fs.Path(bands).toUri.getPath
+    def relOf(abs: String): String = {
+      val fn = new org.apache.hadoop.fs.Path(abs).toUri.getPath
+      require(fn.startsWith(bandsUri + "/"),
+        s"appendCommitRetrying: $abs is not under $bands")
+      fn.drop(bandsUri.length + 1)
+    }
+    def ls(): Set[String] =
+      graft.Fs.listDataFiles(bands, conf).map(_.getPath.toString).toSet
+    var v = expected.orElse(Snapshots.current(s, bands)).getOrElse(
+      throw new IllegalStateException(
+        s"appendCommitRetrying: no committed snapshot under $bands"))
+    val staged = graft.Materialize.cut(newDocs)
+    val ids = staged.select(col("doc_id")).distinct()
+    def checkTombstones(w: Int): Unit = {
+      val tombF = manifestPieces(s, bands, w)._2
+      if (tombF.nonEmpty) {
+        val clash = ids.join(broadcast(s.read.parquet(tombF: _*)),
+          Seq("doc_id"), "left_semi").count()
+        require(clash == 0L,
+          s"appendCommitRetrying: $clash doc_id(s) are tombstoned as " +
+            s"of v$w — a purgeCommit must land first (landed band rows " +
+            "are unreferenced; expire() reclaims them)")
+      }
+    }
+    // `staged` must stay materialized through the retry loop — every
+    // re-validation's `ids` derives from it (releasing it after the
+    // landing would make a retry recompute a truncated-lineage
+    // checkpoint)
+    try {
+      checkTombstones(v)
+      // the additive landing, exactly once — order-independent between
+      // concurrent writers (parquet append never mutates existing files)
+      val before = ls()
+      withBucket(Dedup.indexBandRows(staged))
+        .write.mode("append").partitionBy("band_id", "kbucket")
+        .parquet(bands)
+      val mine = (ls() -- before).toSeq.map(relOf)
+      var conflicts = 0
+      while (true) {
+        try return (Snapshots.commitSelectingExpecting(s, bands, v,
+          _ => false, mine), conflicts)
+        catch { case e: Snapshots.SnapshotConflictException =>
+          conflicts += 1
+          if (conflicts > maxRetries)
+            throw new Snapshots.SnapshotConflictException(
+              s"appendCommitRetrying: still conflicting after " +
+                s"$maxRetries retries under $bands — last: ${e.getMessage}")
+          v = Snapshots.current(s, bands).getOrElse(
+            throw new IllegalStateException(
+              s"appendCommitRetrying: snapshots vanished under $bands"))
+          checkTombstones(v)
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    } finally graft.Materialize.release(staged)
+  }
+
   /** File-level copy of a saved index (bands + meta). Mutation-testing
     * convenience: a re-runnable query that APPENDS (the ingest-loop
     * forms q103/q103b) clones the resident index per invocation so

@@ -1976,6 +1976,52 @@ class ScaleShapeSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("MinHash OCC append: a lost race re-validates the re-ingest " +
+      "guard against the NEW current, refused landings stay orphans") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{MinHashIndex, Snapshots}
+    val staging = java.nio.file.Files.createTempDirectory("lsh_occ").toString
+    try {
+      val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
+      val idxDir = s"$staging/idx"
+      MinHashIndex.save(s,
+        docs.where(pmod(col("doc_id"), lit(10)).between(1, 8)),
+        s"$sf/documents.parquet", idxDir)
+      val bands = s"$idxDir/bands"
+      val v1 = Snapshots.commit(s, bands)
+      // a concurrent deleter tombstones resident doc X at v2 — AFTER
+      // writer B read its base (v1), BEFORE B's publish
+      val xid = docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .agg(min(col("doc_id"))).head().getLong(0)
+      val v2 = MinHashIndex.deleteCommit(s, idxDir, Seq(xid).toDF("doc_id"))
+      // writer B's batch re-ingests X against the stale base: the
+      // commit conflict must trigger a re-validation against v2 and
+      // REFUSE — a blind retry would land physical band rows for X
+      // that resurrect the moment purgeCommit drops the tombstones
+      val e = intercept[IllegalArgumentException](
+        MinHashIndex.appendCommitRetrying(s, idxDir,
+          docs.where(col("doc_id") === xid ||
+            pmod(col("doc_id"), lit(10)) === 9),
+          expected = Some(v1)))
+      assert(e.getMessage.contains("tombstoned"),
+        s"wrong refusal: ${e.getMessage.take(200)}")
+      assert(Snapshots.current(s, bands).contains(v2),
+        "the refused retry must not have committed anything")
+      // the refused landing is unreferenced — the standard orphan
+      // sweep reclaims it
+      val reclaimed = Snapshots.expire(s, bands, keepFrom = v2)
+      assert(reclaimed > 0, "refused landing left nothing to reclaim?")
+      // ...and a conflict-free OCC append against the new current
+      // still lands (the guard refuses the CLASHING batch, not the
+      // protocol)
+      val (v3, conflicts) = MinHashIndex.appendCommitRetrying(s, idxDir,
+        docs.where(pmod(col("doc_id"), lit(10)) === 9))
+      assert(conflicts == 0 && v3 == v2 + 1)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("MinHash deleteCommit/purgeCommit: pre-delete versions stay " +
       "byte-identical, the purge is partition-local, re-ingest gated") {
     val s = spark
