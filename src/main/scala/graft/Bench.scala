@@ -597,7 +597,7 @@ object Bench {
         // even a mid-sweep-1 kill leaves a parseable artifact (the
         // samples cover the queries run so far; sweeps_completed=0
         // marks it partial)
-        if (sweepsDone == 0 && qIdx % 40 == 0) writeRecord()
+        if (sweepsDone == 0 && qIdx % 40 == 0) println(writeRecord()._2)
       }
       sweepWall += s"""{"start_epoch":$wall0,"end_epoch":${
         System.currentTimeMillis() / 1000},"load_start":$load0,"load_end":$loadAvg}"""
@@ -605,8 +605,13 @@ object Bench {
       sweepsDone += 1
       // the per-sweep FLUSH: cumulative medians over sweeps-so-far —
       // a driver kill after any completed sweep now leaves a valid
-      // record instead of rc=124/parsed:null (r16 verdict #1a)
-      writeRecord()
+      // BENCH.json — and the cumulative SUMMARY line is also PRINTED,
+      // because the driver's official record parses the stdout TAIL:
+      // a kill that silences the end-of-run print would otherwise
+      // still read parsed:null with a perfectly good file on disk.
+      // Spark's own logging goes to stderr, so stdout stays ours and
+      // the tail capture always ends on a complete JSON line.
+      println(writeRecord()._2)
     }
     // Sweep loop under the wall-clock budget: sweep 1 always runs;
     // each later sweep requires elapsed + lastSweepWall <= budget
