@@ -134,6 +134,8 @@ object Explain {
     "q147_pruned_serve" -> "generic pruned serve: the DEFAULT committed-table read path consults the FileStats sidecar — string-lane (16-char truncated, Iceberg-style) bounds drop the non-intersecting files of the source-clustered corpus from the plan before any footer opens, the pinned tombstone list still broadcast-anti-joins merge-on-read; pinned plan is the pruned scan + anti-join + exact predicate",
     "q148_partitioned_delete" -> "partitioned-table row-level DML: day-sprayed committed events, tombstones merge-on-read (broadcast anti-join under each version's basePath scan — partition pruning survives the manifested listing), the COW purge re-sprays only files holding tombstoned rows back into their own day dirs via partitionBy (touched set confined to the tombstoned days by the clustering); pinned plan is the three-leg as-of union",
     "q149_lsh_occ_append" -> "OCC append for the band family (df-free, so every landed artifact is additive): both writers' band files land exactly once as dynamic-partition appends, the loser's retry re-validates only the re-ingest guard and re-publishes an explicit file selection (commitSelectingExpecting — no sweep); pinned plan is the three-leg as-of serve union with (band_id, kbucket) pruning",
+    "q150_schema_evolution" -> "schema evolution on the committed corpus: a widening batch flips the one-stat evolved marker, serves of evolved versions schema-merge (distributed footer pass — pre-evolution files null-fill the added column) while v1 time travel keeps its own schema; pinned plan is the merged-schema serve scan",
+    "q151_table_compact" -> "flat-table small-file compaction (OPTIMIZE): the COW rewrite is one repartition shuffle of the current selection into maxFiles sibling files, the commit swaps the selection, tombstones stay pinned; pinned plan is the three-leg as-of union where the compacted leg reads exactly maxFiles files",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -175,7 +177,7 @@ object Explain {
     "q141_bm25_occ_append", "q142_zorder_timetravel",
     "q143_ivf_snapshot_delete", "q144_pq_snapshot_delete",
     "q146_table_delete", "q148_partitioned_delete",
-    "q149_lsh_occ_append")
+    "q149_lsh_occ_append", "q150_schema_evolution", "q151_table_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

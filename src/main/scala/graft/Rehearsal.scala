@@ -69,7 +69,18 @@ object Rehearsal {
     // however many files the version references
     "q141_bm25_occ_append", "q142_zorder_timetravel",
     "q143_ivf_snapshot_delete", "q144_pq_snapshot_delete",
-    "q145_stats_skipping")
+    "q145_stats_skipping",
+    // round-17: the committed-TABLE lifecycle. The claims under
+    // pressure: (q146/q148) the corpus purge rewrites only files /
+    // partitions holding tombstoned rows however big the table;
+    // (q147) string-bound pruning stays a driver-side stats read and
+    // the pruned serve opens only intersecting files; (q149) the OCC
+    // retry re-lists file names, never re-lands band rows; (q150) the
+    // evolved serve's mergeSchema is one distributed footer pass, not
+    // per-row work; (q151) compaction is one bounded repartition
+    // shuffle of the current selection
+    "q146_table_delete", "q147_pruned_serve", "q148_partitioned_delete",
+    "q149_lsh_occ_append", "q150_schema_evolution", "q151_table_compact")
 
   private final class TaskMax extends SparkListener {
     val maxInput = new java.util.concurrent.atomic.AtomicLong(0)

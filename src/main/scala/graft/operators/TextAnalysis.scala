@@ -806,6 +806,87 @@ object TextAnalysis {
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
+
+    // SCHEMA EVOLUTION for the committed corpus — the remaining
+    // lakehouse staple the table layer lacked: a new quality column
+    // arrives WITH an ingest batch (the common pipeline shape: a new
+    // scorer starts emitting a field), the widening append is refused
+    // without the explicit flag (schema drift is an error unless
+    // someone said otherwise) and accepted with it; serves of the new
+    // version schema-merge so pre-evolution files null-fill the added
+    // column, while v1 time travel keeps its OWN schema (the column
+    // does not exist there — the schema travels with time travel).
+    // Oracle = the whole corpus with quality defined exactly on the
+    // evolved batch's rows.
+    "q150_schema_evolution" -> { (s, d) =>
+      import graft.plans.SnapshotTable
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val staging = graft.Fs.createStagingDir(s, "graft-tbl-evolve")
+      try {
+        val dir = s"$staging/corpus"
+        val v1 = SnapshotTable.saveCommit(s,
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 9)
+            .repartition(4, col("doc_id")), dir)
+        val batch = docs.where(pmod(col("doc_id"), lit(10)) === 9)
+          .withColumn("quality", (col("n_chars") * 2).cast("double"))
+        // the default contract refuses a widening batch loudly
+        val refused =
+          try { SnapshotTable.appendCommit(s, dir, batch, "doc_id"); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("allowEvolution") }
+        require(refused, "widening batch must refuse without the flag")
+        val v2 = SnapshotTable.appendCommit(s, dir, batch, "doc_id",
+          allowEvolution = true)
+        // v1 keeps its own (pre-evolution) schema under time travel
+        require(!SnapshotTable.readAsOf(s, dir, v1, "doc_id")
+          .columns.contains("quality"),
+          "v1 time travel must not grow the evolved column")
+        // materialized before the finally reclaims the staging dir
+        graft.Materialize.cut(
+          SnapshotTable.readAsOf(s, dir, v2, "doc_id")
+            .select(col("doc_id"), col("n_chars"), col("quality"))
+            .orderBy(col("doc_id")))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
+
+    // SMALL-FILE COMPACTION (OPTIMIZE) for the committed corpus — the
+    // flat-table twin of q113's band compaction: three ingest batches
+    // fragment the table (one small file per appendCommit — the serve
+    // scan's per-file open cost grows with ingest history), the COW
+    // compaction rewrites the current selection as maxFiles new
+    // sibling files and commits the swap, and every version still
+    // serves its own file set — v_compacted must be row-identical to
+    // v_final (compaction is purely physical). Oracle = the population
+    // per version.
+    "q151_table_compact" -> { (s, d) =>
+      import graft.plans.{SnapshotTable, Snapshots}
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      def slice(m: Int) = docs.where(pmod(col("doc_id"), lit(4)) === m)
+      val staging = graft.Fs.createStagingDir(s, "graft-tbl-compact")
+      try {
+        val dir = s"$staging/corpus"
+        val v1 = SnapshotTable.saveCommit(s,
+          slice(0).repartition(6, col("doc_id")), dir)
+        for (m <- 1 to 3)
+          SnapshotTable.appendCommit(s, dir, slice(m), "doc_id")
+        val v4 = Snapshots.current(s, dir).get
+        val before = Snapshots.files(s, dir, v4).size
+        val v5 = SnapshotTable.compactCommit(s, dir, maxFiles = 4)
+        val after = Snapshots.files(s, dir, v5).size
+        require(after == 4 && after < before,
+          s"compaction left $after files (before: $before)")
+        def leg(v: Int, tag: Int) =
+          SnapshotTable.readAsOf(s, dir, v, "doc_id")
+            .withColumn("version", lit(tag))
+        // materialized before the finally reclaims the staging dir
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v4, 2))
+            .unionByName(leg(v5, 3)))
+          .select(col("version"), col("doc_id"), col("n_chars"))
+          .orderBy(col("version"), col("doc_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
   private val prunedTableMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -1173,6 +1254,23 @@ object TextAnalysis {
           |WHERE source >= 'src12' AND source <= 'src14'
           |  AND doc_id % 11 <> 3
           |ORDER BY doc_id""".stripMargin,
+      // the evolved serve: quality exists exactly on the widening
+      // batch's rows, null-filled everywhere else
+      "q150_schema_evolution" ->
+        """SELECT doc_id, n_chars,
+          |  CASE WHEN doc_id % 10 = 9
+          |       THEN CAST(n_chars * 2 AS DOUBLE) END AS quality
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+      // v1 the first slice, v2 everything, v3 post-compaction ≡ v2
+      // (compaction is purely physical)
+      "q151_table_compact" -> {
+        def leg(tag: Int, popWhere: String) =
+          s"""SELECT $tag AS version, doc_id, n_chars
+             |FROM documents WHERE $popWhere""".stripMargin
+        Seq(leg(1, "doc_id % 4 = 0"), leg(2, "TRUE"), leg(3, "TRUE"))
+          .mkString("\nUNION ALL\n") + "\nORDER BY version, doc_id"
+      },
       "q44_fuzzy_match" ->
         """WITH names AS (
           |  SELECT DISTINCT p_name,

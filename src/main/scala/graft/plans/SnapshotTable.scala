@@ -51,6 +51,29 @@ object SnapshotTable {
 
   private def deletesPrefix = "deletes"
 
+  /** SCHEMA EVOLUTION marker — a tiny flag file under `_manifests/`
+    * (excluded from data listings and never matched by the version or
+    * tag regexes). Its EXISTENCE is the one-stat fast-path switch:
+    * an un-evolved table's serves never pay schema merging, an
+    * evolved table's serves read with `mergeSchema` so pre-evolution
+    * files null-fill the added columns — Spark's distributed footer
+    * merge, one metadata pass, not per-row work. Written by the first
+    * [[appendCommit]] that widens the schema. */
+  private def evolvedMarker(dataDir: String) =
+    new Path(s"$dataDir/_manifests/schema-evolved.marker")
+
+  private def isEvolved(s: SparkSession, dataDir: String): Boolean =
+    graft.Fs.resolve(dataDir,
+      s.sparkContext.hadoopConfiguration)._1.exists(evolvedMarker(dataDir))
+
+  /** Reader for this table's data files: basePath always (partition
+    * columns survive explicit listings), mergeSchema only once the
+    * table has evolved. */
+  private def reader(s: SparkSession, dataDir: String) = {
+    val r = s.read.option("basePath", dataDir)
+    if (isEvolved(s, dataDir)) r.option("mergeSchema", "true") else r
+  }
+
   /** `file` relative to `dataDir` (scheme-tolerant, like
     * [[Snapshots]]'s own rel). */
   private def relOf(dataDir: String, file: String): String = {
@@ -113,12 +136,53 @@ object SnapshotTable {
 
   /** Append a batch and commit — refusing ids that are tombstoned as
     * of the current version (their physical rows would resurrect when
-    * a purge drops the list; purge first, then re-ingest). */
+    * a purge drops the list; purge first, then re-ingest).
+    *
+    * SCHEMA EVOLUTION (`allowEvolution = true`): the batch may WIDEN
+    * the table — it must still carry every current column at its
+    * current type (a narrower or retyped batch is refused loudly;
+    * silent null-filling of a forgotten column is a pipeline bug, not
+    * evolution), and any extra columns become part of the table from
+    * this version on. Serves of EVERY version then read with
+    * mergeSchema: pre-evolution files null-fill the added columns,
+    * pre-evolution VERSIONS still serve exactly their own files — the
+    * schema travels with time travel. Without the flag a widening
+    * batch is refused (the default pipeline contract: schema drift is
+    * an error unless someone said otherwise). */
   def appendCommit(s: SparkSession, dataDir: String, rows: DataFrame,
-      idCol: String, partitionCols: Seq[String] = Nil): Int = {
+      idCol: String, partitionCols: Seq[String] = Nil,
+      allowEvolution: Boolean = false): Int = {
     val v = Snapshots.current(s, dataDir).getOrElse(
       throw new IllegalArgumentException(
         s"appendCommit: no committed version under $dataDir"))
+    val dataF0 = pieces(s, dataDir, v)._1
+    require(dataF0.nonEmpty,
+      s"appendCommit: v$v under $dataDir has no data files")
+    val current = reader(s, dataDir).parquet(dataF0: _*).schema
+    val batch = rows.schema
+    for (f <- current.fields) {
+      val b = batch.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"appendCommit: batch is missing current column '${f.name}' " +
+            "— silently null-filling a forgotten column is a pipeline " +
+            "bug, not schema evolution"))
+      require(b.dataType == f.dataType,
+        s"appendCommit: column '${f.name}' is ${f.dataType} in the " +
+          s"table but ${b.dataType} in the batch — retyping is not " +
+          "supported (rewrite through a new table)")
+    }
+    val added = batch.fieldNames.toSet -- current.fieldNames.toSet
+    if (added.nonEmpty) {
+      require(allowEvolution,
+        s"appendCommit: batch adds column(s) ${added.toSeq.sorted
+          .mkString(", ")} — pass allowEvolution=true if widening the " +
+          "table is intended")
+      // one-way switch: from here every serve schema-merges
+      val fs = graft.Fs.resolve(dataDir,
+        s.sparkContext.hadoopConfiguration)._1
+      val m = evolvedMarker(dataDir)
+      if (!fs.exists(m)) fs.create(m, true).close()
+    }
     val tombF = pieces(s, dataDir, v)._2
     if (tombF.nonEmpty) {
       val clash = rows.select(col(idCol)).distinct()
@@ -215,14 +279,47 @@ object SnapshotTable {
       s"SnapshotTable: v$v under $dataDir has no data files")
     val kept = prune(dataF)
     // an all-files-pruned serve yields an empty frame with the live
-    // schema (same convention as FileStats.readPruned)
+    // schema (same convention as FileStats.readPruned; under schema
+    // evolution the zero-row frame still lists every file so the
+    // merged schema is right)
     val data =
-      if (kept.isEmpty)
-        s.read.option("basePath", dataDir).parquet(dataF.head).limit(0)
-      else s.read.option("basePath", dataDir).parquet(kept: _*)
+      if (kept.isEmpty) reader(s, dataDir).parquet(dataF: _*).limit(0)
+      else reader(s, dataDir).parquet(kept: _*)
     if (tombF.isEmpty) data
     else data.join(broadcast(s.read.parquet(tombF: _*)), Seq(idCol),
       "left_anti")
+  }
+
+  /** COPY-ON-WRITE small-file compaction — the OPTIMIZE leg of the
+    * table lifecycle: an ingest cadence of [[appendCommit]]s leaves
+    * one small file per batch, and every serve's per-file open cost
+    * grows with ingest history. When the current version holds more
+    * than `maxFiles` data files, rewrite them as `maxFiles` new
+    * sibling files (ONE shuffle; parquet append never mutates existing
+    * files) and commit the swapped selection. Compaction is purely
+    * PHYSICAL: tombstones (if any) stay pinned through the commit and
+    * keep anti-joining merge-on-read — physical erasure remains
+    * [[purgeCommit]]'s separate concern — and older versions keep
+    * serving their own files until [[Snapshots.expire]]. FLAT tables
+    * only (partitioned tables compact partition-locally via
+    * [[Snapshots.compactCommit]]'s integral-key pass or their owning
+    * family's lifecycle). Returns the committed version (unchanged
+    * when not fragmented). */
+  def compactCommit(s: SparkSession, dataDir: String,
+      maxFiles: Int = 1): Int = {
+    require(maxFiles >= 1, "compactCommit: maxFiles must be >= 1")
+    val v = Snapshots.current(s, dataDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"compactCommit: no committed version under $dataDir"))
+    requireLayout(s, dataDir, v, Nil)
+    val (dataF, _) = pieces(s, dataDir, v)
+    if (dataF.size <= maxFiles) return v
+    val merged = graft.Materialize.cut(
+      reader(s, dataDir).parquet(dataF: _*).repartition(maxFiles))
+    merged.write.mode("append").parquet(dataDir)
+    graft.Materialize.release(merged)
+    val dropRel = dataF.map(relOf(dataDir, _)).toSet
+    Snapshots.commitReplacingWhere(s, dataDir, v, dropRel.contains)
   }
 
   /** COPY-ON-WRITE physical erasure: rewrite ONLY the data files
@@ -255,11 +352,13 @@ object SnapshotTable {
     val rewrite = dataF.filter(hit)
     if (rewrite.nonEmpty) {
       // basePath keeps the partition columns through the explicit
-      // listing, and the partitionBy write re-sprays survivors into
-      // their own partition dirs — new siblings of the files they
-      // replace, exactly like Snapshots.compactCommit's merge
-      val survivors = s.read.option("basePath", dataDir)
-        .parquet(rewrite: _*)
+      // listing (and the reader schema-merges once the table has
+      // evolved, so a rewritten pre-evolution file widens to the
+      // current schema with nulls — still merge-on-read-equal), and
+      // the partitionBy write re-sprays survivors into their own
+      // partition dirs — new siblings of the files they replace,
+      // exactly like Snapshots.compactCommit's merge
+      val survivors = reader(s, dataDir).parquet(rewrite: _*)
         .join(broadcast(tombs), Seq(idCol), "left_anti")
       writeRows(survivors, dataDir, partitionCols)
     }

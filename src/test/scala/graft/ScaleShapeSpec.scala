@@ -3196,6 +3196,77 @@ class ScaleShapeSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("table schema evolution + compaction: widening gated, retyping " +
+      "and narrowing refused, merge-on-read survives purge and " +
+      "compaction on an evolved table, tombstones stay pinned") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{SnapshotTable, Snapshots}
+    val staging = Files.createTempDirectory("tbl_evolve").toString
+    try {
+      val dir = s"$staging/corpus"
+      val docs = Tables.documents(s, sf).select(col("doc_id"), col("n_chars"))
+      SnapshotTable.saveCommit(s,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 9)
+          .repartition(4, col("doc_id")), dir)
+      // narrowing refused: a batch missing a current column is a
+      // pipeline bug, not evolution
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.appendCommit(s, dir,
+          docs.where(pmod(col("doc_id"), lit(10)) === 9)
+            .select(col("doc_id")), "doc_id"))
+        .getMessage.contains("missing current column"))
+      // retyping refused
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.appendCommit(s, dir,
+          docs.where(pmod(col("doc_id"), lit(10)) === 9)
+            .withColumn("n_chars", col("n_chars").cast("int")), "doc_id"))
+        .getMessage.contains("retyping"))
+      // widening gated on the flag, accepted with it
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) === 9)
+        .withColumn("quality", (col("doc_id") % 7).cast("double"))
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.appendCommit(s, dir, batch, "doc_id"))
+        .getMessage.contains("allowEvolution"))
+      val v2 = SnapshotTable.appendCommit(s, dir, batch, "doc_id",
+        allowEvolution = true)
+      def served(v: Int) = SnapshotTable.readAsOf(s, dir, v, "doc_id")
+      assert(served(v2).columns.contains("quality"))
+      assert(served(v2).where(col("quality").isNotNull).count() ==
+        batch.count(), "quality must exist exactly on the evolved batch")
+      // delete + purge on the EVOLVED table: a rewritten pre-evolution
+      // file widens to the merged schema; row complement exact
+      val dels = docs.where(pmod(col("doc_id"), lit(10)) === 1)
+        .select(col("doc_id")).limit(20)
+      val v3 = SnapshotTable.deleteCommit(s, dir, dels, "doc_id")
+      val v4 = SnapshotTable.purgeCommit(s, dir, "doc_id")
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().sorted.toSeq
+      assert(ids(served(v4)) == ids(served(v3)),
+        "purge must be row-identical to merge-on-read on an evolved table")
+      // compaction on a TOMBSTONED evolved table: physical only —
+      // delete again, compact, the tombstones stay pinned and
+      // merge-on-read is unchanged
+      val dels2 = docs.where(pmod(col("doc_id"), lit(10)) === 2)
+        .select(col("doc_id")).limit(10)
+      val v5 = SnapshotTable.deleteCommit(s, dir, dels2, "doc_id")
+      val v6 = SnapshotTable.compactCommit(s, dir, maxFiles = 2)
+      assert(Snapshots.files(s, dir, v6)
+        .exists(_.contains("/deletes/")),
+        "compaction dropped the pinned tombstone list")
+      assert(Snapshots.files(s, dir, v6)
+        .count(f => !f.contains("/deletes/")) == 2,
+        "compaction did not merge to maxFiles data files")
+      assert(ids(served(v6)) == ids(served(v5)),
+        "compaction changed merge-on-read rows")
+      assert(served(v6).where(col("quality").isNotNull).count() ==
+        batch.count(), "compaction lost the evolved column's values")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("partitioned-table DML: purge touches only partitions holding " +
       "tombstoned rows, spraying reconstructed, layout mismatches refuse") {
     val s = spark
