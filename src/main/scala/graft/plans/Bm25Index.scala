@@ -470,11 +470,14 @@ object Bm25Index {
     * files — nothing is swept, so a concurrent writer's half-landed
     * batch is never absorbed (the single-writer [[appendCommit]] keeps
     * the simpler sweep form). `expected` is the base version the
-    * caller read (None = read current at entry); file tracking is the
-    * landing-window listing diff — exact when writers' LANDINGS don't
-    * interleave on the same artifact dir within a window, the
-    * committer-manifest seam a warehouse deployment would close with
-    * the task-commit file list. A retry that fails re-validation
+    * caller read (None = read current at entry); file tracking is
+    * WRITER-EXACT — each artifact lands in a private staging subdir
+    * and its files move into place ([[Snapshots.landStaged]]), so
+    * interleaved landings on the same artifact dir can never cross
+    * claims (and [[Snapshots.commitSelectingExpecting]] refuses a
+    * claim that re-selects an already-selected file, making any
+    * residual mis-claim a loud conflict, not duplicated posting/df
+    * rows). A retry that fails re-validation
     * leaves the landed postings/df files unreferenced — run
     * [[Snapshots.expire]], the standard orphan sweep. Returns
     * (committedVersion, conflictsObserved). */
@@ -483,15 +486,6 @@ object Bm25Index {
       maxRetries: Int = 5): (Int, Int) = {
     val base = IvfTopK.qualify(s, indexDir)
     val conf = s.sparkContext.hadoopConfiguration
-    val baseUri = new org.apache.hadoop.fs.Path(base).toUri.getPath
-    def relOf(abs: String): String = {
-      val fn = new org.apache.hadoop.fs.Path(abs).toUri.getPath
-      require(fn.startsWith(baseUri + "/"),
-        s"appendCommitRetrying: $abs is not under $base")
-      fn.drop(baseUri.length + 1)
-    }
-    def ls(dir: String): Set[String] =
-      graft.Fs.listDataFiles(dir, conf).map(_.getPath.toString).toSet
     var v = expected.getOrElse(currentVersion(s, base))
     val staged = graft.Materialize.cut(newDocs)
     def checkTombstones(w: Int): Unit = {
@@ -510,15 +504,15 @@ object Bm25Index {
     val newPost = graft.Materialize.cut(
       TextAnalysis.postingsOf(staged)
         .withColumn("tbucket", tbucket(col("term"))))
-    // base-independent landings, exactly once
-    val postBefore = ls(s"$base/postings")
-    newPost.write.mode("append").partitionBy("tbucket")
-      .parquet(s"$base/postings")
-    val myPost = (ls(s"$base/postings") -- postBefore).toSeq
-    val termsBefore = ls(s"$base/terms")
-    newPost.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .coalesce(1).write.mode("append").parquet(s"$base/terms")
-    val myTerms = (ls(s"$base/terms") -- termsBefore).toSeq
+    // base-independent landings, exactly once — each claimed
+    // writer-exactly via the private staging move
+    val myPost = Snapshots.landStaged(s, s"$base/postings") { stage =>
+      newPost.write.mode("append").partitionBy("tbucket").parquet(stage)
+    }.map("postings/" + _)
+    val myTerms = Snapshots.landStaged(s, s"$base/terms") { stage =>
+      newPost.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .coalesce(1).write.mode("append").parquet(stage)
+    }.map("terms/" + _)
     val inc = newPost.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
       .agg(count(lit(1)).as("t"), coalesce(sum(col("dl")), lit(0L)).as("sdl"))
       .head()
@@ -531,17 +525,17 @@ object Bm25Index {
       // the CONDITIONAL piece, re-derived per attempt: version v's
       // totals + this batch's increment, landed as one sibling file
       val old = s.read.parquet(pieceOf(s, base, v, "stats"): _*).head()
-      val statsBefore = ls(s"$base/stats")
       import s.implicits._
-      Seq((old.getLong(0) + nNew, old.getLong(1) + inc.getLong(0),
-          old.getLong(2) + inc.getLong(1)))
-        .toDF("n_docs", "n_tok_docs", "sum_dl")
-        .coalesce(1).write.mode("append").parquet(s"$base/stats")
-      val myStats = (ls(s"$base/stats") -- statsBefore).toSeq
+      val myStats = Snapshots.landStaged(s, s"$base/stats") { stage =>
+        Seq((old.getLong(0) + nNew, old.getLong(1) + inc.getLong(0),
+            old.getLong(2) + inc.getLong(1)))
+          .toDF("n_docs", "n_tok_docs", "sum_dl")
+          .coalesce(1).write.mode("append").parquet(stage)
+      }.map("stats/" + _)
       try {
         return (Snapshots.commitSelectingExpecting(s, base, v,
           f => f.startsWith("stats/"),
-          (myPost ++ myTerms ++ myStats).map(relOf)), conflicts)
+          myPost ++ myTerms ++ myStats), conflicts)
       } catch { case e: Snapshots.SnapshotConflictException =>
         conflicts += 1
         if (conflicts > maxRetries)
@@ -552,7 +546,7 @@ object Bm25Index {
         // before re-deriving (leaving it would let a later sweep-form
         // commit absorb two stats rows for one batch)
         for (p <- myStats)
-          fsys.delete(new org.apache.hadoop.fs.Path(p), false)
+          fsys.delete(new org.apache.hadoop.fs.Path(s"$base/$p"), false)
         v = currentVersion(s, base)
         checkTombstones(v)
       }

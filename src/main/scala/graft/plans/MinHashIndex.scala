@@ -64,6 +64,21 @@ object MinHashIndex {
   private def withBucket(rows: DataFrame): DataFrame =
     rows.withColumn("kbucket", kbucket(col("band_key")))
 
+  /** The OCC append's LANDING step, writer-exact: sketch `docs`' band
+    * rows into a private staging subdir and move them into the live
+    * (band_id, kbucket) layout ([[Snapshots.landStaged]]), returning
+    * the bands-relative paths this writer — and only this writer —
+    * landed. Test-visible so the interleaved-landing race (writer B
+    * landing between writer A's landing and A's commit) can be staged
+    * deterministically. */
+  private[graft] def landBands(s: SparkSession, bands: String,
+      docs: DataFrame): Seq[String] =
+    Snapshots.landStaged(s, bands) { stage =>
+      withBucket(Dedup.indexBandRows(docs))
+        .write.mode("append").partitionBy("band_id", "kbucket")
+        .parquet(stage)
+    }
+
   /** Sketch `residentDocs` ((doc_id, text)) and persist the banded
     * index under `indexDir` — the one-off indexing job. `docsPath`
     * names the source for [[load]]'s meta. */
@@ -348,24 +363,20 @@ object MinHashIndex {
     * rows that resurrect on the next [[purgeCommit]]. A retry that
     * fails re-validation leaves the landed band files unreferenced —
     * [[Snapshots.expire]] reclaims them, the standard orphan sweep.
-    * File tracking is the landing-window listing diff, the same
-    * committer-manifest seam as the BM25 form. `expected` is the base
-    * version the caller read (None = read current at entry). Returns
-    * (committedVersion, conflictsObserved). */
+    * File tracking is WRITER-EXACT: the batch lands in a private
+    * staging subdir and its files move into place
+    * ([[Snapshots.landStaged]]), so a concurrent writer's part files
+    * landing mid-write are never claimed — and
+    * [[Snapshots.commitSelectingExpecting]] additionally refuses a
+    * claim that re-selects an already-selected file, converting any
+    * residual mis-claim into a loud conflict instead of duplicated
+    * band rows. `expected` is the base version the caller read (None =
+    * read current at entry). Returns (committedVersion,
+    * conflictsObserved). */
   def appendCommitRetrying(s: SparkSession, indexDir: String,
       newDocs: DataFrame, expected: Option[Int] = None,
       maxRetries: Int = 5): (Int, Int) = {
     val bands = s"${IvfTopK.qualify(s, indexDir)}/bands"
-    val conf = s.sparkContext.hadoopConfiguration
-    val bandsUri = new org.apache.hadoop.fs.Path(bands).toUri.getPath
-    def relOf(abs: String): String = {
-      val fn = new org.apache.hadoop.fs.Path(abs).toUri.getPath
-      require(fn.startsWith(bandsUri + "/"),
-        s"appendCommitRetrying: $abs is not under $bands")
-      fn.drop(bandsUri.length + 1)
-    }
-    def ls(): Set[String] =
-      graft.Fs.listDataFiles(bands, conf).map(_.getPath.toString).toSet
     var v = expected.orElse(Snapshots.current(s, bands)).getOrElse(
       throw new IllegalStateException(
         s"appendCommitRetrying: no committed snapshot under $bands"))
@@ -389,12 +400,9 @@ object MinHashIndex {
     try {
       checkTombstones(v)
       // the additive landing, exactly once — order-independent between
-      // concurrent writers (parquet append never mutates existing files)
-      val before = ls()
-      withBucket(Dedup.indexBandRows(staged))
-        .write.mode("append").partitionBy("band_id", "kbucket")
-        .parquet(bands)
-      val mine = (ls() -- before).toSeq.map(relOf)
+      // concurrent writers (parquet append never mutates existing
+      // files), claimed writer-exactly via the private staging move
+      val mine = landBands(s, bands, staged)
       var conflicts = 0
       while (true) {
         try return (Snapshots.commitSelectingExpecting(s, bands, v,

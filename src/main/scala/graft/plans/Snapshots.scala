@@ -422,6 +422,19 @@ object Snapshots {
       addRel: Seq[String]): Int = {
     val kept = files(s, dataDir, expected).map(rel(dataDir, _))
       .filterNot(drop)
+    // a claimed addition that is ALREADY part of the base selection
+    // means this writer's file tracking absorbed another writer's
+    // committed landing — selecting it again would duplicate its rows
+    // in the new manifest. Refuse loudly: the race becomes a visible
+    // conflict instead of silent row duplication.
+    val already = addRel.toSet.intersect(kept.toSet)
+    if (already.nonEmpty)
+      throw new SnapshotConflictException(
+        s"snapshot commit conflict under $dataDir: addRel re-selects " +
+          s"file(s) already in base v$expected's selection " +
+          s"(${already.toSeq.sorted.take(3).mkString(", ")}) — a " +
+          "writer claimed another writer's landed files; claims must " +
+          "be writer-exact (land via landStaged)")
     val relFiles = (kept ++ addRel).sorted
     if (!current(s, dataDir).contains(expected))
       throw new SnapshotConflictException(
@@ -442,6 +455,53 @@ object Snapshots {
         s"snapshot commit conflict under $dataDir: v$v was replaced " +
           "by a concurrent writer after publish")
     v
+  }
+
+  /** WRITER-EXACT landing for multi-writer appends: run `write`
+    * against a PRIVATE staging subdir under `dataDir`'s hidden
+    * `_staging/` tree, then MOVE every staged data file to its final
+    * home under `dataDir` (same relative partition path — new siblings,
+    * exactly where a direct append would have placed them) and return
+    * the dataDir-RELATIVE paths moved. This replaces the
+    * landing-window listing diff as the file-claim step of the OCC
+    * appends: a diff claims whatever landed inside the window, so a
+    * concurrent writer's part files landing mid-window get claimed —
+    * and committed — by the wrong writer; a private staging dir makes
+    * the claim exact by construction, however writers' landings
+    * interleave. It also keeps concurrent Spark write jobs out of each
+    * other's `_temporary/` tree (two appends to the same directory
+    * share one `_temporary/0`, a second interleaving hazard).
+    *
+    * Rename is metadata-only on HDFS/local (on a pure object store the
+    * move degrades to copy — the same boundary as every rename-based
+    * committer, stated rather than hidden). Crash windows: files left
+    * UNDER `_staging/` or moved-but-uncommitted files are both
+    * unreferenced by any manifest and invisible to commits
+    * ([[isHidden]] hides the staging tree from listings), and
+    * [[expire]]'s orphan sweep reclaims both — the standard
+    * crashed-writer discipline. */
+  def landStaged(s: SparkSession, dataDir: String)
+      (write: String => Unit): Seq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val token = java.util.UUID.randomUUID().toString
+    val stage = s"$dataDir/_staging/$token"
+    write(stage)
+    val (f, _) = graft.Fs.resolve(dataDir, conf)
+    val stageUri = new Path(stage).toUri.getPath
+    val moved = graft.Fs.listDataFiles(stage, conf).map(_.getPath).map {
+      p =>
+        val r = p.toUri.getPath.drop(stageUri.length + 1)
+        val dest = new Path(s"$dataDir/$r")
+        // part names carry the write job's UUID, so a collision means
+        // the same staged file was moved twice, not a name clash
+        require(!f.exists(dest),
+          s"landStaged: $dest already exists — refusing to clobber")
+        f.mkdirs(dest.getParent)
+        require(f.rename(p, dest), s"landStaged: rename $p -> $dest failed")
+        r
+    }
+    f.delete(new Path(s"$dataDir/_staging/$token"), true)
+    moved
   }
 
   /** The manifest's parsed shape: a full listing, or base+ops. */

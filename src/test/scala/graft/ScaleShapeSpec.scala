@@ -2022,6 +2022,72 @@ class ScaleShapeSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("OCC file claims are writer-exact: a batch landing INSIDE " +
+      "another writer's land-to-commit window is never claimed, and a " +
+      "re-selecting claim refuses loudly") {
+    val s = spark
+    import graft.plans.{MinHashIndex, Snapshots}
+    val staging = java.nio.file.Files.createTempDirectory("lsh_claim")
+      .toString
+    try {
+      val docs = Tables.documents(s, sf).select(col("doc_id"), col("text"))
+      val idxDir = s"$staging/idx"
+      MinHashIndex.save(s,
+        docs.where(pmod(col("doc_id"), lit(10)).between(1, 7)),
+        s"$sf/documents.parquet", idxDir)
+      val bands = s"$idxDir/bands"
+      val v1 = Snapshots.commit(s, bands)
+      val batchA = docs.where(pmod(col("doc_id"), lit(10)) === 8)
+      val batchB = docs.where(pmod(col("doc_id"), lit(10)) === 9)
+      // writer A LANDS first — its claim is fixed at land time,
+      // writer-exactly, by the staging move...
+      val mineA = MinHashIndex.landBands(s, bands, batchA)
+      assert(mineA.nonEmpty)
+      // ...then writer B lands AND commits entirely inside A's
+      // land-to-commit window. Under the old listing-diff claim this
+      // interleaving is exactly the corruption case: whichever writer
+      // listed around the other's landing claimed the other's files.
+      val (v2, c2) = MinHashIndex.appendCommitRetrying(s, idxDir, batchB)
+      assert(c2 == 0 && v2 == v1 + 1)
+      def relOf(abs: String): String = {
+        val b = new org.apache.hadoop.fs.Path(bands).toUri.getPath
+        new org.apache.hadoop.fs.Path(abs).toUri.getPath.drop(b.length + 1)
+      }
+      val v2Rel = Snapshots.files(s, bands, v2).map(relOf).toSet
+      assert(mineA.forall(r => !v2Rel.contains(r)),
+        "writer B's commit absorbed writer A's uncommitted landing")
+      // A's commit loses the race on its stale base and retries
+      // against the new current with its EXACT files
+      val stale = intercept[Snapshots.SnapshotConflictException](
+        Snapshots.commitSelectingExpecting(s, bands, v1, _ => false, mineA))
+      assert(stale.getMessage.contains("no longer current"))
+      val v3 = Snapshots.commitSelectingExpecting(s, bands, v2,
+        _ => false, mineA)
+      // no duplicated band rows anywhere: each doc contributes exactly
+      // one row per band_id, so any cross-claimed (re-selected) file
+      // would surface as a (doc_id, band_id) group with count > 1
+      val rows = s.read.option("basePath", bands)
+        .parquet(Snapshots.files(s, bands, v3): _*)
+      val dup = rows.groupBy(col("doc_id"), col("band_id"))
+        .count().where(col("count") > 1).count()
+      assert(dup == 0,
+        "duplicated band rows — a writer claimed another writer's files")
+      val expectDocs = docs
+        .where(pmod(col("doc_id"), lit(10)).between(1, 9))
+        .select(col("doc_id")).distinct().count()
+      assert(rows.select(col("doc_id")).distinct().count() == expectDocs,
+        "a batch went missing from the final selection")
+      // and the commit-side backstop: a claim that re-selects a file
+      // already in the base selection refuses loudly instead of
+      // silently duplicating its rows
+      val resel = intercept[Snapshots.SnapshotConflictException](
+        Snapshots.commitSelectingExpecting(s, bands, v3, _ => false,
+          mineA.take(1)))
+      assert(resel.getMessage.contains("re-selects"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("MinHash deleteCommit/purgeCommit: pre-delete versions stay " +
       "byte-identical, the purge is partition-local, re-ingest gated") {
     val s = spark
