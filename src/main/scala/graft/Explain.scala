@@ -136,6 +136,8 @@ object Explain {
     "q149_lsh_occ_append" -> "OCC append for the band family (df-free, so every landed artifact is additive): both writers' band files land exactly once as dynamic-partition appends, the loser's retry re-validates only the re-ingest guard and re-publishes an explicit file selection (commitSelectingExpecting — no sweep); pinned plan is the three-leg as-of serve union with (band_id, kbucket) pruning",
     "q150_schema_evolution" -> "schema evolution on the committed corpus: a widening batch flips the one-stat evolved marker, serves of evolved versions schema-merge (distributed footer pass — pre-evolution files null-fill the added column) while v1 time travel keeps its own schema; pinned plan is the merged-schema serve scan",
     "q151_table_compact" -> "flat-table small-file compaction (OPTIMIZE): the COW rewrite is one repartition shuffle of the current selection into maxFiles sibling files, the commit swaps the selection, tombstones stay pinned; pinned plan is the three-leg as-of union where the compacted leg reads exactly maxFiles files",
+    "q152_partitioned_compact" -> "partitioned-table compaction: each fragmented day merges to ONE file inside its own dir via one shuffle hash-keyed by the partition column (task count = fragmented-partition count), untouched days carry byte-identical, tombstones stay pinned; pinned plan is the four-leg as-of union where the compacted leg reads one file per day",
+    "q153_pruned_serve_multi" -> "conjunctive multi-column pruned serve: the (source, doc_id)-clustered corpus prunes on BOTH recorded lanes — the survivor file set is the intersection of the string-lane and long-lane prunes, strictly smaller than either alone — then the exact predicate + pinned-tombstone anti-join run on what remains; pinned plan is the doubly-pruned scan",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -177,7 +179,8 @@ object Explain {
     "q141_bm25_occ_append", "q142_zorder_timetravel",
     "q143_ivf_snapshot_delete", "q144_pq_snapshot_delete",
     "q146_table_delete", "q148_partitioned_delete",
-    "q149_lsh_occ_append", "q150_schema_evolution", "q151_table_compact")
+    "q149_lsh_occ_append", "q150_schema_evolution", "q151_table_compact",
+    "q152_partitioned_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -642,6 +642,52 @@ object Temporal {
       } finally graft.Fs.deleteRecursively(staging,
         s.sparkContext.hadoopConfiguration)
     },
+
+    // PARTITIONED-TABLE COMPACTION — the OPTIMIZE leg q151 gave flat
+    // tables, on the q148 day-sprayed corpus: the per-appendCommit
+    // ingest cadence leaves one file per batch per partition (three
+    // appends into one hot day = three small files there), a delete
+    // tombstones a thin id slice (the pass must keep it PINNED — it is
+    // purely physical), and compactCommit(partitionCols) merges each
+    // fragmented day to ONE file inside its own dir while untouched
+    // days carry byte-identical (proven in ScaleShapeSpec; here the
+    // oracle proves the rows). Legs: v1 = pre-hot-day population,
+    // v2 = all rows after the appends, v3 = merge-on-read survivors,
+    // v4 = post-compaction ≡ v3.
+    "q152_partitioned_compact" -> { (s, d) =>
+      import graft.plans.SnapshotTable
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          col("value"))
+        .withColumn("day", to_date(col("ts")))
+      val hot = ev.where(col("day") === lit("2024-01-10").cast("date"))
+      val staging = graft.Fs.createStagingDir(s, "graft-part-compact")
+      try {
+        val dir = s"$staging/events"
+        val v1 = SnapshotTable.saveCommit(s,
+          ev.where(col("day") =!= lit("2024-01-10").cast("date"))
+            .repartition(col("day")), dir, partitionCols = Seq("day"))
+        var v2 = v1
+        for (i <- 0 to 2)
+          v2 = SnapshotTable.appendCommit(s, dir,
+            hot.where(pmod(col("event_id"), lit(3)) === i), "event_id",
+            partitionCols = Seq("day"))
+        val dels = ev.where(col("event_id") % 97 === 0)
+          .select(col("event_id"))
+        val v3 = SnapshotTable.deleteCommit(s, dir, dels, "event_id",
+          partitionCols = Seq("day"))
+        val v4 = SnapshotTable.compactCommit(s, dir, maxFiles = 1,
+          partitionCols = Seq("day"))
+        def leg(v: Int, tag: Int) =
+          SnapshotTable.readAsOf(s, dir, v, "event_id")
+            .withColumn("version", lit(tag))
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2))
+            .unionByName(leg(v3, 3)).unionByName(leg(v4, 4)))
+          .select(col("version"), col("event_id"), col("event_type"))
+          .orderBy(col("version"), col("event_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
   private val statsTableMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -704,6 +750,19 @@ object Temporal {
         "ts < TIMESTAMP '2024-01-12 00:00:00' AND event_id % 2 = 0"
       Seq(leg(1, "TRUE"), leg(2, s"NOT ($deleted)"),
           leg(3, s"NOT ($deleted)"))
+        .mkString("\nUNION ALL\n") + "\nORDER BY version, event_id"
+    },
+    // v1 all but the hot day, v2 everything after the appends, v3
+    // merge-on-read survivors of the % 97 delete, v4 post-compaction
+    // ≡ v3 (the pass is purely physical; tombstones stay pinned)
+    "q152_partitioned_compact" -> {
+      def leg(tag: Int, popWhere: String) =
+        s"""SELECT $tag AS version, event_id, event_type
+           |FROM events WHERE $popWhere""".stripMargin
+      val hotDay = "ts >= TIMESTAMP '2024-01-10 00:00:00' AND " +
+        "ts < TIMESTAMP '2024-01-11 00:00:00'"
+      Seq(leg(1, s"NOT ($hotDay)"), leg(2, "TRUE"),
+          leg(3, "event_id % 97 <> 0"), leg(4, "event_id % 97 <> 0"))
         .mkString("\nUNION ALL\n") + "\nORDER BY version, event_id"
     },
     // the streaming sessionization must equal the batch form exactly

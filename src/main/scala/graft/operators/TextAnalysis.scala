@@ -807,6 +807,27 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     },
 
+    // MULTI-COLUMN PRUNED SERVE — q147's conjunction form: the corpus
+    // layout is (source, doc_id)-range-clustered, so a predicate over
+    // BOTH recorded columns intersects the per-column survivor sets
+    // and opens strictly fewer files than either single-column prune
+    // (proven in ScaleShapeSpec); here the oracle proves the rows —
+    // pruning on two columns is still a pure scan-planning
+    // optimization, the exact predicate runs on what remains and the
+    // pinned tombstones still anti-join.
+    "q153_pruned_serve_multi" -> { (s, d) =>
+      import graft.plans.{SnapshotTable, Snapshots}
+      val dir = s"${prunedTableDir(s, d)}/corpus"
+      val v = Snapshots.current(s, dir).get
+      SnapshotTable.readAsOfPrunedMulti(s, dir, v, "doc_id",
+        longPreds = Seq(("doc_id", 100L, 2000L)),
+        stringPreds = Seq(("source", "src12", "src14")))
+        .where(col("source") >= "src12" && col("source") <= "src14" &&
+          col("doc_id").between(100L, 2000L))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // SCHEMA EVOLUTION for the committed corpus — the remaining
     // lakehouse staple the table layer lacked: a new quality column
     // arrives WITH an ingest batch (the common pipeline shape: a new
@@ -907,7 +928,11 @@ object TextAnalysis {
       val cdir = s"$dir/corpus"
       val v1 = graft.plans.SnapshotTable.saveCommit(s,
         corpus.repartitionByRange(16, col("source"), col("doc_id")), cdir)
-      graft.plans.FileStats.recordFor(s, cdir, v1, Seq("doc_id", "source"))
+      // the table-facing recorder: exempts the tombstone list from
+      // the bounds scan, so recording AFTER the deleteCommit below
+      // would be just as safe as this before-ordering
+      graft.plans.SnapshotTable.recordStats(s, cdir, v1,
+        Seq("doc_id", "source"))
       graft.plans.SnapshotTable.deleteCommit(s, cdir,
         corpus.where(pmod(col("doc_id"), lit(11)) === 3)
           .select(col("doc_id")), "doc_id")
@@ -1252,6 +1277,15 @@ object TextAnalysis {
         """SELECT doc_id, source, n_chars
           |FROM documents
           |WHERE source >= 'src12' AND source <= 'src14'
+          |  AND doc_id % 11 <> 3
+          |ORDER BY doc_id""".stripMargin,
+      // the conjunction form: both predicate columns applied exactly,
+      // same tombstone complement
+      "q153_pruned_serve_multi" ->
+        """SELECT doc_id, source, n_chars
+          |FROM documents
+          |WHERE source >= 'src12' AND source <= 'src14'
+          |  AND doc_id BETWEEN 100 AND 2000
           |  AND doc_id % 11 <> 3
           |ORDER BY doc_id""".stripMargin,
       // the evolved serve: quality exists exactly on the widening

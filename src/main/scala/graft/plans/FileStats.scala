@@ -207,19 +207,39 @@ object FileStats {
     pruneList2(s, dataDir, files, column, "i",
       r => !(r.isNullAt(0) || r.getLong(1) < lo || r.getLong(0) > hi))
 
+  /** CODE-POINT order comparison — the same total order Spark's
+    * UTF8String min/max used to COMPUTE the recorded bounds (UTF-8
+    * byte order ≡ code-point order), and the order the exact
+    * predicate's string comparison applies. Java's `String` compares
+    * by UTF-16 code UNIT, which disagrees for supplementary-plane
+    * chars (surrogate units 0xD800-0xDFFF) vs U+E000..U+FFFF — and a
+    * bound compared in a different order than it was computed in can
+    * wrongly PRUNE a file containing matching rows. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** String-lane pruning over an explicit file list: bounds are the
     * TRUNCATED prefixes [[lane]] recorded, so the comparison is still
     * exact — `min_s > hi` can only hold when every value in the file
     * sorts above `hi`, and a NULL `max_s` (unknown upper) keeps the
-    * file. `lo`/`hi` are raw predicate strings, untruncated. */
+    * file. `lo`/`hi` are raw predicate strings, untruncated; bounds
+    * compare in code-point order ([[cpCompare]]), the order they were
+    * computed in. */
   def pruneListString(s: SparkSession, dataDir: String,
       files: Seq[String], column: String, lo: String, hi: String)
       : Seq[String] =
     pruneList2(s, dataDir, files, column, "s", { r =>
       val minN = r.isNullAt(0); val maxN = r.isNullAt(1)
       if (minN && maxN) false // all-null column: a range never matches
-      else (minN || r.getString(0) <= hi) &&
-        (maxN || r.getString(1) >= lo)
+      else (minN || cpCompare(r.getString(0), hi) <= 0) &&
+        (maxN || cpCompare(r.getString(1), lo) >= 0)
     })
 
   private def pruneList2(s: SparkSession, dataDir: String,

@@ -66,12 +66,62 @@ object SnapshotTable {
     graft.Fs.resolve(dataDir,
       s.sparkContext.hadoopConfiguration)._1.exists(evolvedMarker(dataDir))
 
-  /** Reader for this table's data files: basePath always (partition
-    * columns survive explicit listings), mergeSchema only once the
-    * table has evolved. */
-  private def reader(s: SparkSession, dataDir: String) = {
+  /** UNIFORMITY marker — the evolution marker's release valve: once a
+    * FULL rewrite ([[compactCommit]] merging every file, or a
+    * [[purgeCommit]] that happened to touch every file) has re-written
+    * the whole current selection through the merged-schema reader,
+    * every file of that version — and of every later one, since
+    * appends must carry the full current schema — holds the merged
+    * schema, and the mergeSchema footer pass is pure overhead. The
+    * marker records THAT version: serves of v ≥ N read plain, serves
+    * of v < N (time travel into the mixed-schema era) still
+    * schema-merge. A later WIDENING append re-mixes the tree and
+    * deletes the marker (the next full rewrite may re-establish it). */
+  private val UniformName = """schema-uniform-v(\d+)\.marker""".r
+
+  private def uniformAsOf(s: SparkSession, dataDir: String): Option[Int] = {
+    val (f, _) = graft.Fs.resolve(dataDir,
+      s.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$dataDir/_manifests")
+    if (!f.exists(dir)) None
+    else f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case UniformName(n) => Some(n.toInt)
+      case _ => None
+    }).maxOption
+  }
+
+  private def dropUniformMarkers(s: SparkSession, dataDir: String): Unit = {
+    val (f, _) = graft.Fs.resolve(dataDir,
+      s.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$dataDir/_manifests")
+    if (f.exists(dir))
+      for (st <- f.listStatus(dir)
+           if UniformName.matches(st.getPath.getName))
+        f.delete(st.getPath, false)
+  }
+
+  /** Mark version `n` schema-uniform — called after a commit whose
+    * rewrite touched EVERY data file of the base version, so `n`'s
+    * selection (and every later version's, absent a new widening)
+    * carries the full merged schema in every file. */
+  private def markUniform(s: SparkSession, dataDir: String, n: Int): Unit =
+    if (isEvolved(s, dataDir)) {
+      dropUniformMarkers(s, dataDir)
+      val (f, _) = graft.Fs.resolve(dataDir,
+        s.sparkContext.hadoopConfiguration)
+      f.create(new Path(s"$dataDir/_manifests/schema-uniform-v$n.marker"),
+        true).close()
+    }
+
+  /** Reader for version `v`'s data files: basePath always (partition
+    * columns survive explicit listings), mergeSchema only when the
+    * table has evolved AND `v` predates the last uniformity-restoring
+    * full rewrite — a homogeneous current serve pays no footer merge. */
+  private def reader(s: SparkSession, dataDir: String, v: Int) = {
     val r = s.read.option("basePath", dataDir)
-    if (isEvolved(s, dataDir)) r.option("mergeSchema", "true") else r
+    if (isEvolved(s, dataDir) && !uniformAsOf(s, dataDir).exists(_ <= v))
+      r.option("mergeSchema", "true")
+    else r
   }
 
   /** `file` relative to `dataDir` (scheme-tolerant, like
@@ -94,8 +144,11 @@ object SnapshotTable {
     * data, and are exempt from the partitioned-shape check. */
   private def requireLayout(s: SparkSession, dataDir: String, v: Int,
       partitionCols: Seq[String]): Unit =
-    for (f <- Snapshots.files(s, dataDir, v)
-         if !f.startsWith(s"$dataDir/$deletesPrefix/")) {
+    requireLayoutOf(dataDir, Snapshots.files(s, dataDir, v), partitionCols)
+
+  private def requireLayoutOf(dataDir: String, files: Seq[String],
+      partitionCols: Seq[String]): Unit =
+    for (f <- files if !f.startsWith(s"$dataDir/$deletesPrefix/")) {
       val kv = relOf(dataDir, f).split('/').dropRight(1)
         .filter(_.contains("=")).map(_.takeWhile(_ != '=')).toSeq
       if (partitionCols.isEmpty && kv.nonEmpty)
@@ -124,13 +177,26 @@ object SnapshotTable {
 
   /** Save `rows` as version 1 of a fresh committed table —
     * hive-sprayed by `partitionCols` when declared (every later
-    * lifecycle call must declare the same columns). */
+    * lifecycle call must declare the same columns). The layout v1
+    * would commit is validated against the declaration BEFORE the
+    * commit: [[Snapshots.commit]] sweeps the full directory listing,
+    * so a stray pre-existing file that doesn't match the declared
+    * spray (or an undeclared hive layout) refuses here instead of
+    * committing a tree later lifecycle calls reject. */
   def saveCommit(s: SparkSession, rows: DataFrame, dataDir: String,
       partitionCols: Seq[String] = Nil): Int = {
     require(Snapshots.current(s, dataDir).isEmpty,
       s"saveCommit: $dataDir already has committed versions — append " +
         "via appendCommit")
     writeRows(rows, dataDir, partitionCols)
+    // what commit() will sweep: the on-disk data listing, hidden
+    // bookkeeping trees excluded (Snapshots' own isHidden convention)
+    val listing = graft.Fs.listDataFiles(dataDir,
+        s.sparkContext.hadoopConfiguration)
+      .map(_.getPath.toString)
+      .filterNot(f => relOf(dataDir, f).split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith(".")))
+    requireLayoutOf(dataDir, listing, partitionCols)
     Snapshots.commit(s, dataDir)
   }
 
@@ -155,10 +221,16 @@ object SnapshotTable {
     val v = Snapshots.current(s, dataDir).getOrElse(
       throw new IllegalArgumentException(
         s"appendCommit: no committed version under $dataDir"))
+    // validate the DECLARED layout against v's committed tree before
+    // anything lands: an append that omits (or mistypes) partitionCols
+    // on a partitioned table would write flat/mis-sprayed files into
+    // the tree and commit them — corruption the next delete's own
+    // layout check would only discover one committed version too late
+    requireLayout(s, dataDir, v, partitionCols)
     val dataF0 = pieces(s, dataDir, v)._1
     require(dataF0.nonEmpty,
       s"appendCommit: v$v under $dataDir has no data files")
-    val current = reader(s, dataDir).parquet(dataF0: _*).schema
+    val current = reader(s, dataDir, v).parquet(dataF0: _*).schema
     val batch = rows.schema
     for (f <- current.fields) {
       val b = batch.fields.find(_.name == f.name).getOrElse(
@@ -177,11 +249,14 @@ object SnapshotTable {
         s"appendCommit: batch adds column(s) ${added.toSeq.sorted
           .mkString(", ")} — pass allowEvolution=true if widening the " +
           "table is intended")
-      // one-way switch: from here every serve schema-merges
+      // from here serves schema-merge — until a full rewrite restores
+      // uniformity; a widening on an already-uniform table re-mixes
+      // the tree, so any uniformity marker must fall with it
       val fs = graft.Fs.resolve(dataDir,
         s.sparkContext.hadoopConfiguration)._1
       val m = evolvedMarker(dataDir)
       if (!fs.exists(m)) fs.create(m, true).close()
+      dropUniformMarkers(s, dataDir)
     }
     val tombF = pieces(s, dataDir, v)._2
     if (tombF.nonEmpty) {
@@ -272,6 +347,41 @@ object SnapshotTable {
     servePruned(s, dataDir, v, idCol,
       FileStats.pruneListString(s, dataDir, _, column, lo, hi))
 
+  /** CONJUNCTIVE multi-column form of the pruned serve: the survivor
+    * file set is the INTERSECTION of each predicate's survivors — a
+    * predicate over two recorded columns prunes on both instead of
+    * pruning on one and merely filtering the other, so on a layout
+    * clustered by (colA, colB) the two-column prune opens strictly
+    * fewer files than either single-column prune. `longPreds` are
+    * (column, lo, hi) in the canonical long lane (raw integral / epoch
+    * days / epoch micros), `stringPreds` in the truncated string lane;
+    * unknown files stay per-column (conservative), and the caller
+    * still applies the exact predicate on what remains. */
+  def readAsOfPrunedMulti(s: SparkSession, dataDir: String, v: Int,
+      idCol: String, longPreds: Seq[(String, Long, Long)],
+      stringPreds: Seq[(String, String, String)] = Nil): DataFrame =
+    servePruned(s, dataDir, v, idCol, files => {
+      val afterLong = longPreds.foldLeft(files) {
+        case (fl, (c, lo, hi)) => FileStats.pruneList(s, dataDir, fl, c, lo, hi)
+      }
+      stringPreds.foldLeft(afterLong) {
+        case (fl, (c, lo, hi)) =>
+          FileStats.pruneListString(s, dataDir, fl, c, lo, hi)
+      }
+    })
+
+  /** Record [[FileStats]] bounds for version `v` of a committed TABLE
+    * — exempting the pinned tombstone list under `deletes/` from the
+    * bounds scan (reading it alongside the data files would fail on
+    * the missing columns; skipped files stay uncovered, which pruning
+    * treats conservatively). Table-facing callers use this instead of
+    * [[FileStats.recordFor]] directly so the exemption can never be
+    * forgotten once a version carries tombstones. */
+  def recordStats(s: SparkSession, dataDir: String, v: Int,
+      cols: Seq[String]): Int =
+    FileStats.recordFor(s, dataDir, v, cols,
+      skip = _.startsWith(s"$deletesPrefix/"))
+
   private def servePruned(s: SparkSession, dataDir: String, v: Int,
       idCol: String, prune: Seq[String] => Seq[String]): DataFrame = {
     val (dataF, tombF) = pieces(s, dataDir, v)
@@ -283,8 +393,8 @@ object SnapshotTable {
     // evolution the zero-row frame still lists every file so the
     // merged schema is right)
     val data =
-      if (kept.isEmpty) reader(s, dataDir).parquet(dataF: _*).limit(0)
-      else reader(s, dataDir).parquet(kept: _*)
+      if (kept.isEmpty) reader(s, dataDir, v).parquet(dataF: _*).limit(0)
+      else reader(s, dataDir, v).parquet(kept: _*)
     if (tombF.isEmpty) data
     else data.join(broadcast(s.read.parquet(tombF: _*)), Seq(idCol),
       "left_anti")
@@ -300,26 +410,60 @@ object SnapshotTable {
     * PHYSICAL: tombstones (if any) stay pinned through the commit and
     * keep anti-joining merge-on-read — physical erasure remains
     * [[purgeCommit]]'s separate concern — and older versions keep
-    * serving their own files until [[Snapshots.expire]]. FLAT tables
-    * only (partitioned tables compact partition-locally via
-    * [[Snapshots.compactCommit]]'s integral-key pass or their owning
-    * family's lifecycle). Returns the committed version (unchanged
-    * when not fragmented). */
+    * serving their own files until [[Snapshots.expire]].
+    *
+    * PARTITIONED tables declare `partitionCols` (same contract as
+    * every other lifecycle call here): compaction is then
+    * partition-LOCAL — each partition holding more than `maxFiles`
+    * files rewrites to ONE merged file inside its own partition dir
+    * (one shuffle hash-keyed by the partition columns, parallel across
+    * fragmented partitions — a per-appendCommit ingest cadence leaves
+    * one file per batch per partition, exactly the fragmentation this
+    * pass exists for), while every partition at or under the threshold
+    * carries its files into the next manifest byte-identical. Returns
+    * the committed version (unchanged when not fragmented). */
   def compactCommit(s: SparkSession, dataDir: String,
-      maxFiles: Int = 1): Int = {
+      maxFiles: Int = 1, partitionCols: Seq[String] = Nil): Int = {
     require(maxFiles >= 1, "compactCommit: maxFiles must be >= 1")
     val v = Snapshots.current(s, dataDir).getOrElse(
       throw new IllegalArgumentException(
         s"compactCommit: no committed version under $dataDir"))
-    requireLayout(s, dataDir, v, Nil)
+    requireLayout(s, dataDir, v, partitionCols)
     val (dataF, _) = pieces(s, dataDir, v)
-    if (dataF.size <= maxFiles) return v
+    val rewrite =
+      if (partitionCols.isEmpty) {
+        if (dataF.size <= maxFiles) return v
+        dataF
+      } else {
+        val byPart = dataF.groupBy(f =>
+          relOf(dataDir, f).split('/').dropRight(1).mkString("/"))
+        val fragmented = byPart.filter(_._2.size > maxFiles)
+        if (fragmented.isEmpty) return v
+        fragmented.values.flatten.toSeq
+      }
+    val shape =
+      if (partitionCols.isEmpty)
+        (df: DataFrame) => df.repartition(maxFiles)
+      else
+        // hash-keyed by the partition columns: every key lands in ONE
+        // task, so each fragmented partition dir gets exactly one
+        // merged file; task count = fragmented-partition count keeps
+        // the rewrite parallel across partitions, never wider
+        (df: DataFrame) => df.repartition(
+          rewrite.map(f => relOf(dataDir, f).split('/').dropRight(1)
+            .mkString("/")).distinct.size,
+          partitionCols.map(col): _*)
     val merged = graft.Materialize.cut(
-      reader(s, dataDir).parquet(dataF: _*).repartition(maxFiles))
-    merged.write.mode("append").parquet(dataDir)
+      shape(reader(s, dataDir, v).parquet(rewrite: _*)))
+    writeRows(merged, dataDir, partitionCols)
     graft.Materialize.release(merged)
-    val dropRel = dataF.map(relOf(dataDir, _)).toSet
-    Snapshots.commitReplacingWhere(s, dataDir, v, dropRel.contains)
+    val dropRel = rewrite.map(relOf(dataDir, _)).toSet
+    val n = Snapshots.commitReplacingWhere(s, dataDir, v, dropRel.contains)
+    // a compaction that merged EVERY file re-wrote the whole selection
+    // through the merged-schema reader — uniformity restored; a
+    // partition-local pass that skipped a partition did not
+    if (rewrite.size == dataF.size) markUniform(s, dataDir, n)
+    n
   }
 
   /** COPY-ON-WRITE physical erasure: rewrite ONLY the data files
@@ -358,11 +502,15 @@ object SnapshotTable {
       // the partitionBy write re-sprays survivors into their own
       // partition dirs — new siblings of the files they replace,
       // exactly like Snapshots.compactCommit's merge
-      val survivors = reader(s, dataDir).parquet(rewrite: _*)
+      val survivors = reader(s, dataDir, v).parquet(rewrite: _*)
         .join(broadcast(tombs), Seq(idCol), "left_anti")
       writeRows(survivors, dataDir, partitionCols)
     }
     val dropRel = (rewrite ++ tombF).map(relOf(dataDir, _)).toSet
-    Snapshots.commitReplacingWhere(s, dataDir, v, dropRel.contains)
+    val n = Snapshots.commitReplacingWhere(s, dataDir, v, dropRel.contains)
+    // a purge that happened to touch EVERY file re-wrote the whole
+    // selection through the merged-schema reader — uniformity restored
+    if (rewrite.size == dataF.size) markUniform(s, dataDir, n)
+    n
   }
 }

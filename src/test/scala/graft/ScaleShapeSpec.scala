@@ -3411,6 +3411,154 @@ class ScaleShapeSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("partitioned-table compaction: fragmented partitions merge to " +
+      "one file, untouched partitions carry verbatim, append validates " +
+      "the declared layout BEFORE landing anything") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{SnapshotTable, Snapshots}
+    val staging = Files.createTempDirectory("part_opt").toString
+    try {
+      val dir = s"$staging/events"
+      val ev = Tables.events(s, sf)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .withColumn("day", to_date(col("ts")))
+      val hot = ev.where(col("day") === lit("2024-01-10").cast("date"))
+      val v1 = SnapshotTable.saveCommit(s,
+        ev.where(col("day") =!= lit("2024-01-10").cast("date"))
+          .repartition(col("day")), dir, partitionCols = Seq("day"))
+      // the r17-advice hazard, closed: an append that FORGETS the
+      // declaration on a partitioned table must refuse before a single
+      // flat file lands in the tree or a version commits
+      val e1 = intercept[IllegalArgumentException](
+        SnapshotTable.appendCommit(s, dir, hot, "event_id"))
+      assert(e1.getMessage.contains("hive-partitioned"))
+      assert(Snapshots.current(s, dir).contains(v1),
+        "the refused append committed a version")
+      assert(!graft.Fs.listDataFiles(dir,
+          s.sparkContext.hadoopConfiguration)
+        .exists(_.getPath.getParent.getName == new org.apache.hadoop.fs
+          .Path(dir).getName),
+        "the refused append landed flat files at the table root")
+      // ...and a MIS-declared append names both sides
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.appendCommit(s, dir, hot, "event_id",
+          partitionCols = Seq("hour")))
+        .getMessage.contains("do not match the declared"))
+      // the ingest cadence this pass exists for: one file per batch
+      // per partition — 3 appends into one day = 3 small files there
+      val parts = Seq(0, 1, 2).map(i =>
+        hot.where(pmod(col("event_id"), lit(3)) === i))
+      var v = v1
+      for (p <- parts)
+        v = SnapshotTable.appendCommit(s, dir, p, "event_id",
+          partitionCols = Seq("day"))
+      def byDay(w: Int): Map[String, Seq[String]] =
+        Snapshots.files(s, dir, w).filterNot(_.contains("/deletes/"))
+          .groupBy(f => f.split('/').find(_.startsWith("day="))
+            .getOrElse(fail(s"no day= segment in $f")))
+      assert(byDay(v)("day=2024-01-10").size == 3,
+        "fixture rot: the hot day is not fragmented")
+      // tombstones must stay PINNED through the physical pass
+      val dels = ev.where(col("event_id") % 97 === 0)
+        .select(col("event_id"))
+      val vDel = SnapshotTable.deleteCommit(s, dir, dels, "event_id",
+        partitionCols = Seq("day"))
+      // flat-declared compaction on a partitioned table refuses
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.compactCommit(s, dir, maxFiles = 1))
+        .getMessage.contains("hive-partitioned"))
+      val before = byDay(vDel)
+      val vOpt = SnapshotTable.compactCommit(s, dir, maxFiles = 1,
+        partitionCols = Seq("day"))
+      val after = byDay(vOpt)
+      assert(after("day=2024-01-10").size == 1,
+        "fragmented partition did not merge to one file")
+      for ((d, fs) <- before if d != "day=2024-01-10")
+        assert(after(d) == fs,
+          s"untouched partition $d did not carry verbatim")
+      assert(Snapshots.files(s, dir, vOpt).exists(_.contains("/deletes/")),
+        "partitioned compaction dropped the pinned tombstone list")
+      // rows identical through the pass (merge-on-read both sides),
+      // and older versions keep their own files
+      def ids(w: Int) = SnapshotTable.readAsOf(s, dir, w, "event_id")
+        .select("event_id")
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+      assert(ids(vOpt) == ids(vDel),
+        "partitioned compaction changed merge-on-read rows")
+      assert(byDay(vDel)("day=2024-01-10").size == 3,
+        "the pre-compaction version lost its own files")
+      // a second pass is a no-op: nothing is fragmented anymore
+      assert(SnapshotTable.compactCommit(s, dir, maxFiles = 1,
+        partitionCols = Seq("day")) == vOpt)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
+  test("schema-evolution marker clears after a full rewrite: the " +
+      "homogeneous current serves plain, mixed-era time travel still " +
+      "schema-merges, a later widening re-arms the merge") {
+    val s = spark
+    import graft.plans.{SnapshotTable, Snapshots}
+    val staging = Files.createTempDirectory("tbl_uniform").toString
+    try {
+      val dir = s"$staging/corpus"
+      val (hfs, _) = graft.Fs.resolve(dir,
+        s.sparkContext.hadoopConfiguration)
+      def uniformMarkers(): Seq[String] = {
+        val d = new org.apache.hadoop.fs.Path(s"$dir/_manifests")
+        if (!hfs.exists(d)) Seq.empty
+        else hfs.listStatus(d).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("schema-uniform-"))
+      }
+      val docs = Tables.documents(s, sf).select(col("doc_id"), col("n_chars"))
+      val v1 = SnapshotTable.saveCommit(s,
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 9)
+          .repartition(4, col("doc_id")), dir)
+      val widened = docs.where(pmod(col("doc_id"), lit(10)) === 9)
+        .withColumn("quality", (col("doc_id") % 7).cast("double"))
+      val v2 = SnapshotTable.appendCommit(s, dir, widened, "doc_id",
+        allowEvolution = true)
+      assert(uniformMarkers().isEmpty)
+      // the FULL rewrite: flat compaction merges every file through
+      // the merged-schema reader — uniformity restored and recorded
+      val v3 = SnapshotTable.compactCommit(s, dir, maxFiles = 2)
+      assert(uniformMarkers() == Seq(s"schema-uniform-v$v3.marker"),
+        s"full rewrite did not mark uniformity: ${uniformMarkers()}")
+      def served(w: Int) = SnapshotTable.readAsOf(s, dir, w, "doc_id")
+      // the uniform current serves the full schema plainly...
+      assert(served(v3).columns.toSet == Set("doc_id", "n_chars", "quality"))
+      assert(served(v3).where(col("quality").isNotNull).count() ==
+        widened.count())
+      // ...while time travel into the MIXED era (v2: old files + the
+      // widened batch) still schema-merges — old files null-fill —
+      // and the pre-evolution version keeps its own narrow schema
+      assert(served(v2).columns.toSet == Set("doc_id", "n_chars", "quality"))
+      assert(served(v2).where(col("quality").isNull).count() ==
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 9).count())
+      assert(served(v1).columns.toSet == Set("doc_id", "n_chars"))
+      // a LATER widening re-mixes the tree: the uniformity marker
+      // falls, merge-on-read returns, and the next full rewrite
+      // re-establishes it at the new version
+      val widened2 = docs.withColumn("quality", lit(0.5d))
+        .withColumn("lang", lit("en"))
+        .where(pmod(col("doc_id"), lit(100)) === 3)
+      val v4 = SnapshotTable.appendCommit(s, dir, widened2, "doc_id",
+        allowEvolution = true)
+      assert(uniformMarkers().isEmpty,
+        "a re-widening append left a stale uniformity marker")
+      assert(served(v4).columns.toSet ==
+        Set("doc_id", "n_chars", "quality", "lang"))
+      val v5 = SnapshotTable.compactCommit(s, dir, maxFiles = 1)
+      assert(uniformMarkers() == Seq(s"schema-uniform-v$v5.marker"))
+      assert(served(v5).columns.toSet ==
+        Set("doc_id", "n_chars", "quality", "lang"))
+      assert(served(v5).count() == served(v4).count())
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("string-lane file stats: truncated bounds prune the source-" +
       "clustered corpus through the generic serve, non-ASCII 16th " +
       "char degrades to unknown-upper (kept), answers stay exact") {
@@ -3493,6 +3641,73 @@ class ScaleShapeSpec extends SparkSpec {
       assert(!pRow.isNullAt(pRow.fieldIndex("min_s")) &&
         pRow.isNullAt(pRow.fieldIndex("max_s")),
         "non-ASCII 16th char must poison ONLY the upper bound")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
+  test("multi-column stats pruning intersects per-column survivors; " +
+      "string bounds compare in code-point order; recordStats exempts " +
+      "the tombstone list") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{FileStats, SnapshotTable, Snapshots}
+    val staging = Files.createTempDirectory("multiprune").toString
+    try {
+      val dir = s"$staging/corpus"
+      // 10 sources × ~3 files each: every source band splits by
+      // doc_id, so BOTH columns' bounds are discriminating
+      val docs = Tables.documents(s, sf)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .where(col("source") >= "src10" && col("source") <= "src19")
+      SnapshotTable.saveCommit(s,
+        docs.repartitionByRange(30, col("source"), col("doc_id")), dir)
+      // tombstone FIRST, record AFTER: the recorder must skip the
+      // deletes/ list or the bounds scan fails on its missing columns
+      val v2 = SnapshotTable.deleteCommit(s, dir,
+        docs.where(pmod(col("doc_id"), lit(13)) === 5)
+          .select(col("doc_id")), "doc_id")
+      assert(SnapshotTable.recordStats(s, dir, v2,
+        Seq("doc_id", "source")) > 0)
+      val hiId = docs.agg(max(col("doc_id"))).head().getLong(0) / 3
+      val dataF = Snapshots.files(s, dir, v2)
+        .filterNot(_.contains("/deletes/"))
+      val bySrc = FileStats.pruneListString(s, dir, dataF,
+        "source", "src12", "src14")
+      val byId = FileStats.pruneList(s, dir, dataF, "doc_id", 0L, hiId)
+      val both = bySrc.toSet.intersect(byId.toSet)
+      assert(bySrc.size < dataF.size && byId.size < dataF.size,
+        s"fixture rot: a single-column prune dropped nothing " +
+          s"(${bySrc.size}/${byId.size} of ${dataF.size})")
+      assert(both.size < bySrc.size && both.size < byId.size,
+        s"the conjunction (${both.size}) must open strictly fewer " +
+          s"files than source-only (${bySrc.size}) or id-only " +
+          s"(${byId.size})")
+      // the pruned serve answers exactly the unpruned merge-on-read
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.where(col("source") >= "src12" && col("source") <= "src14" &&
+            col("doc_id").between(0L, hiId))
+          .select("doc_id")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().sorted.toSeq
+      assert(rows(SnapshotTable.readAsOfPrunedMulti(s, dir, v2, "doc_id",
+          longPreds = Seq(("doc_id", 0L, hiId)),
+          stringPreds = Seq(("source", "src12", "src14")))) ==
+        rows(SnapshotTable.readAsOf(s, dir, v2, "doc_id")),
+        "multi-column pruning changed the answer")
+      // code-point order: a file whose min is U+E000… must NOT be
+      // pruned by an upper bound in the supplementary plane (U+1F600
+      // sorts ABOVE U+E000 in code points, but its UTF-16 surrogate
+      // units sort below — the exact wrong-exclusion the code-point
+      // comparison exists to prevent)
+      val d2 = s"$staging/cp"
+      Seq(("\uE000aaa", 1L), ("\uE000zzz", 2L)).toDF("k", "id")
+        .coalesce(1).write.parquet(d2)
+      val vv = Snapshots.commit(s, d2)
+      FileStats.recordFor(s, d2, vv, Seq("k"))
+      val kept = FileStats.pruneListString(s, d2,
+        Snapshots.files(s, d2, vv), "k", "", "\uD83D\uDE00")
+      assert(kept.nonEmpty,
+        "code-unit bound comparison wrongly pruned a matching file")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(
       new java.io.File(staging))
   }
