@@ -138,6 +138,33 @@ object Bench {
     ts.zipWithIndex.collect { case (t, i) if t <= thresh => i }
   }
 
+  /** BUDGET-FIT PARTIAL SWEEP selection (r17 verdict #1): when a full
+    * second sweep no longer fits the wall-clock budget — the r17
+    * official record's failure mode: sweep 1 ran COLD at 1,172 s of
+    * the 1,500 s budget, sweep 2 was skipped outright, and every
+    * official median was left a single cold sample — pick the queries
+    * whose SECOND sample is worth the most: descending first-sample
+    * cost (the cold-inflated heavy family sits exactly there), each
+    * admitted while its predicted re-execution cost (shrink × sample —
+    * a warm re-run comes in well under its cold first sample) still
+    * fits the remaining seconds minus a safety margin. Returned in
+    * NAME order so memo-payment order inside the partial sweep matches
+    * a full sweep's relative order (the subset's first family member
+    * pays the shared memos — subset samples can read slightly HIGH,
+    * never low; the clean-sample filter and the best-of aggregate both
+    * tolerate that direction). The in-sweep deadline backstop catches
+    * a mispredicted total. */
+  def partialSelection(samples: Seq[(String, Double)], remainingS: Double,
+      shrink: Double = 0.6, marginS: Double = 30.0): Seq[String] = {
+    var left = remainingS - marginS
+    val picked = scala.collection.mutable.ListBuffer[String]()
+    for ((n, t) <- samples.sortBy { case (n, t) => (-t, n) }) {
+      val est = math.max(0.05, t * shrink)
+      if (est <= left) { picked += n; left -= est }
+    }
+    picked.toSeq.sorted
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // bench contract is local[32] (the builder prompt); env overrides
@@ -245,26 +272,6 @@ object Bench {
       .map(i => i.memSize + i.diskSize).sum
     val sweepStorage = scala.collection.mutable.ListBuffer[Long]()
     val stageSecs = scala.collection.mutable.ListBuffer[Double]()
-    val stageModels = names.exists { case (n, _) =>
-      modelStagers.exists(p => n.startsWith(p)) }
-    val stageGrams = names.exists { case (n, _) =>
-      gramStagers.exists(p => n.startsWith(p + "_")) }
-    // one clone per clone-consuming query per sweep (each runs once
-    // per sweep and consumes exactly one)
-    val cloneCount = names.count { case (n, _) =>
-      cloneStagers.exists(p => n.startsWith(p + "_")) }
-    val snapCount = names.count { case (n, _) =>
-      snapStagers.exists(p => n.startsWith(p + "_")) }
-    val stageState = names.exists { case (n, _) =>
-      stateStagers.exists(p => n.startsWith(p + "_")) }
-    val stageVocab = names.exists { case (n, _) =>
-      vocabStagers.exists(p => n.startsWith(p + "_")) }
-    val bm25SnapCount = names.count { case (n, _) =>
-      bm25SnapStagers.exists(p => n.startsWith(p + "_")) }
-    val ivfSnapCount = names.count { case (n, _) =>
-      ivfSnapStagers.exists(p => n.startsWith(p + "_")) }
-    val pqSnapCount = names.count { case (n, _) =>
-      pqSnapStagers.exists(p => n.startsWith(p + "_")) }
     // Per-sweep wall-clock stamps + a cheap load probe (1-minute system
     // load average at sweep start/end): round 13's sweep 2 carried
     // simultaneous 30 s+ spikes on unrelated queries (q114/q113/q123/
@@ -277,6 +284,8 @@ object Bench {
     val sweepWall = scala.collection.mutable.ListBuffer[String]()
     var sweepNo = 0
     var sweepsDone = 0
+    var partialSweeps = List.empty[String]
+    var deadlineStopped = List.empty[String]
     // WALL-CLOCK BUDGET (r16 verdict #1 — the round's one failed gate):
     // the r16 official bench was KILLED by the driver's time window
     // (rc=124, parsed:null) because the harness had no notion of a
@@ -409,13 +418,28 @@ object Bench {
         .mkString("[", ",", "]")
       val budgetSkippedJson = budgetSkipped.reverse.map("\"" + _ + "\"")
         .mkString("[", ",", "]")
+      val partialJson = partialSweeps.reverse.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
+      val deadlineJson = deadlineStopped.reverse.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")
       val elapsedJson =
         BigDecimal(elapsedS).setScale(1, BigDecimal.RoundingMode.HALF_UP)
       val json =
-        s"""{"metric":"total","value":$total,"unit":"sec","best_total":$bestTotal,"queries":$qs,"best":$bestFull,"runs":$runs,"sweeps_completed":$sweepsDone,"rerun_sweeps":$reruns,"rerun_trigger":$rerunTriggerJson,"budget_s":$budgetS,"budget_skipped":$budgetSkippedJson,"elapsed_s":$elapsedJson,"sink":"noop","sweep_wall":$sweepWallJson,"detail":$detail,"gc_detail":$gcDetail,"median_samples":$chosenJson,"clean_policy":$cleanPolicyJson,"median_raw":$rawMedianJson,"clean_heavy":$cleanHeavyJson,"stage_sec":$stageJson,"storage_bytes":$storageJson,"failed":$failedJson,"sf":$sfJson,"sf_dir":${jsonStr(sfDir)}}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","best_total":$bestTotal,"queries":$qs,"best":$bestFull,"runs":$runs,"sweeps_completed":$sweepsDone,"partial_sweeps":$partialJson,"deadline_stopped":$deadlineJson,"rerun_sweeps":$reruns,"rerun_trigger":$rerunTriggerJson,"budget_s":$budgetS,"budget_skipped":$budgetSkippedJson,"elapsed_s":$elapsedJson,"sink":"noop","sweep_wall":$sweepWallJson,"detail":$detail,"gc_detail":$gcDetail,"median_samples":$chosenJson,"clean_policy":$cleanPolicyJson,"median_raw":$rawMedianJson,"clean_heavy":$cleanHeavyJson,"stage_sec":$stageJson,"storage_bytes":$storageJson,"failed":$failedJson,"sf":$sfJson,"sf_dir":${jsonStr(sfDir)}}"""
       for (p <- envOut.toList :+ defaultOut) {
-        try Files.writeString(Paths.get(p), json + "\n")
-        catch { case e: Throwable =>
+        // temp-sibling + ATOMIC_MOVE: a kill landing mid-write must
+        // never leave a truncated BENCH.json clobbering the complete
+        // record the previous flush produced — every visible file is
+        // a whole record (the same publish discipline as the
+        // Snapshots manifests)
+        try {
+          val tgt = Paths.get(p)
+          val tmp = tgt.resolveSibling(tgt.getFileName.toString + ".tmp")
+          Files.writeString(tmp, json + "\n")
+          Files.move(tmp, tgt,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] write $p failed: ${e.getMessage}")
         }
       }
@@ -465,7 +489,38 @@ object Bench {
         s"""{"metric":"total","value":$totalShort,"unit":"sec","best_total":$bestTotalShort,"runs":$runs,"sweeps_completed":$sweepsDone,"rerun_sweeps":$reruns,"queries":${roundTo(topMed, 2)},"failed":$failedJson,"sf":$sfJson}"""
       (jsonLine, summaryLine)
     }
-    def runSweep(): Unit = {
+    /** One timed sweep over `sel` (a full sweep passes every selected
+      * query; a budget-fit PARTIAL sweep passes the [[partialSelection]]
+      * subset). `deadline` (elapsed-seconds bound) is the partial
+      * sweep's backstop: before each query, if the projected finish
+      * crosses it, the sweep stops and records where — the prior
+      * sample over-estimates a warm re-execution, so the projection is
+      * conservative and the stop fires only when the budget is truly
+      * spent. Only a FULL sweep advances sweepsDone/lastSweepWall (the
+      * full-sweep cost estimator the budget gate uses). */
+    def runSweep(sel: Seq[(String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+        deadline: Option[Double], full: Boolean = true): Unit = {
+      val stageModels = sel.exists { case (n, _) =>
+        modelStagers.exists(p => n.startsWith(p)) }
+      val stageGrams = sel.exists { case (n, _) =>
+        gramStagers.exists(p => n.startsWith(p + "_")) }
+      // one clone per clone-consuming query per sweep (each runs once
+      // per sweep and consumes exactly one)
+      val cloneCount = sel.count { case (n, _) =>
+        cloneStagers.exists(p => n.startsWith(p + "_")) }
+      val snapCount = sel.count { case (n, _) =>
+        snapStagers.exists(p => n.startsWith(p + "_")) }
+      val stageState = sel.exists { case (n, _) =>
+        stateStagers.exists(p => n.startsWith(p + "_")) }
+      val stageVocab = sel.exists { case (n, _) =>
+        vocabStagers.exists(p => n.startsWith(p + "_")) }
+      val bm25SnapCount = sel.count { case (n, _) =>
+        bm25SnapStagers.exists(p => n.startsWith(p + "_")) }
+      val ivfSnapCount = sel.count { case (n, _) =>
+        ivfSnapStagers.exists(p => n.startsWith(p + "_")) }
+      val pqSnapCount = sel.count { case (n, _) =>
+        pqSnapStagers.exists(p => n.startsWith(p + "_")) }
       val sweep = { sweepNo += 1; sweepNo }
       val wall0 = System.currentTimeMillis() / 1000
       val load0 = loadAvg
@@ -564,7 +619,21 @@ object Bench {
         }
       stageSecs += (System.nanoTime() - st0) / 1e9
       var qIdx = 0
-      for ((name, fn) <- names if !failedSet(name)) {
+      var stopped = false
+      for ((name, fn) <- sel if !failedSet(name) && !stopped) {
+        // the deadline backstop: projected finish = elapsed + the same
+        // shrunk estimate the partial selection planned with (warm
+        // re-runs come in under their first sample; queries with no
+        // sample project tiny)
+        val projected = elapsedS + math.max(0.05,
+          0.6 * timings.get(name).map(_.min).getOrElse(0.2))
+        if (deadline.exists(projected > _)) {
+          stopped = true
+          deadlineStopped ::= s"sweep$sweep@$name"
+          System.err.println(f"[bench] deadline: stopping sweep $sweep " +
+            f"at $name (projected ${projected}%.0f s > " +
+            f"${deadline.get}%.0f s)")
+        } else {
         val t0 = System.nanoTime()
         val gc0 = gcMillis
         // Materialize through the NOOP sink: a full V2 write that
@@ -598,11 +667,14 @@ object Bench {
         // samples cover the queries run so far; sweeps_completed=0
         // marks it partial)
         if (sweepsDone == 0 && qIdx % 40 == 0) println(writeRecord()._2)
+        }
       }
       sweepWall += s"""{"start_epoch":$wall0,"end_epoch":${
-        System.currentTimeMillis() / 1000},"load_start":$load0,"load_end":$loadAvg}"""
-      lastSweepWall = System.currentTimeMillis() / 1000.0 - wall0
-      sweepsDone += 1
+        System.currentTimeMillis() / 1000},"load_start":$load0,"load_end":$loadAvg,"queries":${sel.size}}"""
+      if (full) {
+        lastSweepWall = System.currentTimeMillis() / 1000.0 - wall0
+        sweepsDone += 1
+      }
       // the per-sweep FLUSH: cumulative medians over sweeps-so-far —
       // a driver kill after any completed sweep now leaves a valid
       // BENCH.json — and the cumulative SUMMARY line is also PRINTED,
@@ -614,17 +686,47 @@ object Bench {
       println(writeRecord()._2)
     }
     // Sweep loop under the wall-clock budget: sweep 1 always runs;
-    // each later sweep requires elapsed + lastSweepWall <= budget
-    // (the best available estimate of what one more sweep costs) —
-    // a skipped sweep is RECORDED, so the artifact says the run
-    // self-truncated rather than silently looking like a short run.
+    // each later FULL sweep requires elapsed + lastSweepWall <= budget
+    // (the best available estimate of what one more sweep costs).
+    // When a full sweep no longer fits, a budget-fit PARTIAL sweep
+    // runs instead ([[partialSelection]] — heaviest-first, so the
+    // cold-inflated heavy family gets its second, warm sample instead
+    // of every official median staying a single cold sample); only
+    // when not even a meaningful subset fits is the sweep skipped
+    // outright. Both outcomes are RECORDED, so the artifact says how
+    // the run self-truncated.
     for (i <- 1 to runs) {
-      if (i == 1 || elapsedS + lastSweepWall <= budgetS) runSweep()
+      if (i == 1 || elapsedS + lastSweepWall <= budgetS) runSweep(names, None)
       else {
-        budgetSkipped ::= s"sweep$i"
-        System.err.println(f"[bench] budget: skipping sweep $i " +
-          f"(elapsed ${elapsedS}%.0f s + last sweep ${lastSweepWall}%.0f s " +
-          f"> budget ${budgetS}%.0f s)")
+        val samples = timings.toSeq.collect {
+          case (k, ts) if ts.nonEmpty && !failedSet(k) => k -> ts.min }
+        val marginS = sys.env.getOrElse(
+          "SPARK_GRAFT_BUDGET_MARGIN_S", "30").toDouble
+        val pick = partialSelection(samples, budgetS - elapsedS,
+          marginS = marginS).toSet
+        if (pick.size >= 3) {
+          budgetSkipped ::= s"sweep$i-full"
+          partialSweeps ::= s"sweep$i:${pick.size}-of-${names.size}"
+          System.err.println(f"[bench] budget: full sweep $i does not " +
+            f"fit (elapsed ${elapsedS}%.0f s + last sweep " +
+            f"${lastSweepWall}%.0f s > ${budgetS}%.0f s) — partial " +
+            f"sweep over the ${pick.size} heaviest")
+          // EXECUTION order is heaviest-first: the deadline backstop
+          // truncates from the tail, and the tail must be the cheap
+          // back-fill, never the heavy family this sweep exists to
+          // re-sample. (Memo payment shifts to the heaviest member —
+          // subset samples can read slightly HIGH, never low; the
+          // clean filter and best-of both tolerate that direction.)
+          val cost = samples.toMap
+          runSweep(names.filter(p => pick(p._1))
+              .sortBy { case (n, _) => (-cost.getOrElse(n, 0.0), n) },
+            Some(budgetS - 5), full = false)
+        } else {
+          budgetSkipped ::= s"sweep$i"
+          System.err.println(f"[bench] budget: skipping sweep $i " +
+            f"(elapsed ${elapsedS}%.0f s + last sweep ${lastSweepWall}%.0f s " +
+            f"> budget ${budgetS}%.0f s)")
+        }
       }
     }
     // AMBIENT-EVENT GUARD: one container-level I/O stall inside a sweep
@@ -659,7 +761,7 @@ object Bench {
       if (rerunTrigger.isEmpty) rerunTrigger = flaggedNames
       System.err.println(s"[bench] ambient-event guard: <2 clean samples on " +
         s"${flaggedNames.take(8).mkString(",")} — running an extra sweep")
-      runSweep()
+      runSweep(names, None)
       reruns += 1
     }
     sweepStorage += storageBytes

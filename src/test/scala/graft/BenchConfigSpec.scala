@@ -188,6 +188,26 @@ class BenchConfigSpec extends AnyFunSuite {
       "Bench's stage block never calls Similarity.stagePqSnapClones")
   }
 
+  test("partialSelection: heaviest-first admission under the remaining " +
+      "budget, returned in name order") {
+    val samples = Seq("q_a" -> 100.0, "q_b" -> 50.0, "q_c" -> 10.0,
+      "q_d" -> 1.0, "q_e" -> 0.1)
+    // generous budget: everything fits (est = 0.6 × sample, 30 s margin)
+    assert(Bench.partialSelection(samples, 130.0).toSet ==
+      samples.map(_._1).toSet)
+    // tight budget: the HEAVIEST query is admitted first and exhausts
+    // it — the cold-inflated heavy family is exactly what needs its
+    // second sample
+    assert(Bench.partialSelection(samples, 90.0) == Seq("q_a"))
+    // too tight for the heavies: the cheap tail still back-fills
+    assert(Bench.partialSelection(samples, 31.0) == Seq("q_d", "q_e"))
+    // name order on return (memo-payment order within the sweep must
+    // match a full sweep's relative order), whatever admission did
+    assert(Bench.partialSelection(
+      Seq("q_z" -> 5.0, "q_a" -> 50.0, "q_m" -> 20.0), 1000.0) ==
+      Seq("q_a", "q_m", "q_z"))
+  }
+
   test("cleanSamples: ambient-polluted sweeps are excluded from the median; " +
       "jitter and all-clean runs are untouched") {
     def medianOf(ts: List[Double]): Double = {
@@ -232,7 +252,7 @@ class BenchConfigSpec extends AnyFunSuite {
       Paths.get("src", "main", "scala", "graft", "Bench.scala"))
     assert(bench.contains("SPARK_GRAFT_TIME_BUDGET_S"),
       "Bench has no wall-clock budget env knob")
-    val sweepBody = bench.substring(bench.indexOf("def runSweep()"))
+    val sweepBody = bench.substring(bench.indexOf("def runSweep("))
     val sweepEnd = sweepBody.indexOf("\n    }")
     assert(sweepBody.substring(0, sweepEnd + 6).contains("writeRecord()"),
       "runSweep does not flush the cumulative record — a driver kill " +
