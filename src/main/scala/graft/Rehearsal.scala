@@ -80,7 +80,14 @@ object Rehearsal {
     // per-row work; (q151) compaction is one bounded repartition
     // shuffle of the current selection
     "q146_table_delete", "q147_pruned_serve", "q148_partitioned_delete",
-    "q149_lsh_occ_append", "q150_schema_evolution", "q151_table_compact")
+    "q149_lsh_occ_append", "q150_schema_evolution", "q151_table_compact",
+    // round-18: the claims under pressure: (q152) partitioned
+    // compaction's shuffle is bounded by the FRAGMENTED partitions'
+    // rows (one task per fragmented day, untouched days carry
+    // verbatim); (q153) the conjunctive prune stays a driver-side
+    // stats read and the doubly-pruned serve opens only files
+    // intersecting BOTH ranges however dense the corpus
+    "q152_partitioned_compact", "q153_pruned_serve_multi")
 
   private final class TaskMax extends SparkListener {
     val maxInput = new java.util.concurrent.atomic.AtomicLong(0)
