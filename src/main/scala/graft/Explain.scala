@@ -138,6 +138,7 @@ object Explain {
     "q151_table_compact" -> "flat-table small-file compaction (OPTIMIZE): the COW rewrite is one repartition shuffle of the current selection into maxFiles sibling files, the commit swaps the selection, tombstones stay pinned; pinned plan is the three-leg as-of union where the compacted leg reads exactly maxFiles files",
     "q152_partitioned_compact" -> "partitioned-table compaction: each fragmented day merges to ONE file inside its own dir via one shuffle hash-keyed by the partition column (task count = fragmented-partition count), untouched days carry byte-identical, tombstones stay pinned; pinned plan is the four-leg as-of union where the compacted leg reads one file per day",
     "q153_pruned_serve_multi" -> "conjunctive multi-column pruned serve: the (source, doc_id)-clustered corpus prunes on BOTH recorded lanes — the survivor file set is the intersection of the string-lane and long-lane prunes, strictly smaller than either alone — then the exact predicate + pinned-tombstone anti-join run on what remains; pinned plan is the doubly-pruned scan",
+    "q154_partition_drop" -> "partition-level retention: dropPartitionsCommit is a pure manifest selection swap — no file read, written, or deleted; one manifest delta however many terabytes the dropped days hold — and v1 time travel keeps serving the dropped days until expire; pinned plan is the two-leg as-of union where the post-drop leg lists only surviving day dirs",
   )
 
   /** The >=1 s set (BENCH_r12 medians + the round-13 bench for the
@@ -180,7 +181,7 @@ object Explain {
     "q143_ivf_snapshot_delete", "q144_pq_snapshot_delete",
     "q146_table_delete", "q148_partitioned_delete",
     "q149_lsh_occ_append", "q150_schema_evolution", "q151_table_compact",
-    "q152_partitioned_compact")
+    "q152_partitioned_compact", "q154_partition_drop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -87,7 +87,10 @@ object Rehearsal {
     // verbatim); (q153) the conjunctive prune stays a driver-side
     // stats read and the doubly-pruned serve opens only files
     // intersecting BOTH ranges however dense the corpus
-    "q152_partitioned_compact", "q153_pruned_serve_multi")
+    "q152_partitioned_compact", "q153_pruned_serve_multi",
+    // (q154) the retention drop is manifest-only — its 10x cost is the
+    // two as-of serve legs, never the dropped days' bytes
+    "q154_partition_drop")
 
   private final class TaskMax extends SparkListener {
     val maxInput = new java.util.concurrent.atomic.AtomicLong(0)
@@ -114,6 +117,11 @@ object Rehearsal {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional third arg: comma-separated substring filter over the
+    // heavy list — a targeted re-run for newly-landed queries without
+    // repeating the whole multi-hour pass (full runs omit it)
+    val onlyQ = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -149,7 +157,11 @@ object Rehearsal {
       spark.sparkContext.addSparkListener(listener)
       SkewStats.drain() // discard anything recorded before we measure
       val qs = SparkEntry.queries
-      val rows = heavy.map { name =>
+      val selected = onlyQ match {
+        case Some(pats) => heavy.filter(n => pats.exists(n.contains))
+        case None => heavy
+      }
+      val rows = selected.map { name =>
         listener.reset()
         val t0 = System.nanoTime()
         val n = qs(name)(spark, dir).count()

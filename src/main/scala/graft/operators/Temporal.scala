@@ -688,6 +688,38 @@ object Temporal {
       } finally graft.Fs.deleteRecursively(staging,
         s.sparkContext.hadoopConfiguration)
     },
+
+    // PARTITION-LEVEL RETENTION — the erasure q148's row-level form is
+    // NOT for: "drop days older than X" on a day-sprayed corpus is a
+    // pure manifest selection swap (dropPartitionsCommit — no file
+    // read, written, or deleted; one manifest delta however many
+    // terabytes the dropped days hold), the erasure unit being the
+    // partition itself, no tombstones involved. v1 keeps serving the
+    // dropped days until expire — retention and time travel coexist,
+    // which an rm -rf of the day dirs can never give. Oracle = the
+    // population per version: v1 everything, v2 = days >= the cutoff.
+    "q154_partition_drop" -> { (s, d) =>
+      import graft.plans.SnapshotTable
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .withColumn("day", to_date(col("ts")))
+      val staging = graft.Fs.createStagingDir(s, "graft-part-drop")
+      try {
+        val dir = s"$staging/events"
+        val v1 = SnapshotTable.saveCommit(s,
+          ev.repartition(col("day")), dir, partitionCols = Seq("day"))
+        // ISO day values compare lexicographically in hive spelling
+        val v2 = SnapshotTable.dropPartitionsCommit(s, dir, Seq("day"),
+          kv => kv("day") < "2024-01-03")
+        def leg(v: Int, tag: Int) =
+          SnapshotTable.readAsOf(s, dir, v, "event_id")
+            .withColumn("version", lit(tag))
+        graft.Materialize.cut(leg(v1, 1).unionByName(leg(v2, 2)))
+          .select(col("version"), col("event_id"), col("event_type"))
+          .orderBy(col("version"), col("event_id"))
+      } finally graft.Fs.deleteRecursively(staging,
+        s.sparkContext.hadoopConfiguration)
+    },
   )
 
   private val statsTableMemo = new java.util.concurrent.ConcurrentHashMap[
@@ -763,6 +795,17 @@ object Temporal {
         "ts < TIMESTAMP '2024-01-11 00:00:00'"
       Seq(leg(1, s"NOT ($hotDay)"), leg(2, "TRUE"),
           leg(3, "event_id % 97 <> 0"), leg(4, "event_id % 97 <> 0"))
+        .mkString("\nUNION ALL\n") + "\nORDER BY version, event_id"
+    },
+    // v1 everything, v2 = the days surviving the retention cutoff
+    // (the drop is a pure selection swap — v1 still serves the
+    // dropped days)
+    "q154_partition_drop" -> {
+      def leg(tag: Int, popWhere: String) =
+        s"""SELECT $tag AS version, event_id, event_type
+           |FROM events WHERE $popWhere""".stripMargin
+      Seq(leg(1, "TRUE"),
+          leg(2, "ts >= TIMESTAMP '2024-01-03 00:00:00'"))
         .mkString("\nUNION ALL\n") + "\nORDER BY version, event_id"
     },
     // the streaming sessionization must equal the batch form exactly

@@ -207,6 +207,13 @@ object FileStats {
     pruneList2(s, dataDir, files, column, "i",
       r => !(r.isNullAt(0) || r.getLong(1) < lo || r.getLong(0) > hi))
 
+  /** Fractional-lane twin of [[pruneList]]. */
+  def pruneListDouble(s: SparkSession, dataDir: String,
+      files: Seq[String], column: String, lo: Double, hi: Double)
+      : Seq[String] =
+    pruneList2(s, dataDir, files, column, "f",
+      r => !(r.isNullAt(0) || r.getDouble(1) < lo || r.getDouble(0) > hi))
+
   /** CODE-POINT order comparison — the same total order Spark's
     * UTF8String min/max used to COMPUTE the recorded bounds (UTF-8
     * byte order ≡ code-point order), and the order the exact

@@ -359,14 +359,19 @@ object SnapshotTable {
     * still applies the exact predicate on what remains. */
   def readAsOfPrunedMulti(s: SparkSession, dataDir: String, v: Int,
       idCol: String, longPreds: Seq[(String, Long, Long)],
-      stringPreds: Seq[(String, String, String)] = Nil): DataFrame =
+      stringPreds: Seq[(String, String, String)] = Nil,
+      doublePreds: Seq[(String, Double, Double)] = Nil): DataFrame =
     servePruned(s, dataDir, v, idCol, files => {
       val afterLong = longPreds.foldLeft(files) {
         case (fl, (c, lo, hi)) => FileStats.pruneList(s, dataDir, fl, c, lo, hi)
       }
-      stringPreds.foldLeft(afterLong) {
+      val afterStr = stringPreds.foldLeft(afterLong) {
         case (fl, (c, lo, hi)) =>
           FileStats.pruneListString(s, dataDir, fl, c, lo, hi)
+      }
+      doublePreds.foldLeft(afterStr) {
+        case (fl, (c, lo, hi)) =>
+          FileStats.pruneListDouble(s, dataDir, fl, c, lo, hi)
       }
     })
 
@@ -464,6 +469,52 @@ object SnapshotTable {
     // partition-local pass that skipped a partition did not
     if (rewrite.size == dataF.size) markUniform(s, dataDir, n)
     n
+  }
+
+  /** PARTITION-LEVEL erasure — the retention pass a partitioned corpus
+    * actually runs ("drop days older than X"): every data file whose
+    * partition assignment satisfies `drop` leaves the NEXT manifest.
+    * This is a pure SELECTION SWAP — no file is read, written, or
+    * deleted (the commit costs one manifest delta however many
+    * terabytes the dropped partitions hold), older versions keep
+    * serving the dropped files until [[Snapshots.expire]] reclaims
+    * them, and no tombstones are involved: the partition IS the
+    * erasure unit, which is exactly why [[deleteCommit]] refuses a
+    * partition column as its key and points here. Pinned row-level
+    * tombstones (if any) stay pinned and keep anti-joining — a
+    * tombstoned id inside a dropped partition simply stops being a
+    * resident from the new version on (the anti-join of an absent id
+    * is a no-op; a later [[purgeCommit]] finds no file holding it and
+    * drops the list as usual). `drop` sees each file's (column →
+    * value) assignment with values as their raw path segments (hive
+    * spelling — dates are ISO strings, so range predicates compare
+    * lexicographically). Dropping EVERY data file refuses: emptying a
+    * table through retention is a caller bug. Returns the committed
+    * version (unchanged when nothing matches). */
+  def dropPartitionsCommit(s: SparkSession, dataDir: String,
+      partitionCols: Seq[String],
+      drop: Map[String, String] => Boolean): Int = {
+    require(partitionCols.nonEmpty,
+      "dropPartitionsCommit: a flat table has no partitions to drop — " +
+        "row-level erasure is deleteCommit + purgeCommit")
+    val v = Snapshots.current(s, dataDir).getOrElse(
+      throw new IllegalArgumentException(
+        s"dropPartitionsCommit: no committed version under $dataDir"))
+    requireLayout(s, dataDir, v, partitionCols)
+    val (dataF, _) = pieces(s, dataDir, v)
+    def kvOf(f: String): Map[String, String] =
+      relOf(dataDir, f).split('/').dropRight(1).filter(_.contains("="))
+        .map { seg =>
+          val i = seg.indexOf('='); seg.take(i) -> seg.drop(i + 1)
+        }.toMap
+    val dropped = dataF.filter(f => drop(kvOf(f)))
+    if (dropped.isEmpty) return v
+    require(dropped.size < dataF.size,
+      s"dropPartitionsCommit: the predicate drops every data file of " +
+        s"v$v under $dataDir — emptying a table through retention is a " +
+        "caller bug; delete the dataset instead")
+    val dropRel = dropped.map(relOf(dataDir, _)).toSet
+    Snapshots.commitReplacingWhere(s, dataDir, v, dropRel.contains)
   }
 
   /** COPY-ON-WRITE physical erasure: rewrite ONLY the data files

@@ -3496,6 +3496,83 @@ class ScaleShapeSpec extends SparkSpec {
       new java.io.File(staging))
   }
 
+  test("partition-level retention: dropPartitionsCommit is a pure " +
+      "selection swap — no file touched, older versions keep the " +
+      "dropped days, tombstones of dropped rows become purge no-ops") {
+    val s = spark
+    import s.implicits._
+    import graft.plans.{SnapshotTable, Snapshots}
+    val staging = Files.createTempDirectory("part_drop").toString
+    try {
+      val dir = s"$staging/events"
+      val ev = Tables.events(s, sf)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .withColumn("day", to_date(col("ts")))
+      val v1 = SnapshotTable.saveCommit(s, ev.repartition(col("day")),
+        dir, partitionCols = Seq("day"))
+      // tombstone a few ids living INSIDE a to-be-dropped day: the
+      // drop must leave the pinned list harmless, not corrupt it
+      val dels = ev.where(col("day") < lit("2024-01-03").cast("date") &&
+        col("event_id") % 5 === 0).select(col("event_id"))
+      val v2 = SnapshotTable.deleteCommit(s, dir, dels, "event_id",
+        partitionCols = Seq("day"))
+      val conf = s.sparkContext.hadoopConfiguration
+      def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+      def fileMap() = graft.Fs.listDataFiles(dir, conf)
+        .map(f => norm(f.getPath.toString) ->
+          (f.getLen, f.getModificationTime)).toMap
+      val before = fileMap()
+      val v3 = SnapshotTable.dropPartitionsCommit(s, dir, Seq("day"),
+        kv => kv("day") < "2024-01-03")
+      // selection swap: NOTHING on disk changed — every pre-drop file
+      // byte-identical in place (the dropped days' files included;
+      // older versions keep serving them until expire)
+      assert(fileMap() == before,
+        "dropPartitionsCommit touched a file — it must be manifest-only")
+      val v3Files = Snapshots.files(s, dir, v3)
+      assert(!v3Files.exists(_.contains("day=2024-01-01")) &&
+        !v3Files.exists(_.contains("day=2024-01-02")),
+        "dropped days still referenced by the new manifest")
+      assert(v3Files.exists(_.contains("/deletes/")),
+        "the pinned tombstone list fell out of the selection")
+      def ids(w: Int) = SnapshotTable.readAsOf(s, dir, w, "event_id")
+        .select("event_id")
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().sorted.toSeq
+      val delSet = dels.collect().map(_.getLong(0)).toSet
+      // v3 = surviving days (the tombstoned ids were all inside the
+      // dropped days, so the anti-join is a no-op on v3's rows)...
+      val droppedIds = ev
+        .where(col("day") < lit("2024-01-03").cast("date"))
+        .select("event_id")
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong)
+        .collect().toSet
+      assert(ids(v3) == ids(v1).filterNot(droppedIds),
+        "v3 rows are not exactly the surviving days")
+      // ...while v2 time travel still serves the dropped days minus
+      // its own tombstones, and v1 everything
+      assert(ids(v2) == ids(v1).filterNot(delSet), "v2 serve changed")
+      // a purge after the drop finds NO file holding a tombstoned row
+      // (they all left the selection) and just retires the list
+      val v4 = SnapshotTable.purgeCommit(s, dir, "event_id",
+        partitionCols = Seq("day"))
+      assert(!Snapshots.files(s, dir, v4).exists(_.contains("/deletes/")),
+        "post-drop purge did not retire the tombstone list")
+      assert(ids(v4) == ids(v3), "post-drop purge changed rows")
+      // refusals: flat tables have no partitions; a predicate dropping
+      // EVERYTHING is a caller bug; nothing-matches is a no-op
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.dropPartitionsCommit(s, dir, Nil, _ => true))
+        .getMessage.contains("flat table"))
+      assert(intercept[IllegalArgumentException](
+        SnapshotTable.dropPartitionsCommit(s, dir, Seq("day"), _ => true))
+        .getMessage.contains("every data file"))
+      assert(SnapshotTable.dropPartitionsCommit(s, dir, Seq("day"),
+        _ => false) == v4)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(staging))
+  }
+
   test("schema-evolution marker clears after a full rewrite: the " +
       "homogeneous current serves plain, mixed-era time travel still " +
       "schema-merges, a later widening re-arms the merge") {
