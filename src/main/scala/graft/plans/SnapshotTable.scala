@@ -293,7 +293,7 @@ object SnapshotTable {
     require(!partitionCols.contains(idCol),
       s"deleteCommit: $idCol is a partition column — row-level deletes " +
         "key on a data column; partition-level erasure is a manifest " +
-        "selection swap, not a tombstone")
+        "selection swap, not a tombstone (dropPartitionsCommit)")
     requireLayout(s, dataDir, v, partitionCols)
     val staged = graft.Materialize.cut(
       deleteIds.select(col(idCol)).distinct())

@@ -3736,6 +3736,7 @@ class ScaleShapeSpec extends SparkSpec {
       val docs = Tables.documents(s, sf)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .where(col("source") >= "src10" && col("source") <= "src19")
+        .withColumn("quality", col("doc_id") / lit(7.0))
       SnapshotTable.saveCommit(s,
         docs.repartitionByRange(30, col("source"), col("doc_id")), dir)
       // tombstone FIRST, record AFTER: the recorder must skip the
@@ -3744,7 +3745,7 @@ class ScaleShapeSpec extends SparkSpec {
         docs.where(pmod(col("doc_id"), lit(13)) === 5)
           .select(col("doc_id")), "doc_id")
       assert(SnapshotTable.recordStats(s, dir, v2,
-        Seq("doc_id", "source")) > 0)
+        Seq("doc_id", "source", "quality")) > 0)
       val hiId = docs.agg(max(col("doc_id"))).head().getLong(0) / 3
       val dataF = Snapshots.files(s, dir, v2)
         .filterNot(_.contains("/deletes/"))
@@ -3759,16 +3760,25 @@ class ScaleShapeSpec extends SparkSpec {
         s"the conjunction (${both.size}) must open strictly fewer " +
           s"files than source-only (${bySrc.size}) or id-only " +
           s"(${byId.size})")
-      // the pruned serve answers exactly the unpruned merge-on-read
+      // the fractional lane prunes too (quality tracks doc_id, so its
+      // bounds are discriminating under the same clustering)
+      val byQ = FileStats.pruneListDouble(s, dir, dataF,
+        "quality", 0.0, hiId / 7.0)
+      assert(byQ.size < dataF.size,
+        s"fractional-lane prune dropped nothing (${byQ.size})")
+      // the pruned serve answers exactly the unpruned merge-on-read —
+      // all three lanes in one conjunction
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.where(col("source") >= "src12" && col("source") <= "src14" &&
-            col("doc_id").between(0L, hiId))
+            col("doc_id").between(0L, hiId) &&
+            col("quality").between(0.0, hiId / 7.0))
           .select("doc_id")
           .as[Long](org.apache.spark.sql.Encoders.scalaLong)
           .collect().sorted.toSeq
       assert(rows(SnapshotTable.readAsOfPrunedMulti(s, dir, v2, "doc_id",
           longPreds = Seq(("doc_id", 0L, hiId)),
-          stringPreds = Seq(("source", "src12", "src14")))) ==
+          stringPreds = Seq(("source", "src12", "src14")),
+          doublePreds = Seq(("quality", 0.0, hiId / 7.0)))) ==
         rows(SnapshotTable.readAsOf(s, dir, v2, "doc_id")),
         "multi-column pruning changed the answer")
       // code-point order: a file whose min is U+E000… must NOT be
