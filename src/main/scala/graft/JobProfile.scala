@@ -50,9 +50,33 @@ object JobProfile {
       }
     }
     val fn = SparkEntry.queries(name)
+    // mirror the bench's untimed staging (Bench.runSweep) so the
+    // profiled walls match bench timings instead of folding clone /
+    // model / state staging into the measured rep
+    def stageFor(): Unit = {
+      def is(set: Set[String]) = set.exists(p => name.startsWith(p + "_"))
+      if (Bench.modelStagers.exists(p => name.startsWith(p)))
+        operators.Similarity.stageModels(spark, sfDir)
+      if (is(Bench.gramStagers)) operators.Curation.stageGrams(spark, sfDir)
+      if (is(Bench.cloneStagers))
+        operators.Dedup.stageIngestClones(spark, sfDir, 1)
+      if (is(Bench.snapStagers))
+        operators.Dedup.stageSnapClones(spark, sfDir, 1)
+      if (is(Bench.stateStagers))
+        operators.Dedup.stageResidentState(spark, sfDir)
+      if (is(Bench.vocabStagers))
+        operators.TextAnalysis.stageVocabStats(spark, sfDir)
+      if (is(Bench.bm25SnapStagers))
+        operators.TextAnalysis.stageBm25SnapClones(spark, sfDir, 1)
+      if (is(Bench.ivfSnapStagers))
+        operators.Similarity.stageIvfSnapClones(spark, sfDir, 1)
+      if (is(Bench.pqSnapStagers))
+        operators.Similarity.stagePqSnapClones(spark, sfDir, 1)
+    }
     // warmup rep(s) then the measured rep — mirrors the bench's
     // staged/warm regime so JIT and one-time staging don't pollute
     for (r <- 1 to reps) {
+      stageFor()
       jobs.clear(); order.clear()
       if (r == reps) spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()

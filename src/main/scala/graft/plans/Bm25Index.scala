@@ -219,7 +219,8 @@ object Bm25Index {
     val newPost = graft.Materialize.cut(
       TextAnalysis.postingsOf(staged)
         .withColumn("tbucket", tbucket(col("term"))))
-    newPost.write.mode("append").partitionBy("tbucket")
+    newPost.repartition(col("tbucket"))
+      .write.mode("append").partitionBy("tbucket")
       .parquet(s"$base/postings")
     // vocabulary-sized read-merge-overwrite; the merged frame is CUT
     // (materialized off the input files) before the overwrite, so the
@@ -424,7 +425,8 @@ object Bm25Index {
     val newPost = graft.Materialize.cut(
       TextAnalysis.postingsOf(staged)
         .withColumn("tbucket", tbucket(col("term"))))
-    newPost.write.mode("append").partitionBy("tbucket")
+    newPost.repartition(col("tbucket"))
+      .write.mode("append").partitionBy("tbucket")
       .parquet(s"$base/postings")
     // df DELTA segment: the batch's own term frequencies, one small
     // sibling file — the resident vocabulary is neither read nor
@@ -507,7 +509,8 @@ object Bm25Index {
     // base-independent landings, exactly once — each claimed
     // writer-exactly via the private staging move
     val myPost = Snapshots.landStaged(s, s"$base/postings") { stage =>
-      newPost.write.mode("append").partitionBy("tbucket").parquet(stage)
+      newPost.repartition(col("tbucket"))
+        .write.mode("append").partitionBy("tbucket").parquet(stage)
     }.map("postings/" + _)
     val myTerms = Snapshots.landStaged(s, s"$base/terms") { stage =>
       newPost.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -588,8 +591,7 @@ object Bm25Index {
     // segments would net every later version's scores wrong — refuse
     // loudly. Skinny doc_id projection under the broadcast id set.
     requireResidents(s,
-      s.read.option("basePath", s"$base/postings")
-        .parquet(pieceOf(s, base, v, "postings"): _*),
+      ManifestIO.read(s, s"$base/postings", pieceOf(s, base, v, "postings")),
       staged, "deleteCommit")
     val delPost = graft.Materialize.cut(TextAnalysis.postingsOf(staged))
     staged.select(col("doc_id")).distinct()
@@ -647,7 +649,7 @@ object Bm25Index {
       .collect { case (b, fl) if fl.size > maxFiles => b }.toSet
     val tombed: Set[Int] =
       if (tomb.isEmpty) Set.empty
-      else s.read.option("basePath", s"$base/postings").parquet(posts: _*)
+      else ManifestIO.read(s, s"$base/postings", posts)
         .select(col("tbucket"), col("doc_id"))
         .join(broadcast(s.read.parquet(tomb: _*)), Seq("doc_id"), "left_semi")
         .select(col("tbucket")).distinct()
@@ -691,8 +693,7 @@ object Bm25Index {
     }
     if (touched.nonEmpty) {
       val files = posts.filter(f => touched(bucketOf(f)))
-      val cur = s.read.option("basePath", s"$base/postings")
-        .parquet(files: _*)
+      val cur = ManifestIO.read(s, s"$base/postings", files)
       val purged =
         if (tomb.isEmpty) cur
         else cur.join(broadcast(s.read.parquet(tomb: _*)),
@@ -724,8 +725,7 @@ object Bm25Index {
       c.update(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.lang.Integer.valueOf((c.getValue % Buckets).toInt)
     }.distinct
-    val tf0 = s.read.option("basePath", s"$base/postings")
-      .parquet(pieceOf(s, base, version, "postings"): _*)
+    val tf0 = ManifestIO.read(s, s"$base/postings", pieceOf(s, base, version, "postings"))
       .where(col("tbucket").isin(buckets: _*))
       .where(col("term").isin(queryTerms: _*))
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))

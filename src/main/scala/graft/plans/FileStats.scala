@@ -151,7 +151,7 @@ object FileStats {
     val fresh = Snapshots.files(s, dataDir, v)
       .filterNot(f => { val r = rel(dataDir, f); done(r) || skip(r) })
     if (fresh.isEmpty) return 0
-    val df = s.read.option("basePath", dataDir).parquet(fresh: _*)
+    val df = ManifestIO.read(s, dataDir, fresh)
     val lanes = cols.map(c => c -> lane(df.schema(c).dataType, c))
     // one grouped aggregate keyed by the producing file: 2 bounds per
     // column per file ride the shuffle, never rows
@@ -313,7 +313,7 @@ object FileStats {
       val any = Snapshots.files(s, dataDir, v)
       require(any.nonEmpty,
         s"readPruned: snapshot v$v under $dataDir has no files")
-      s.read.option("basePath", dataDir).parquet(any.head).limit(0)
-    } else s.read.option("basePath", dataDir).parquet(fl: _*)
+      ManifestIO.read(s, dataDir, Seq(any.head)).limit(0)
+    } else ManifestIO.read(s, dataDir, fl)
   }
 }

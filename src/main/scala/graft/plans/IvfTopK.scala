@@ -183,7 +183,7 @@ object IvfTopK {
     val (dataF, tombF) = manifestPieces(s, assign, v)
     require(dataF.nonEmpty,
       s"snapshot v$v under $assign references no assignment files")
-    val rel = s.read.option("basePath", assign).parquet(dataF: _*)
+    val rel = ManifestIO.read(s, assign, dataF)
     if (tombF.isEmpty) rel
     else rel.join(broadcast(s.read.parquet(tombF: _*)),
       Seq("vec_id"), "left_anti")
@@ -260,7 +260,7 @@ object IvfTopK {
       .collect { case (c, fl) if fl.size > maxFiles => c }.toSet
     val tombed: Set[Int] =
       if (tombF.isEmpty) Set.empty
-      else s.read.option("basePath", assign).parquet(dataF: _*)
+      else ManifestIO.read(s, assign, dataF)
         .join(broadcast(s.read.parquet(tombF: _*)), Seq("vec_id"),
           "left_semi")
         .select(col("cid")).distinct()
@@ -269,7 +269,7 @@ object IvfTopK {
     if (touched.isEmpty && tombF.isEmpty) return v
     if (touched.nonEmpty) {
       val files = dataF.filter(f => touched(cellOf(f)))
-      val cur = s.read.option("basePath", assign).parquet(files: _*)
+      val cur = ManifestIO.read(s, assign, files)
       val purged =
         if (tombF.isEmpty) cur
         else cur.join(broadcast(s.read.parquet(tombF: _*)),
@@ -429,7 +429,8 @@ object IvfTopK {
         graft.functions.VectorFunctions.topCells(col("v"), col("carr"), 1), 1)
         .getField("cid").cast("int"))
       .select(cols.map(col) :+ col("cid"): _*)
-    assigned.write.mode("append").partitionBy("cid").parquet(idx.assignPath)
+    assigned.repartition(col("cid"))
+      .write.mode("append").partitionBy("cid").parquet(idx.assignPath)
     staged.count()
   }
 

@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-fed reads for the snapshot/index serve paths.
+  *
+  * Every committed-artifact serve in this engine reads an EXPLICIT
+  * manifested file list (`spark.read.option("basePath", dir)
+  * .parquet(files: _*)`). Spark resolves such a read by re-LISTING the
+  * paths — above `spark.sql.sources.parallelPartitionDiscovery
+  * .threshold` (default 32) that is a whole distributed Spark job per
+  * read ("Listing leaf files and directories for N paths", measured
+  * 1.4–1.6 s per 763-file serve leg at sf0.1, one per as-of leg of
+  * every lifecycle query) — to discover metadata the manifest layer
+  * ALREADY VALIDATED when it committed the files. This is the
+  * guide-§6 argument for manifest-backed table formats ("avoid
+  * directory listing altogether"), applied to our own manifests.
+  *
+  * [[read]] therefore stats the file set with ONE driver-side
+  * recursive enumeration of the table root (the local-FS fast path in
+  * [[graft.Fs.listDataFiles]] walks a 763-file tree in ~10 ms; on a
+  * remote store it is one LIST scan instead of N GetFileStatus
+  * round-trips or a listing job) and hands the statuses straight to
+  * the planner via a pre-populated FileStatusCache
+  * ([[org.apache.spark.sql.execution.datasources
+  * .GraftManifestReadBridge]]). Partition-column inference (basePath),
+  * schema inference (incl. mergeSchema), partition pruning and the
+  * scan itself are Spark's own unchanged code paths — the only thing
+  * removed is the redundant listing. Data files under a committed
+  * table are immutable once visible (every lifecycle here is
+  * copy-on-write), which is what makes the enumeration-then-plan
+  * handoff safe. */
+object ManifestIO {
+
+  /** Scheme-tolerant key for matching enumerated statuses to the
+    * caller's path strings (mirrors SnapshotTable.relOf). */
+  private def key(p: String): String = new Path(p).toUri.getPath
+
+  /** Read `files` (absolute paths under `basePath`) with semantics
+    * identical to `spark.read.option("basePath", basePath)
+    * [.option("mergeSchema", "true")].parquet(files: _*)`. */
+  def read(s: SparkSession, basePath: String, files: Seq[String],
+      mergeSchema: Boolean = false): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val byPath: Map[String, FileStatus] =
+      graft.Fs.listDataFiles(basePath, conf)
+        .map(st => key(st.getPath.toString) -> st).toMap
+    lazy val (fsys, _) = graft.Fs.resolve(basePath, conf)
+    val statuses = files.map { fp =>
+      byPath.getOrElse(key(fp), fsys.getFileStatus(new Path(fp)))
+    }
+    val opts = Map("basePath" -> basePath) ++
+      (if (mergeSchema) Map("mergeSchema" -> "true") else Map.empty)
+    org.apache.spark.sql.execution.datasources.GraftManifestReadBridge
+      .read(s, opts, statuses)
+  }
+}

@@ -75,6 +75,7 @@ object MinHashIndex {
       docs: DataFrame): Seq[String] =
     Snapshots.landStaged(s, bands) { stage =>
       withBucket(Dedup.indexBandRows(docs))
+        .repartition(col("band_id"), col("kbucket"))
         .write.mode("append").partitionBy("band_id", "kbucket")
         .parquet(stage)
     }
@@ -124,6 +125,7 @@ object MinHashIndex {
     requireNotTombstoned(s, s"$base/bands",
       staged.select(col("doc_id")).distinct(), "append")
     withBucket(Dedup.indexBandRows(staged))
+      .repartition(col("band_id"), col("kbucket"))
       .write.mode("append").partitionBy("band_id", "kbucket")
       .parquet(s"$base/bands")
     staged.count()
@@ -246,7 +248,7 @@ object MinHashIndex {
       if (bandF.isEmpty)
         throw new IllegalStateException(
           s"snapshot v$v under $bands references no band files")
-      else s.read.option("basePath", bands).parquet(bandF: _*)
+      else ManifestIO.read(s, bands, bandF)
     if (tombF.isEmpty) rel
     else rel.join(broadcast(s.read.parquet(tombF: _*)),
       Seq("doc_id"), "left_anti")
@@ -323,7 +325,7 @@ object MinHashIndex {
       .collect { case (p, fl) if fl.size > maxFiles => p }.toSet
     val tombed: Set[(Int, Int)] =
       if (tombF.isEmpty) Set.empty
-      else s.read.option("basePath", bands).parquet(bandF: _*)
+      else ManifestIO.read(s, bands, bandF)
         .join(broadcast(s.read.parquet(tombF: _*)), Seq("doc_id"), "left_semi")
         .select(col("band_id"), col("kbucket")).distinct()
         .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
@@ -331,7 +333,7 @@ object MinHashIndex {
     if (touched.isEmpty && tombF.isEmpty) return v
     if (touched.nonEmpty) {
       val files = bandF.filter(f => touched(partOf(f)))
-      val cur = s.read.option("basePath", bands).parquet(files: _*)
+      val cur = ManifestIO.read(s, bands, files)
       val purged =
         if (tombF.isEmpty) cur
         else cur.join(broadcast(s.read.parquet(tombF: _*)),
@@ -485,6 +487,7 @@ object MinHashIndex {
     requireNotTombstoned(s, s"$base/bands",
       bandRows.select(col("doc_id")).distinct(), "appendRows")
     withBucket(bandRows)
+      .repartition(col("band_id"), col("kbucket"))
       .write.mode("append").partitionBy("band_id", "kbucket")
       .parquet(s"$base/bands")
     bandRows.select(col("doc_id")).distinct().count()

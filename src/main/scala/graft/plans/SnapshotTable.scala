@@ -117,12 +117,10 @@ object SnapshotTable {
     * columns survive explicit listings), mergeSchema only when the
     * table has evolved AND `v` predates the last uniformity-restoring
     * full rewrite — a homogeneous current serve pays no footer merge. */
-  private def reader(s: SparkSession, dataDir: String, v: Int) = {
-    val r = s.read.option("basePath", dataDir)
-    if (isEvolved(s, dataDir) && !uniformAsOf(s, dataDir).exists(_ <= v))
-      r.option("mergeSchema", "true")
-    else r
-  }
+  private def readFiles(s: SparkSession, dataDir: String, v: Int,
+      files: Seq[String]) =
+    ManifestIO.read(s, dataDir, files, mergeSchema =
+      isEvolved(s, dataDir) && !uniformAsOf(s, dataDir).exists(_ <= v))
 
   /** `file` relative to `dataDir` (scheme-tolerant, like
     * [[Snapshots]]'s own rel). */
@@ -230,7 +228,7 @@ object SnapshotTable {
     val dataF0 = pieces(s, dataDir, v)._1
     require(dataF0.nonEmpty,
       s"appendCommit: v$v under $dataDir has no data files")
-    val current = reader(s, dataDir, v).parquet(dataF0: _*).schema
+    val current = readFiles(s, dataDir, v, dataF0).schema
     val batch = rows.schema
     for (f <- current.fields) {
       val b = batch.fields.find(_.name == f.name).getOrElse(
@@ -398,8 +396,8 @@ object SnapshotTable {
     // evolution the zero-row frame still lists every file so the
     // merged schema is right)
     val data =
-      if (kept.isEmpty) reader(s, dataDir, v).parquet(dataF: _*).limit(0)
-      else reader(s, dataDir, v).parquet(kept: _*)
+      if (kept.isEmpty) readFiles(s, dataDir, v, dataF).limit(0)
+      else readFiles(s, dataDir, v, kept)
     if (tombF.isEmpty) data
     else data.join(broadcast(s.read.parquet(tombF: _*)), Seq(idCol),
       "left_anti")
@@ -459,7 +457,7 @@ object SnapshotTable {
             .mkString("/")).distinct.size,
           partitionCols.map(col): _*)
     val merged = graft.Materialize.cut(
-      shape(reader(s, dataDir, v).parquet(rewrite: _*)))
+      shape(readFiles(s, dataDir, v, rewrite)))
     writeRows(merged, dataDir, partitionCols)
     graft.Materialize.release(merged)
     val dropRel = rewrite.map(relOf(dataDir, _)).toSet
@@ -553,7 +551,7 @@ object SnapshotTable {
       // the partitionBy write re-sprays survivors into their own
       // partition dirs — new siblings of the files they replace,
       // exactly like Snapshots.compactCommit's merge
-      val survivors = reader(s, dataDir, v).parquet(rewrite: _*)
+      val survivors = readFiles(s, dataDir, v, rewrite)
         .join(broadcast(tombs), Seq(idCol), "left_anti")
       writeRows(survivors, dataDir, partitionCols)
     }

@@ -355,7 +355,7 @@ object Snapshots {
     // single writer, landed in append mode so no existing file moves
     val toMerge = old.filter(f => frag(partOf(f)))
     val merged = graft.Materialize.cut(
-      s.read.option("basePath", dataDir).parquet(toMerge: _*))
+      ManifestIO.read(s, dataDir, toMerge))
     merged
       .repartition(partitionCols.map(org.apache.spark.sql.functions.col): _*)
       .sortWithinPartitions(
@@ -636,7 +636,7 @@ object Snapshots {
         s"snapshot v$v is empty and no emptySchema was supplied"))
       s.createDataFrame(java.util.Collections.emptyList[
         org.apache.spark.sql.Row](), sch)
-    } else s.read.option("basePath", dataDir).parquet(fl: _*)
+    } else ManifestIO.read(s, dataDir, fl)
   }
 
   /** INCREMENTAL READ — the data files version `toV` references that
@@ -670,13 +670,13 @@ object Snapshots {
       val sch = emptySchema.orElse(
         toFiles.headOption
           .orElse(if (fromV == 0) None else files(s, dataDir, fromV).headOption)
-          .map(f => s.read.option("basePath", dataDir).parquet(f).schema))
+          .map(f => ManifestIO.read(s, dataDir, Seq(f)).schema))
         .getOrElse(throw new IllegalArgumentException(
           s"no files were added between v$fromV and v$toV, both versions " +
             "are file-less, and no emptySchema was supplied"))
       s.createDataFrame(java.util.Collections.emptyList[
         org.apache.spark.sql.Row](), sch)
-    } else s.read.option("basePath", dataDir).parquet(fresh: _*)
+    } else ManifestIO.read(s, dataDir, fresh)
   }
 
   /** ROLLBACK — republish version `toV`'s exact file set as the NEXT

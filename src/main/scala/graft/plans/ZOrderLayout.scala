@@ -333,7 +333,7 @@ object ZOrderLayout {
       .collect { case (b, fl) if fl.size > maxFiles => b }.toSet
     val tombed: Set[Int] =
       if (tombF.isEmpty) Set.empty
-      else s.read.option("basePath", data).parquet(dataF: _*)
+      else ManifestIO.read(s, data, dataF)
         .join(broadcast(s.read.parquet(tombF: _*)), Seq("event_id"),
           "left_semi")
         .select(col("zbucket")).distinct()
@@ -342,7 +342,7 @@ object ZOrderLayout {
     if (touched.isEmpty && tombF.isEmpty) return v
     if (touched.nonEmpty) {
       val files = dataF.filter(f => touched(bucketOf(f)))
-      val cur = s.read.option("basePath", data).parquet(files: _*)
+      val cur = ManifestIO.read(s, data, files)
       val purged =
         if (tombF.isEmpty) cur
         else cur.join(broadcast(s.read.parquet(tombF: _*)),
@@ -373,7 +373,7 @@ object ZOrderLayout {
     val (dataF, tombF) = pieces(s, data, v)
     require(dataF.nonEmpty,
       s"snapshot v$v under $data references no data files")
-    val rel = s.read.option("basePath", data).parquet(dataF: _*)
+    val rel = ManifestIO.read(s, data, dataF)
     if (tombF.isEmpty) rel
     else rel.join(broadcast(s.read.parquet(tombF: _*)),
       Seq("event_id"), "left_anti")
