@@ -1304,9 +1304,11 @@ object Dedup {
         org.apache.hadoop.fs.FileSystem.get(new java.net.URI(verdictDir),
             s.sparkContext.hadoopConfiguration)
           .mkdirs(new org.apache.hadoop.fs.Path(verdictDir))
+        // the handle is two immutable paths — load it once, not per
+        // micro-batch (each load re-reads the meta file as its own job)
+        val h = MinHashIndex.load(s, runDir)
         graft.streaming.Replay.runBatchedForeach(s, feed, "batch",
           batches = 3, stageKey = Some(s"q103s:$d")) { batch =>
-          val h = MinHashIndex.load(s, runDir)
           val rows = MinHashIndex.localize(s,
             batch.select(col("doc_id"), col("text")))
           // verdict lands on disk BEFORE the append mutates the index
@@ -1895,7 +1897,7 @@ object Dedup {
           resLab.join(broadcast(excl), Seq("label"), "left_anti"))
           .withColumn("touched", lit(false))
         val touchedKeep = keepList(
-          s.read.parquet(mirDir).select(col("doc_id"), col("label"))
+          graft.plans.ManifestIO.readDir(s, mirDir).select(col("doc_id"), col("label"))
             .join(broadcast(touched), Seq("label"), "left_semi"))
           .withColumn("touched", lit(true))
         // materialized before the finally reclaims the mirror
@@ -2207,12 +2209,14 @@ object Dedup {
           .select(col("doc_id"), col("text"))
           .withColumn("batch",
             (pmod(col("doc_id"), lit(30)) / 10 + 1).cast("int"))
+        // the handle is two immutable paths — load it once, not per
+        // micro-batch (each load re-reads the meta file as its own job)
+        val h = MinHashIndex.load(s, runDir)
         graft.streaming.Replay.runBatchedForeach(s, feed, "batch",
           batches = 3, stageKey = Some(s"q110s:$d")) { batch =>
-          val h = MinHashIndex.load(s, runDir)
           val rows = MinHashIndex.localize(s,
             batch.select(col("doc_id"), col("text")))
-          val lab = s.read.parquet(labDir)
+          val lab = graft.plans.ManifestIO.readDir(s, labDir)
             .select(col("doc_id"), col("label"))
           val delta = clusterStep(s, h, lab, rows)
           // the upsert rows: remapped members of touched clusters +
@@ -2238,7 +2242,7 @@ object Dedup {
         }
         // materialized before the finally reclaims the staging dir
         Materialize.cut(
-          s.read.parquet(labDir)
+          graft.plans.ManifestIO.readDir(s, labDir)
             .select(col("doc_id"), col("label").as("cluster_id")))
           .orderBy(col("doc_id"))
       } finally graft.Fs.deleteRecursively(staging,
@@ -2328,7 +2332,7 @@ object Dedup {
         val labDir = s"$staging/labels"
         IndexMaintenance.copyDir(s, src, labDir)
         val buckets = labelBuckets(s, labDir)
-        val resLab = s.read.parquet(labDir)
+        val resLab = graft.plans.ManifestIO.readDir(s, labDir)
           .select(col("doc_id"), col("label"))
         // the retention slice: resident docs aged out by policy
         val retired = resLab.where(pmod(col("doc_id"), lit(17)) === 3)
@@ -2356,7 +2360,7 @@ object Dedup {
         Materialize.release(comp)
         Materialize.release(survivors)
         Materialize.cut(
-          s.read.parquet(labDir)
+          graft.plans.ManifestIO.readDir(s, labDir)
             .select(col("doc_id"), col("label").as("cluster_id")))
           .orderBy(col("doc_id"))
       } finally graft.Fs.deleteRecursively(staging,
@@ -2387,13 +2391,13 @@ object Dedup {
         val buckets = labelBuckets(s, labDir)
         // the retention feed: the same %17 policy slice as q111,
         // arriving in 3 ordered micro-batches
-        val feed = s.read.parquet(src)
+        val feed = graft.plans.ManifestIO.readDir(s, src)
           .where(pmod(col("doc_id"), lit(17)) === 3)
           .select(col("doc_id"))
           .withColumn("batch", (pmod(col("doc_id"), lit(3)) + 1).cast("int"))
         graft.streaming.Replay.runBatchedForeach(s, feed, "batch",
           batches = 3, stageKey = Some(s"q111s:$d")) { batch =>
-          val lab = s.read.parquet(labDir)
+          val lab = graft.plans.ManifestIO.readDir(s, labDir)
             .select(col("doc_id"), col("label"))
           val retiredB = batch.select(col("doc_id"))
           val touched = lab.join(retiredB, Seq("doc_id"))
@@ -2418,7 +2422,7 @@ object Dedup {
           Materialize.release(survivors)
         }
         Materialize.cut(
-          s.read.parquet(labDir)
+          graft.plans.ManifestIO.readDir(s, labDir)
             .select(col("doc_id"), col("label").as("cluster_id")))
           .orderBy(col("doc_id"))
       } finally graft.Fs.deleteRecursively(staging,
@@ -2453,8 +2457,10 @@ object Dedup {
     val staging = takeClone(s, d)
     try {
       var runDir = s"$staging/idx"
+      // the handle is two immutable paths — load it when the dir is
+      // minted (or switched by the mid-loop compact), not per batch
+      var h = MinHashIndex.load(s, runDir)
       val verdicts = (0 until 3).map { k =>
-        val h = MinHashIndex.load(s, runDir)
         val batchRows = probeRows.where(
           pmod(col("doc_id"), lit(30)) === k * 10)
         val v = Materialize.cut(
@@ -2468,6 +2474,7 @@ object Dedup {
           val dest = s"$staging/idx_c$k"
           MinHashIndex.compact(s, runDir, dest)
           runDir = dest
+          h = MinHashIndex.load(s, runDir)
         }
         v
       }
@@ -2632,7 +2639,7 @@ object Dedup {
   /** The resident cluster labels as q110/q110s consume them — read
     * from the persisted state table (staging it on first use). */
   private def residentLabelsServed(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(stageResidentState(s, d))
+    graft.plans.ManifestIO.readDir(s, stageResidentState(s, d))
       .select(col("doc_id"), col("label"))
 
   /** Within-batch near-dup pairs from a localized probe sketch —

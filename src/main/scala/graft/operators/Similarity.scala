@@ -445,7 +445,7 @@ object Similarity {
   private[graft] def refreshAssignment(s: SparkSession, assignPath: String,
       centsOut: String): DataFrame = {
     import graft.plans.IndexMaintenance
-    val cur = s.read.parquet(assignPath)
+    val cur = graft.plans.ManifestIO.readDir(s, assignPath)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
     val embCols = cur.schema.fieldNames.filter(c => c != "cid" && c != "v").toSeq
     val newCents = cur.groupBy(col("cid")).agg(
@@ -467,7 +467,7 @@ object Similarity {
     moved.select(embCols.map(col) :+ col("new_cid").as("cid"): _*)
       .repartition(col("cid"))
       .write.mode("append").partitionBy("cid").parquet(assignPath)
-    val after = s.read.parquet(assignPath)
+    val after = graft.plans.ManifestIO.readDir(s, assignPath)
       .select(col("vec_id"), col("cid").as("new_cid"))
     graft.Materialize.cut(
       delta.select(col("vec_id"), col("old_cid")).join(after, Seq("vec_id")))

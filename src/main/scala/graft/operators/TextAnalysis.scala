@@ -539,7 +539,7 @@ object TextAnalysis {
         // buckets the batch hashes into (bounded by VocabBuckets)
         val touched = batchAgg.select(col("tbucket")).distinct()
           .collect().map(_.getInt(0)).toSeq
-        val res = s.read.parquet(tbl)
+        val res = graft.plans.ManifestIO.readDir(s, tbl)
           .where(col("tbucket").isin(touched: _*))
           .select(col("term"), col("collection_freq").as("cf_r"),
             col("doc_freq").as("df_r"))
@@ -550,7 +550,7 @@ object TextAnalysis {
             col("tbucket"))
         IndexMaintenance.upsertPartitioned(s, tbl, Seq("tbucket"), "term",
           updates, partitionFromKey = true)
-        graft.Materialize.cut(s.read.parquet(tbl)
+        graft.Materialize.cut(graft.plans.ManifestIO.readDir(s, tbl)
           .select(col("term"), col("collection_freq"), col("doc_freq")))
           .orderBy(col("term"))
       } finally graft.Fs.deleteRecursively(staging,

@@ -285,7 +285,7 @@ object Bm25Index {
     // above only catches the already-deleted half). One skinny
     // doc_id-column scan under the broadcast id set — the same bounded
     // probe shape as the purge pass.
-    requireResidents(s, s.read.parquet(s"$base/postings"), staged, "delete")
+    requireResidents(s, ManifestIO.readDir(s, s"$base/postings"), staged, "delete")
     val delPost = graft.Materialize.cut(TextAnalysis.postingsOf(staged))
     staged.select(col("doc_id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$base/deletes")
@@ -336,7 +336,7 @@ object Bm25Index {
     // time, so nothing else changes)
     val n = tombstones(s, src) match {
       case Some(dels) =>
-        s.read.parquet(s"$src/postings")
+        ManifestIO.readDir(s, s"$src/postings")
           .join(broadcast(dels), Seq("doc_id"), "left_anti")
           .repartition(col("tbucket"))
           .write.mode("overwrite").partitionBy("tbucket")
@@ -682,7 +682,7 @@ object Bm25Index {
       def termFiles = graft.Fs.listDataFiles(s"$base/terms", conf)
         .map(_.getPath.toString).toSet
       val before = termFiles
-      s.read.parquet(termSegs: _*)
+      ManifestIO.read(s, s"$base/terms", termSegs)
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
         .where(col("df") > 0)
         .write.mode("append").parquet(s"$base/terms")

@@ -24,7 +24,7 @@ object IndexMaintenance {
   def compactPartitioned(s: SparkSession, srcDir: String, destDir: String,
       partitionCols: Seq[String], sortCols: Seq[String] = Nil): Int = {
     require(partitionCols.nonEmpty, "use sinks.Compact for flat datasets")
-    s.read.parquet(srcDir)
+    ManifestIO.readDir(s, srcDir)
       .repartition(partitionCols.map(col): _*)
       // layouts that keep rows sorted inside each partition for
       // row-group min/max tightness (Z-order's `z`) re-sort here;
@@ -39,20 +39,19 @@ object IndexMaintenance {
     * dataset: rows whose `matchCol` is in `ids` are removed by
     * rewriting ONLY the partitions that hold them. The touched set
     * comes from a semi-join (bounded by the partition space, never the
-    * delete size), the pruned scan anti-joins the ids, the rewrite
-    * goes through DYNAMIC partition overwrite, and partitions emptied
-    * entirely are removed explicitly (dynamic overwrite only replaces
-    * partitions it writes). The remaining rows are materialized before
-    * the in-place overwrite (Spark cannot overwrite a path it is
-    * reading); a warehouse deployment writes fresh dirs + pointer-
-    * flips. Returns the number of rows removed. */
+    * delete size), the pruned scan anti-joins the ids, and the
+    * surviving rows are written ONCE into a temp sibling tree whose
+    * touched partition dirs swap into place
+    * ([[swapTouchedPartitions]] — partitions emptied entirely simply
+    * have no replacement and are deleted). Returns the number of rows
+    * removed. */
   def deletePartitioned(s: SparkSession, dataDir: String,
       partitionCols: Seq[String], matchCol: String,
       ids: DataFrame, sortCols: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.broadcast
     require(partitionCols.nonEmpty)
     requireUncommitted(s, dataDir, "deletePartitioned")
-    val data = s.read.parquet(dataDir)
+    val data = ManifestIO.readDir(s, dataDir)
     requireIntegralPartitions(data, partitionCols, "deletePartitioned")
     val keys = ids.select(col(matchCol)).distinct()
     val touched = partitionValues(
@@ -61,12 +60,9 @@ object IndexMaintenance {
     val pruned = data.where(partitionPredicate(touched, partitionCols))
     val nRemoved = pruned
       .join(broadcast(keys), Seq(matchCol), "left_semi").count()
-    val remaining = graft.Materialize.cut(
-      pruned.join(broadcast(keys), Seq(matchCol), "left_anti"))
-    overwriteDynamic(s, remaining, dataDir, partitionCols, sortCols)
-    dropEmptiedPartitions(s, dataDir, partitionCols, touched,
-      partitionValues(remaining, partitionCols).toSet)
-    graft.Materialize.release(remaining)
+    val remaining = pruned.join(broadcast(keys), Seq(matchCol), "left_anti")
+    swapTouchedPartitions(s, remaining, dataDir, partitionCols, sortCols,
+      touched)
     nRemoved
   }
 
@@ -81,11 +77,11 @@ object IndexMaintenance {
     * clusters rewrites a handful of partition directories, never the
     * table. `updates` must carry the dataset's full schema including
     * the partition columns (an update may MOVE a row between
-    * partitions; a source partition emptied that way is removed
-    * explicitly, as in [[deletePartitioned]]). The merged rows are
-    * materialized before the in-place overwrite (Spark cannot
-    * overwrite a path it is reading); a warehouse deployment writes
-    * fresh dirs + pointer-flips. Returns the number of rows written.
+    * partitions; a source partition emptied that way is removed by
+    * the swap, as in [[deletePartitioned]]). The merged rows are
+    * written ONCE into a temp sibling tree whose touched partition
+    * dirs swap into place ([[swapTouchedPartitions]]). Returns the
+    * number of rows written.
     *
     * `partitionFromKey = true` declares the partition columns a PURE
     * FUNCTION of `keyCol` (a resident row with an updated key lives in
@@ -102,7 +98,7 @@ object IndexMaintenance {
     import org.apache.spark.sql.functions.broadcast
     require(partitionCols.nonEmpty)
     requireUncommitted(s, dataDir, "upsertPartitioned")
-    val data = s.read.parquet(dataDir)
+    val data = ManifestIO.readDir(s, dataDir)
     requireIntegralPartitions(data, partitionCols, "upsertPartitioned")
     // the update relation feeds three consumers (key set, touched
     // partitions, merged rows) — compute its pipeline once
@@ -119,15 +115,10 @@ object IndexMaintenance {
       val pruned = data.where(partitionPredicate(touched, partitionCols))
       // upsert semantics: resident rows with an updated key drop out,
       // `updates` supplies their replacements (and the inserts)
-      val merged = graft.Materialize.cut(
-        pruned.join(broadcast(keys), Seq(keyCol), "left_anti")
-          .unionByName(ups))
-      val nWritten = merged.count()
-      overwriteDynamic(s, merged, dataDir, partitionCols, sortCols)
-      dropEmptiedPartitions(s, dataDir, partitionCols, touched,
-        partitionValues(merged, partitionCols).toSet)
-      graft.Materialize.release(merged)
-      nWritten
+      val merged = pruned.join(broadcast(keys), Seq(keyCol), "left_anti")
+        .unionByName(ups)
+      swapTouchedPartitions(s, merged, dataDir, partitionCols, sortCols,
+        touched)
     } finally graft.Materialize.release(ups)
   }
 
@@ -202,7 +193,7 @@ object IndexMaintenance {
       sortCols: Seq[String] = Nil): Int = {
     require(partitionCols.nonEmpty && maxFiles >= 1)
     requireUncommitted(s, dataDir, "compactIfFragmented")
-    val data = s.read.parquet(dataDir)
+    val data = ManifestIO.readDir(s, dataDir)
     requireIntegralPartitions(data, partitionCols, "compactIfFragmented")
     val conf = s.sparkContext.hadoopConfiguration
     val base = new org.apache.hadoop.fs.Path(dataDir).toUri.getPath
@@ -221,10 +212,9 @@ object IndexMaintenance {
       case (vs, files) if files.size > maxFiles => vs: Seq[Any]
     }.toSeq
     if (frag.isEmpty) return 0
-    val merged = graft.Materialize.cut(
-      data.where(partitionPredicate(frag, partitionCols)))
-    overwriteDynamic(s, merged, dataDir, partitionCols, sortCols)
-    graft.Materialize.release(merged)
+    swapTouchedPartitions(s,
+      data.where(partitionPredicate(frag, partitionCols)),
+      dataDir, partitionCols, sortCols, frag)
     frag.size
   }
 
@@ -279,40 +269,57 @@ object IndexMaintenance {
         .reduce(_ && _)
     }.reduce(_ || _)
 
-  private def overwriteDynamic(s: SparkSession, rows: DataFrame,
-      dataDir: String, partitionCols: Seq[String],
-      sortCols: Seq[String]): Unit = {
-    val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+  /** The shared rewrite core of the in-place maintenance passes: write
+    * `rows` partitioned by `partitionCols` into a FRESH SIBLING temp
+    * dir, then swap each `touched` partition directory into place with
+    * driver-side renames. The merged rows are computed and written
+    * exactly ONCE — the previous shape checkpointed them to executor
+    * storage, counted them, re-wrote them through dynamic partition
+    * overwrite and collected their partition values: two full writes
+    * and three reads of the same data per maintenance call. Emptied
+    * partitions fall out naturally (a touched dir with no replacement
+    * in the temp tree is simply deleted — dynamic overwrite needed an
+    * explicit cleanup pass for those). The row count rides the write
+    * job as an `observe` metric, so no second scan prices the return
+    * value. Same non-atomicity contract as the dynamic overwrite it
+    * replaces: in-place maintenance on an UNCOMMITTED dataset (the
+    * committed lifecycles go through the snapshot-preserving forms). */
+  private def swapTouchedPartitions(s: SparkSession, rows: DataFrame,
+      dataDir: String, partitionCols: Seq[String], sortCols: Seq[String],
+      touched: Seq[Seq[Any]]): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val tmp = dataDir.stripSuffix("/") + "-swap-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val obs = new org.apache.spark.sql.Observation()
     try {
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       rows
+        .observe(obs, org.apache.spark.sql.functions
+          .count(org.apache.spark.sql.functions.lit(1)).as("n"))
         .repartition(partitionCols.map(col): _*)
         // sorted layouts (Z-order) keep their within-partition order
         // through the rewrite
         .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
         .write.mode("overwrite").partitionBy(partitionCols: _*)
-        .parquet(dataDir)
-    } finally prevMode match {
-      case Some(v) =>
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-  }
-
-  /** Dynamic overwrite only replaces partitions it writes — a touched
-    * partition whose rows all vanished (deleted, or moved to another
-    * partition by an update) must be removed explicitly or its stale
-    * files resurrect on the next read. */
-  private def dropEmptiedPartitions(s: SparkSession, dataDir: String,
-      partitionCols: Seq[String], touched: Seq[Seq[Any]],
-      kept: Set[Seq[Any]]): Unit = {
-    val conf = s.sparkContext.hadoopConfiguration
-    for (vs <- touched if !kept(vs)) {
-      val sub = partitionCols.zip(vs)
-        .map { case (c, v) => s"$c=$v" }.mkString("/")
-      graft.Fs.deleteRecursively(s"$dataDir/$sub", conf)
-    }
+        .parquet(tmp)
+      val (fs, _) = graft.Fs.resolve(dataDir, conf)
+      for (vs <- touched) {
+        val sub = partitionCols.zip(vs)
+          .map { case (c, v) => s"$c=$v" }.mkString("/")
+        val dest = new org.apache.hadoop.fs.Path(s"$dataDir/$sub")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/$sub")
+        if (fs.exists(dest)) require(fs.delete(dest, true),
+          s"swapTouchedPartitions: could not clear $dest")
+        if (fs.exists(src)) {
+          fs.mkdirs(dest.getParent)
+          require(fs.rename(src, dest),
+            s"swapTouchedPartitions: rename $src -> $dest failed")
+        }
+      }
+      obs.get("n") match {
+        case n: java.lang.Long => n.longValue()
+        case other => sys.error(s"unexpected observe metric: $other")
+      }
+    } finally graft.Fs.deleteRecursively(tmp, conf)
   }
 
   /** Byte-copy a small side artifact (meta / stats / terms /

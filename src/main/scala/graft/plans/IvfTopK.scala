@@ -198,7 +198,7 @@ object IvfTopK {
       base: String): org.apache.spark.sql.DataFrame =
     Snapshots.current(s, s"$base/assignment") match {
       case Some(v) => versionRelation(s, s"$base/assignment", v)
-      case None => s.read.parquet(s"$base/assignment")
+      case None => ManifestIO.readDir(s, s"$base/assignment")
     }
 
   /** Row-level DELETE under snapshot isolation — the committed IVF

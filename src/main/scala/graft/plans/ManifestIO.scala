@@ -55,4 +55,21 @@ object ManifestIO {
     org.apache.spark.sql.execution.datasources.GraftManifestReadBridge
       .read(s, opts, statuses)
   }
+
+  /** Whole-DIRECTORY read with semantics identical to
+    * `spark.read.parquet(dir)` (partition inference included), fed by
+    * the same one driver-side enumeration instead of Spark's listing
+    * pass — for the UNCOMMITTED hot-path tables (bucketed label /
+    * vocab state, live index trees) whose hive layouts sit above the
+    * parallel-discovery threshold and otherwise pay a distributed
+    * listing job per read. Falls back to the plain read when the
+    * enumeration finds nothing, preserving the plain read's
+    * empty-directory error contract. */
+  def readDir(s: SparkSession, dir: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val statuses = graft.Fs.listDataFiles(dir, conf)
+    if (statuses.isEmpty) s.read.parquet(dir)
+    else org.apache.spark.sql.execution.datasources.GraftManifestReadBridge
+      .read(s, Map("basePath" -> dir), statuses)
+  }
 }

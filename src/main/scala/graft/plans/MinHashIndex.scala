@@ -548,7 +548,7 @@ object MinHashIndex {
   private def bandsRelation(s: SparkSession, bandsPath: String): DataFrame =
     Snapshots.current(s, bandsPath) match {
       case Some(v) => versionRelation(s, bandsPath, v)
-      case None => s.read.parquet(bandsPath)
+      case None => ManifestIO.readDir(s, bandsPath)
     }
 
   /** The serve join against an arbitrary bands RELATION (live dir or

@@ -163,7 +163,7 @@ object PqIndex {
     val (dataF, tombF) = pieces(s, codes, v)
     require(dataF.nonEmpty,
       s"snapshot v$v under $codes references no code files")
-    val rel = s.read.parquet(dataF: _*)
+    val rel = ManifestIO.read(s, codes, dataF)
     if (tombF.isEmpty) rel
     else rel.join(broadcast(s.read.parquet(tombF: _*)),
       Seq("vec_id"), "left_anti")
@@ -227,7 +227,7 @@ object PqIndex {
     // which code FILES hold a tombstoned row — ONE skinny scan with
     // input_file_name(), bounded by the tombstone count, never a
     // per-file driver loop
-    val touched: Set[String] = s.read.parquet(dataF: _*)
+    val touched: Set[String] = ManifestIO.read(s, codes, dataF)
       .select(col("vec_id"), input_file_name().as("f"))
       .join(tomb, Seq("vec_id"), "left_semi")
       .select(col("f")).distinct()
@@ -235,7 +235,7 @@ object PqIndex {
     if (touched.nonEmpty) {
       val files = dataF.filter(f => touched(relOf(f)))
       val merged = graft.Materialize.cut(
-        s.read.parquet(files: _*)
+        ManifestIO.read(s, codes, files)
           .join(tomb, Seq("vec_id"), "left_anti"))
       merged.write.mode("append").parquet(codes)
       graft.Materialize.release(merged)

@@ -307,7 +307,7 @@ object SnapshotTable {
             s"of v$v — a repeated delete is a caller bug")
       }
       val resident = staged
-        .join(s.read.parquet(dataF: _*).select(col(idCol)),
+        .join(ManifestIO.read(s, dataDir, dataF).select(col(idCol)),
           Seq(idCol), "left_semi").count()
       require(resident == n,
         s"deleteCommit: ${n - resident} $idCol(s) are not residents " +
@@ -536,7 +536,7 @@ object SnapshotTable {
     // touched set is naturally confined to the partitions holding
     // tombstoned rows (file granularity is strictly finer), so a
     // key-local delete rewrites key-local files only.
-    val touched: Set[String] = s.read.parquet(dataF: _*)
+    val touched: Set[String] = ManifestIO.read(s, dataDir, dataF)
       .select(col(idCol), input_file_name().as("__f"))
       .join(broadcast(tombs), Seq(idCol), "left_semi")
       .select(col("__f")).distinct()
